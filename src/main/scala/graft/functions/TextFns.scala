@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text primitives shared by the text-analysis, BM25 and
+  * dedup operators. All are codegen'd builtins (regexp/array HOFs) —
+  * narrow per-row transforms that scale linearly and never shuffle.
+  *
+  * Tokenization mirrors the reference's BM25 tokenizer
+  * (reference: backend/app/core/embeddings.py:175 _tokenize —
+  * lowercase, `[a-z0-9]+`, drop tokens of length <= 2).
+  */
+object TextFns {
+
+  /** English-ish stopwords used for stats/quality/keywords (mirrors
+    * the stopword filtering in
+    * reference: backend/app/utils/trend_analyzer.py:216).
+    */
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "an", "of", "and", "to", "in", "is", "for", "on",
+    "with", "as", "by", "at", "or", "be", "are", "was", "were", "this")
+
+  /** Whitespace tokens (lowercased). */
+  def wsTokens(text: Column): Column =
+    split(lower(trim(text)), "\\s+")
+
+  /** BM25-style tokens: lowercase, alnum runs, length > 2. */
+  def bm25Tokens(text: Column): Column =
+    filter(
+      regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0)),
+      t => length(t) > 2)
+
+  /** Sliding word n-gram shingles over whitespace tokens (distinct
+    * set is taken by callers where set semantics are needed).
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = wsTokens(text)
+    filter(
+      transform(
+        sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
+        i => concat_ws(" ", slice(toks, i, lit(n)))),
+      s => length(s) > lit(0))
+  }
+
+  def countInList(tokens: Column, words: Seq[String]): Column =
+    size(filter(tokens, t => t.isInCollection(words)))
+
+  /** Normalized text for fingerprinting: lowercase, collapse runs of
+    * whitespace to single spaces, trim.
+    */
+  def normalized(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** 64-bit-ish content fingerprint: first 16 hex chars of md5 of the
+    * normalized text (stable across engines, unlike engine-native
+    * hash functions).
+    */
+  def contentFingerprint(text: Column): Column =
+    substring(md5(normalized(text)), 1, 16)
+
+  /** Cross-engine-stable 32-bit token hash: first 8 md5 hex chars as
+    * a long. Used for SimHash bit derivation.
+    */
+  def hexHash32(s: Column): Column =
+    conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+}

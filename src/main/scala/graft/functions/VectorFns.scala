@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level vector math over `array<float>` / `array<double>`.
+  *
+  * All math is done in DOUBLE after an explicit cast, and the
+  * reductions (`aggregate`) fold left-to-right in array order, so the
+  * result is bit-deterministic and reproducible across engines (the
+  * DuckDB oracle mirrors the same double-precision formula).
+  *
+  * These are codegen'd builtin higher-order functions — no UDFs — so
+  * they stay inside WholeStageCodegen and scale linearly with rows.
+  * Capability mirror of the reference's dense similarity math
+  * (reference: backend/app/core/vector_store.py:604 cosine sim,
+  * backend/app/core/recommender.py:418 _cosine_similarity).
+  */
+object VectorFns {
+
+  /** Element-wise product sum in double; deterministic fold order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  def normSq(a: Column): Column = dot(a, a)
+
+  def l2Norm(a: Column): Column = sqrt(normSq(a))
+
+  /** Cosine similarity in double precision. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Squared L2 distance (reference uses L2 distance for Chroma). */
+  def l2DistSq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double")
+        d * d
+      }),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  /** Element-wise mean of grouped vectors, long-form helper: callers
+    * posexplode to (id, pos, v) rows, groupBy(id, pos).avg, and
+    * re-assemble if needed. Kept long-form on purpose: at 100 TB the
+    * long layout aggregates map-side and never materialises wide
+    * arrays in the shuffle.
+    */
+  def asDouble(a: Column): Column = transform(a, x => x.cast("double"))
+
+  /** Deterministic blocking code from the sign pattern of the first
+    * `bits` dims — cheap LSH-style bucketing for near-dup search.
+    */
+  def signCode(a: Column, bits: Int): Column =
+    aggregate(
+      zip_with(slice(a, 1, bits), sequence(lit(0), lit(bits - 1)),
+        (x, i) => when(x.cast("double") >= 0d, expr("1").cast("long") * pow(lit(2.0), i).cast("long")).otherwise(lit(0L))),
+      lit(0L),
+      (acc, x) => acc + x)
+}

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import scala.annotation.tailrec
+
+/** Document chunking — re-expression of the reference's splitter
+  * (reference: backend/app/core/text_splitter.py:68 BioPaperSplitter:
+  * RecursiveCharacterTextSplitter with chunk_size/chunk_overlap and
+  * chunk_index/total metadata).
+  *
+  * `fixedChunks` is the declarative, oracle-checkable variant (pure
+  * sequence + substring — narrow, codegen'd). `recursiveSplit` is the
+  * separator-aware variant used via Dataset.flatMap for real corpora;
+  * it is deterministic pure Scala, spec-tested.
+  */
+object Chunker {
+
+  /** Fixed-size overlapping character chunks.
+    * stride = chunkSize - overlap; starts at 0, stride, 2*stride …
+    * while start < doc length.
+    */
+  def fixedChunks(
+      docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, overlap: Int): DataFrame = {
+    val stride = chunkSize - overlap
+    docs
+      .withColumn("n", length(col(textCol)))
+      .where(col("n") > 0)
+      .select(col(idCol), col(textCol),
+        explode(sequence(lit(0), greatest(col("n") - 1, lit(0)), lit(stride)))
+          .as("start"))
+      .select(
+        col(idCol),
+        (col("start") / stride).cast("int").as("chunk_index"),
+        expr(s"substring($textCol, start + 1, $chunkSize)").as("chunk_text"))
+      .withColumn("chunk_len", length(col("chunk_text")))
+  }
+
+  /** Separator-aware recursive splitter (pure function).
+    * Tries separators in order; greedily packs pieces into chunks of
+    * at most `chunkSize` chars, with `overlap` chars carried between
+    * consecutive chunks. Deterministic; mirrors the behavior contract
+    * of RecursiveCharacterTextSplitter (not its implementation).
+    */
+  def recursiveSplit(
+      text: String, chunkSize: Int, overlap: Int,
+      separators: Seq[String] = Seq("\n\n", "\n", ". ", "; ", ", ", " ", "")
+  ): Seq[String] = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize)
+
+    def splitBy(t: String, seps: Seq[String]): Seq[String] = {
+      if (t.length <= chunkSize) return Seq(t)
+      seps match {
+        case Nil => t.grouped(chunkSize).toSeq
+        case "" +: _ => t.grouped(chunkSize).toSeq
+        case sep +: rest =>
+          val parts = t.split(java.util.regex.Pattern.quote(sep), -1)
+          if (parts.length <= 1) splitBy(t, rest)
+          else {
+            // re-attach separator to each piece except the last
+            val pieces = parts.init.map(_ + sep) :+ parts.last
+            pieces.toSeq.flatMap { p =>
+              if (p.length > chunkSize) splitBy(p, rest) else Seq(p)
+            }
+          }
+      }
+    }
+
+    @tailrec
+    def pack(pieces: List[String], cur: String, acc: List[String]): List[String] =
+      pieces match {
+        case Nil => if (cur.nonEmpty) (cur :: acc) else acc
+        case p :: rest =>
+          if (cur.isEmpty) pack(rest, p, acc)
+          else if ((cur + p).length <= chunkSize) pack(rest, cur + p, acc)
+          else {
+            val carried = cur.takeRight(overlap)
+            pack(rest, carried + p, cur :: acc)
+          }
+      }
+
+    val pieces = splitBy(text, separators.toList).filter(_.nonEmpty)
+    pack(pieces.toList, "", Nil).reverse.map(_.trim).filter(_.nonEmpty)
+  }
+}

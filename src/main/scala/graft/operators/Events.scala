@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics in batch form: tumbling-window aggregation,
+  * gap sessionization, per-entity top-k. The same logical shapes run
+  * under Structured Streaming (see graft.streaming) — these batch
+  * variants are the oracle-checkable twins.
+  *
+  * `ts` is a LONG of nanoseconds since epoch (Spark 4 cannot read
+  * parquet TIMESTAMP(NANOS); we read with
+  * spark.sql.legacy.parquet.nanosAsLong=true). All time arithmetic is
+  * integer — `ts div 1e9` — so engines agree bit-for-bit.
+  */
+object Events {
+
+  /** Floor-seconds since epoch from the nanos long. */
+  def tsSecs(c: String): org.apache.spark.sql.Column =
+    expr(s"$c div 1000000000")
+
+  /** Tumbling 1-day windows per event_type. Single map-side-combined
+    * aggregation; at cluster scale this is the canonical
+    * pre-aggregated rollup feeding the streaming sink.
+    */
+  def dailyAgg(events: DataFrame): DataFrame =
+    events
+      .withColumn("day", to_date(timestamp_seconds(tsSecs("ts"))))
+      .groupBy(col("day"), col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(sum(col("value")), 2).as("sum_value"),
+        round(avg(col("value")) + lit(1e-9), 4).as("avg_value"))
+
+  /** Gap sessionization: a new session starts when the gap to the
+    * previous event of the same user exceeds `gapSecs`. One shuffle by
+    * user_id; windows run within partitions.
+    * Event order within a second is by event_id (engine-stable).
+    */
+  def sessionize(events: DataFrame, gapSecs: Long): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("s"), col("event_id"))
+    val withS = events.withColumn("s", tsSecs("ts"))
+    val flagged = withS
+      .withColumn("prev_s", lag(col("s"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_s").isNull || col("s") - col("prev_s") > gapSecs, 1)
+          .otherwise(0))
+      .withColumn("session_idx",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"),
+        (max(col("s")) - min(col("s"))).as("duration_secs"))
+  }
+
+  /** Top-k users by summed value over a filtered event type.
+    * Rank by rounded sum (engine-stable), id tiebreak.
+    */
+  def topUsers(events: DataFrame, eventType: String, k: Int): DataFrame = {
+    val sums = events
+      .where(col("event_type") === eventType)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+    sums
+      .orderBy(col("sum_value").desc, col("user_id"))
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("sum_value").desc, col("user_id"))))
+  }
+}

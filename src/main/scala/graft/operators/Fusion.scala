@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Rank fusion + rule-based re-ranking — re-expression of the
+  * reference's hybrid search and core-paper reranker
+  * (reference: backend/app/core/embeddings.py:320 fuse_results —
+  * RRF with dense_weight/sparse_weight over 1-based ranks and
+  * rrf_k = 60; backend/app/core/core_paper_reranker.py:210-320 —
+  * weighted keyword-hit scoring).
+  */
+object Fusion {
+  val RrfK = 60.0
+  val DenseWeight = 0.6
+  val SparseWeight = 0.4
+
+  /** Reciprocal Rank Fusion of two ranked lists.
+    * Inputs must carry (idCol, rankCol) with 1-based ranks; ids
+    * missing from one list contribute 0 from that list (mirrors
+    * `fuse_results`, where absent docs simply get no increment).
+    * Both lists are top-k prunes of much larger inputs, so this is a
+    * small-side full-outer join — broadcastable at any corpus size.
+    */
+  def rrf(
+      dense: DataFrame, sparse: DataFrame,
+      idCol: String, rankCol: String, k: Int): DataFrame = {
+    val d = dense.select(col(idCol), col(rankCol).as("dense_rank"))
+    val s = sparse.select(col(idCol), col(rankCol).as("sparse_rank"))
+    d.join(s, Seq(idCol), "full_outer")
+      .withColumn("rrf_score", round(
+        coalesce(lit(DenseWeight) / (lit(RrfK) + col("dense_rank")), lit(0.0)) +
+          coalesce(lit(SparseWeight) / (lit(RrfK) + col("sparse_rank")), lit(0.0)), 6))
+      .orderBy(col("rrf_score").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("dense_rank"), col("sparse_rank"), col("rrf_score"))
+  }
+
+  /** Attach a deterministic 1-based rank ordered by scoreCol desc with
+    * id tiebreak. Used to feed `rrf`. Single window over an already
+    * top-k-pruned frame — driver-scale rows only.
+    */
+  def ranked(df: DataFrame, idCol: String, scoreCol: String): DataFrame =
+    df.withColumn("rank",
+      row_number().over(Window.orderBy(col(scoreCol).desc, col(idCol)))
+        .cast("long"))
+
+  /** Rule-based re-rank score: weighted counts of keyword-group hits
+    * plus a length prior, the shape of the reference's
+    * centrality/clinical/recency scoring (core_paper_reranker.py:323
+    * score_paper). Pure narrow projection — codegen'd, no shuffle.
+    */
+  def ruleScore(
+      docs: DataFrame, idCol: String, textCol: String, lenCol: String,
+      centralityKw: Seq[String], clinicalKw: Seq[String],
+      k: Int): DataFrame = {
+    def hits(kws: Seq[String]) = kws.map(w =>
+      when(col(textCol).contains(w), 1).otherwise(0)).reduce(_ + _)
+    val scored = docs.select(
+      col(idCol),
+      hits(centralityKw).as("centrality_hits"),
+      hits(clinicalKw).as("clinical_hits"),
+      col(lenCol))
+      .withColumn("core_score", round(
+        col("centrality_hits") * 2.0 + col("clinical_hits") * 1.5 +
+          least(col(lenCol).cast("double") / 1000.0, lit(1.0)) * 10.0, 6))
+    scored
+      .orderBy(col("core_score").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("centrality_hits").cast("long").as("centrality_hits"),
+        col("clinical_hits").cast("long").as("clinical_hits"), col("core_score"))
+  }
+}

@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Per-document text analytics: stats, quality scoring, language ID,
+  * corpus keywords, entity extraction, fingerprinting and lens
+  * classification. Capability mirrors of
+  * reference: backend/app/core/corpus_builder.py:407 QualityScorer,
+  * :489 GeneExtractor; backend/app/utils/trend_analyzer.py:216
+  * _extract_keywords; backend/app/core/lens_classifier.py:45.
+  *
+  * All per-doc operators are narrow codegen'd projections; only the
+  * corpus-level keyword count shuffles (map-side combined token
+  * counts).
+  */
+object TextAnalysis {
+
+  /** Per-doc token/char/stopword statistics. */
+  def stats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = TextFns.wsTokens(col(textCol))
+    docs.select(
+      col(idCol),
+      size(toks).as("n_tokens"),
+      length(col(textCol)).as("n_chars"),
+      size(array_distinct(toks)).as("n_distinct"),
+      TextFns.countInList(toks, TextFns.stopwords).as("n_stopwords"))
+      .withColumn("stop_ratio",
+        round(col("n_stopwords").cast("double") / col("n_tokens"), 6))
+      .withColumn("distinct_ratio",
+        round(col("n_distinct").cast("double") / col("n_tokens"), 6))
+  }
+
+  /** Rule-based 0-100 quality score: integer bucket sums over length,
+    * token count, stopword ratio, lexical diversity (the shape of
+    * QualityScorer.score's additive rubric). All-integer output —
+    * bit-identical across engines.
+    */
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = TextFns.wsTokens(col(textCol))
+    val nTokens = size(toks)
+    val nChars = length(col(textCol))
+    val stopRatio = TextFns.countInList(toks, TextFns.stopwords)
+      .cast("double") / nTokens
+    val distinctRatio = size(array_distinct(toks)).cast("double") / nTokens
+    val lenScore = when(nChars > 1500, 20).when(nChars > 800, 15)
+      .when(nChars > 300, 10).when(nChars > 100, 5).otherwise(0)
+    val tokScore = when(nTokens.between(20, 1000), 20).otherwise(5)
+    val stopScore = when(stopRatio.between(0.02, 0.4), 15).otherwise(0)
+    val divScore = when(distinctRatio > 0.5, 15).otherwise(5)
+    docs.select(col(idCol),
+      lenScore.as("len_score"), tokScore.as("tok_score"),
+      stopScore.as("stop_score"), divScore.as("div_score"))
+      .withColumn("quality",
+        col("len_score") + col("tok_score") + col("stop_score") + col("div_score"))
+  }
+
+  /** Marker-stopword language ID. Hit counts per language over
+    * whitespace tokens; argmax with fixed precedence en>de>fr>es.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "is", "of", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "los", "las", "y", "es"))
+
+  def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = TextFns.wsTokens(col(textCol))
+    val withHits = docs.select(Seq(col(idCol)) ++ langMarkers.map {
+      case (lang, markers) =>
+        TextFns.countInList(toks, markers).as(s"${lang}_hits")
+    }: _*)
+    val pred =
+      when(col("en_hits") >= col("de_hits") && col("en_hits") >= col("fr_hits")
+        && col("en_hits") >= col("es_hits"), "en")
+        .when(col("de_hits") >= col("fr_hits")
+          && col("de_hits") >= col("es_hits"), "de")
+        .when(col("fr_hits") >= col("es_hits"), "fr")
+        .otherwise("es")
+    withHits.withColumn("pred_lang", pred)
+  }
+
+  /** Corpus-level top-k keywords: BM25 tokens, len > 3, stopwords
+    * removed, global count (map-side combine), top-k.
+    */
+  def topKeywords(
+      docs: DataFrame, textCol: String, k: Int): DataFrame =
+    docs.select(explode(TextFns.bm25Tokens(col(textCol))).as("token"))
+      .where(length(col("token")) > 3 &&
+        !col("token").isInCollection(TextFns.stopwords))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(k)
+
+  /** Entity extraction: distinct `Word#123`-shaped codes (the
+    * GeneExtractor "symbol with digits" heuristic) with corpus counts.
+    */
+  def extractEntities(
+      docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(expr(
+      s"regexp_extract_all($textCol, '[A-Za-z]+#[0-9]+', 0)")).as("entity"))
+      .groupBy(col("entity"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Per-doc fingerprints: md5-prefix of normalized text plus the
+    * minimum shingle hash (a 1-hash MinHash — robust to small edits).
+    */
+  def fingerprints(
+      docs: DataFrame, idCol: String, textCol: String, shingleN: Int): DataFrame =
+    docs.select(
+      col(idCol),
+      TextFns.contentFingerprint(col(textCol)).as("content_fp"),
+      array_min(transform(
+        array_distinct(TextFns.wordShingles(col(textCol), shingleN)),
+        s => md5(s))).as("min_shingle_fp"))
+
+  /** Lens classification: distinct-keyword-presence score per lens,
+    * argmax with fixed precedence (lens_classifier.py:352 classify).
+    */
+  val lenses: Seq[(String, Seq[String])] = Seq(
+    "performance" -> Seq("fast", "slow", "big", "small"),
+    "execution" -> Seq("join", "hash", "merge", "sort", "scan"),
+    "data_model" -> Seq("table", "column", "row", "key", "value"),
+    "streaming" -> Seq("stream", "window", "batch"))
+
+  def lensClassify(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def hits(kws: Seq[String]): Column = kws.map(w =>
+      when(col(textCol).contains(w), 1).otherwise(0)).reduce(_ + _)
+    val scored = docs.select(Seq(col(idCol)) ++ lenses.map {
+      case (lens, kws) => hits(kws).as(s"${lens}_hits")
+    }: _*)
+    val Seq(p, e, d, s) = lenses.map { case (l, _) => col(s"${l}_hits") }
+    val pred =
+      when(p >= e && p >= d && p >= s, lenses(0)._1)
+        .when(e >= d && e >= s, lenses(1)._1)
+        .when(d >= s, lenses(2)._1)
+        .otherwise(lenses(3)._1)
+    scored.withColumn("lens", pred)
+  }
+}

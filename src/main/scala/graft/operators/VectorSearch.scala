@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFns
+
+/** Dense vector search operators — the Spark-native re-expression of
+  * the reference's ChromaDB query surface
+  * (reference: backend/app/core/vector_store.py:272 _dense_search,
+  * :508 get_paper_embeddings, :538 find_similar_papers).
+  *
+  * Scale design:
+  *  - query side is always tiny → broadcast; the big candidate side is
+  *    scanned once, never shuffled in full.
+  *  - single-query top-k goes through `ORDER BY ... LIMIT k`, which
+  *    Spark plans as TakeOrderedAndProject (per-partition heaps +
+  *    driver merge — no global sort, no full shuffle).
+  *  - multi-query top-k shuffles only (query, candidate-top-k) pairs
+  *    after a partition-local row_number prune.
+  */
+object VectorSearch {
+
+  /** Brute-force cosine top-k for a single query vector.
+    * `query` must be a 1-row frame with column `qVec`.
+    */
+  def denseTopK(
+      candidates: DataFrame, query: DataFrame,
+      idCol: String, vecCol: String, qVec: String,
+      k: Int, extraCols: Seq[String] = Nil): DataFrame = {
+    val scored = candidates
+      .crossJoin(broadcast(query.select(col(qVec))))
+      .withColumn("raw_cos", VectorFns.cosine(col(vecCol), col(qVec)))
+    scored
+      .withColumn("cos_sim", round(col("raw_cos"), 6))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+      .select((Seq(idCol) ++ extraCols :+ "cos_sim").map(col): _*)
+  }
+
+  /** k-NN join: top-k candidates per query row by cosine.
+    *
+    * Two-phase top-k: a partition-local row_number prune keeps at most
+    * k rows per (query, input-partition) before the real shuffle, so
+    * the exchange moves O(numQueries · k · partitions) rows instead of
+    * the full |C|·|Q| cross product.
+    */
+  def knnJoin(
+      candidates: DataFrame, queries: DataFrame,
+      candId: String, candVec: String,
+      qId: String, qVec: String, k: Int): DataFrame = {
+    val scored = candidates
+      .crossJoin(broadcast(queries.select(col(qId), col(qVec))))
+      .withColumn("cos_sim", round(VectorFns.cosine(col(candVec), col(qVec)), 6))
+      .withColumn("pid", spark_partition_id())
+    val local = Window.partitionBy(col(qId), col("pid"))
+      .orderBy(col("cos_sim").desc, col(candId))
+    val global = Window.partitionBy(col(qId))
+      .orderBy(col("cos_sim").desc, col(candId))
+    scored
+      .withColumn("lrnk", row_number().over(local))
+      .where(col("lrnk") <= k)
+      .withColumn("rnk", row_number().over(global))
+      .where(col("rnk") <= k)
+      .select(col(qId), col(candId), col("cos_sim"), col("rnk").cast("long").as("rnk"))
+  }
+
+  /** Element-wise mean vector per group, in long (group, pos, v) form.
+    * Long form keeps the aggregation map-side combinable and never
+    * shuffles wide arrays (reference: vector_store.py:508 averages
+    * chunk embeddings per paper).
+    */
+  def groupCentroids(
+      vectors: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    vectors
+      .select(col(groupCol), posexplode(VectorFns.asDouble(col(vecCol)))
+        .as(Seq("pos", "v")))
+      .groupBy(col(groupCol), col("pos"))
+      .agg(avg("v").as("v"))
+
+  /** Pairwise cosine between group centroids (long-form join on pos —
+    * centroid count is small so this stays broadcast-sized).
+    */
+  def centroidSimilarity(
+      vectors: DataFrame, groupCol: String, vecCol: String): DataFrame = {
+    val c = groupCentroids(vectors, groupCol, vecCol).cache()
+    val norms = c.groupBy(col(groupCol))
+      .agg(sum(col("v") * col("v")).as("ns"))
+    val a = c.select(col(groupCol).as("ga"), col("pos"), col("v").as("va"))
+    val b = c.select(col(groupCol).as("gb"), col("pos"), col("v").as("vb"))
+    a.join(b, Seq("pos"))
+      .where(col("ga") < col("gb"))
+      .groupBy(col("ga"), col("gb"))
+      .agg(sum(col("va") * col("vb")).as("dot"))
+      .join(broadcast(norms).withColumnRenamed(groupCol, "ga")
+        .withColumnRenamed("ns", "nsa"), Seq("ga"))
+      .join(broadcast(norms).withColumnRenamed(groupCol, "gb")
+        .withColumnRenamed("ns", "nsb"), Seq("gb"))
+      .select(col("ga"), col("gb"),
+        round(col("dot") / (sqrt(col("nsa")) * sqrt(col("nsb"))), 6)
+          .as("centroid_cos"))
+  }
+
+  /** Centroids as dense arrays (pos-sorted), for broadcasting. */
+  def centroidArrays(
+      vectors: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    groupCentroids(vectors, groupCol, vecCol)
+      .groupBy(col(groupCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("v")))),
+        x => x.getField("v")).as("centroid"))
+
+  /** IVF-style ANN: assign every vector to its nearest coarse centroid
+    * (broadcast), probe the `nprobe` cells nearest to the query, exact
+    * cosine inside the probed cells only. This is the 100 TB path: the
+    * big side is scanned once for assignment (narrow, broadcast join),
+    * and queries touch `nprobe/k` of the data.
+    */
+  def annIvf(
+      candidates: DataFrame, query: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, qVec: String, groupCol: String,
+      nprobe: Int, k: Int): DataFrame = {
+    // centroid frame renamed to avoid colliding with candidate columns
+    val cents = centroids.select(col(groupCol).as("cgroup"), col("centroid"))
+    // assignment: nearest centroid per candidate (tie → smallest group)
+    val assignW = Window.partitionBy(col(idCol))
+      .orderBy(col("acos").desc, col("cgroup"))
+    val assigned = candidates
+      .crossJoin(broadcast(cents))
+      .withColumn("acos", round(VectorFns.cosine(col(vecCol), col("centroid")), 6))
+      .withColumn("arnk", row_number().over(assignW))
+      .where(col("arnk") === 1)
+      .select(col(idCol), col(vecCol), col("cgroup").as("cell"))
+    // probe cells: nprobe centroids nearest to the query
+    val probed = cents
+      .crossJoin(broadcast(query.select(col(qVec))))
+      .withColumn("pcos", round(VectorFns.cosine(col("centroid"), col(qVec)), 6))
+      .orderBy(col("pcos").desc, col("cgroup"))
+      .limit(nprobe)
+      .select(col("cgroup").as("cell"))
+    assigned
+      .join(broadcast(probed), Seq("cell"))
+      .crossJoin(broadcast(query.select(col(qVec))))
+      .withColumn("cos_sim", round(VectorFns.cosine(col(vecCol), col(qVec)), 6))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("cell"), col("cos_sim"))
+  }
+}

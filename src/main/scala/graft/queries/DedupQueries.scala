@@ -1,0 +1,171 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Dedup
+
+/** Dedup family queries. The heavier oracle SQL (32 MinHash mins,
+  * 32 SimHash bit sums) is generated from the same seeds/constants the
+  * Spark operators use, so both sides stay mechanically in lockstep.
+  */
+object DedupQueries {
+
+  /* ---------------- dedup_exact ---------------- */
+
+  private def dedupExact(s: SparkSession, d: String): DataFrame =
+    Dedup.exact(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("text_hash"))
+
+  private val dedupExactSql =
+    """SELECT md5(text) AS text_hash, count(*) AS dup_cnt,
+      |  min(doc_id) AS canonical_id
+      |FROM documents GROUP BY md5(text) HAVING count(*) > 1
+      |ORDER BY text_hash""".stripMargin
+
+  /* ---------------- shared shingle SQL ---------------- */
+
+  private def shingleCtes(n: Int): String = {
+    val concat = (0 until n).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+    s"""toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+       |  FROM documents),
+       |ix AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - ${n - 1})) AS i
+       |  FROM toks),
+       |shs AS (SELECT DISTINCT doc_id, $concat AS shg FROM ix)""".stripMargin
+  }
+
+  /* ---------------- dedup_minhash_lsh ---------------- */
+
+  private val NumHashes = 32
+  private val BandRows = 4
+  private val NumBands = NumHashes / BandRows
+
+  private def dedupMinhash(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashLsh(Tables.documents(s, d), "doc_id", "text",
+      shingleN = 3, numHashes = NumHashes, bandRows = BandRows,
+      minJaccard = 0.5)
+      .orderBy(col("da"), col("db"))
+
+  private val dedupMinhashSql = {
+    val sigCols = (0 until NumHashes)
+      .map(i => s"min(md5('$i:' || shg)) AS h$i").mkString(",\n    ")
+    val bandSelects = (0 until NumBands).map { b =>
+      val cols = (b * BandRows until (b + 1) * BandRows).map(i => s"h$i")
+      val key = cols.mkString(" || '|' || ") + s" || '|' || '$b'"
+      s"SELECT doc_id, $b AS band, md5($key) AS bkey FROM sigs"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH ${shingleCtes(3)},
+       |sizes AS (SELECT doc_id, count(*) AS nsh FROM shs GROUP BY doc_id),
+       |sigs AS (SELECT doc_id,
+       |    $sigCols
+       |  FROM shs GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |cm AS (SELECT c.da, c.db, count(*)::DOUBLE AS common
+       |  FROM cand c
+       |  JOIN shs sa ON sa.doc_id = c.da
+       |  JOIN shs sb ON sb.doc_id = c.db AND sb.shg = sa.shg
+       |  GROUP BY c.da, c.db),
+       |j AS (SELECT cm.da, cm.db,
+       |    cm.common / (za.nsh + zb.nsh - cm.common) AS raw_jac
+       |  FROM cm JOIN sizes za ON cm.da = za.doc_id
+       |  JOIN sizes zb ON cm.db = zb.doc_id)
+       |SELECT da, db, round(raw_jac, 6) AS jaccard FROM j
+       |WHERE raw_jac >= 0.5 ORDER BY da, db""".stripMargin
+  }
+
+  /* ---------------- dedup_ngram_jaccard ---------------- */
+
+  private def dedupNgram(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccard(Tables.documents(s, d), "doc_id", "text",
+      shingleN = 3, maxShingleDf = 200, minJaccard = 0.6)
+      .orderBy(col("da"), col("db"))
+
+  private val dedupNgramSql =
+    s"""WITH ${shingleCtes(3)},
+       |sizes AS (SELECT doc_id, count(*) AS nsh FROM shs GROUP BY doc_id),
+       |ok AS (SELECT shg FROM (SELECT shg, count(*) AS df FROM shs GROUP BY shg)
+       |       WHERE df <= 200),
+       |pr AS (SELECT shs.doc_id, shs.shg FROM shs JOIN ok ON shs.shg = ok.shg),
+       |cm AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*)::DOUBLE AS common
+       |  FROM pr a JOIN pr b ON a.shg = b.shg AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |j AS (SELECT cm.da, cm.db,
+       |    cm.common / (za.nsh + zb.nsh - cm.common) AS raw_jac
+       |  FROM cm JOIN sizes za ON cm.da = za.doc_id
+       |  JOIN sizes zb ON cm.db = zb.doc_id)
+       |SELECT da, db, round(raw_jac, 6) AS jaccard FROM j
+       |WHERE raw_jac >= 0.6 ORDER BY da, db""".stripMargin
+
+  /* ---------------- dedup_simhash ---------------- */
+
+  private def dedupSimhash(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 6)
+      .select(col("da"), col("db"), col("hamming").cast("long").as("hamming"))
+      .orderBy(col("da"), col("db"))
+
+  private val dedupSimhashSql = {
+    // 32-bit hash from first 8 md5 hex chars, decoded without conv()
+    val hexDecode = (1 to 8).map { k =>
+      val coef = math.pow(16, 8 - k).toLong
+      s"(strpos('0123456789abcdef', substr(m, $k, 1)) - 1) * ${coef}"
+    }.mkString(" + ")
+    val bitSums = (0 until 32)
+      .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+      .mkString(",\n    ")
+    val simBits = (0 until 32)
+      .map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString(" + ")
+    val bandSelects = (0 until 4).map(j =>
+      s"SELECT doc_id, simhash, $j AS bj, (simhash >> ${j * 8}) & 255 AS bv FROM sims")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH ${shingleCtes(3)},
+       |hs AS (SELECT doc_id, ($hexDecode)::BIGINT AS h
+       |  FROM (SELECT doc_id, md5(shg) AS m FROM shs)),
+       |bs AS (SELECT doc_id,
+       |    $bitSums
+       |  FROM hs GROUP BY doc_id),
+       |sims AS (SELECT doc_id, ($simBits)::BIGINT AS simhash FROM bs),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+       |    a.simhash AS sa, b.simhash AS sb
+       |  FROM bands a JOIN bands b
+       |    ON a.bj = b.bj AND a.bv = b.bv AND a.doc_id < b.doc_id)
+       |SELECT da, db, bit_count(xor(sa, sb))::BIGINT AS hamming FROM cand
+       |WHERE bit_count(xor(sa, sb)) <= 6 ORDER BY da, db""".stripMargin
+  }
+
+  /* ---------------- dedup_embcos ---------------- */
+
+  private def dedupEmbCos(s: SparkSession, d: String): DataFrame =
+    Dedup.embeddingNearDup(Tables.embeddings(s, d), "vec_id", "embedding",
+      "label", minCos = 0.4)
+      .orderBy(col("va"), col("vb"))
+
+  private val dedupEmbCosSql =
+    """WITH p AS (SELECT a.vec_id AS va, a.embedding AS ea,
+      |    b.vec_id AS vb, b.embedding AS eb
+      |  FROM embeddings a JOIN embeddings b
+      |    ON a.label = b.label AND a.vec_id < b.vec_id),
+      |ex AS (SELECT va, vb, ea, eb, unnest(generate_series(1, len(ea))) AS i FROM p),
+      |dt AS (SELECT va, vb,
+      |    sum(ea[i]::DOUBLE * eb[i]::DOUBLE) AS dot,
+      |    sum(ea[i]::DOUBLE * ea[i]::DOUBLE) AS na,
+      |    sum(eb[i]::DOUBLE * eb[i]::DOUBLE) AS nb
+      |  FROM ex GROUP BY va, vb)
+      |SELECT va, vb, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos_sim
+      |FROM dt WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.4
+      |ORDER BY va, vb""".stripMargin
+
+  val defs: Seq[Qdef] = Seq(
+    Qdef("dedup_exact", dedupExact, Some(dedupExactSql)),
+    Qdef("dedup_minhash_lsh", dedupMinhash, Some(dedupMinhashSql)),
+    Qdef("dedup_ngram_jaccard", dedupNgram, Some(dedupNgramSql)),
+    Qdef("dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
+    Qdef("dedup_embcos", dedupEmbCos, Some(dedupEmbCosSql)))
+}

@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Events, Trends}
+
+/** Event/sessionization/trend queries. Spark reads the ns-precision
+  * `ts` as a LONG of nanos (see Tables.events); all time arithmetic is
+  * integer seconds — `date_diff('second', epoch, ts)` on the DuckDB
+  * side — so both engines agree exactly.
+  */
+object EventQueries {
+
+  private val EpochSecs =
+    "date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts)"
+
+  /* ---------------- ev_windowed_agg ---------------- */
+
+  private def evWindowedAgg(s: SparkSession, d: String): DataFrame =
+    Events.dailyAgg(Tables.events(s, d))
+      .orderBy(col("day"), col("event_type"))
+
+  private val evWindowedAggSql =
+    """SELECT date_trunc('day', ts)::DATE AS day, event_type,
+      |  count(*) AS cnt,
+      |  round(sum(value), 2) AS sum_value,
+      |  round(avg(value) + 0.000000001, 4) AS avg_value
+      |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
+
+  /* ---------------- ev_sessionize ---------------- */
+
+  private def evSessionize(s: SparkSession, d: String): DataFrame =
+    Events.sessionize(Tables.events(s, d), gapSecs = 1800)
+      .orderBy(col("user_id"), col("session_idx"))
+
+  private val evSessionizeSql =
+    s"""WITH e AS (SELECT event_id, user_id, value, $EpochSecs AS s FROM events),
+       |f AS (SELECT event_id, user_id, value, s,
+       |    CASE WHEN lag(s) OVER (PARTITION BY user_id ORDER BY s, event_id) IS NULL
+       |           OR s - lag(s) OVER (PARTITION BY user_id ORDER BY s, event_id) > 1800
+       |         THEN 1 ELSE 0 END AS new_session
+       |  FROM e),
+       |g AS (SELECT user_id, value, s,
+       |    (sum(new_session) OVER (PARTITION BY user_id ORDER BY s, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_idx
+       |  FROM f)
+       |SELECT user_id, session_idx, count(*) AS n_events,
+       |  round(sum(value), 2) AS sum_value,
+       |  (max(s) - min(s)) AS duration_secs
+       |FROM g GROUP BY user_id, session_idx
+       |ORDER BY user_id, session_idx""".stripMargin
+
+  /* ---------------- ev_user_topk ---------------- */
+
+  private def evUserTopK(s: SparkSession, d: String): DataFrame =
+    Events.topUsers(Tables.events(s, d), "purchase", 20)
+      .select(col("user_id"), col("n_events"), col("sum_value"),
+        col("rank").cast("long").as("rank"))
+      .orderBy(col("rank"))
+
+  private val evUserTopKSql =
+    """WITH s AS (SELECT user_id, count(*) AS n_events,
+      |    round(sum(value), 2) AS sum_value
+      |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+      |r AS (SELECT user_id, n_events, sum_value,
+      |    row_number() OVER (ORDER BY sum_value DESC, user_id)::BIGINT AS rank
+      |  FROM s)
+      |SELECT user_id, n_events, sum_value, rank FROM r
+      |WHERE rank <= 20 ORDER BY rank""".stripMargin
+
+  /* ---------------- trend_daily ---------------- */
+
+  private def trendDaily(s: SparkSession, d: String): DataFrame =
+    Trends.dailyWithMovingAvg(Events.dailyAgg(Tables.events(s, d)))
+      .orderBy(col("day"), col("event_type"))
+
+  private val trendDailySql =
+    """WITH dd AS (SELECT date_trunc('day', ts)::DATE AS day, event_type,
+      |    count(*) AS cnt,
+      |    round(sum(value), 2) AS sum_value,
+      |    round(avg(value) + 0.000000001, 4) AS avg_value
+      |  FROM events GROUP BY 1, 2)
+      |SELECT day, event_type, cnt, sum_value, avg_value,
+      |  round(avg(cnt) OVER (PARTITION BY event_type ORDER BY day
+      |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) + 0.000000001, 4) AS ma7
+      |FROM dd ORDER BY day, event_type""".stripMargin
+
+  /* ---------------- trend_growth ---------------- */
+
+  private def trendGrowth(s: SparkSession, d: String): DataFrame =
+    Trends.growth(Tables.events(s, d))
+      .select(col("event_type"), col("early_cnt"), col("late_cnt"),
+        col("growth_ratio"), col("trend"))
+      .orderBy(col("event_type"))
+
+  private val trendGrowthSql =
+    s"""WITH e AS (SELECT event_type, $EpochSecs AS s FROM events),
+       |b AS (SELECT min(s) AS min_s, max(s) AS max_s FROM e),
+       |h AS (SELECT event_type,
+       |    CASE WHEN s > (min_s + max_s) // 2 THEN 'late' ELSE 'early' END AS half
+       |  FROM e CROSS JOIN b),
+       |g AS (SELECT event_type,
+       |    sum(CASE WHEN half = 'early' THEN 1 ELSE 0 END)::BIGINT AS early_cnt,
+       |    sum(CASE WHEN half = 'late' THEN 1 ELSE 0 END)::BIGINT AS late_cnt
+       |  FROM h GROUP BY event_type)
+       |SELECT event_type, early_cnt, late_cnt,
+       |  round(late_cnt::DOUBLE / greatest(early_cnt::DOUBLE, 1.0), 6) AS growth_ratio,
+       |  CASE WHEN late_cnt::DOUBLE / greatest(early_cnt::DOUBLE, 1.0) > 1.1 THEN 'rising'
+       |       WHEN late_cnt::DOUBLE / greatest(early_cnt::DOUBLE, 1.0) < 0.9 THEN 'declining'
+       |       ELSE 'stable' END AS trend
+       |FROM g ORDER BY event_type""".stripMargin
+
+  val defs: Seq[Qdef] = Seq(
+    Qdef("ev_windowed_agg", evWindowedAgg, Some(evWindowedAggSql)),
+    Qdef("ev_sessionize", evSessionize, Some(evSessionizeSql)),
+    Qdef("ev_user_topk", evUserTopK, Some(evUserTopKSql)),
+    Qdef("trend_daily", trendDaily, Some(trendDailySql)),
+    Qdef("trend_growth", trendGrowth, Some(trendGrowthSql)))
+}

@@ -1,0 +1,163 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** One named query + its DuckDB oracle (None → rows-only check). */
+case class Qdef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+/** Relational/OLAP bench headliners over the TPC-H-ish star schema.
+  * Deterministic cross-engine protocol: money rounded to 2dp, avgs to
+  * 4-6dp, ORDER BY uses only rounded/exact columns plus unique keys,
+  * derived integers cast to BIGINT on both sides.
+  */
+object OlapQueries {
+
+  private def q1(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .where(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")) + lit(1e-9), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")) + lit(1e-9), 4).as("avg_price"),
+        round(avg(col("l_discount")) + lit(1e-9), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private val q1Sql =
+    """SELECT l_returnflag, l_linestatus,
+      | round(sum(l_quantity), 2) AS sum_qty,
+      | round(sum(l_extendedprice), 2) AS sum_base_price,
+      | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+      | round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+      | round(avg(l_quantity) + 0.000000001, 4) AS avg_qty,
+      | round(avg(l_extendedprice) + 0.000000001, 4) AS avg_price,
+      | round(avg(l_discount) + 0.000000001, 6) AS avg_disc,
+      | count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  private def q3(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .where(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .where(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .where(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .select(col("o_orderkey"), col("revenue"), col("o_orderdate"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+
+  private val q3Sql =
+    """SELECT o_orderkey,
+      | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      | o_orderdate
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY o_orderkey, o_orderdate
+      |ORDER BY revenue DESC, o_orderkey
+      |LIMIT 10""".stripMargin
+
+  private def q5(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+      .where(col("r_name") === "ASIA")
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+
+  private val q5Sql =
+    """SELECT n_name,
+      | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  private def qWindowRank(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("c_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= 3)
+      .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"), col("rnk"))
+      .orderBy(col("c_custkey"), col("rnk"))
+  }
+
+  private val qWindowRankSql =
+    """SELECT c_custkey, o_orderkey, o_totalprice, rnk
+      |FROM (
+      |  SELECT c_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY c_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey)::BIGINT AS rnk
+      |  FROM customer JOIN orders ON c_custkey = o_custkey)
+      |WHERE rnk <= 3
+      |ORDER BY c_custkey, rnk""".stripMargin
+
+  private def qRollup(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .withColumn("oyear", year(col("o_orderdate")).cast("string"))
+      .rollup(col("n_name"), col("oyear"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("revenue"))
+      .select(
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        coalesce(col("oyear"), lit("ALL")).as("oyear"),
+        col("cnt"), col("revenue"))
+      .orderBy(col("nation"), col("oyear"))
+
+  private val qRollupSql =
+    """SELECT coalesce(n_name, 'ALL') AS nation,
+      | coalesce(oyear, 'ALL') AS oyear,
+      | count(*) AS cnt,
+      | round(sum(o_totalprice), 2) AS revenue
+      |FROM (
+      |  SELECT n_name, year(o_orderdate)::VARCHAR AS oyear, o_totalprice
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey)
+      |GROUP BY ROLLUP(n_name, oyear)
+      |ORDER BY nation, oyear""".stripMargin
+
+  val defs: Seq[Qdef] = Seq(
+    Qdef("q1_pricing_summary", q1, Some(q1Sql)),
+    Qdef("q3_top_orders", q3, Some(q3Sql)),
+    Qdef("q5_region_revenue", q5, Some(q5Sql)),
+    Qdef("q_window_rank", qWindowRank, Some(qWindowRankSql)),
+    Qdef("q_rollup_revenue", qRollup, Some(qRollupSql)))
+}

@@ -1,0 +1,215 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFns
+import graft.operators.{Chunker, TextAnalysis}
+
+/** Text-analysis queries over `documents` (plus `part` for entity
+  * codes). All derived integers are BIGINT on both sides.
+  */
+object TextQueries {
+
+  private val stopList = TextFns.stopwords.map(w => s"'$w'").mkString(", ")
+
+  /* ---------------- txt_stats ---------------- */
+
+  private def txtStats(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.stats(Tables.documents(s, d), "doc_id", "text")
+      .select(col("doc_id"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("n_chars").cast("long").as("n_chars"),
+        col("n_distinct").cast("long").as("n_distinct"),
+        col("n_stopwords").cast("long").as("n_stopwords"),
+        col("stop_ratio"), col("distinct_ratio"))
+      .orderBy(col("doc_id"))
+
+  private val txtStatsSql =
+    s"""WITH t AS (SELECT doc_id,
+       |    string_split_regex(lower(trim(text)), '\\s+') AS toks,
+       |    length(text)::BIGINT AS n_chars
+       |  FROM documents),
+       |c AS (SELECT doc_id,
+       |    len(toks)::BIGINT AS n_tokens, n_chars,
+       |    len(list_distinct(toks))::BIGINT AS n_distinct,
+       |    len(list_filter(toks, x -> x IN ($stopList)))::BIGINT AS n_stopwords
+       |  FROM t)
+       |SELECT doc_id, n_tokens, n_chars, n_distinct, n_stopwords,
+       |  round(n_stopwords::DOUBLE / n_tokens, 6) AS stop_ratio,
+       |  round(n_distinct::DOUBLE / n_tokens, 6) AS distinct_ratio
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  /* ---------------- txt_quality ---------------- */
+
+  private def txtQuality(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.qualityScore(Tables.documents(s, d), "doc_id", "text")
+      .select(col("doc_id"),
+        col("len_score").cast("long").as("len_score"),
+        col("tok_score").cast("long").as("tok_score"),
+        col("stop_score").cast("long").as("stop_score"),
+        col("div_score").cast("long").as("div_score"),
+        col("quality").cast("long").as("quality"))
+      .orderBy(col("doc_id"))
+
+  private val txtQualitySql =
+    s"""WITH t AS (SELECT doc_id, text,
+       |    string_split_regex(lower(trim(text)), '\\s+') AS toks
+       |  FROM documents),
+       |m AS (SELECT doc_id,
+       |    length(text) AS n_chars, len(toks) AS n_tokens,
+       |    len(list_filter(toks, x -> x IN ($stopList)))::DOUBLE / len(toks) AS stop_ratio,
+       |    len(list_distinct(toks))::DOUBLE / len(toks) AS distinct_ratio
+       |  FROM t),
+       |sc AS (SELECT doc_id,
+       |    (CASE WHEN n_chars > 1500 THEN 20 WHEN n_chars > 800 THEN 15
+       |          WHEN n_chars > 300 THEN 10 WHEN n_chars > 100 THEN 5
+       |          ELSE 0 END)::BIGINT AS len_score,
+       |    (CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 20 ELSE 5 END)::BIGINT AS tok_score,
+       |    (CASE WHEN stop_ratio BETWEEN 0.02 AND 0.4 THEN 15 ELSE 0 END)::BIGINT AS stop_score,
+       |    (CASE WHEN distinct_ratio > 0.5 THEN 15 ELSE 5 END)::BIGINT AS div_score
+       |  FROM m)
+       |SELECT doc_id, len_score, tok_score, stop_score, div_score,
+       |  (len_score + tok_score + stop_score + div_score)::BIGINT AS quality
+       |FROM sc ORDER BY doc_id""".stripMargin
+
+  /* ---------------- txt_langid ---------------- */
+
+  private def txtLangid(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.languageId(Tables.documents(s, d), "doc_id", "text")
+      .join(Tables.documents(s, d).select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"),
+        col("en_hits").cast("long").as("en_hits"),
+        col("de_hits").cast("long").as("de_hits"),
+        col("fr_hits").cast("long").as("fr_hits"),
+        col("es_hits").cast("long").as("es_hits"),
+        col("pred_lang"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  private val langHits: Seq[String] = TextAnalysis.langMarkers.map {
+    case (lang, markers) =>
+      val list = markers.map(m => s"'$m'").mkString(", ")
+      s"len(list_filter(toks, x -> x IN ($list)))::BIGINT AS ${lang}_hits"
+  }
+
+  private val txtLangidSql =
+    s"""WITH t AS (SELECT doc_id, lang,
+       |    string_split_regex(lower(trim(text)), '\\s+') AS toks
+       |  FROM documents),
+       |h AS (SELECT doc_id, lang, ${langHits.mkString(",\n    ")}
+       |  FROM t)
+       |SELECT doc_id, en_hits, de_hits, fr_hits, es_hits,
+       |  CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits THEN 'en'
+       |       WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
+       |       WHEN fr_hits >= es_hits THEN 'fr'
+       |       ELSE 'es' END AS pred_lang,
+       |  lang
+       |FROM h ORDER BY doc_id""".stripMargin
+
+  /* ---------------- txt_keywords ---------------- */
+
+  private def txtKeywords(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.topKeywords(Tables.documents(s, d), "text", 50)
+
+  private val txtKeywordsSql =
+    s"""WITH tok AS (SELECT
+       |    unnest(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+       |           t -> length(t) > 2)) AS token
+       |  FROM documents)
+       |SELECT token, count(*) AS cnt FROM tok
+       |WHERE length(token) > 3 AND token NOT IN ($stopList)
+       |GROUP BY token ORDER BY cnt DESC, token LIMIT 50""".stripMargin
+
+  /* ---------------- txt_entities ---------------- */
+
+  private def txtEntities(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.extractEntities(
+      Tables.part(s, d).select(
+        concat_ws(" ", col("p_name"), col("p_brand"), col("p_type")).as("text")),
+      "text")
+      .orderBy(col("entity"))
+
+  private val txtEntitiesSql =
+    """WITH t AS (SELECT concat_ws(' ', p_name, p_brand, p_type) AS text FROM part),
+      |e AS (SELECT unnest(regexp_extract_all(text, '[A-Za-z]+#[0-9]+')) AS entity FROM t)
+      |SELECT entity, count(*) AS cnt FROM e GROUP BY entity ORDER BY entity""".stripMargin
+
+  /* ---------------- txt_fingerprint ---------------- */
+
+  private def txtFingerprint(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.fingerprints(Tables.documents(s, d), "doc_id", "text", 5)
+      .orderBy(col("doc_id"))
+
+  private val txtFingerprintSql =
+    """WITH n AS (SELECT doc_id,
+      |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,
+      |    string_split_regex(lower(trim(text)), '\s+') AS t
+      |  FROM documents),
+      |ix AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i FROM n),
+      |sh AS (SELECT doc_id,
+      |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS s
+      |  FROM ix),
+      |m AS (SELECT doc_id, min(md5(s)) AS min_shingle_fp FROM sh GROUP BY doc_id)
+      |SELECT n.doc_id, substr(md5(n.norm), 1, 16) AS content_fp, m.min_shingle_fp
+      |FROM n JOIN m ON n.doc_id = m.doc_id ORDER BY n.doc_id""".stripMargin
+
+  /* ---------------- chunk_fixed ---------------- */
+
+  private def chunkFixed(s: SparkSession, d: String): DataFrame =
+    Chunker.fixedChunks(Tables.documents(s, d), "doc_id", "text", 200, 50)
+      .select(col("doc_id"),
+        col("chunk_index").cast("long").as("chunk_index"),
+        col("chunk_text"),
+        col("chunk_len").cast("long").as("chunk_len"))
+      .orderBy(col("doc_id"), col("chunk_index"))
+
+  private val chunkFixedSql =
+    """WITH s AS (SELECT doc_id, text, length(text) AS n FROM documents
+      |           WHERE length(text) > 0),
+      |st AS (SELECT doc_id, text, unnest(generate_series(0, n - 1, 150)) AS start FROM s)
+      |SELECT doc_id, (start // 150)::BIGINT AS chunk_index,
+      |  substr(text, start + 1, 200) AS chunk_text,
+      |  length(substr(text, start + 1, 200))::BIGINT AS chunk_len
+      |FROM st ORDER BY doc_id, chunk_index""".stripMargin
+
+  /* ---------------- lens_classify ---------------- */
+
+  private def lensClassify(s: SparkSession, d: String): DataFrame = {
+    val base = TextAnalysis.lensClassify(Tables.documents(s, d), "doc_id", "text")
+    val hitCols = TextAnalysis.lenses.map { case (l, _) =>
+      col(s"${l}_hits").cast("long").as(s"${l}_hits")
+    }
+    base.select(Seq(col("doc_id")) ++ hitCols :+ col("lens"): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  private val lensHits: Seq[String] = TextAnalysis.lenses.map {
+    case (lens, kws) =>
+      val cases = kws.map(w =>
+        s"(CASE WHEN strpos(text, '$w') > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+      s"($cases)::BIGINT AS ${lens}_hits"
+  }
+
+  private val lensClassifySql =
+    s"""WITH h AS (SELECT doc_id, ${lensHits.mkString(",\n    ")}
+       |  FROM documents)
+       |SELECT doc_id, performance_hits, execution_hits, data_model_hits, streaming_hits,
+       |  CASE WHEN performance_hits >= execution_hits AND performance_hits >= data_model_hits
+       |            AND performance_hits >= streaming_hits THEN 'performance'
+       |       WHEN execution_hits >= data_model_hits AND execution_hits >= streaming_hits
+       |            THEN 'execution'
+       |       WHEN data_model_hits >= streaming_hits THEN 'data_model'
+       |       ELSE 'streaming' END AS lens
+       |FROM h ORDER BY doc_id""".stripMargin
+
+  val defs: Seq[Qdef] = Seq(
+    Qdef("txt_stats", txtStats, Some(txtStatsSql)),
+    Qdef("txt_quality", txtQuality, Some(txtQualitySql)),
+    Qdef("txt_langid", txtLangid, Some(txtLangidSql)),
+    Qdef("txt_keywords", txtKeywords, Some(txtKeywordsSql)),
+    Qdef("txt_entities", txtEntities, Some(txtEntitiesSql)),
+    Qdef("txt_fingerprint", txtFingerprint, Some(txtFingerprintSql)),
+    Qdef("chunk_fixed", chunkFixed, Some(chunkFixedSql)),
+    Qdef("lens_classify", lensClassify, Some(lensClassifySql)))
+}

@@ -1,0 +1,255 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Bm25, Fusion, VectorSearch}
+
+/** Vector + sparse + hybrid search queries (the reference's retrieval
+  * surface re-expressed on Spark). All scores double-precision,
+  * rounded to 6dp, ranked on rounded values with id tiebreaks.
+  */
+object VectorQueries {
+
+  val QueryTerms: Seq[String] = Seq("spark", "filter", "join", "fast", "slow")
+  private val termList = QueryTerms.map(t => s"'$t'").mkString(", ")
+
+  /* ---------------- vs_dense_topk ---------------- */
+
+  private def denseTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+    VectorSearch.denseTopK(
+      emb.where(col("vec_id") =!= 0), q,
+      "vec_id", "embedding", "qe", 20, Seq("label"))
+  }
+
+  private val denseTopKSql =
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |ex AS (SELECT e.vec_id, e.label, e.embedding AS ce, q.qe AS qe,
+      |         unnest(generate_series(1, len(e.embedding))) AS i
+      |       FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
+      |dt AS (SELECT vec_id, label,
+      |         sum(ce[i]::DOUBLE * qe[i]::DOUBLE) AS dot,
+      |         sum(ce[i]::DOUBLE * ce[i]::DOUBLE) AS na,
+      |         sum(qe[i]::DOUBLE * qe[i]::DOUBLE) AS nb
+      |       FROM ex GROUP BY vec_id, label)
+      |SELECT vec_id, label, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos_sim
+      |FROM dt ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin
+
+  /* ---------------- vs_knn_join ---------------- */
+
+  private def knnJoin(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val qs = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val cs = emb.where(col("vec_id") >= 10)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    VectorSearch.knnJoin(cs, qs, "cid", "ce", "qid", "qe", 5)
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  private val knnJoinSql =
+    """WITH qs AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+      |cs AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 10),
+      |ex AS (SELECT qid, cid, ce, qe, unnest(generate_series(1, len(ce))) AS i
+      |       FROM qs CROSS JOIN cs),
+      |dt AS (SELECT qid, cid,
+      |         sum(ce[i]::DOUBLE * qe[i]::DOUBLE) AS dot,
+      |         sum(ce[i]::DOUBLE * ce[i]::DOUBLE) AS na,
+      |         sum(qe[i]::DOUBLE * qe[i]::DOUBLE) AS nb
+      |       FROM ex GROUP BY qid, cid),
+      |sc AS (SELECT qid, cid, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos_sim FROM dt),
+      |rk AS (SELECT qid, cid, cos_sim,
+      |         row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid)::BIGINT AS rnk
+      |       FROM sc)
+      |SELECT qid, cid, cos_sim, rnk FROM rk WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+
+  /* ---------------- vs_centroid_sim ---------------- */
+
+  private def centroidSim(s: SparkSession, d: String): DataFrame =
+    VectorSearch.centroidSimilarity(
+      Tables.embeddings(s, d), "label", "embedding")
+      .orderBy(col("ga"), col("gb"))
+
+  private val centroidSimSql =
+    """WITH le AS (SELECT label, embedding,
+      |         unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
+      |c AS (SELECT label, i, avg(embedding[i]::DOUBLE) AS v FROM le GROUP BY label, i),
+      |n AS (SELECT label, sum(v * v) AS ns FROM c GROUP BY label),
+      |p AS (SELECT a.label AS ga, b.label AS gb, sum(a.v * b.v) AS dot
+      |      FROM c a JOIN c b ON a.i = b.i AND a.label < b.label GROUP BY 1, 2)
+      |SELECT ga, gb, round(dot / (sqrt(na.ns) * sqrt(nb.ns)), 6) AS centroid_cos
+      |FROM p JOIN n na ON p.ga = na.label JOIN n nb ON p.gb = nb.label
+      |ORDER BY ga, gb""".stripMargin
+
+  /* ---------------- vs_ann_ivf ---------------- */
+
+  private def annIvf(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val centroids = VectorSearch.centroidArrays(emb, "label", "embedding")
+    val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+    VectorSearch.annIvf(emb, q, centroids,
+      "vec_id", "embedding", "qe", "label", nprobe = 3, k = 10)
+  }
+
+  private val annIvfSql =
+    """WITH le AS (SELECT label, embedding,
+      |         unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
+      |c AS (SELECT label, i, avg(embedding[i]::DOUBLE) AS v FROM le GROUP BY label, i),
+      |cn AS (SELECT label, sum(v * v) AS ns FROM c GROUP BY label),
+      |ev AS (SELECT vec_id, embedding, unnest(generate_series(1, len(embedding))) AS i
+      |       FROM embeddings),
+      |en AS (SELECT vec_id, sum(embedding[i]::DOUBLE * embedding[i]::DOUBLE) AS ns
+      |       FROM ev GROUP BY vec_id),
+      |ass0 AS (SELECT ev.vec_id, c.label, sum(ev.embedding[ev.i]::DOUBLE * c.v) AS dot
+      |         FROM ev JOIN c ON ev.i = c.i GROUP BY 1, 2),
+      |ass1 AS (SELECT a.vec_id, a.label,
+      |           round(a.dot / (sqrt(en.ns) * sqrt(cn.ns)), 6) AS s
+      |         FROM ass0 a JOIN en ON a.vec_id = en.vec_id JOIN cn ON a.label = cn.label),
+      |ass AS (SELECT vec_id, label AS cell FROM (
+      |          SELECT vec_id, label,
+      |            row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, label) AS rn
+      |          FROM ass1) WHERE rn = 1),
+      |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |qn AS (SELECT sum(x::DOUBLE * x::DOUBLE) AS ns FROM (SELECT unnest(qe) AS x FROM q)),
+      |qc AS (SELECT c.label, sum(q.qe[c.i]::DOUBLE * c.v) AS dot
+      |       FROM c CROSS JOIN q GROUP BY c.label),
+      |probe AS (SELECT label AS cell FROM (
+      |            SELECT qc.label, round(qc.dot / (sqrt(qn.ns) * sqrt(cn.ns)), 6) AS s
+      |            FROM qc CROSS JOIN qn JOIN cn ON qc.label = cn.label)
+      |          ORDER BY s DESC, cell LIMIT 3),
+      |cand AS (SELECT e.vec_id, ass.cell, e.embedding
+      |         FROM embeddings e JOIN ass ON e.vec_id = ass.vec_id
+      |         JOIN probe ON ass.cell = probe.cell),
+      |cx AS (SELECT vec_id, cell, embedding,
+      |         unnest(generate_series(1, len(embedding))) AS i FROM cand),
+      |fd AS (SELECT cx.vec_id, cx.cell,
+      |         sum(cx.embedding[cx.i]::DOUBLE * q.qe[cx.i]::DOUBLE) AS dot,
+      |         sum(cx.embedding[cx.i]::DOUBLE * cx.embedding[cx.i]::DOUBLE) AS na
+      |       FROM cx CROSS JOIN q GROUP BY 1, 2)
+      |SELECT vec_id, cell, round(dot / (sqrt(na) * sqrt(qn.ns)), 6) AS cos_sim
+      |FROM fd CROSS JOIN qn ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+
+  /* ---------------- bm25_search ---------------- */
+
+  private def bm25Search(s: SparkSession, d: String): DataFrame =
+    Bm25.topK(Tables.documents(s, d), "doc_id", "text", QueryTerms, 20)
+
+  private val bm25Sql =
+    s"""WITH tok AS (SELECT doc_id,
+       |         unnest(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+       |                t -> length(t) > 2)) AS term
+       |       FROM documents),
+       |dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+       |st AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+       |tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+       |       WHERE term IN ($termList) GROUP BY doc_id, term),
+       |df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok
+       |       WHERE term IN ($termList) GROUP BY term),
+       |sc AS (SELECT tf.doc_id,
+       |         sum(ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+       |             * tf.tf * 2.5
+       |             / (tf.tf + 1.5 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl))) AS s
+       |       FROM tf JOIN df ON tf.term = df.term
+       |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+       |       GROUP BY tf.doc_id)
+       |SELECT doc_id, round(s, 6) AS bm25 FROM sc
+       |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+
+  /* ---------------- hybrid_rrf ---------------- */
+
+  private def hybridRrf(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val dense = Fusion.ranked(
+      VectorSearch.denseTopK(emb.where(col("vec_id") =!= 0), q,
+        "vec_id", "embedding", "qe", 50)
+        .withColumnRenamed("vec_id", "doc_id"),
+      "doc_id", "cos_sim")
+    val sparse = Fusion.ranked(
+      Bm25.topK(Tables.documents(s, d), "doc_id", "text", QueryTerms, 50),
+      "doc_id", "bm25")
+    Fusion.rrf(dense, sparse, "doc_id", "rank", 20)
+  }
+
+  private val hybridRrfSql =
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |ex AS (SELECT e.vec_id, e.embedding AS ce, q.qe AS qe,
+       |         unnest(generate_series(1, len(e.embedding))) AS i
+       |       FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
+       |dt AS (SELECT vec_id,
+       |         sum(ce[i]::DOUBLE * qe[i]::DOUBLE) AS dot,
+       |         sum(ce[i]::DOUBLE * ce[i]::DOUBLE) AS na,
+       |         sum(qe[i]::DOUBLE * qe[i]::DOUBLE) AS nb
+       |       FROM ex GROUP BY vec_id),
+       |dense AS (SELECT doc_id, dense_rank FROM (
+       |            SELECT vec_id AS doc_id,
+       |              row_number() OVER (
+       |                ORDER BY round(dot / (sqrt(na) * sqrt(nb)), 6) DESC, vec_id
+       |              )::BIGINT AS dense_rank
+       |            FROM dt) WHERE dense_rank <= 50),
+       |tok AS (SELECT doc_id,
+       |         unnest(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+       |                t -> length(t) > 2)) AS term
+       |       FROM documents),
+       |dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+       |st AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+       |tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+       |       WHERE term IN ($termList) GROUP BY doc_id, term),
+       |df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok
+       |       WHERE term IN ($termList) GROUP BY term),
+       |sc AS (SELECT tf.doc_id,
+       |         sum(ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+       |             * tf.tf * 2.5
+       |             / (tf.tf + 1.5 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl))) AS s
+       |       FROM tf JOIN df ON tf.term = df.term
+       |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+       |       GROUP BY tf.doc_id),
+       |sparse AS (SELECT doc_id, sparse_rank FROM (
+       |             SELECT doc_id,
+       |               row_number() OVER (ORDER BY round(s, 6) DESC, doc_id)::BIGINT
+       |                 AS sparse_rank
+       |             FROM sc) WHERE sparse_rank <= 50),
+       |f AS (SELECT coalesce(dense.doc_id, sparse.doc_id) AS doc_id,
+       |        dense.dense_rank, sparse.sparse_rank
+       |      FROM dense FULL OUTER JOIN sparse ON dense.doc_id = sparse.doc_id)
+       |SELECT doc_id, dense_rank, sparse_rank,
+       |  round(coalesce(0.6 / (60 + dense_rank), 0)
+       |      + coalesce(0.4 / (60 + sparse_rank), 0), 6) AS rrf_score
+       |FROM f ORDER BY rrf_score DESC, doc_id LIMIT 20""".stripMargin
+
+  /* ---------------- rerank_rule ---------------- */
+
+  val CentralityKw: Seq[String] = Seq("join", "merge", "hash", "sort")
+  val ClinicalKw: Seq[String] = Seq("customer", "order", "query")
+
+  private def rerankRule(s: SparkSession, d: String): DataFrame =
+    Fusion.ruleScore(Tables.documents(s, d), "doc_id", "text", "n_chars",
+      CentralityKw, ClinicalKw, 50)
+
+  private def hitsSql(kws: Seq[String]): String =
+    kws.map(w => s"(CASE WHEN strpos(text, '$w') > 0 THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+
+  private val rerankRuleSql =
+    s"""WITH sc AS (SELECT doc_id,
+       |    (${hitsSql(CentralityKw)})::BIGINT AS centrality_hits,
+       |    (${hitsSql(ClinicalKw)})::BIGINT AS clinical_hits,
+       |    n_chars
+       |  FROM documents)
+       |SELECT doc_id, centrality_hits, clinical_hits,
+       |  round(centrality_hits * 2.0 + clinical_hits * 1.5
+       |      + least(n_chars::DOUBLE / 1000.0, 1.0) * 10.0, 6) AS core_score
+       |FROM sc ORDER BY core_score DESC, doc_id LIMIT 50""".stripMargin
+
+  val defs: Seq[Qdef] = Seq(
+    Qdef("vs_dense_topk", denseTopK, Some(denseTopKSql)),
+    Qdef("vs_knn_join", knnJoin, Some(knnJoinSql)),
+    Qdef("vs_centroid_sim", centroidSim, Some(centroidSimSql)),
+    Qdef("vs_ann_ivf", annIvf, Some(annIvfSql)),
+    Qdef("bm25_search", bm25Search, Some(bm25Sql)),
+    Qdef("hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
+    Qdef("rerank_rule", rerankRule, Some(rerankRuleSql)))
+}

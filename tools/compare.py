@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's correctness gate: run Verify output
+against the DuckDB oracle SQL and diff. Usage:
+  python3 tools/compare.py <sfDir> <verifyOutDir> [query ...]
+"""
+import json
+import sys
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df):
+        df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df.reset_index(drop=True)
+
+
+def main() -> None:
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
+    n_ok = n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        pdir = Path(out_dir, name)
+        if not pdir.exists():
+            print(f"[MISS] {name}: no spark output")
+            n_bad += 1
+            continue
+        try:
+            spark_df = canon(pd.read_parquet(pdir))
+        except Exception as e:
+            print(f"[ERR ] {name}: read spark output: {e}")
+            n_bad += 1
+            continue
+        try:
+            duck_df = canon(con.execute(sql).df())
+        except Exception as e:
+            print(f"[ERR ] {name}: oracle failed: {e}")
+            n_bad += 1
+            continue
+        if list(spark_df.columns) != list(duck_df.columns):
+            print(f"[COLS] {name}: spark={list(spark_df.columns)} "
+                  f"duck={list(duck_df.columns)}")
+            n_bad += 1
+            continue
+        if len(spark_df) != len(duck_df):
+            print(f"[ROWS] {name}: spark={len(spark_df)} duck={len(duck_df)}")
+            n_bad += 1
+            continue
+        # value compare; treat NaN == NaN
+        try:
+            mismatch = ~((spark_df == duck_df) |
+                         (spark_df.isna() & duck_df.isna()))
+            bad_cells = int(mismatch.values.sum())
+        except Exception as e:
+            print(f"[CMP ] {name}: compare failed: {e}")
+            n_bad += 1
+            continue
+        if bad_cells:
+            print(f"[DIFF] {name}: {bad_cells} differing cells "
+                  f"of {spark_df.size} (rows={len(spark_df)})")
+            bad_rows = mismatch.any(axis=1)
+            print("  spark:", spark_df[bad_rows].head(3).to_dict("records"))
+            print("  duck :", duck_df[bad_rows].head(3).to_dict("records"))
+            n_bad += 1
+        else:
+            print(f"[ OK ] {name}: rows={len(spark_df)}")
+            n_ok += 1
+    print(f"\n{n_ok} ok, {n_bad} bad")
+    sys.exit(1 if n_bad else 0)
+
+
+if __name__ == "__main__":
+    main()
