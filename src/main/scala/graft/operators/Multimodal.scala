@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video payloads ride as
+  * opaque BINARY columns with typed metadata; decode/feature-extract
+  * runs batch-shaped per partition. The real codec call is STUBBED
+  * (this container has no image/audio libraries) behind
+  * `FakeDecoder` — a deterministic stand-in — but the Spark-side
+  * contract is real: schema, partitioning, batch iteration, feature
+  * output shape are what a production decoder would plug into.
+  *
+  * Scale notes: payloads never shuffle (decode is a narrow
+  * mapPartitions); repartition-by-kind routes each modality to
+  * executors with the right codec; features (small arrays) are what
+  * flows downstream, not the blobs.
+  */
+object Multimodal {
+
+  /** Typed row for the media table. */
+  case class MediaRow(
+      media_id: Long, kind: String, payload: Array[Byte],
+      width: Int, height: Int, sample_rate: Int)
+
+  /** Decoded feature row: fixed-dim float feature vector + basic
+    * decode metadata.
+    */
+  case class MediaFeatures(
+      media_id: Long, kind: String, n_bytes: Long,
+      features: Array[Float])
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false)))
+
+  /** STUB decoder: where a production pipeline calls the image/audio
+    * codec, we emit a deterministic 8-dim feature from byte content
+    * (mean/extent per 8-way stripe). Replace the body with the real
+    * codec call; the signature — bytes in, float features out — is
+    * the production contract.
+    */
+  object FakeDecoder {
+    val FeatureDim = 8
+
+    def decode(payload: Array[Byte]): Array[Float] = {
+      val f = new Array[Float](FeatureDim)
+      if (payload.isEmpty) return f
+      val stripe = math.max(1, payload.length / FeatureDim)
+      var i = 0
+      while (i < FeatureDim) {
+        val from = i * stripe
+        val until = math.min(payload.length, from + stripe)
+        var s = 0L
+        var j = from
+        while (j < until) { s += (payload(j) & 0xff); j += 1 }
+        f(i) = if (until > from) s.toFloat / (until - from) / 255f else 0f
+        i += 1
+      }
+      f
+    }
+  }
+
+  /** Batch-shaped decode: partitions iterate in fixed-size batches
+    * (the shape a vectorized codec or model-server call needs), each
+    * batch decoded together. Narrow — no shuffle of payloads.
+    */
+  def extractFeatures(
+      media: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        // production: one vectorized codec/model call per batch here
+        batch.map { r =>
+          MediaFeatures(r.media_id, r.kind, r.payload.length.toLong,
+            FakeDecoder.decode(r.payload))
+        }
+      }
+    }
+  }
+
+  /** Route each modality to its own partition range before decode —
+    * at cluster scale this pins codecs (image vs audio vs video) to
+    * executor pools and keeps batches homogeneous.
+    */
+  def partitionByKind(media: DataFrame, partitions: Int): DataFrame =
+    media.repartition(partitions, col("kind"))
+
+  /** Deterministic synthetic media table for tests/demo: payload
+    * bytes derived from media_id.
+    */
+  def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n.toLong).map { i =>
+      val kind = if (i % 3 == 0) "image" else if (i % 3 == 1) "audio" else "video"
+      val payload = Array.tabulate[Byte](64 + (i % 64).toInt)(j =>
+        ((i * 31 + j * 7) % 256).toByte)
+      MediaRow(i, kind, payload, 64, 48, 16000)
+    }
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // long texts so a one-word edit keeps jaccard high enough (~0.93)
+  // for the 8-band x 4-row LSH to collide with near certainty
+  private val base = ("the quick brown fox jumps over the lazy dog and " +
+    "runs far away home tonight while seven silent owls watch from tall " +
+    "oak trees near the quiet river bank under pale moon light and cold wind")
+  private val nearDup = base.replace("lazy", "sleepy")
+  private val distinct = "completely different words appear in this sentence about spark engines and scale"
+
+  private def docs = Seq(
+    (1L, base), (2L, base), (3L, nearDup), (4L, distinct)
+  ).toDF("doc_id", "text")
+
+  test("exact finds identical texts only") {
+    val out = Dedup.exact(docs, "doc_id", "text").collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("dup_cnt") == 2)
+    assert(out.head.getAs[Long]("canonical_id") == 1L)
+  }
+
+  test("minhashLsh surfaces exact and near duplicates with jaccard") {
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text", minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val asMap = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(asMap((1L, 2L)) === 1.0) // identical
+    assert(asMap.contains((1L, 3L)) && asMap((1L, 3L)) > 0.5) // near dup
+    assert(!asMap.keys.exists(k => k._1 == 4L || k._2 == 4L)) // distinct doc clean
+  }
+
+  test("ngramJaccard matches minhash-verified jaccard on candidates") {
+    val ng = Dedup.ngramJaccard(docs, "doc_id", "text",
+      shingleN = 3, maxShingleDf = 100, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(ng((1L, 2L)) === 1.0)
+    assert(ng((1L, 3L)) > 0.5)
+  }
+
+  test("simhash of identical docs is identical; near dups within hamming 6") {
+    val sims = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sims(1L) == sims(2L))
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((1L, 2L)) == 0)
+  }
+
+  test("embeddingNearDup finds high-cosine pairs within blocks only") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.99f, 0.1f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f, 0.0f), 0),
+      (4L, Array(1.0f, 0.0f, 0.0f), 1) // same vector, different block
+    ).toDF("vec_id", "embedding", "label")
+    val out = Dedup.embeddingNearDup(vecs, "vec_id", "embedding", "label", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSet == Set((1L, 2L))) // cross-block pair (1,4) not probed
+  }
+}

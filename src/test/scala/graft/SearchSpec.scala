@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Bm25, Fusion, VectorSearch}
+
+class SearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("denseTopK returns nearest vectors by cosine, rounded, id-tiebroken") {
+    val cands = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val q = Seq(Tuple1(Array(1.0f, 0.0f))).toDF("qe")
+    val out = VectorSearch.denseTopK(cands, q, "vec_id", "embedding", "qe", 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(1L, 2L))
+  }
+
+  test("knnJoin gives each query its own ranked neighbor list") {
+    val cands = Seq(
+      (10L, Array(1.0f, 0.0f)), (11L, Array(0.0f, 1.0f)),
+      (12L, Array(0.7f, 0.7f))
+    ).toDF("cid", "ce")
+    val qs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f))
+    ).toDF("qid", "qe")
+    val out = VectorSearch.knnJoin(cands, qs, "cid", "ce", "qid", "qe", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(out.filter(_._1 == 1L).sortBy(_._3).map(_._2).toSeq == Seq(10L, 12L))
+    assert(out.filter(_._1 == 2L).sortBy(_._3).map(_._2).toSeq == Seq(11L, 12L))
+  }
+
+  test("bm25 scores rarer terms higher at equal tf") {
+    // 'rare' appears in 1 of 4 docs; 'common' in all 4
+    val docs = Seq(
+      (1L, "rare common alpha beta"), (2L, "common alpha beta gamma"),
+      (3L, "common beta gamma delta"), (4L, "common gamma delta alpha")
+    ).toDF("doc_id", "text")
+    val s = Bm25.score(docs, "doc_id", "text", Seq("rare", "common"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s(1L) > s(2L)) // doc 1 has the rare term
+  }
+
+  test("rrf fuses two rankings with the 0.6/0.4 reference weights") {
+    val dense = Seq((101L, 1L), (102L, 2L)).toDF("doc_id", "rank")
+    val sparse = Seq((102L, 1L), (103L, 2L)).toDF("doc_id", "rank")
+    val out = Fusion.rrf(dense, sparse, "doc_id", "rank", 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // 102 appears in both lists -> highest fused score
+    assert(out(102L) > out(101L) && out(102L) > out(103L))
+    // 102: dense rank 2, sparse rank 1
+    val expected102 = BigDecimal(0.6 / 62 + 0.4 / 61)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(out(102L) - expected102) < 1e-9)
+  }
+
+  test("annIvf finds the same top results as brute force when probing enough cells") {
+    val vecs = (0 until 40).map { i =>
+      val angle = (i % 4) * math.Pi / 2 + (i / 40.0) * 0.1
+      (i.toLong, Array(math.cos(angle).toFloat, math.sin(angle).toFloat), i % 4)
+    }.toDF("vec_id", "embedding", "label")
+    val cents = VectorSearch.centroidArrays(vecs, "label", "embedding")
+    val q = vecs.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val ivf = VectorSearch.annIvf(vecs, q, cents, "vec_id", "embedding", "qe",
+      "label", nprobe = 4, k = 5).collect().map(_.getLong(0)).toSet
+    val brute = VectorSearch.denseTopK(vecs, q, "vec_id", "embedding", "qe", 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(ivf == brute) // nprobe = all cells -> exact
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stats computes token/char/stopword counts") {
+    val docs = Seq((1L, "the cat and the dog")).toDF("doc_id", "text")
+    val r = TextAnalysis.stats(docs, "doc_id", "text").head()
+    assert(r.getAs[Int]("n_tokens") == 5)
+    assert(r.getAs[Int]("n_chars") == 19)
+    assert(r.getAs[Int]("n_distinct") == 4)
+    assert(r.getAs[Int]("n_stopwords") == 3) // the, and, the
+    assert(r.getAs[Double]("stop_ratio") == 0.6)
+  }
+
+  test("qualityScore rewards mid-length diverse text") {
+    val docs = Seq(
+      (1L, ("interesting varied words " * 20).trim), // ~480 chars, diverse-ish
+      (2L, "tiny")
+    ).toDF("doc_id", "text")
+    val q = TextAnalysis.qualityScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("quality")).toMap
+    assert(q(1L) > q(2L))
+  }
+
+  test("languageId picks the language with most marker hits") {
+    val docs = Seq(
+      (1L, "the cat is on the mat and it is fine"),
+      (2L, "der hund und die katze ist hier"),
+      (3L, "le chat et la souris est ici")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.languageId(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "de")
+    assert(out(3L) == "fr")
+  }
+
+  test("topKeywords filters stopwords and short tokens") {
+    val docs = Seq((1L, "spark spark spark the with data data")).toDF("doc_id", "text")
+    val kws = TextAnalysis.topKeywords(docs, "text", 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kws("spark") == 3)
+    assert(kws("data") == 2)
+    assert(!kws.contains("the") && !kws.contains("with"))
+  }
+
+  test("fingerprints are stable under whitespace normalization") {
+    val docs = Seq(
+      (1L, "alpha  beta\tgamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta")
+    ).toDF("doc_id", "text")
+    val fps = TextAnalysis.fingerprints(docs, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(fps(1L)._1 == fps(2L)._1) // content fp ignores whitespace runs
+  }
+
+  test("lensClassify assigns the dominant keyword lens") {
+    val docs = Seq(
+      (1L, "join hash merge sort scan plan"),
+      (2L, "stream window batch flow")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.lensClassify(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lens")).toMap
+    assert(out(1L) == "execution")
+    assert(out(2L) == "streaming")
+  }
+}

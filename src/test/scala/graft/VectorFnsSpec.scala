@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFns
+
+class VectorFnsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dot and cosine match hand-computed values in double precision") {
+    val df = Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(2.0f, 0.0f, 0.0f), Array(1.0f, 0.0f, 0.0f))
+    ).toDF("id", "a", "b")
+    val out = df.select($"id",
+      VectorFns.dot($"a", $"b").as("dot"),
+      VectorFns.cosine($"a", $"b").as("cos"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+
+    assert(out(1L)._1 === 32.0)
+    assert(math.abs(out(1L)._2 - 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))) < 1e-12)
+    assert(out(2L)._1 === 0.0 && out(2L)._2 === 0.0)
+    assert(out(3L)._2 === 1.0)
+  }
+
+  test("l2DistSq computes squared euclidean distance") {
+    val df = Seq((Array(1.0f, 2.0f), Array(4.0f, 6.0f))).toDF("a", "b")
+    val d = df.select(VectorFns.l2DistSq($"a", $"b")).head().getDouble(0)
+    assert(d === 25.0)
+  }
+
+  test("signCode buckets by sign pattern of leading dims") {
+    val df = Seq(
+      (Array(1.0f, -1.0f, 1.0f, 1.0f), "a"),
+      (Array(0.5f, -2.0f, 3.0f, 9.0f), "b"), // same signs -> same code
+      (Array(-1.0f, -1.0f, 1.0f, 1.0f), "c")
+    ).toDF("v", "id")
+    val codes = df.select($"id", VectorFns.signCode($"v", 4).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(codes("a") == codes("b"))
+    assert(codes("a") != codes("c"))
+  }
+}
