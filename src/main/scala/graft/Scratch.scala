@@ -1,21 +1,42 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
-/** Throwaway local smoke-main (not part of the library API). */
+/** Throwaway local profiling main (not part of the library API). */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val e = SparkEntry.entry(spark)
-    println(s"ENTRY_ROWS=${e.count()}")
-    e.show(5, false)
+    val d = "/root/testdata/sf0.1"
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"STAGE $name%-24s rows=$n%-8d ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, d)
+    time("docs")(docs.count())
+    val sh = Dedup.shingles(docs, "doc_id", "text", 3)
+    time("shingles")(sh.count())
+    val shc = sh.cache()
+    time("shingles_cache")(shc.count())
+    val sigs = Dedup.minhashSignatures(shc, "doc_id", 32)
+    time("signatures")(sigs.count())
+    val cand = Dedup.lshCandidates(sigs, "doc_id", 32, 4)
+    time("candidates")(cand.count())
+    time("jaccard")(Dedup.jaccardVerify(cand, shc, "doc_id", 0.5).count())
+    time("full_minhash")(Dedup.minhashLsh(docs, "doc_id", "text").count())
+    time("embcos")(Dedup.embeddingNearDup(
+      Tables.embeddings(spark, d), "vec_id", "embedding", "label", 0.4).count())
     spark.stop()
   }
 }

@@ -31,17 +31,26 @@ object TextFns {
       regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0)),
       t => length(t) > 2)
 
-  /** Sliding word n-gram shingles over whitespace tokens (distinct
-    * set is taken by callers where set semantics are needed).
+  /** Sliding word n-gram shingles from a PRE-PROJECTED token array
+    * column. Callers must materialize the tokens into a real column
+    * first (`.select(wsTokens(col) as "tk")`) — passing the raw
+    * `split(...)` expression would re-evaluate the split once per
+    * array element inside the lambda (measured 6x slower at sf0.1).
+    * element_at is O(1); slice would copy a sub-array per element.
     */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = wsTokens(text)
-    filter(
+  def shinglesOfTokens(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
       transform(
-        sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
-        i => concat_ws(" ", slice(toks, i, lit(n)))),
-      s => length(s) > lit(0))
-  }
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** Convenience (slow-path) shingles straight from text; fine for
+    * specs and small frames, use shinglesOfTokens + pre-projection in
+    * operators.
+    */
+  def wordShingles(text: Column, n: Int): Column =
+    shinglesOfTokens(wsTokens(text), n)
 
   def countInList(tokens: Column, words: Seq[String]): Column =
     size(filter(tokens, t => t.isInCollection(words)))

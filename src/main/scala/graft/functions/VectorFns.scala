@@ -33,6 +33,14 @@ object VectorFns {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /** Cosine from a fresh dot product and PRE-COMPUTED norms — use when
+    * either side's norm can be materialized once (query vectors,
+    * pairwise joins) instead of re-deriving it per comparison: cuts
+    * the interpreted higher-order aggregate work from 3 folds to 1.
+    */
+  def cosinePrenormed(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dot(a, b) / (normA * normB)
+
   /** Squared L2 distance (reference uses L2 distance for Chroma). */
   def l2DistSq(a: Column, b: Column): Column =
     aggregate(

@@ -23,6 +23,14 @@ object Bm25 {
   /** Per-doc BM25 score against `queryTerms`; docs with no matching
     * term are absent (score would be 0).
     * Output: (idCol, bm25 double — unrounded).
+    *
+    * Single-pass wide plan: one token explode feeds ONE groupBy that
+    * computes doc length AND per-query-term tf columns together
+    * (query terms are statically known, so tf pivots into columns);
+    * corpus stats (N, avgdl, per-term df) are a second aggregate over
+    * the already-tiny per-doc frame, broadcast back as one row. The
+    * corpus is scanned once; the only wide shuffle carries one row per
+    * doc with |queryTerms| + 1 numeric columns.
     */
   def score(
       docs: DataFrame, idCol: String, textCol: String,
@@ -30,28 +38,34 @@ object Bm25 {
     val toks = docs.select(col(idCol),
       explode(TextFns.bm25Tokens(col(textCol))).as("term"))
 
-    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).cast("double").as("dl"))
-    val stats = dl.agg(
+    def tfCol(t: String) = s"tf_${t}"
+    def dfCol(t: String) = s"df_${t}"
+
+    val perDoc = toks.groupBy(col(idCol)).agg(
+      count(lit(1)).cast("double").as("dl"),
+      queryTerms.map(t =>
+        sum(when(col("term") === t, 1).otherwise(0)).cast("double")
+          .as(tfCol(t))): _*)
+
+    val stats = perDoc.agg(
       count(lit(1)).cast("double").as("n_docs"),
-      avg(col("dl")).as("avgdl"))
+      (avg(col("dl")).as("avgdl") +:
+        queryTerms.map(t =>
+          sum(when(col(tfCol(t)) > 0, 1).otherwise(0)).cast("double")
+            .as(dfCol(t)))): _*)
 
-    val qToks = toks.where(col("term").isInCollection(queryTerms))
-    val tf = qToks.groupBy(col(idCol), col("term"))
-      .agg(count(lit(1)).cast("double").as("tf"))
-    val df = qToks.select(col(idCol), col("term")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    def idf(t: String) = log(
+      (col("n_docs") - col(dfCol(t)) + 0.5) / (col(dfCol(t)) + 0.5) + 1.0)
+    def tfNorm(t: String) = col(tfCol(t)) * (K1 + 1.0) /
+      (col(tfCol(t)) +
+        lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl")))
 
-    val idf = log(
-      (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
-    val tfNorm = col("tf") * (K1 + 1.0) /
-      (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl")))
-
-    tf.join(broadcast(df), Seq("term"))
-      .join(dl, Seq(idCol))
+    perDoc
+      .where(queryTerms.map(t => col(tfCol(t))).reduce(_ + _) > 0)
       .crossJoin(broadcast(stats))
-      .withColumn("term_score", idf * tfNorm)
-      .groupBy(col(idCol))
-      .agg(sum(col("term_score")).as("bm25"))
+      .withColumn("bm25",
+        queryTerms.map(t => idf(t) * tfNorm(t)).reduce(_ + _))
+      .select(col(idCol), col("bm25"))
   }
 
   /** Top-k BM25 search (TakeOrderedAndProject — no full sort). */

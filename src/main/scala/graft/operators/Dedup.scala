@@ -31,21 +31,34 @@ object Dedup {
       .agg(count(lit(1)).as("dup_cnt"), min(col(idCol)).as("canonical_id"))
       .where(col("dup_cnt") > 1)
 
-  /** Distinct word-n-gram shingles per doc: (id, sh). */
+  /** Distinct word-n-gram shingles per doc: (id, sh). Tokens are
+    * materialized into a column before the shingle lambda — see
+    * TextFns.shinglesOfTokens for why.
+    */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs.select(col(idCol),
-      explode(array_distinct(TextFns.wordShingles(col(textCol), n))).as("sh"))
+    docs
+      .select(col(idCol), TextFns.wsTokens(col(textCol)).as("tk"))
+      .select(col(idCol),
+        explode(array_distinct(TextFns.shinglesOfTokens(col("tk"), n))).as("sh"))
 
-  /** MinHash signature: numHashes seeded permutations emulated by
-    * min(md5(seed:shingle)) — lexicographic min over md5 hex is a
-    * uniform minwise hash and is reproducible across engines.
-    * Output: (id, h0..h{numHashes-1}).
+  /** Prime > 2^32 for the double-hashing permutation family. */
+  val MinhashPrime = 4294967311L
+
+  /** MinHash signatures via double hashing: two md5-derived 32-bit
+    * base hashes per shingle, then permutation i is
+    * (m1 + i*m2) mod P — one cheap integer op per extra hash instead
+    * of one md5 each (Broder's classic minwise family). Cross-engine
+    * reproducible: md5 + 64-bit integer arithmetic only.
+    * Output: (id, h0..h{numHashes-1}) as longs.
     */
   def minhashSignatures(
       sh: DataFrame, idCol: String, numHashes: Int): DataFrame = {
+    val base = sh.select(col(idCol),
+      TextFns.hexHash32(col("sh")).as("m1"),
+      TextFns.hexHash32(concat(col("sh"), lit("#"))).as("m2"))
     val aggs = (0 until numHashes).map(i =>
-      min(md5(concat(lit(s"$i:"), col("sh")))).as(s"h$i"))
-    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      min((col("m1") + lit(i.toLong) * col("m2")) % MinhashPrime).as(s"h$i"))
+    base.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH candidate pairs: split the signature into bands of `rows`
@@ -136,9 +149,8 @@ object Dedup {
     * set where the vote sum is strictly positive.
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol),
-      explode(array_distinct(TextFns.wordShingles(col(textCol), 3))).as("term"))
-      .withColumn("h", TextFns.hexHash32(col("term")))
+    val toks = shingles(docs, idCol, textCol, 3)
+      .withColumn("h", TextFns.hexHash32(col("sh")))
     val bitSums = (0 until 32).map(bit =>
       sum(shiftright(col("h"), bit).bitwiseAND(1) * 2 - 1).as(s"s$bit"))
     val agg = toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
@@ -183,13 +195,17 @@ object Dedup {
   def embeddingNearDup(
       vectors: DataFrame, idCol: String, vecCol: String, blockCol: String,
       minCos: Double): DataFrame = {
-    val a = vectors.select(col(blockCol), col(idCol).as("va"),
-      col(vecCol).as("ea"))
-    val b = vectors.select(col(blockCol), col(idCol).as("vb"),
-      col(vecCol).as("eb"))
+    // norms computed once per vector, not once per pair
+    val withNorm = vectors.select(col(blockCol), col(idCol), col(vecCol),
+      VectorFns.l2Norm(col(vecCol)).as("nrm"))
+    val a = withNorm.select(col(blockCol), col(idCol).as("va"),
+      col(vecCol).as("ea"), col("nrm").as("nra"))
+    val b = withNorm.select(col(blockCol), col(idCol).as("vb"),
+      col(vecCol).as("eb"), col("nrm").as("nrb"))
     a.join(b, Seq(blockCol))
       .where(col("va") < col("vb"))
-      .withColumn("raw_cos", VectorFns.cosine(col("ea"), col("eb")))
+      .withColumn("raw_cos", VectorFns.cosinePrenormed(
+        col("ea"), col("eb"), col("nra"), col("nrb")))
       .where(col("raw_cos") >= minCos)
       .select(col("va"), col("vb"), round(col("raw_cos"), 6).as("cos_sim"))
   }

@@ -110,12 +110,14 @@ object TextAnalysis {
     */
   def fingerprints(
       docs: DataFrame, idCol: String, textCol: String, shingleN: Int): DataFrame =
-    docs.select(
-      col(idCol),
-      TextFns.contentFingerprint(col(textCol)).as("content_fp"),
-      array_min(transform(
-        array_distinct(TextFns.wordShingles(col(textCol), shingleN)),
-        s => md5(s))).as("min_shingle_fp"))
+    docs
+      .select(col(idCol),
+        TextFns.contentFingerprint(col(textCol)).as("content_fp"),
+        TextFns.wsTokens(col(textCol)).as("tk"))
+      .select(col(idCol), col("content_fp"),
+        array_min(transform(
+          array_distinct(TextFns.shinglesOfTokens(col("tk"), shingleN)),
+          s => md5(s))).as("min_shingle_fp"))
 
   /** Lens classification: distinct-keyword-presence score per lens,
     * argmax with fixed precedence (lens_classifier.py:352 classify).

@@ -29,9 +29,13 @@ object VectorSearch {
       candidates: DataFrame, query: DataFrame,
       idCol: String, vecCol: String, qVec: String,
       k: Int, extraCols: Seq[String] = Nil): DataFrame = {
+    val q = query.select(col(qVec))
+      .withColumn("qnrm", VectorFns.l2Norm(col(qVec)))
     val scored = candidates
-      .crossJoin(broadcast(query.select(col(qVec))))
-      .withColumn("raw_cos", VectorFns.cosine(col(vecCol), col(qVec)))
+      .withColumn("cnrm", VectorFns.l2Norm(col(vecCol)))
+      .crossJoin(broadcast(q))
+      .withColumn("raw_cos", VectorFns.cosinePrenormed(
+        col(vecCol), col(qVec), col("cnrm"), col("qnrm")))
     scored
       .withColumn("cos_sim", round(col("raw_cos"), 6))
       .orderBy(col("cos_sim").desc, col(idCol))
@@ -50,9 +54,13 @@ object VectorSearch {
       candidates: DataFrame, queries: DataFrame,
       candId: String, candVec: String,
       qId: String, qVec: String, k: Int): DataFrame = {
+    val q = queries.select(col(qId), col(qVec))
+      .withColumn("qnrm", VectorFns.l2Norm(col(qVec)))
     val scored = candidates
-      .crossJoin(broadcast(queries.select(col(qId), col(qVec))))
-      .withColumn("cos_sim", round(VectorFns.cosine(col(candVec), col(qVec)), 6))
+      .withColumn("cnrm", VectorFns.l2Norm(col(candVec)))
+      .crossJoin(broadcast(q))
+      .withColumn("cos_sim", round(VectorFns.cosinePrenormed(
+        col(candVec), col(qVec), col("cnrm"), col("qnrm")), 6))
       .withColumn("pid", spark_partition_id())
     val local = Window.partitionBy(col(qId), col("pid"))
       .orderBy(col("cos_sim").desc, col(candId))
@@ -121,28 +129,37 @@ object VectorSearch {
       candidates: DataFrame, query: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, qVec: String, groupCol: String,
       nprobe: Int, k: Int): DataFrame = {
-    // centroid frame renamed to avoid colliding with candidate columns
-    val cents = centroids.select(col(groupCol).as("cgroup"), col("centroid"))
+    // centroid frame renamed to avoid colliding with candidate columns;
+    // centroid norms computed once (broadcast side)
+    val cents = centroids
+      .select(col(groupCol).as("cgroup"), col("centroid"))
+      .withColumn("gnrm", VectorFns.l2Norm(col("centroid")))
+    val q = query.select(col(qVec))
+      .withColumn("qnrm", VectorFns.l2Norm(col(qVec)))
     // assignment: nearest centroid per candidate (tie → smallest group)
     val assignW = Window.partitionBy(col(idCol))
       .orderBy(col("acos").desc, col("cgroup"))
     val assigned = candidates
+      .withColumn("cnrm", VectorFns.l2Norm(col(vecCol)))
       .crossJoin(broadcast(cents))
-      .withColumn("acos", round(VectorFns.cosine(col(vecCol), col("centroid")), 6))
+      .withColumn("acos", round(VectorFns.cosinePrenormed(
+        col(vecCol), col("centroid"), col("cnrm"), col("gnrm")), 6))
       .withColumn("arnk", row_number().over(assignW))
       .where(col("arnk") === 1)
-      .select(col(idCol), col(vecCol), col("cgroup").as("cell"))
+      .select(col(idCol), col(vecCol), col("cnrm"), col("cgroup").as("cell"))
     // probe cells: nprobe centroids nearest to the query
     val probed = cents
-      .crossJoin(broadcast(query.select(col(qVec))))
-      .withColumn("pcos", round(VectorFns.cosine(col("centroid"), col(qVec)), 6))
+      .crossJoin(broadcast(q))
+      .withColumn("pcos", round(VectorFns.cosinePrenormed(
+        col("centroid"), col(qVec), col("gnrm"), col("qnrm")), 6))
       .orderBy(col("pcos").desc, col("cgroup"))
       .limit(nprobe)
       .select(col("cgroup").as("cell"))
     assigned
       .join(broadcast(probed), Seq("cell"))
-      .crossJoin(broadcast(query.select(col(qVec))))
-      .withColumn("cos_sim", round(VectorFns.cosine(col(vecCol), col(qVec)), 6))
+      .crossJoin(broadcast(q))
+      .withColumn("cos_sim", round(VectorFns.cosinePrenormed(
+        col(vecCol), col(qVec), col("cnrm"), col("qnrm")), 6))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
       .select(col(idCol), col("cell"), col("cos_sim"))

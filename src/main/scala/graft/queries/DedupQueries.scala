@@ -48,18 +48,26 @@ object DedupQueries {
       .orderBy(col("da"), col("db"))
 
   private val dedupMinhashSql = {
+    val hexDec = (1 to 8).map { k =>
+      val coef = math.pow(16, 8 - k).toLong
+      s"(strpos('0123456789abcdef', substr(%s, $k, 1)) - 1) * ${coef}"
+    }.mkString(" + ")
+    val m1 = hexDec.replace("%s", "md5(shg)")
+    val m2 = hexDec.replace("%s", "md5(shg || '#')")
     val sigCols = (0 until NumHashes)
-      .map(i => s"min(md5('$i:' || shg)) AS h$i").mkString(",\n    ")
+      .map(i => s"min((m1 + $i * m2) % ${Dedup.MinhashPrime}) AS h$i")
+      .mkString(",\n    ")
     val bandSelects = (0 until NumBands).map { b =>
-      val cols = (b * BandRows until (b + 1) * BandRows).map(i => s"h$i")
+      val cols = (b * BandRows until (b + 1) * BandRows).map(i => s"h$i::VARCHAR")
       val key = cols.mkString(" || '|' || ") + s" || '|' || '$b'"
       s"SELECT doc_id, $b AS band, md5($key) AS bkey FROM sigs"
     }.mkString("\n  UNION ALL\n  ")
     s"""WITH ${shingleCtes(3)},
        |sizes AS (SELECT doc_id, count(*) AS nsh FROM shs GROUP BY doc_id),
+       |hb AS (SELECT doc_id, ($m1)::BIGINT AS m1, ($m2)::BIGINT AS m2 FROM shs),
        |sigs AS (SELECT doc_id,
        |    $sigCols
-       |  FROM shs GROUP BY doc_id),
+       |  FROM hb GROUP BY doc_id),
        |bands AS (
        |  $bandSelects),
        |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
