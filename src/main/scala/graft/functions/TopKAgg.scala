@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** One (score, id) candidate for bounded top-k aggregation. */
+case class ScoredId(score: Double, id: Long)
+
+/** Bounded top-k aggregator by (score DESC, id ASC).
+  *
+  * The scale rationale: used as `groupBy(query).agg(topk(...))`, Spark
+  * plans an ObjectHashAggregate with PARTIAL mode on the map side, so
+  * each map partition reduces its candidates into a buffer of at most
+  * `k` rows BEFORE the exchange — the shuffle then carries
+  * O(numQueries * k * mapPartitions) rows instead of the full scored
+  * cross product. This is the exchange-free "local prune" that a
+  * Window.partitionBy(query, partition_id) approach cannot provide
+  * (the window itself hashes the full input first).
+  *
+  * Determinism: the buffer keeps the k smallest elements under the
+  * total order (score DESC, id ASC); merge order cannot change the
+  * result of a bounded selection under a total order.
+  */
+class TopKAgg(k: Int) extends Aggregator[ScoredId, Seq[ScoredId], Seq[ScoredId]] {
+
+  private def lt(a: ScoredId, b: ScoredId): Boolean =
+    a.score > b.score || (a.score == b.score && a.id < b.id)
+
+  private def bounded(s: Seq[ScoredId]): Seq[ScoredId] =
+    s.sortWith(lt).take(k)
+
+  override def zero: Seq[ScoredId] = Vector.empty
+
+  override def reduce(b: Seq[ScoredId], a: ScoredId): Seq[ScoredId] =
+    if (b.length >= k && lt(b.last, a)) b else bounded(b :+ a)
+
+  override def merge(b1: Seq[ScoredId], b2: Seq[ScoredId]): Seq[ScoredId] =
+    bounded(b1 ++ b2)
+
+  override def finish(r: Seq[ScoredId]): Seq[ScoredId] = bounded(r)
+
+  override def bufferEncoder: Encoder[Seq[ScoredId]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredId]]()
+
+  override def outputEncoder: Encoder[Seq[ScoredId]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredId]]()
+}

@@ -5,27 +5,43 @@ import org.apache.spark.sql.functions._
 
 /** Column-level vector math over `array<float>` / `array<double>`.
   *
-  * All math is done in DOUBLE after an explicit cast, and the
-  * reductions (`aggregate`) fold left-to-right in array order, so the
-  * result is bit-deterministic and reproducible across engines (the
-  * DuckDB oracle mirrors the same double-precision formula).
+  * All math is done in DOUBLE, accumulated left-to-right in array
+  * order, so the result is bit-deterministic and reproducible across
+  * engines (the DuckDB oracle mirrors the same double-precision
+  * formula).
   *
-  * These are codegen'd builtin higher-order functions — no UDFs — so
-  * they stay inside WholeStageCodegen and scale linearly with rows.
+  * `dot`/`normSq` are native Catalyst expressions with `doGenCode`
+  * (graft.expressions.VecDot / VecNormSq): a primitive-double loop
+  * inside WholeStageCodegen. The builtin higher-order functions they
+  * replace (`zip_with` + `aggregate`) are CodegenFallback — an
+  * interpreted, boxing lambda per element — and were the hot-path
+  * bottleneck of every brute-force scoring query. `dotHof` keeps the
+  * HOF formulation as the differential-testing twin (see
+  * VectorFnsSpec: both must agree bit-for-bit).
   * Capability mirror of the reference's dense similarity math
   * (reference: backend/app/core/vector_store.py:604 cosine sim,
   * backend/app/core/recommender.py:418 _cosine_similarity).
   */
 object VectorFns {
+  import org.apache.spark.sql.graftshim.ColumnShim
+  import graft.expressions.{VecDot, VecNormSq}
 
-  /** Element-wise product sum in double; deterministic fold order. */
+  /** Element-wise product sum in double; deterministic order (native
+    * codegen'd expression).
+    */
   def dot(a: Column, b: Column): Column =
+    ColumnShim.column(VecDot(
+      ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  def normSq(a: Column): Column =
+    ColumnShim.column(VecNormSq(ColumnShim.expression(a)))
+
+  /** HOF twin of `dot` — differential-testing reference only. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),
       (acc, x) => acc + x)
-
-  def normSq(a: Column): Column = dot(a, a)
 
   def l2Norm(a: Column): Column = sqrt(normSq(a))
 

@@ -68,12 +68,18 @@ object Bm25 {
       .select(col(idCol), col("bm25"))
   }
 
-  /** Top-k BM25 search (TakeOrderedAndProject — no full sort). */
+  /** Top-k BM25 search (TakeOrderedAndProject — no full sort).
+    * Ranks on the ROUNDED score (6dp) with id tiebreak so the row set
+    * at the LIMIT boundary is identical to the oracle's, which orders
+    * by round(s, 6) — ranking on raw doubles could disagree when two
+    * scores round equal.
+    */
   def topK(
       docs: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], k: Int): DataFrame =
     score(docs, idCol, textCol, queryTerms)
+      .withColumn("bm25", round(col("bm25"), 6))
       .orderBy(col("bm25").desc, col(idCol))
       .limit(k)
-      .select(col(idCol), round(col("bm25"), 6).as("bm25"))
+      .select(col(idCol), col("bm25"))
 }

@@ -76,7 +76,10 @@ object Chunker {
           if (cur.isEmpty) pack(rest, p, acc)
           else if ((cur + p).length <= chunkSize) pack(rest, cur + p, acc)
           else {
-            val carried = cur.takeRight(overlap)
+            // Trim the carried overlap so carried+piece never exceeds
+            // chunkSize (splitBy guarantees p.length <= chunkSize, so
+            // the budget is never negative).
+            val carried = cur.takeRight(math.min(overlap, chunkSize - p.length))
             pack(rest, carried + p, cur :: acc)
           }
       }

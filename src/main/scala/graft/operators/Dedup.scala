@@ -19,6 +19,13 @@ import graft.functions.{TextFns, VectorFns}
   * are generated only inside LSH band buckets / shingle postings /
   * blocking cells, and hot shingles are droppable via a mirrored df
   * cap (stop-shingle suppression) to bound bucket skew.
+  *
+  * Cache lifecycle: operators cache() intermediates that appear twice
+  * in their OWN plan (shingles feed both signatures and verification).
+  * The returned frame is lazy, so the operator cannot unpersist for
+  * you — callers running many operators in one session should
+  * `spark.catalog.clearCache()` after each terminal action (Bench and
+  * Verify do).
   */
 object Dedup {
 

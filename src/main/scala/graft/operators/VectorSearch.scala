@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorFns
+import graft.functions.{TopKAgg, VectorFns}
 
 /** Dense vector search operators — the Spark-native re-expression of
   * the reference's ChromaDB query surface
@@ -45,15 +45,18 @@ object VectorSearch {
 
   /** k-NN join: top-k candidates per query row by cosine.
     *
-    * Two-phase top-k: a partition-local row_number prune keeps at most
-    * k rows per (query, input-partition) before the real shuffle, so
-    * the exchange moves O(numQueries · k · partitions) rows instead of
-    * the full |C|·|Q| cross product.
+    * Top-k is a bounded typed Aggregator (functions.TopKAgg), so Spark
+    * plans a PARTIAL ObjectHashAggregate on the map side: each map
+    * partition reduces to at most k candidates per query BEFORE the
+    * exchange. The shuffle moves O(numQueries · k · mapPartitions)
+    * rows — never the |C|·|Q| scored cross product. Requires a long
+    * candidate id (use zipWithIndex/monotonic ids upstream otherwise).
     */
   def knnJoin(
       candidates: DataFrame, queries: DataFrame,
       candId: String, candVec: String,
       qId: String, qVec: String, k: Int): DataFrame = {
+    val topk = udaf(new TopKAgg(k))
     val q = queries.select(col(qId), col(qVec))
       .withColumn("qnrm", VectorFns.l2Norm(col(qVec)))
     val scored = candidates
@@ -61,17 +64,12 @@ object VectorSearch {
       .crossJoin(broadcast(q))
       .withColumn("cos_sim", round(VectorFns.cosinePrenormed(
         col(candVec), col(qVec), col("cnrm"), col("qnrm")), 6))
-      .withColumn("pid", spark_partition_id())
-    val local = Window.partitionBy(col(qId), col("pid"))
-      .orderBy(col("cos_sim").desc, col(candId))
-    val global = Window.partitionBy(col(qId))
-      .orderBy(col("cos_sim").desc, col(candId))
     scored
-      .withColumn("lrnk", row_number().over(local))
-      .where(col("lrnk") <= k)
-      .withColumn("rnk", row_number().over(global))
-      .where(col("rnk") <= k)
-      .select(col(qId), col(candId), col("cos_sim"), col("rnk").cast("long").as("rnk"))
+      .groupBy(col(qId))
+      .agg(topk(col("cos_sim"), col(candId).cast("long")).as("tk"))
+      .select(col(qId), posexplode(col("tk")).as(Seq("pos", "nb")))
+      .select(col(qId), col("nb.id").as(candId), col("nb.score").as("cos_sim"),
+        (col("pos") + 1).cast("long").as("rnk"))
   }
 
   /** Element-wise mean vector per group, in long (group, pos, v) form.

@@ -152,7 +152,7 @@ object TextQueries {
       |  FROM ix),
       |m AS (SELECT doc_id, min(md5(s)) AS min_shingle_fp FROM sh GROUP BY doc_id)
       |SELECT n.doc_id, substr(md5(n.norm), 1, 16) AS content_fp, m.min_shingle_fp
-      |FROM n JOIN m ON n.doc_id = m.doc_id ORDER BY n.doc_id""".stripMargin
+      |FROM n LEFT JOIN m ON n.doc_id = m.doc_id ORDER BY n.doc_id""".stripMargin
 
   /* ---------------- chunk_fixed ---------------- */
 

@@ -29,6 +29,20 @@ class ChunkerSpec extends SparkSpec {
     assert(chunks.init.forall(c => c.endsWith(".") || c.endsWith(". ")))
   }
 
+  test("recursiveSplit never exceeds chunkSize when pieces are near chunkSize") {
+    // pieces of ~90 chars with overlap 20: a naive carried+piece would
+    // produce 110-char chunks; the carried overlap must be trimmed
+    val text = (1 to 8).map(i => s"$i" + "w" * 88).mkString(" ")
+    val chunks = Chunker.recursiveSplit(text, chunkSize = 100, overlap = 20)
+    assert(chunks.nonEmpty)
+    assert(chunks.forall(_.length <= 100),
+      s"oversized chunk: ${chunks.map(_.length).mkString(",")}")
+    // and with a piece exactly at chunkSize the overlap budget is zero
+    val tight = ("y" * 100) + " " + ("z" * 100)
+    val tc = Chunker.recursiveSplit(tight, chunkSize = 100, overlap = 30)
+    assert(tc.forall(_.length <= 100))
+  }
+
   test("recursiveSplit is deterministic and handles short text") {
     val t = "short text"
     assert(Chunker.recursiveSplit(t, 100, 10) == Seq("short text"))
