@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, sum, xxhash64}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -18,7 +19,14 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // checksum-aggregate EVERY output column (engine-local hash is
+      // fine for a bench): a bare count() would let the optimizer
+      // prune computed projections out of narrow per-doc queries and
+      // bench little more than the parquet scan
+      try {
+        val df = fn(spark, sfDir)
+        df.agg(sum(xxhash64(df.columns.map(col): _*))).collect()
+      } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       // operators may cache() intermediates reused within their own
       // plan (e.g. dedup shingles); drop them between queries so a

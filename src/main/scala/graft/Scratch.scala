@@ -31,12 +31,13 @@ object Scratch {
     time("shingles_cache")(shc.count())
     val sigs = Dedup.minhashSignatures(shc, "doc_id", 32)
     time("signatures")(sigs.count())
-    val cand = Dedup.lshCandidates(sigs, "doc_id", 32, 4)
+    val cand = Dedup.lshCandidates(sigs, "doc_id", 32, 4, 100)
     time("candidates")(cand.count())
     time("jaccard")(Dedup.jaccardVerify(cand, shc, "doc_id", 0.5).count())
     time("full_minhash")(Dedup.minhashLsh(docs, "doc_id", "text").count())
     time("embcos")(Dedup.embeddingNearDup(
-      Tables.embeddings(spark, d), "vec_id", "embedding", "label", 0.4).count())
+      Tables.embeddings(spark, d), "vec_id", "embedding",
+      graft.functions.VectorFns.signCode(col("embedding"), 6), 0.4).count())
     spark.stop()
   }
 }

@@ -69,8 +69,16 @@ object TextFns {
     substring(md5(normalized(text)), 1, 16)
 
   /** Cross-engine-stable 32-bit token hash: first 8 md5 hex chars as
-    * a long. Used for SimHash bit derivation.
+    * a long. Used for SimHash bit derivation and feature hashing.
     */
   def hexHash32(s: Column): Column =
     conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+
+  /** Second independent 32-bit hash: md5 hex chars 9-16. Together with
+    * hexHash32 this yields the 64 SimHash bit sources without ever
+    * materialising a 64-bit value (which could overflow BIGINT when
+    * assembled — DuckDB raises on overflow).
+    */
+  def hexHash32Hi(s: Column): Column =
+    conv(substring(md5(s), 9, 8), 16, 10).cast("long")
 }

@@ -19,12 +19,18 @@ case class ScoredId(score: Double, id: Long)
   *
   * Determinism: the buffer keeps the k smallest elements under the
   * total order (score DESC, id ASC); merge order cannot change the
-  * result of a bounded selection under a total order.
+  * result of a bounded selection under a total order. Scores are
+  * ordered with java.lang.Double.compare, which is total even for
+  * NaN (NaN sorts as the largest score, hence first) — sortWith's
+  * TimSort requires a total order, and a NaN from a zero-norm vector
+  * must not make the result merge-order-dependent.
   */
 class TopKAgg(k: Int) extends Aggregator[ScoredId, Seq[ScoredId], Seq[ScoredId]] {
 
-  private def lt(a: ScoredId, b: ScoredId): Boolean =
-    a.score > b.score || (a.score == b.score && a.id < b.id)
+  private def lt(a: ScoredId, b: ScoredId): Boolean = {
+    val c = java.lang.Double.compare(a.score, b.score)
+    c > 0 || (c == 0 && a.id < b.id)
+  }
 
   private def bounded(s: Seq[ScoredId]): Seq[ScoredId] =
     s.sortWith(lt).take(k)
@@ -32,7 +38,7 @@ class TopKAgg(k: Int) extends Aggregator[ScoredId, Seq[ScoredId], Seq[ScoredId]]
   override def zero: Seq[ScoredId] = Vector.empty
 
   override def reduce(b: Seq[ScoredId], a: ScoredId): Seq[ScoredId] =
-    if (b.length >= k && lt(b.last, a)) b else bounded(b :+ a)
+    if (b.length >= k && b.nonEmpty && lt(b.last, a)) b else bounded(b :+ a)
 
   override def merge(b1: Seq[ScoredId], b2: Seq[ScoredId]): Seq[ScoredId] =
     bounded(b1 ++ b2)

@@ -71,9 +71,17 @@ object Dedup {
   /** LSH candidate pairs: split the signature into bands of `rows`
     * hashes; docs sharing any band key are candidates. The self-join
     * shuffles only (band, key) — never the corpus.
+    *
+    * Skew guard: a band bucket of B members emits B² pairs, and hot
+    * buckets (boilerplate / near-empty docs hashing identically) grow
+    * with the corpus. Buckets larger than `maxBucket` are dropped
+    * BEFORE the self-join (mirrored in the oracle) — true duplicates
+    * still collide in their other, rarer bands, so recall loss is
+    * confined to pathological mega-clusters.
     */
   def lshCandidates(
-      sigs: DataFrame, idCol: String, numHashes: Int, rows: Int): DataFrame = {
+      sigs: DataFrame, idCol: String, numHashes: Int, rows: Int,
+      maxBucket: Int): DataFrame = {
     val numBands = numHashes / rows
     val bands = (0 until numBands).map { b =>
       val cols = (b * rows until (b + 1) * rows).map(i => col(s"h$i"))
@@ -83,8 +91,13 @@ object Dedup {
     val exploded = sigs.select(col(idCol),
       explode(array(bands: _*)).as("bk"))
       .select(col(idCol), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    val a = exploded.select(col(idCol).as("da"), col("band"), col("bkey"))
-    val b = exploded.select(col(idCol).as("db"), col("band"), col("bkey"))
+    val smallBuckets = exploded.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("bsz"))
+      .where(col("bsz") <= maxBucket)
+      .select(col("band"), col("bkey"))
+    val pruned = exploded.join(smallBuckets, Seq("band", "bkey"))
+    val a = pruned.select(col(idCol).as("da"), col("band"), col("bkey"))
+    val b = pruned.select(col(idCol).as("db"), col("band"), col("bkey"))
     a.join(b, Seq("band", "bkey"))
       .where(col("da") < col("db"))
       .select(col("da"), col("db")).distinct()
@@ -114,10 +127,10 @@ object Dedup {
   def minhashLsh(
       docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 32, bandRows: Int = 4,
-      minJaccard: Double = 0.5): DataFrame = {
+      minJaccard: Double = 0.5, maxBucket: Int = 100): DataFrame = {
     val sh = shingles(docs, idCol, textCol, shingleN).cache()
     val sigs = minhashSignatures(sh, idCol, numHashes)
-    val cand = lshCandidates(sigs, idCol, numHashes, bandRows)
+    val cand = lshCandidates(sigs, idCol, numHashes, bandRows, maxBucket)
     jaccardVerify(cand, sh, idCol, minJaccard)
   }
 
@@ -150,66 +163,91 @@ object Dedup {
       .select(col("da"), col("db"), round(col("raw_jac"), 6).as("jaccard"))
   }
 
-  /** 32-bit SimHash per doc over distinct word 3-gram shingles (more
-    * discriminative than unigram features on small vocabularies). Bit
-    * b of the md5-derived 32-bit shingle hash votes +1/-1; simhash bit
-    * set where the vote sum is strictly positive.
+  /** 64-bit SimHash per doc over distinct word 3-gram shingles (more
+    * discriminative than unigram features on small vocabularies),
+    * carried as TWO non-negative 32-bit halves (sim_hi, sim_lo).
+    * Two halves rather than one 64-bit value on purpose: assembling
+    * hi·2³² + lo can exceed BIGINT range (DuckDB raises on overflow),
+    * while each half stays < 2³² in both engines. Bit b of each
+    * md5-derived 32-bit half-hash votes +1/-1; the simhash bit is set
+    * where the vote sum is strictly positive.
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = shingles(docs, idCol, textCol, 3)
-      .withColumn("h", TextFns.hexHash32(col("sh")))
-    val bitSums = (0 until 32).map(bit =>
-      sum(shiftright(col("h"), bit).bitwiseAND(1) * 2 - 1).as(s"s$bit"))
-    val agg = toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    val sim = (0 until 32).map(bit =>
-      when(col(s"s$bit") > 0, lit(1L << bit)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    agg.select(col(idCol), sim.as("simhash"))
+      .withColumn("hlo", TextFns.hexHash32(col("sh")))
+      .withColumn("hhi", TextFns.hexHash32Hi(col("sh")))
+    val loSums = (0 until 32).map(bit =>
+      sum(shiftright(col("hlo"), bit).bitwiseAND(1) * 2 - 1).as(s"s$bit"))
+    val hiSums = (0 until 32).map(bit =>
+      sum(shiftright(col("hhi"), bit).bitwiseAND(1) * 2 - 1).as(s"t$bit"))
+    val agg = toks.groupBy(col(idCol))
+      .agg(loSums.head, (loSums.tail ++ hiSums): _*)
+    def assemble(prefix: String): Column =
+      (0 until 32).map(bit =>
+        when(col(s"$prefix$bit") > 0, lit(1L << bit)).otherwise(lit(0L)))
+        .reduce(_ + _)
+    agg.select(col(idCol),
+      assemble("t").as("sim_hi"), assemble("s").as("sim_lo"))
   }
 
-  /** SimHash near-dup pairs with hamming <= maxHamming. Candidates
-    * come from 8-bit band collisions (4 bands), so only same-byte
-    * buckets join; pairs whose differing bits spread across all 4
-    * bytes are unreachable — an accepted recall/scale tradeoff applied
-    * identically in the oracle.
+  /** SimHash near-dup pairs with hamming <= maxHamming over the 64-bit
+    * signature. Candidates come from 16-bit band collisions (4 bands
+    * → 65,536 buckets per band): bucket population stays sub-linear in
+    * corpus size, unlike the 8-bit banding this replaces (1,024 total
+    * buckets → quadratic candidate growth). Pairs whose differing bits
+    * spread across all 4 bands are unreachable — an accepted
+    * recall/scale tradeoff applied identically in the oracle.
     */
   def simhashPairs(
       docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 6): DataFrame = {
     val sims = simhash(docs, idCol, textCol).cache()
-    val banded = sims.select(col(idCol), col("simhash"),
-      explode(array((0 until 4).map(j =>
-        struct(lit(j).as("bj"),
-          shiftright(col("simhash"), j * 8).bitwiseAND(255).as("bv"))): _*))
-        .as("b"))
-      .select(col(idCol), col("simhash"), col("b.bj").as("bj"), col("b.bv").as("bv"))
-    val a = banded.select(col(idCol).as("da"), col("simhash").as("sa"),
-      col("bj"), col("bv"))
-    val b = banded.select(col(idCol).as("db"), col("simhash").as("sb"),
-      col("bj"), col("bv"))
+    // bands 0-1 from the low half, 2-3 from the high half; each band
+    // value is a non-negative 16-bit slice
+    val bandCols = Seq(
+      col("sim_lo").bitwiseAND(65535),
+      shiftright(col("sim_lo"), 16).bitwiseAND(65535),
+      col("sim_hi").bitwiseAND(65535),
+      shiftright(col("sim_hi"), 16).bitwiseAND(65535))
+    val banded = sims.select(col(idCol), col("sim_hi"), col("sim_lo"),
+      explode(array(bandCols.zipWithIndex.map { case (bv, j) =>
+        struct(lit(j).as("bj"), bv.as("bv"))
+      }: _*)).as("b"))
+      .select(col(idCol), col("sim_hi"), col("sim_lo"),
+        col("b.bj").as("bj"), col("b.bv").as("bv"))
+    val a = banded.select(col(idCol).as("da"), col("sim_hi").as("ha"),
+      col("sim_lo").as("la"), col("bj"), col("bv"))
+    val b = banded.select(col(idCol).as("db"), col("sim_hi").as("hb"),
+      col("sim_lo").as("lb"), col("bj"), col("bv"))
     a.join(b, Seq("bj", "bv"))
       .where(col("da") < col("db"))
       .select(col("da"), col("db"),
-        bit_count(col("sa").bitwiseXOR(col("sb"))).as("hamming"))
+        (bit_count(col("ha").bitwiseXOR(col("hb"))) +
+          bit_count(col("la").bitwiseXOR(col("lb")))).as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
   }
 
-  /** Embedding near-dup: candidates blocked by a grouping column
-    * (e.g. cluster label — "cluster then dedup"), exact double-cosine
-    * within blocks. Pair space is sum of per-block n², never global n².
+  /** Embedding near-dup: candidates blocked by a DATA-DERIVED key
+    * (default: the SRP-style sign code of the leading dims,
+    * VectorFns.signCode — at 100 TB there is no curated cluster/label
+    * column, so the blocking must come from the vectors themselves),
+    * exact double-cosine within blocks. Pair space is the sum of
+    * per-block n², never global n². Sign-agreement blocking trades
+    * recall for scale: high-cosine pairs agree on most hyperplane
+    * signs, so few true near-dups land in different blocks.
     */
   def embeddingNearDup(
-      vectors: DataFrame, idCol: String, vecCol: String, blockCol: String,
+      vectors: DataFrame, idCol: String, vecCol: String, blockKey: Column,
       minCos: Double): DataFrame = {
     // norms computed once per vector, not once per pair
-    val withNorm = vectors.select(col(blockCol), col(idCol), col(vecCol),
+    val withNorm = vectors.select(blockKey.as("blk"), col(idCol), col(vecCol),
       VectorFns.l2Norm(col(vecCol)).as("nrm"))
-    val a = withNorm.select(col(blockCol), col(idCol).as("va"),
+    val a = withNorm.select(col("blk"), col(idCol).as("va"),
       col(vecCol).as("ea"), col("nrm").as("nra"))
-    val b = withNorm.select(col(blockCol), col(idCol).as("vb"),
+    val b = withNorm.select(col("blk"), col(idCol).as("vb"),
       col(vecCol).as("eb"), col("nrm").as("nrb"))
-    a.join(b, Seq(blockCol))
+    a.join(b, Seq("blk"))
       .where(col("va") < col("vb"))
       .withColumn("raw_cos", VectorFns.cosinePrenormed(
         col("ea"), col("eb"), col("nra"), col("nrb")))

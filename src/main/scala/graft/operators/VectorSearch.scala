@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TopKAgg, VectorFns}
@@ -17,8 +16,10 @@ import graft.functions.{TopKAgg, VectorFns}
   *  - single-query top-k goes through `ORDER BY ... LIMIT k`, which
   *    Spark plans as TakeOrderedAndProject (per-partition heaps +
   *    driver merge — no global sort, no full shuffle).
-  *  - multi-query top-k shuffles only (query, candidate-top-k) pairs
-  *    after a partition-local row_number prune.
+  *  - multi-query top-k is a bounded typed Aggregator (TopKAgg) under
+  *    ObjectHashAggregate: each map partition reduces to at most k
+  *    candidates per query BEFORE the exchange, so the shuffle carries
+  *    O(queries · k · mapPartitions) rows, never the scored product.
   */
 object VectorSearch {
 
@@ -56,6 +57,14 @@ object VectorSearch {
       candidates: DataFrame, queries: DataFrame,
       candId: String, candVec: String,
       qId: String, qVec: String, k: Int): DataFrame = {
+    // fail fast: a non-integral id would silently null under the long
+    // cast and then blow up in ScoredId's primitive encoder at runtime
+    candidates.schema(candId).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"knnJoin candidate id '$candId' must be integral, got ${other.sql}")
+    }
     val topk = udaf(new TopKAgg(k))
     val q = queries.select(col(qId), col(qVec))
       .withColumn("qnrm", VectorFns.l2Norm(col(qVec)))
@@ -65,6 +74,9 @@ object VectorSearch {
       .withColumn("cos_sim", round(VectorFns.cosinePrenormed(
         col(candVec), col(qVec), col("cnrm"), col("qnrm")), 6))
     scored
+      // null cos_sim (null embedding row) would hit ScoredId's
+      // non-nullable primitives inside the udaf encoder
+      .where(col("cos_sim").isNotNull)
       .groupBy(col(qId))
       .agg(topk(col("cos_sim"), col(candId).cast("long")).as("tk"))
       .select(col(qId), posexplode(col("tk")).as(Seq("pos", "nb")))
@@ -120,8 +132,11 @@ object VectorSearch {
   /** IVF-style ANN: assign every vector to its nearest coarse centroid
     * (broadcast), probe the `nprobe` cells nearest to the query, exact
     * cosine inside the probed cells only. This is the 100 TB path: the
-    * big side is scanned once for assignment (narrow, broadcast join),
-    * and queries touch `nprobe/k` of the data.
+    * big side is scanned ONCE for assignment with ZERO exchange — all
+    * K centroids are folded into a single broadcast array row and the
+    * argmax is evaluated per candidate row (narrow projection), not
+    * via a crossJoin + window (which would shuffle |corpus|·K rows).
+    * Queries then touch only `nprobe/K` of the data.
     */
   def annIvf(
       candidates: DataFrame, query: DataFrame, centroids: DataFrame,
@@ -134,17 +149,34 @@ object VectorSearch {
       .withColumn("gnrm", VectorFns.l2Norm(col("centroid")))
     val q = query.select(col(qVec))
       .withColumn("qnrm", VectorFns.l2Norm(col(qVec)))
-    // assignment: nearest centroid per candidate (tie → smallest group)
-    val assignW = Window.partitionBy(col(idCol))
-      .orderBy(col("acos").desc, col("cgroup"))
+    val cellType = centroids.schema(groupCol).dataType
+    // all K centroids as ONE array-of-structs row, sorted by group id
+    // (array_sort on structs orders by the first field): the fold
+    // below keeps the FIRST maximum, so ties resolve to the smallest
+    // group — same semantics as the old orderBy(acos desc, cgroup).
+    val centsArr = cents.agg(
+      array_sort(collect_list(struct(col("cgroup"), col("centroid"), col("gnrm"))))
+        .as("cents"))
+    // assignment: per-row argmax against the broadcast centroid array.
+    // The aggregate HOF is interpreted, but VecDot inside it evaluates
+    // natively (nullSafeEval) — K dot products per row, no exchange.
     val assigned = candidates
       .withColumn("cnrm", VectorFns.l2Norm(col(vecCol)))
-      .crossJoin(broadcast(cents))
-      .withColumn("acos", round(VectorFns.cosinePrenormed(
-        col(vecCol), col("centroid"), col("cnrm"), col("gnrm")), 6))
-      .withColumn("arnk", row_number().over(assignW))
-      .where(col("arnk") === 1)
-      .select(col(idCol), col(vecCol), col("cnrm"), col("cgroup").as("cell"))
+      .crossJoin(broadcast(centsArr))
+      .withColumn("best", aggregate(
+        col("cents"),
+        struct(lit(Double.NegativeInfinity).as("acos"),
+          lit(null).cast(cellType).as("cell")),
+        (acc, c) => {
+          val acos = round(VectorFns.cosinePrenormed(
+            col(vecCol), c.getField("centroid"),
+            col("cnrm"), c.getField("gnrm")), 6)
+          when(acos > acc.getField("acos"),
+            struct(acos.as("acos"), c.getField("cgroup").as("cell")))
+            .otherwise(acc)
+        }))
+      .select(col(idCol), col(vecCol), col("cnrm"),
+        col("best").getField("cell").as("cell"))
     // probe cells: nprobe centroids nearest to the query
     val probed = cents
       .crossJoin(broadcast(q))

@@ -41,10 +41,12 @@ object DedupQueries {
   private val BandRows = 4
   private val NumBands = NumHashes / BandRows
 
+  private val MaxBucket = 100
+
   private def dedupMinhash(s: SparkSession, d: String): DataFrame =
     Dedup.minhashLsh(Tables.documents(s, d), "doc_id", "text",
       shingleN = 3, numHashes = NumHashes, bandRows = BandRows,
-      minJaccard = 0.5)
+      minJaccard = 0.5, maxBucket = MaxBucket)
       .orderBy(col("da"), col("db"))
 
   private val dedupMinhashSql = {
@@ -70,8 +72,12 @@ object DedupQueries {
        |  FROM hb GROUP BY doc_id),
        |bands AS (
        |  $bandSelects),
+       |bok AS (SELECT band, bkey FROM bands GROUP BY band, bkey
+       |  HAVING count(*) <= $MaxBucket),
+       |bp AS (SELECT bands.doc_id, bands.band, bands.bkey FROM bands
+       |  JOIN bok ON bands.band = bok.band AND bands.bkey = bok.bkey),
        |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-       |  FROM bands a JOIN bands b
+       |  FROM bp a JOIN bp b
        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
        |cm AS (SELECT c.da, c.db, count(*)::DOUBLE AS common
        |  FROM cand c
@@ -117,49 +123,77 @@ object DedupQueries {
       .orderBy(col("da"), col("db"))
 
   private val dedupSimhashSql = {
-    // 32-bit hash from first 8 md5 hex chars, decoded without conv()
-    val hexDecode = (1 to 8).map { k =>
+    // two independent 32-bit hashes from md5 hex chars 1-8 / 9-16,
+    // decoded without conv(); 64-bit simhash carried as two halves
+    // (assembling hi*2^32+lo could overflow BIGINT — DuckDB raises)
+    def hexDecode(off: Int) = (1 to 8).map { k =>
       val coef = math.pow(16, 8 - k).toLong
-      s"(strpos('0123456789abcdef', substr(m, $k, 1)) - 1) * ${coef}"
+      s"(strpos('0123456789abcdef', substr(m, ${off + k}, 1)) - 1) * ${coef}"
     }.mkString(" + ")
-    val bitSums = (0 until 32)
-      .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+    def bitSums(h: String, p: String) = (0 until 32)
+      .map(b => s"sum(CASE WHEN ($h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS $p$b")
       .mkString(",\n    ")
-    val simBits = (0 until 32)
-      .map(b => s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)")
+    def simBits(p: String) = (0 until 32)
+      .map(b => s"(CASE WHEN $p$b > 0 THEN ${1L << b} ELSE 0 END)")
       .mkString(" + ")
-    val bandSelects = (0 until 4).map(j =>
-      s"SELECT doc_id, simhash, $j AS bj, (simhash >> ${j * 8}) & 255 AS bv FROM sims")
-      .mkString("\n  UNION ALL\n  ")
+    val bandExprs = Seq(
+      "sim_lo & 65535", "(sim_lo >> 16) & 65535",
+      "sim_hi & 65535", "(sim_hi >> 16) & 65535")
+    val bandSelects = bandExprs.zipWithIndex.map { case (bv, j) =>
+      s"SELECT doc_id, sim_hi, sim_lo, $j AS bj, ($bv)::BIGINT AS bv FROM sims"
+    }.mkString("\n  UNION ALL\n  ")
     s"""WITH ${shingleCtes(3)},
-       |hs AS (SELECT doc_id, ($hexDecode)::BIGINT AS h
+       |hs AS (SELECT doc_id, (${hexDecode(0)})::BIGINT AS hlo,
+       |    (${hexDecode(8)})::BIGINT AS hhi
        |  FROM (SELECT doc_id, md5(shg) AS m FROM shs)),
        |bs AS (SELECT doc_id,
-       |    $bitSums
+       |    ${bitSums("hlo", "s")},
+       |    ${bitSums("hhi", "t")}
        |  FROM hs GROUP BY doc_id),
-       |sims AS (SELECT doc_id, ($simBits)::BIGINT AS simhash FROM bs),
+       |sims AS (SELECT doc_id, (${simBits("t")})::BIGINT AS sim_hi,
+       |    (${simBits("s")})::BIGINT AS sim_lo FROM bs),
        |bands AS (
        |  $bandSelects),
        |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
-       |    a.simhash AS sa, b.simhash AS sb
+       |    a.sim_hi AS ha, a.sim_lo AS la, b.sim_hi AS hb, b.sim_lo AS lb
        |  FROM bands a JOIN bands b
        |    ON a.bj = b.bj AND a.bv = b.bv AND a.doc_id < b.doc_id)
-       |SELECT da, db, bit_count(xor(sa, sb))::BIGINT AS hamming FROM cand
-       |WHERE bit_count(xor(sa, sb)) <= 6 ORDER BY da, db""".stripMargin
+       |SELECT da, db,
+       |  (bit_count(xor(ha, hb)) + bit_count(xor(la, lb)))::BIGINT AS hamming
+       |FROM cand
+       |WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 6
+       |ORDER BY da, db""".stripMargin
   }
 
   /* ---------------- dedup_embcos ---------------- */
 
-  private def dedupEmbCos(s: SparkSession, d: String): DataFrame =
+  /** Sign-code blocking width. 6 bits = 64 buckets is the DEMO
+    * binding for the synthetic 500-row / random-cluster testdata,
+    * where genuine near-dups don't exist and any tighter block (or a
+    * production threshold like 0.95) yields an empty frame; at real
+    * corpus scale, raise bits (and minCos) — the operator/oracle math
+    * is identical, only the constants move.
+    */
+  private val SignBits = 6
+
+  private def dedupEmbCos(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.VectorFns
     Dedup.embeddingNearDup(Tables.embeddings(s, d), "vec_id", "embedding",
-      "label", minCos = 0.4)
+      VectorFns.signCode(col("embedding"), SignBits), minCos = 0.4)
       .orderBy(col("va"), col("vb"))
+  }
+
+  private val signBlockSql = (1 to SignBits)
+    .map(i => s"(CASE WHEN %s.embedding[$i] >= 0 THEN ${1L << (i - 1)} ELSE 0 END)")
+    .mkString(" + ")
 
   private val dedupEmbCosSql =
-    """WITH p AS (SELECT a.vec_id AS va, a.embedding AS ea,
+    s"""WITH p AS (SELECT a.vec_id AS va, a.embedding AS ea,
       |    b.vec_id AS vb, b.embedding AS eb
       |  FROM embeddings a JOIN embeddings b
-      |    ON a.label = b.label AND a.vec_id < b.vec_id),
+      |    ON (${signBlockSql.replace("%s", "a")})
+      |     = (${signBlockSql.replace("%s", "b")})
+      |    AND a.vec_id < b.vec_id),
       |ex AS (SELECT va, vb, ea, eb, unnest(generate_series(1, len(ea))) AS i FROM p),
       |dt AS (SELECT va, vb,
       |    sum(ea[i]::DOUBLE * eb[i]::DOUBLE) AS dot,

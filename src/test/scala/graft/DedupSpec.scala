@@ -43,22 +43,41 @@ class DedupSpec extends SparkSpec {
 
   test("simhash of identical docs is identical; near dups within hamming 6") {
     val sims = Dedup.simhash(docs, "doc_id", "text")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(sims(1L) == sims(2L))
+    // both 32-bit halves stay in [0, 2^32) — cross-engine safe range
+    sims.values.foreach { case (hi, lo) =>
+      assert(hi >= 0L && hi < (1L << 32) && lo >= 0L && lo < (1L << 32))
+    }
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
     assert(pairs((1L, 2L)) == 0)
   }
 
   test("embeddingNearDup finds high-cosine pairs within blocks only") {
+    import org.apache.spark.sql.functions.col
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f), 0),
       (2L, Array(0.99f, 0.1f, 0.0f), 0),
       (3L, Array(0.0f, 1.0f, 0.0f), 0),
       (4L, Array(1.0f, 0.0f, 0.0f), 1) // same vector, different block
     ).toDF("vec_id", "embedding", "label")
-    val out = Dedup.embeddingNearDup(vecs, "vec_id", "embedding", "label", 0.9)
+    val out = Dedup.embeddingNearDup(vecs, "vec_id", "embedding", col("label"), 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(out.toSet == Set((1L, 2L))) // cross-block pair (1,4) not probed
+  }
+
+  test("embeddingNearDup with signCode blocking derives blocks from the data") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.VectorFns
+    val vecs = Seq(
+      (1L, Array(1.0f, 1.0f, 1.0f)),
+      (2L, Array(0.9f, 1.0f, 1.1f)),   // same sign pattern, cos ~1
+      (3L, Array(-1.0f, -1.0f, -1.0f)) // opposite block
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.embeddingNearDup(vecs, "vec_id", "embedding",
+      VectorFns.signCode(col("embedding"), 3), 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSet == Set((1L, 2L)))
   }
 }
