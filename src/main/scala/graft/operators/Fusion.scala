@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -45,6 +45,32 @@ object Fusion {
     df.withColumn("rank",
       row_number().over(Window.orderBy(col(scoreCol).desc, col(idCol)))
         .cast("long"))
+
+  /** Recency score in year buckets — the reference's exact ladder
+    * (reference: backend/app/core/recommender.py:431
+    * _calculate_recency_score: age<=1 → 100, <=3 → 80, <=5 → 60,
+    * <=7 → 40, else 20). `refYear` replaces datetime.now() so the
+    * score is deterministic and oracle-checkable.
+    */
+  def recencyScore(year: Column, refYear: Int): Column = {
+    val age = lit(refYear) - year
+    when(age <= 1, 100.0).when(age <= 3, 80.0).when(age <= 5, 60.0)
+      .when(age <= 7, 40.0).otherwise(20.0)
+  }
+
+  /** Citation-impact score, log-bucket ladder
+    * (reference: recommender.py:454 _calculate_impact_score).
+    */
+  def impactScore(citations: Column): Column =
+    when(citations <= 0, 10.0).when(citations < 10, 30.0)
+      .when(citations < 50, 50.0).when(citations < 100, 70.0)
+      .when(citations < 500, 85.0).otherwise(100.0)
+
+  /** Weighted total: similarity 40% + recency 30% + impact 30%
+    * (reference: recommender.py:474 _calculate_total_score).
+    */
+  def totalScore(sim: Column, recency: Column, impact: Column): Column =
+    round(sim * 0.4 + recency * 0.3 + impact * 0.3, 6)
 
   /** Rule-based re-rank score: weighted counts of keyword-group hits
     * plus a length prior, the shape of the reference's

@@ -20,6 +20,28 @@ object Trends {
     daily.withColumn("ma7", round(avg(col("cnt")).over(w) + lit(1e-9), 4))
   }
 
+  /** Research-gap identification: patterns from a curated list that
+    * do NOT appear among the corpus's top keywords become gap reports
+    * (reference: backend/app/utils/trend_analyzer.py:284
+    * _identify_gaps — gap_patterns anti-joined against the keyword
+    * set, first 5 kept). `keywords` is an already-top-k-pruned frame
+    * (driver-scale), so the anti-join broadcasts it.
+    */
+  def gaps(
+      keywords: DataFrame, keywordCol: String,
+      patterns: Seq[(String, String)], k: Int): DataFrame = {
+    val spark = keywords.sparkSession
+    import spark.implicits._
+    val pat = patterns.zipWithIndex
+      .map { case ((p, msg), i) => (i.toLong, p, msg) }
+      .toDF("pid", "pattern", "gap_msg")
+    pat.join(broadcast(keywords.select(col(keywordCol).as("pattern"))),
+        Seq("pattern"), "left_anti")
+      .orderBy(col("pid"))
+      .limit(k)
+      .select(col("pattern"), col("gap_msg"))
+  }
+
   /** Growth of late-half vs early-half event counts per type.
     * The midpoint is integer-second arithmetic — engine-stable.
     */

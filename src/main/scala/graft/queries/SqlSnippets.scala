@@ -1,0 +1,31 @@
+package graft.queries
+
+/** Shared DuckDB oracle SQL fragments — generated from the same
+  * constants the Spark operators use, so both engines stay in
+  * mechanical lockstep across every query that embeds them.
+  */
+object SqlSnippets {
+
+  /** BM25 scoring CTE chain (tok → dl → st → tf → df → sc); `sc`
+    * exposes (doc_id, s) with the raw Okapi score (k1=1.5, b=0.75),
+    * matching graft.operators.Bm25.score.
+    */
+  def bm25ScoreCtes(termList: String): String =
+    s"""tok AS (SELECT doc_id,
+       |         unnest(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+       |                t -> length(t) > 2)) AS term
+       |       FROM documents),
+       |dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+       |st AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+       |tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+       |       WHERE term IN ($termList) GROUP BY doc_id, term),
+       |df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok
+       |       WHERE term IN ($termList) GROUP BY term),
+       |sc AS (SELECT tf.doc_id,
+       |         sum(ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+       |             * tf.tf * 2.5
+       |             / (tf.tf + 1.5 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl))) AS s
+       |       FROM tf JOIN df ON tf.term = df.term
+       |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+       |       GROUP BY tf.doc_id)""".stripMargin
+}

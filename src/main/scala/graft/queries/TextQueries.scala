@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFns
-import graft.operators.{Chunker, TextAnalysis}
+import graft.operators.{Chunker, TextAnalysis, Trends}
 
 /** Text-analysis queries over `documents` (plus `part` for entity
   * codes). All derived integers are BIGINT on both sides.
@@ -203,6 +203,46 @@ object TextQueries {
        |       ELSE 'streaming' END AS lens
        |FROM h ORDER BY doc_id""".stripMargin
 
+  /* ---------------- trend_gaps ---------------- */
+
+  /** Gap patterns in the reference's (pattern, report) shape
+    * (trend_analyzer.py:284 _identify_gaps), with engine-domain terms
+    * so some patterns ARE present in the corpus keyword set (filtered
+    * out) and the survivors are data-dependent.
+    */
+  val gapPatterns: Seq[(String, String)] = Seq(
+    "stream" -> "streaming coverage needed",
+    "window" -> "windowed-analysis studies needed",
+    "benchmark" -> "benchmark validation needed",
+    "failover" -> "failover testing needed",
+    "compaction" -> "compaction tuning studies needed",
+    "lineage" -> "lineage tracking studies needed",
+    "checkpoint" -> "checkpoint recovery studies needed")
+
+  private def trendGaps(s: SparkSession, d: String): DataFrame =
+    Trends.gaps(
+      TextAnalysis.topKeywords(Tables.documents(s, d), "text", 50),
+      "token", gapPatterns, 5)
+
+  private val trendGapsSql = {
+    val values = gapPatterns.zipWithIndex
+      .map { case ((p, msg), i) => s"($i, '$p', '$msg')" }
+      .mkString(",\n    ")
+    s"""WITH tok AS (SELECT
+       |    unnest(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+       |           t -> length(t) > 2)) AS token
+       |  FROM documents),
+       |kw AS (SELECT token FROM (
+       |    SELECT token, count(*) AS cnt FROM tok
+       |    WHERE length(token) > 3 AND token NOT IN ($stopList)
+       |    GROUP BY token ORDER BY cnt DESC, token LIMIT 50)),
+       |pat(pid, pattern, gap_msg) AS (VALUES
+       |    $values)
+       |SELECT pattern, gap_msg FROM pat
+       |WHERE pattern NOT IN (SELECT token FROM kw)
+       |ORDER BY pid LIMIT 5""".stripMargin
+  }
+
   val defs: Seq[Qdef] = Seq(
     Qdef("txt_stats", txtStats, Some(txtStatsSql)),
     Qdef("txt_quality", txtQuality, Some(txtQualitySql)),
@@ -211,5 +251,6 @@ object TextQueries {
     Qdef("txt_entities", txtEntities, Some(txtEntitiesSql)),
     Qdef("txt_fingerprint", txtFingerprint, Some(txtFingerprintSql)),
     Qdef("chunk_fixed", chunkFixed, Some(chunkFixedSql)),
-    Qdef("lens_classify", lensClassify, Some(lensClassifySql)))
+    Qdef("lens_classify", lensClassify, Some(lensClassifySql)),
+    Qdef("trend_gaps", trendGaps, Some(trendGapsSql)))
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Bm25, Fusion, VectorSearch}
+import graft.operators.{Bm25, Fusion, Precision, VectorSearch}
 
 /** Vector + sparse + hybrid search queries (the reference's retrieval
   * surface re-expressed on Spark). All scores double-precision,
@@ -138,23 +138,7 @@ object VectorQueries {
     Bm25.topK(Tables.documents(s, d), "doc_id", "text", QueryTerms, 20)
 
   private val bm25Sql =
-    s"""WITH tok AS (SELECT doc_id,
-       |         unnest(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
-       |                t -> length(t) > 2)) AS term
-       |       FROM documents),
-       |dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
-       |st AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
-       |tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
-       |       WHERE term IN ($termList) GROUP BY doc_id, term),
-       |df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok
-       |       WHERE term IN ($termList) GROUP BY term),
-       |sc AS (SELECT tf.doc_id,
-       |         sum(ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
-       |             * tf.tf * 2.5
-       |             / (tf.tf + 1.5 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl))) AS s
-       |       FROM tf JOIN df ON tf.term = df.term
-       |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
-       |       GROUP BY tf.doc_id)
+    s"""WITH ${SqlSnippets.bm25ScoreCtes(termList)}
        |SELECT doc_id, round(s, 6) AS bm25 FROM sc
        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
 
@@ -190,23 +174,7 @@ object VectorQueries {
        |                ORDER BY round(dot / (sqrt(na) * sqrt(nb)), 6) DESC, vec_id
        |              )::BIGINT AS dense_rank
        |            FROM dt) WHERE dense_rank <= 50),
-       |tok AS (SELECT doc_id,
-       |         unnest(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
-       |                t -> length(t) > 2)) AS term
-       |       FROM documents),
-       |dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
-       |st AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
-       |tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
-       |       WHERE term IN ($termList) GROUP BY doc_id, term),
-       |df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok
-       |       WHERE term IN ($termList) GROUP BY term),
-       |sc AS (SELECT tf.doc_id,
-       |         sum(ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
-       |             * tf.tf * 2.5
-       |             / (tf.tf + 1.5 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl))) AS s
-       |       FROM tf JOIN df ON tf.term = df.term
-       |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
-       |       GROUP BY tf.doc_id),
+       |${SqlSnippets.bm25ScoreCtes(termList)},
        |sparse AS (SELECT doc_id, sparse_rank FROM (
        |             SELECT doc_id,
        |               row_number() OVER (ORDER BY round(s, 6) DESC, doc_id)::BIGINT
@@ -244,6 +212,84 @@ object VectorQueries {
        |      + least(n_chars::DOUBLE / 1000.0, 1.0) * 10.0, 6) AS core_score
        |FROM sc ORDER BY core_score DESC, doc_id LIMIT 50""".stripMargin
 
+  /* ---------------- precision_search ---------------- */
+
+  private val TitleLen = 60
+
+  private def precisionSearch(s: SparkSession, d: String): DataFrame =
+    Precision.search(Tables.documents(s, d), "doc_id", "text",
+      QueryTerms, titleLen = TitleLen, candidates = 50,
+      minRelevance = 0.3, k = 10)
+
+  private def strposHits(field: String): String =
+    QueryTerms.map(t => s"(CASE WHEN strpos($field, '$t') > 0 THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+
+  private val precisionSearchSql =
+    s"""WITH ${SqlSnippets.bm25ScoreCtes(termList)},
+       |cand AS (SELECT doc_id, round(s, 6) AS bm25 FROM sc
+       |         ORDER BY round(s, 6) DESC, doc_id LIMIT 50),
+       |dd AS (SELECT c.doc_id, c.bm25, lower(d.text) AS lt
+       |       FROM cand c JOIN documents d ON c.doc_id = d.doc_id),
+       |m AS (SELECT doc_id, bm25,
+       |    (${strposHits("lt")})::BIGINT AS terms_matched,
+       |    (${strposHits(s"substr(lt, 1, $TitleLen)")})::BIGINT AS title_hits
+       |  FROM dd),
+       |f AS (SELECT doc_id, terms_matched, title_hits,
+       |    CASE WHEN title_hits > 0 THEN 'title' ELSE 'full_text' END AS match_field,
+       |    round(terms_matched / ${QueryTerms.size}.0, 6) AS relevance, bm25
+       |  FROM m)
+       |SELECT doc_id, terms_matched, title_hits, match_field, relevance,
+       |  round(bm25 * (0.4 + 0.6 * relevance)
+       |      * (CASE WHEN match_field = 'title' THEN 1.2 ELSE 1.0 END), 6)
+       |    AS final_score
+       |FROM f WHERE relevance >= 0.3
+       |ORDER BY final_score DESC, doc_id LIMIT 10""".stripMargin
+
+  /* ---------------- rerank_recency ---------------- */
+
+  /** Demo binding for the recency/impact/total scoring ladders
+    * (reference recommender.py:431-503): the synthetic documents
+    * table has no publication date or citation count, so year is
+    * derived deterministically from doc_id (2016 + doc_id % 10 →
+    * ages 0-9 vs refYear 2025, exercising every recency bucket) and
+    * n_chars stands in for citations. The OPERATOR takes any year /
+    * citation column; only this binding is synthetic.
+    */
+  private def rerankRecency(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).select(col("doc_id"),
+      (lit(2016) + pmod(col("doc_id"), lit(10))).cast("long").as("year"),
+      col("n_chars"))
+    base
+      .withColumn("recency_score", Fusion.recencyScore(col("year"), 2025))
+      .withColumn("impact_score", Fusion.impactScore(col("n_chars")))
+      .withColumn("similarity_score",
+        round(least(col("n_chars").cast("double") / 1000.0, lit(1.0)) * 100.0, 6))
+      .withColumn("total_score", Fusion.totalScore(
+        col("similarity_score"), col("recency_score"), col("impact_score")))
+      .orderBy(col("total_score").desc, col("doc_id"))
+      .limit(50)
+      .select(col("doc_id"), col("year"), col("recency_score"),
+        col("impact_score"), col("similarity_score"), col("total_score"))
+  }
+
+  private val rerankRecencySql =
+    """WITH b AS (SELECT doc_id, (2016 + doc_id % 10)::BIGINT AS year, n_chars
+      |  FROM documents),
+      |sc AS (SELECT doc_id, year,
+      |    (CASE WHEN 2025 - year <= 1 THEN 100.0 WHEN 2025 - year <= 3 THEN 80.0
+      |          WHEN 2025 - year <= 5 THEN 60.0 WHEN 2025 - year <= 7 THEN 40.0
+      |          ELSE 20.0 END) AS recency_score,
+      |    (CASE WHEN n_chars <= 0 THEN 10.0 WHEN n_chars < 10 THEN 30.0
+      |          WHEN n_chars < 50 THEN 50.0 WHEN n_chars < 100 THEN 70.0
+      |          WHEN n_chars < 500 THEN 85.0 ELSE 100.0 END) AS impact_score,
+      |    round(least(n_chars::DOUBLE / 1000.0, 1.0) * 100.0, 6) AS similarity_score
+      |  FROM b)
+      |SELECT doc_id, year, recency_score, impact_score, similarity_score,
+      |  round(similarity_score * 0.4 + recency_score * 0.3 + impact_score * 0.3, 6)
+      |    AS total_score
+      |FROM sc ORDER BY total_score DESC, doc_id LIMIT 50""".stripMargin
+
   val defs: Seq[Qdef] = Seq(
     Qdef("vs_dense_topk", denseTopK, Some(denseTopKSql)),
     Qdef("vs_knn_join", knnJoin, Some(knnJoinSql)),
@@ -251,5 +297,7 @@ object VectorQueries {
     Qdef("vs_ann_ivf", annIvf, Some(annIvfSql)),
     Qdef("bm25_search", bm25Search, Some(bm25Sql)),
     Qdef("hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
-    Qdef("rerank_rule", rerankRule, Some(rerankRuleSql)))
+    Qdef("rerank_rule", rerankRule, Some(rerankRuleSql)),
+    Qdef("precision_search", precisionSearch, Some(precisionSearchSql)),
+    Qdef("rerank_recency", rerankRecency, Some(rerankRecencySql)))
 }
