@@ -69,4 +69,18 @@ class SearchSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(ivf == brute) // nprobe = all cells -> exact
   }
+
+  test("annIvf assignment stays narrow: no Window in the physical plan") {
+    // regression guard for the 100 TB path — centroid assignment must
+    // be a per-row fold over the broadcast centroid array, never a
+    // crossJoin + row_number window (which exchanges |corpus|·K rows)
+    val vecs = (0 until 20).map { i =>
+      (i.toLong, Array((i % 3).toFloat, 1.0f), i % 3)
+    }.toDF("vec_id", "embedding", "label")
+    val cents = VectorSearch.centroidArrays(vecs, "label", "embedding")
+    val q = vecs.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val plan = VectorSearch.annIvf(vecs, q, cents, "vec_id", "embedding", "qe",
+      "label", nprobe = 2, k = 3).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"))
+  }
 }
