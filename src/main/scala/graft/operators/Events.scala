@@ -60,6 +60,12 @@ object Events {
 
   /** Top-k users by summed value over a filtered event type.
     * Rank by rounded sum (engine-stable), id tiebreak.
+    *
+    * The global (partition-less) window runs over a frame ALREADY
+    * pruned to k rows by TakeOrderedAndProject, so the "No Partition
+    * Defined ... moving all data to a single partition" warning it
+    * logs is expected and harmless at any corpus size — k rows move,
+    * never the aggregated user table.
     */
   def topUsers(events: DataFrame, eventType: String, k: Int): DataFrame = {
     val sums = events

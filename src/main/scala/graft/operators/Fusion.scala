@@ -39,7 +39,9 @@ object Fusion {
 
   /** Attach a deterministic 1-based rank ordered by scoreCol desc with
     * id tiebreak. Used to feed `rrf`. Single window over an already
-    * top-k-pruned frame — driver-scale rows only.
+    * top-k-pruned frame — driver-scale rows only, so the WindowExec
+    * "No Partition Defined" warning it logs is expected and harmless
+    * at any corpus size (only the pruned top-k rows coalesce).
     */
   def ranked(df: DataFrame, idCol: String, scoreCol: String): DataFrame =
     df.withColumn("rank",
