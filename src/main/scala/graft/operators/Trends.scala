@@ -42,6 +42,29 @@ object Trends {
       .select(col("pattern"), col("gap_msg"))
   }
 
+  /** Per-topic trend matching: docs already classified to a topic
+    * (e.g. by TextAnalysis.lensClassify) are counted in early vs late
+    * year windows and labelled rising/declining/stable with the same
+    * 1.1/0.9 thresholds as `growth`
+    * (reference: backend/app/core/oncology_trends.py:62 — per-topic
+    * paper counts joined to trend windows). One map-side-combinable
+    * groupBy on the topic key; no other shuffle.
+    */
+  def topicGrowth(
+      docs: DataFrame, topicCol: String, yearCol: String,
+      midYear: Int): DataFrame =
+    docs.groupBy(col(topicCol))
+      .agg(
+        sum(when(col(yearCol) <= midYear, 1).otherwise(0)).as("early_cnt"),
+        sum(when(col(yearCol) > midYear, 1).otherwise(0)).as("late_cnt"))
+      .withColumn("growth_ratio",
+        round(col("late_cnt").cast("double") /
+          greatest(col("early_cnt").cast("double"), lit(1.0)), 6))
+      .withColumn("trend",
+        when(col("growth_ratio") > 1.1, "rising")
+          .when(col("growth_ratio") < 0.9, "declining")
+          .otherwise("stable"))
+
   /** Growth of late-half vs early-half event counts per type.
     * The midpoint is integer-second arithmetic — engine-stable.
     */

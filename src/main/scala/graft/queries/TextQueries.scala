@@ -243,6 +243,49 @@ object TextQueries {
        |ORDER BY pid LIMIT 5""".stripMargin
   }
 
+  /* ---------------- topic_trends ---------------- */
+
+  /** Lens classification joined to year trend windows (the synthetic
+    * year binding matches rerank_recency: 2016 + doc_id % 10, midpoint
+    * 2020 → early years 2016-2020, late 2021-2025).
+    */
+  private def topicTrends(s: SparkSession, d: String): DataFrame =
+    Trends.topicGrowth(
+      TextAnalysis.lensClassify(Tables.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("lens"),
+          (lit(2016) + pmod(col("doc_id"), lit(10))).as("year")),
+      "lens", "year", midYear = 2020)
+      .select(col("lens"),
+        col("early_cnt").cast("long").as("early_cnt"),
+        col("late_cnt").cast("long").as("late_cnt"),
+        col("growth_ratio"), col("trend"))
+      .orderBy(col("lens"))
+
+  private val topicTrendsSql =
+    s"""WITH h AS (SELECT doc_id, ${lensHits.mkString(",\n    ")}
+       |  FROM documents),
+       |c AS (SELECT doc_id,
+       |  CASE WHEN performance_hits >= execution_hits AND performance_hits >= data_model_hits
+       |            AND performance_hits >= streaming_hits THEN 'performance'
+       |       WHEN execution_hits >= data_model_hits AND execution_hits >= streaming_hits
+       |            THEN 'execution'
+       |       WHEN data_model_hits >= streaming_hits THEN 'data_model'
+       |       ELSE 'streaming' END AS lens,
+       |  (2016 + doc_id % 10) AS year
+       |  FROM h),
+       |g AS (SELECT lens,
+       |    sum(CASE WHEN year <= 2020 THEN 1 ELSE 0 END)::BIGINT AS early_cnt,
+       |    sum(CASE WHEN year > 2020 THEN 1 ELSE 0 END)::BIGINT AS late_cnt
+       |  FROM c GROUP BY lens)
+       |SELECT lens, early_cnt, late_cnt,
+       |  round(late_cnt::DOUBLE / greatest(early_cnt::DOUBLE, 1.0), 6) AS growth_ratio,
+       |  CASE WHEN round(late_cnt::DOUBLE / greatest(early_cnt::DOUBLE, 1.0), 6) > 1.1
+       |         THEN 'rising'
+       |       WHEN round(late_cnt::DOUBLE / greatest(early_cnt::DOUBLE, 1.0), 6) < 0.9
+       |         THEN 'declining'
+       |       ELSE 'stable' END AS trend
+       |FROM g ORDER BY lens""".stripMargin
+
   val defs: Seq[Qdef] = Seq(
     Qdef("txt_stats", txtStats, Some(txtStatsSql)),
     Qdef("txt_quality", txtQuality, Some(txtQualitySql)),
@@ -252,5 +295,6 @@ object TextQueries {
     Qdef("txt_fingerprint", txtFingerprint, Some(txtFingerprintSql)),
     Qdef("chunk_fixed", chunkFixed, Some(chunkFixedSql)),
     Qdef("lens_classify", lensClassify, Some(lensClassifySql)),
-    Qdef("trend_gaps", trendGaps, Some(trendGapsSql)))
+    Qdef("trend_gaps", trendGaps, Some(trendGapsSql)),
+    Qdef("topic_trends", topicTrends, Some(topicTrendsSql)))
 }

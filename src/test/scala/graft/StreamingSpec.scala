@@ -43,4 +43,45 @@ class StreamingSpec extends SparkSpec {
     assert(rows(("2024-01-01 01:00:00.0", "click")) == (2L, 3.0))
     assert(rows(("2024-01-01 01:00:00.0", "view")) == (1L, 3.0))
   }
+
+  test("sessionizeStream closes sessions inline and by event-time timeout") {
+    val sql = spark.sqlContext
+    import spark.implicits._
+    implicit val ctx = sql
+    import graft.streaming.SessionEvent
+
+    val input = MemoryStream[SessionEvent]
+    val sessions = StreamingAggs.sessionizeStream(input.toDS(), gapSecs = 1800L)
+    val query = sessions.writeStream
+      .format("memory")
+      .queryName("sessionize_test")
+      .outputMode(OutputMode.Append())
+      .start()
+
+    // NOTE: event times start well above epoch 0 — a row whose event
+    // time equals the current watermark is dropped as late, and the
+    // initial watermark is 0
+    def ev(uid: Long, sec: Long, v: Double) =
+      SessionEvent(uid, new Timestamp(sec * 1000L), v)
+    // batch 1: user 1 has two events 10s apart; user 2 one event
+    input.addData(ev(1L, 100L, 1.0), ev(1L, 110L, 2.0), ev(2L, 105L, 4.0))
+    query.processAllAvailable()
+    // batch 2: user 2 returns after a big gap -> inline close of their
+    // first session; watermark advances to 4000s
+    input.addData(ev(2L, 4000L, 8.0))
+    query.processAllAvailable()
+    // one more batch so user 1's event-time timeout (110 + 1800s)
+    // fires against the advanced watermark
+    input.addData(ev(2L, 4010L, 1.0))
+    query.processAllAvailable()
+
+    val rows = spark.table("sessionize_test").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_start")) ->
+        (r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"),
+          r.getAs[Long]("duration_secs"))).toMap
+    query.stop()
+
+    assert(rows((2L, 105L)) == (1L, 4.0, 0L))   // inline close on return
+    assert(rows((1L, 100L)) == (2L, 3.0, 10L))  // closed by timeout
+  }
 }
