@@ -41,11 +41,16 @@ object Bm25 {
     def tfCol(t: String) = s"tf_${t}"
     def dfCol(t: String) = s"df_${t}"
 
+    // per-doc frame feeds BOTH the corpus-stats aggregate and the
+    // final scoring join — cache so the token explode + groupBy runs
+    // once (one narrow row per doc; caller owns cache lifecycle, see
+    // Dedup's scaladoc note)
     val perDoc = toks.groupBy(col(idCol)).agg(
       count(lit(1)).cast("double").as("dl"),
       queryTerms.map(t =>
         sum(when(col("term") === t, 1).otherwise(0)).cast("double")
           .as(tfCol(t))): _*)
+      .cache()
 
     val stats = perDoc.agg(
       count(lit(1)).cast("double").as("n_docs"),

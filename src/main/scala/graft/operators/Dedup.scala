@@ -88,9 +88,14 @@ object Dedup {
       struct(lit(b).as("band"),
         md5(concat_ws("|", cols :+ lit(b.toString): _*)).as("bkey"))
     }
+    // the band frame feeds THREE consumers (bucket counts + both join
+    // sides); without a cache each one would recompute the signature
+    // aggregation and the shingle scan upstream. numBands rows per doc
+    // — always tiny relative to the corpus.
     val exploded = sigs.select(col(idCol),
       explode(array(bands: _*)).as("bk"))
       .select(col(idCol), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      .cache()
     val smallBuckets = exploded.groupBy(col("band"), col("bkey"))
       .agg(count(lit(1)).as("bsz"))
       .where(col("bsz") <= maxBucket)
@@ -148,7 +153,9 @@ object Dedup {
     val dfOk = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .where(col("df") <= maxShingleDf)
       .select(col("sh"))
-    val pruned = sh.join(dfOk, Seq("sh"))
+    // both self-join sides read the pruned postings; cache so the
+    // df-filter join runs once, not twice
+    val pruned = sh.join(dfOk, Seq("sh")).cache()
     val a = pruned.select(col(idCol).as("da"), col("sh"))
     val b = pruned.select(col(idCol).as("db"), col("sh"))
     a.join(b, Seq("sh"))

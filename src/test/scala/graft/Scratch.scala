@@ -38,6 +38,16 @@ object Scratch {
     time("embcos")(Dedup.embeddingNearDup(
       Tables.embeddings(spark, d), "vec_id", "embedding",
       graft.functions.VectorFns.signCode(col("embedding"), 6), 0.4).count())
+
+    import graft.operators.Bm25
+    import graft.functions.TextFns
+    val terms = graft.queries.VectorQueries.QueryTerms
+    val toks = docs.select(col("doc_id"),
+      explode(TextFns.bm25Tokens(col("text"))).as("term"))
+    time("bm25_tokens")(toks.count())
+    time("bm25_score")(Bm25.score(docs, "doc_id", "text", terms).count())
+    time("bm25_topk")(Bm25.topK(docs, "doc_id", "text", terms, 20).count())
+    time("bm25_topk2")(Bm25.topK(docs, "doc_id", "text", terms, 20).count())
     spark.stop()
   }
 }
