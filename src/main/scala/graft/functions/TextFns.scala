@@ -32,13 +32,21 @@ object TextFns {
       t => length(t) > 2)
 
   /** Sliding word n-gram shingles from a PRE-PROJECTED token array
-    * column. Callers must materialize the tokens into a real column
-    * first (`.select(wsTokens(col) as "tk")`) — passing the raw
-    * `split(...)` expression would re-evaluate the split once per
-    * array element inside the lambda (measured 6x slower at sf0.1).
-    * element_at is O(1); slice would copy a sub-array per element.
+    * column — a native codegen'd expression (TokenShingles): the HOF
+    * formulation below is CodegenFallback and dominated the dedup
+    * shingle stage. Callers should still materialize the tokens into
+    * a real column first so upstream `split` runs once per row.
     */
-  def shinglesOfTokens(toks: Column, n: Int): Column =
+  def shinglesOfTokens(toks: Column, n: Int): Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(
+      graft.expressions.TokenShingles(ColumnShim.expression(toks), n))
+  }
+
+  /** HOF twin of `shinglesOfTokens` — differential-testing reference
+    * only (TextAnalysisSpec asserts identical output).
+    */
+  def shinglesOfTokensHof(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(
         sequence(lit(1), size(toks) - (n - 1)),

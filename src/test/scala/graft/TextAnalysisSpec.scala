@@ -67,4 +67,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L) == "execution")
     assert(out(2L) == "streaming")
   }
+
+  test("native TokenShingles matches the HOF twin bit-for-bit") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.TextFns
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "one two",              // fewer than n tokens -> empty
+      "a b c",                // exactly n tokens -> one shingle
+      "x x x x x",            // repeated tokens preserved in order
+      ""                      // empty text
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select(col("id"), TextFns.wsTokens(col("text")).as("tk"))
+    for (n <- Seq(1, 3, 5)) {
+      val native = docs.select(col("id"),
+        TextFns.shinglesOfTokens(col("tk"), n).as("sh"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val hof = docs.select(col("id"),
+        TextFns.shinglesOfTokensHof(col("tk"), n).as("sh"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      assert(native == hof, s"mismatch at n=$n")
+    }
+  }
 }
