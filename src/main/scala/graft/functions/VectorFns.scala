@@ -78,9 +78,16 @@ object VectorFns {
   /** Deterministic blocking code from the sign pattern of the first
     * `bits` dims — cheap LSH-style bucketing for near-dup search.
     */
-  def signCode(a: Column, bits: Int): Column =
+  def signCode(a: Column, bits: Int): Column = signCodeAt(a, 1, bits)
+
+  /** Sign-pattern code over dims [start, start+bits) (1-based start).
+    * Multiple disjoint slices act as independent SRP bands: unioning
+    * their candidate pairs trades compute for recall (a near-dup pair
+    * only needs to agree on ONE band's signs to be probed).
+    */
+  def signCodeAt(a: Column, start: Int, bits: Int): Column =
     aggregate(
-      zip_with(slice(a, 1, bits), sequence(lit(0), lit(bits - 1)),
+      zip_with(slice(a, start, bits), sequence(lit(0), lit(bits - 1)),
         (x, i) => when(x.cast("double") >= 0d, expr("1").cast("long") * pow(lit(2.0), i).cast("long")).otherwise(lit(0L))),
       lit(0L),
       (acc, x) => acc + x)

@@ -244,6 +244,38 @@ object Dedup {
     * recall for scale: high-cosine pairs agree on most hyperplane
     * signs, so few true near-dups land in different blocks.
     */
+  /** Multi-band embedding near-dup: candidate pairs are the UNION of
+    * per-band blocking collisions (each band an independent SRP sign
+    * code over a disjoint dim slice), verified by exact cosine once.
+    * More bands → higher recall (a pair needs sign agreement on only
+    * one band), same per-band skew bound; the id-pair union stays
+    * tiny relative to the corpus, so the verify join is cheap.
+    */
+  def embeddingNearDupBands(
+      vectors: DataFrame, idCol: String, vecCol: String,
+      blockKeys: Seq[Column], minCos: Double): DataFrame = {
+    require(blockKeys.nonEmpty, "at least one blocking band required")
+    val withNorm = vectors.select(col(idCol), col(vecCol),
+      VectorFns.l2Norm(col(vecCol)).as("nrm")).cache()
+    val pairs = blockKeys.map { bk =>
+      val keyed = vectors.select(bk.as("blk"), col(idCol))
+      val a = keyed.select(col("blk"), col(idCol).as("va"))
+      val b = keyed.select(col("blk"), col(idCol).as("vb"))
+      a.join(b, Seq("blk"))
+        .where(col("va") < col("vb"))
+        .select(col("va"), col("vb"))
+    }.reduce(_ union _).distinct()
+    pairs
+      .join(withNorm.select(col(idCol).as("va"), col(vecCol).as("ea"),
+        col("nrm").as("nra")), Seq("va"))
+      .join(withNorm.select(col(idCol).as("vb"), col(vecCol).as("eb"),
+        col("nrm").as("nrb")), Seq("vb"))
+      .withColumn("raw_cos", VectorFns.cosinePrenormed(
+        col("ea"), col("eb"), col("nra"), col("nrb")))
+      .where(col("raw_cos") >= minCos)
+      .select(col("va"), col("vb"), round(col("raw_cos"), 6).as("cos_sim"))
+  }
+
   def embeddingNearDup(
       vectors: DataFrame, idCol: String, vecCol: String, blockKey: Column,
       minCos: Double): DataFrame = {

@@ -204,10 +204,48 @@ object DedupQueries {
       |FROM dt WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.4
       |ORDER BY va, vb""".stripMargin
 
+  /* ---------------- dedup_embcos_mb (multi-band recall path) ------- */
+
+  private def dedupEmbCosMb(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.VectorFns
+    Dedup.embeddingNearDupBands(Tables.embeddings(s, d), "vec_id", "embedding",
+      Seq(VectorFns.signCodeAt(col("embedding"), 1, SignBits),
+        VectorFns.signCodeAt(col("embedding"), SignBits + 1, SignBits)),
+      minCos = 0.4)
+      .orderBy(col("va"), col("vb"))
+  }
+
+  private def signBandSql(alias: String, start: Int) = (0 until SignBits)
+    .map(i => s"(CASE WHEN $alias.embedding[${start + i}] >= 0 THEN ${1L << i} ELSE 0 END)")
+    .mkString(" + ")
+
+  private val dedupEmbCosMbSql =
+    s"""WITH pr AS (
+      |  SELECT a.vec_id AS va, b.vec_id AS vb FROM embeddings a JOIN embeddings b
+      |    ON (${signBandSql("a", 1)}) = (${signBandSql("b", 1)})
+      |    AND a.vec_id < b.vec_id
+      |  UNION
+      |  SELECT a.vec_id, b.vec_id FROM embeddings a JOIN embeddings b
+      |    ON (${signBandSql("a", SignBits + 1)}) = (${signBandSql("b", SignBits + 1)})
+      |    AND a.vec_id < b.vec_id),
+      |p AS (SELECT pr.va, pr.vb, ea.embedding AS ea, eb.embedding AS eb
+      |  FROM pr JOIN embeddings ea ON pr.va = ea.vec_id
+      |  JOIN embeddings eb ON pr.vb = eb.vec_id),
+      |ex AS (SELECT va, vb, ea, eb, unnest(generate_series(1, len(ea))) AS i FROM p),
+      |dt AS (SELECT va, vb,
+      |    sum(ea[i]::DOUBLE * eb[i]::DOUBLE) AS dot,
+      |    sum(ea[i]::DOUBLE * ea[i]::DOUBLE) AS na,
+      |    sum(eb[i]::DOUBLE * eb[i]::DOUBLE) AS nb
+      |  FROM ex GROUP BY va, vb)
+      |SELECT va, vb, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos_sim
+      |FROM dt WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.4
+      |ORDER BY va, vb""".stripMargin
+
   val defs: Seq[Qdef] = Seq(
     Qdef("dedup_exact", dedupExact, Some(dedupExactSql)),
     Qdef("dedup_minhash_lsh", dedupMinhash, Some(dedupMinhashSql)),
     Qdef("dedup_ngram_jaccard", dedupNgram, Some(dedupNgramSql)),
     Qdef("dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
-    Qdef("dedup_embcos", dedupEmbCos, Some(dedupEmbCosSql)))
+    Qdef("dedup_embcos", dedupEmbCos, Some(dedupEmbCosSql)),
+    Qdef("dedup_embcos_mb", dedupEmbCosMb, Some(dedupEmbCosMbSql)))
 }

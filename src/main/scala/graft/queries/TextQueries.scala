@@ -203,6 +203,52 @@ object TextQueries {
        |       ELSE 'streaming' END AS lens
        |FROM h ORDER BY doc_id""".stripMargin
 
+  /* ---------------- txt_token_count ---------------- */
+
+  /** LLM-token estimation: whitespace tokens plus a BPE-ish estimate —
+    * alnum runs split into ceil(len/4) pieces (the ~4-chars-per-token
+    * heuristic of byte-pair vocabularies) and every other non-space
+    * character as its own token. Narrow codegen'd projection.
+    */
+  private def txtTokenCount(s: SparkSession, d: String): DataFrame = {
+    val runs = regexp_extract_all(col("text"), lit("[A-Za-z0-9]+"), lit(0))
+    val pieceTokens = aggregate(
+      transform(runs, t => ((length(t) + lit(3)) / lit(4)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val punctTokens = size(regexp_extract_all(
+      col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(TextFns.wsTokens(col("text"))).cast("long").as("ws_tokens"),
+        pieceTokens.as("piece_tokens"),
+        punctTokens.as("punct_tokens"),
+        col("n_chars"))
+      .withColumn("est_tokens", col("piece_tokens") + col("punct_tokens"))
+      .withColumn("chars_per_token", round(
+        col("n_chars").cast("double") /
+          greatest(col("est_tokens").cast("double"), lit(1.0)), 4))
+      .orderBy(col("doc_id"))
+  }
+
+  private val txtTokenCountSql =
+    """WITH t AS (SELECT doc_id, text, n_chars FROM documents),
+      |r AS (SELECT doc_id, unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS run
+      |  FROM t),
+      |p AS (SELECT doc_id, sum((length(run) + 3) // 4)::BIGINT AS piece_tokens
+      |  FROM r GROUP BY doc_id),
+      |b AS (SELECT t.doc_id,
+      |    len(string_split_regex(lower(trim(t.text)), '\s+'))::BIGINT AS ws_tokens,
+      |    coalesce(p.piece_tokens, 0)::BIGINT AS piece_tokens,
+      |    len(regexp_extract_all(t.text, '[^A-Za-z0-9\s]'))::BIGINT AS punct_tokens,
+      |    t.n_chars
+      |  FROM t LEFT JOIN p ON t.doc_id = p.doc_id)
+      |SELECT doc_id, ws_tokens, piece_tokens, punct_tokens, n_chars,
+      |  (piece_tokens + punct_tokens)::BIGINT AS est_tokens,
+      |  round(n_chars::DOUBLE /
+      |        greatest((piece_tokens + punct_tokens)::DOUBLE, 1.0), 4)
+      |    AS chars_per_token
+      |FROM b ORDER BY doc_id""".stripMargin
+
   /* ---------------- trend_gaps ---------------- */
 
   /** Gap patterns in the reference's (pattern, report) shape
@@ -295,6 +341,7 @@ object TextQueries {
     Qdef("txt_fingerprint", txtFingerprint, Some(txtFingerprintSql)),
     Qdef("chunk_fixed", chunkFixed, Some(chunkFixedSql)),
     Qdef("lens_classify", lensClassify, Some(lensClassifySql)),
+    Qdef("txt_token_count", txtTokenCount, Some(txtTokenCountSql)),
     Qdef("trend_gaps", trendGaps, Some(trendGapsSql)),
     Qdef("topic_trends", topicTrends, Some(topicTrendsSql)))
 }

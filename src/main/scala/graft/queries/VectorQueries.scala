@@ -38,6 +38,35 @@ object VectorQueries {
       |SELECT vec_id, label, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos_sim
       |FROM dt ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin
 
+  /* ---------------- vs_filtered_topk ---------------- */
+
+  /** Dense top-k WITH a metadata filter (the reference's _dense_search
+    * takes `where` metadata filters; ChromaDB applies them pre-search).
+    * The label predicate reaches the parquet scan as a pushed filter —
+    * at 100 TB the filter prunes before any vector math runs.
+    */
+  private def filteredTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+    VectorSearch.denseTopK(
+      emb.where(col("vec_id") =!= 0 && col("label").isin(1, 2, 3)), q,
+      "vec_id", "embedding", "qe", 10, Seq("label"))
+  }
+
+  private val filteredTopKSql =
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |ex AS (SELECT e.vec_id, e.label, e.embedding AS ce, q.qe AS qe,
+      |         unnest(generate_series(1, len(e.embedding))) AS i
+      |       FROM embeddings e CROSS JOIN q
+      |       WHERE e.vec_id <> 0 AND e.label IN (1, 2, 3)),
+      |dt AS (SELECT vec_id, label,
+      |         sum(ce[i]::DOUBLE * qe[i]::DOUBLE) AS dot,
+      |         sum(ce[i]::DOUBLE * ce[i]::DOUBLE) AS na,
+      |         sum(qe[i]::DOUBLE * qe[i]::DOUBLE) AS nb
+      |       FROM ex GROUP BY vec_id, label)
+      |SELECT vec_id, label, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos_sim
+      |FROM dt ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+
   /* ---------------- vs_knn_join ---------------- */
 
   private def knnJoin(s: SparkSession, d: String): DataFrame = {
@@ -292,6 +321,7 @@ object VectorQueries {
 
   val defs: Seq[Qdef] = Seq(
     Qdef("vs_dense_topk", denseTopK, Some(denseTopKSql)),
+    Qdef("vs_filtered_topk", filteredTopK, Some(filteredTopKSql)),
     Qdef("vs_knn_join", knnJoin, Some(knnJoinSql)),
     Qdef("vs_centroid_sim", centroidSim, Some(centroidSimSql)),
     Qdef("vs_ann_ivf", annIvf, Some(annIvfSql)),
