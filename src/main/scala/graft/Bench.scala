@@ -22,11 +22,16 @@ object Bench {
       // checksum-aggregate EVERY output column (engine-local hash is
       // fine for a bench): a bare count() would let the optimizer
       // prune computed projections out of narrow per-doc queries and
-      // bench little more than the parquet scan
+      // bench little more than the parquet scan. The hash sums in
+      // decimal(38,0) — summing raw longs overflows and ANSI mode
+      // (Spark 4 default) turns that into a query-killing error.
       try {
         val df = fn(spark, sfDir)
-        df.agg(sum(xxhash64(df.columns.map(col): _*))).collect()
-      } catch { case _: Throwable => -1L }
+        df.agg(sum(xxhash64(df.columns.map(col): _*).cast("decimal(38,0)")))
+          .collect()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       // operators may cache() intermediates reused within their own
       // plan (e.g. dedup shingles); drop them between queries so a

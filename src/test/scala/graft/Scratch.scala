@@ -48,6 +48,18 @@ object Scratch {
     time("bm25_score")(Bm25.score(docs, "doc_id", "text", terms).count())
     time("bm25_topk")(Bm25.topK(docs, "doc_id", "text", terms, 20).count())
     time("bm25_topk2")(Bm25.topK(docs, "doc_id", "text", terms, 20).count())
+    spark.catalog.clearCache()
+    time("bm25_topk_cksum") {
+      val df = Bm25.topK(docs, "doc_id", "text", terms, 20)
+      df.agg(sum(xxhash64(df.columns.map(col): _*).cast("decimal(38,0)"))).collect()
+      20L
+    }
+    val ck = Bm25.topK(docs, "doc_id", "text", terms, 20)
+    println("CKSUM_PLAN " + ck
+      .agg(sum(xxhash64(ck.columns.map(col): _*).cast("decimal(38,0)")))
+      .queryExecution.executedPlan.toString.linesIterator
+      .filter(l => l.contains("TakeOrdered") || l.contains("Sort ") || l.contains("GlobalLimit"))
+      .mkString(" | "))
     spark.stop()
   }
 }
