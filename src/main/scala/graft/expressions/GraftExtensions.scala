@@ -27,5 +27,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, "vec_norm_sq(a) takes 1 argument")
         VecNormSq(args(0))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("token_shingles"), TokenShingles.info,
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(args.length == 2, "token_shingles(tokens, n) takes 2 arguments")
+        val n = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"token_shingles width must be an integer literal, got $other")
+        }
+        TokenShingles(args(0), n)
+      }))
   }
 }

@@ -95,3 +95,9 @@ case class TokenShingles(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): TokenShingles =
     copy(child = newChild)
 }
+
+object TokenShingles {
+  val info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo =
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      classOf[TokenShingles].getName, "token_shingles")
+}

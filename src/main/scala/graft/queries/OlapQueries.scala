@@ -106,6 +106,38 @@ object OlapQueries {
       |GROUP BY n_name
       |ORDER BY revenue DESC, n_name""".stripMargin
 
+  /** TPC-H Q10-shaped: top returned-item customers by lost revenue.
+    * Dim joins (customer, nation) broadcast; lineitem is filtered on
+    * the pushed `l_returnflag = 'R'` predicate before the fact join.
+    */
+  private def q10(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .where(col("o_orderdate") >= lit("1994-10-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1995-10-01").cast("timestamp"))
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .where(col("l_returnflag") === "R")
+      .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
+  private val q10Sql =
+    """SELECT c_custkey, c_name, n_name,
+      | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE o_orderdate >= TIMESTAMP '1994-10-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1995-10-01 00:00:00'
+      |  AND l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
   private def qWindowRank(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("c_custkey"))
@@ -158,6 +190,7 @@ object OlapQueries {
     Qdef("q1_pricing_summary", q1, Some(q1Sql)),
     Qdef("q3_top_orders", q3, Some(q3Sql)),
     Qdef("q5_region_revenue", q5, Some(q5Sql)),
+    Qdef("q10_returned_items", q10, Some(q10Sql)),
     Qdef("q_window_rank", qWindowRank, Some(qWindowRankSql)),
     Qdef("q_rollup_revenue", qRollup, Some(qRollupSql)))
 }

@@ -61,6 +61,13 @@ class VectorFnsSpec extends SparkSpec {
     assert(r.getDouble(0) === 11.0 && r.getDouble(1) === 5.0)
   }
 
+  test("token_shingles is registered as a SQL function") {
+    val df = Seq(Tuple1(Array("a", "b", "c", "d"))).toDF("tk")
+    df.createOrReplaceTempView("tsh_t")
+    val r = spark.sql("SELECT token_shingles(tk, 2) AS sh FROM tsh_t").head()
+    assert(r.getSeq[String](0) == Seq("a b", "b c", "c d"))
+  }
+
   test("l2DistSq computes squared euclidean distance") {
     val df = Seq((Array(1.0f, 2.0f), Array(4.0f, 6.0f))).toDF("a", "b")
     val d = df.select(VectorFns.l2DistSq($"a", $"b")).head().getDouble(0)
