@@ -51,6 +51,24 @@ object StreamingAggs {
   def runningCounts(events: DataFrame): DataFrame =
     events.groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
 
+  /** Stream-stream interval join: pair each click with the
+    * impressions the same user saw in the `window` before it. Both
+    * sides carry watermarks and the join condition bounds event-time
+    * distance, so Spark can EXPIRE buffered rows — state holds only
+    * `window`+watermark worth of each stream, regardless of total
+    * volume (the unbounded-state stream join is the other classic
+    * 100 TB/day failure mode next to hot keys).
+    */
+  def impressionClickJoin(
+      impressions: DataFrame, clicks: DataFrame, window: String): DataFrame =
+    impressions.withWatermark("imp_ts", window)
+      .join(
+        clicks.withWatermark("click_ts", window),
+        expr(
+          s"""imp_user = click_user
+             |AND click_ts >= imp_ts
+             |AND click_ts <= imp_ts + interval $window""".stripMargin))
+
   /** Stateful streaming sessionization: gap-based sessions per user
     * via flatMapGroupsWithState — the streaming twin of the batch
     * Events.sessionize (same 30-min-gap semantics).

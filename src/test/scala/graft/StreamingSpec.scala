@@ -84,4 +84,36 @@ class StreamingSpec extends SparkSpec {
     assert(rows((2L, 105L)) == (1L, 4.0, 0L))   // inline close on return
     assert(rows((1L, 100L)) == (2L, 3.0, 10L))  // closed by timeout
   }
+
+  test("impressionClickJoin pairs clicks with in-window impressions only") {
+    val sql = spark.sqlContext
+    import spark.implicits._
+    implicit val ctx = sql
+
+    val imps = MemoryStream[(Long, Timestamp, Long)]
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val joined = StreamingAggs.impressionClickJoin(
+      imps.toDF().toDF("imp_user", "imp_ts", "imp_id"),
+      clicks.toDF().toDF("click_user", "click_ts", "click_id"),
+      "10 minutes")
+    val query = joined.writeStream
+      .format("memory")
+      .queryName("impression_click_test")
+      .outputMode(OutputMode.Append())
+      .start()
+
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    imps.addData((7L, t(0), 1000L), (8L, t(1), 1001L))
+    clicks.addData(
+      (7L, t(5), 2000L),   // 5 min after impression 1000 -> joins
+      (8L, t(30), 2001L),  // 29 min after impression 1001 -> outside window
+      (9L, t(6), 2002L))   // no impression for this user
+    query.processAllAvailable()
+
+    val rows = spark.table("impression_click_test").collect()
+      .map(r => (r.getAs[Long]("imp_id"), r.getAs[Long]("click_id"))).toSet
+    query.stop()
+
+    assert(rows == Set((1000L, 2000L)))
+  }
 }
