@@ -45,17 +45,23 @@ object VectorFns {
 
   def l2Norm(a: Column): Column = sqrt(normSq(a))
 
-  /** Cosine similarity in double precision. */
+  /** Cosine similarity in double precision. A zero-norm side yields
+    * NULL (nullif guard): under ANSI mode (Spark 4 default) a raw
+    * 0/0 division is a query-killing DIVIDE_BY_ZERO error, and under
+    * non-ANSI it is a NaN that top-ranks in descending sorts — NULL
+    * is droppable/filterable in both engines identically.
+    */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (l2Norm(a) * l2Norm(b))
+    dot(a, b) / nullif(l2Norm(a) * l2Norm(b), lit(0.0))
 
   /** Cosine from a fresh dot product and PRE-COMPUTED norms — use when
     * either side's norm can be materialized once (query vectors,
     * pairwise joins) instead of re-deriving it per comparison: cuts
     * the interpreted higher-order aggregate work from 3 folds to 1.
+    * Zero-norm sides yield NULL (see `cosine`).
     */
   def cosinePrenormed(a: Column, b: Column, normA: Column, normB: Column): Column =
-    dot(a, b) / (normA * normB)
+    dot(a, b) / nullif(normA * normB, lit(0.0))
 
   /** Squared L2 distance (reference uses L2 distance for Chroma). */
   def l2DistSq(a: Column, b: Column): Column =

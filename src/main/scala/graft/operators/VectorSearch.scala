@@ -39,6 +39,10 @@ object VectorSearch {
         col(vecCol), col(qVec), col("cnrm"), col("qnrm")))
     scored
       .withColumn("cos_sim", round(col("raw_cos"), 6))
+      // a zero-norm vector has no defined cosine — cosinePrenormed
+      // yields NULL for it (nullif guard); drop explicitly rather
+      // than rely on NULLS LAST ordering
+      .where(col("cos_sim").isNotNull)
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
       .select((Seq(idCol) ++ extraCols :+ "cos_sim").map(col): _*)
@@ -74,7 +78,8 @@ object VectorSearch {
       .withColumn("cos_sim", round(VectorFns.cosinePrenormed(
         col(candVec), col(qVec), col("cnrm"), col("qnrm")), 6))
     scored
-      // null cos_sim (null embedding row) would hit ScoredId's
+      // null cos_sim (null embedding row, or a zero-norm vector via
+      // the nullif guard in cosinePrenormed) would hit ScoredId's
       // non-nullable primitives inside the udaf encoder
       .where(col("cos_sim").isNotNull)
       .groupBy(col(qId))
@@ -190,6 +195,7 @@ object VectorSearch {
       .crossJoin(broadcast(q))
       .withColumn("cos_sim", round(VectorFns.cosinePrenormed(
         col(vecCol), col(qVec), col("cnrm"), col("qnrm")), 6))
+      .where(col("cos_sim").isNotNull)
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
       .select(col(idCol), col("cell"), col("cos_sim"))

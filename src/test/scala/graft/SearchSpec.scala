@@ -70,6 +70,22 @@ class SearchSpec extends SparkSpec {
     assert(ivf == brute) // nprobe = all cells -> exact
   }
 
+  test("zero-norm vectors are excluded, never top-ranked or crashing") {
+    val cands = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 0.0f)) // zero norm -> NaN cosine
+    ).toDF("vec_id", "embedding")
+    val q = Seq(Tuple1(Array(1.0f, 0.0f))).toDF("qe")
+    val top = VectorSearch.denseTopK(cands, q, "vec_id", "embedding", "qe", 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(1L, 2L)) // 3 dropped, not first
+    val qs = Seq((7L, Array(1.0f, 0.0f))).toDF("qid", "qe")
+    val knn = VectorSearch.knnJoin(
+      cands.toDF("cid", "ce"), qs, "cid", "ce", "qid", "qe", 3)
+      .collect().map(r => (r.getLong(1), r.getLong(3)))
+    assert(knn.map(_._1).toSeq == Seq(1L, 2L)) // deterministic, no NaN
+  }
+
   test("annIvf assignment stays narrow: no Window in the physical plan") {
     // regression guard for the 100 TB path — centroid assignment must
     // be a per-row fold over the broadcast centroid array, never a
