@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TopKAgg, VectorFns}
@@ -134,38 +135,27 @@ object VectorSearch {
         array_sort(collect_list(struct(col("pos"), col("v")))),
         x => x.getField("v")).as("centroid"))
 
-  /** IVF-style ANN: assign every vector to its nearest coarse centroid
-    * (broadcast), probe the `nprobe` cells nearest to the query, exact
-    * cosine inside the probed cells only. This is the 100 TB path: the
-    * big side is scanned ONCE for assignment with ZERO exchange — all
-    * K centroids are folded into a single broadcast array row and the
-    * argmax is evaluated per candidate row (narrow projection), not
-    * via a crossJoin + window (which would shuffle |corpus|·K rows).
-    * Queries then touch only `nprobe/K` of the data.
+  /** Nearest-centroid assignment as a NARROW per-row fold over the
+    * broadcast centroid array — the shared building block of IVF and
+    * Lloyd/k-means training. All K centroids fold into ONE broadcast
+    * array row (sorted by cell id, so the strict-max fold resolves
+    * ties to the smallest cell); the aggregate HOF is interpreted but
+    * VecDot inside it evaluates natively — K dot products per row,
+    * ZERO exchange of the big side (a crossJoin + window would
+    * shuffle |corpus|·K rows).
+    * Output: (idCol, vecCol, cnrm, cell).
     */
-  def annIvf(
-      candidates: DataFrame, query: DataFrame, centroids: DataFrame,
-      idCol: String, vecCol: String, qVec: String, groupCol: String,
-      nprobe: Int, k: Int): DataFrame = {
-    // centroid frame renamed to avoid colliding with candidate columns;
-    // centroid norms computed once (broadcast side)
+  def assignCells(
+      candidates: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, groupCol: String): DataFrame = {
     val cents = centroids
       .select(col(groupCol).as("cgroup"), col("centroid"))
       .withColumn("gnrm", VectorFns.l2Norm(col("centroid")))
-    val q = query.select(col(qVec))
-      .withColumn("qnrm", VectorFns.l2Norm(col(qVec)))
     val cellType = centroids.schema(groupCol).dataType
-    // all K centroids as ONE array-of-structs row, sorted by group id
-    // (array_sort on structs orders by the first field): the fold
-    // below keeps the FIRST maximum, so ties resolve to the smallest
-    // group — same semantics as the old orderBy(acos desc, cgroup).
     val centsArr = cents.agg(
       array_sort(collect_list(struct(col("cgroup"), col("centroid"), col("gnrm"))))
         .as("cents"))
-    // assignment: per-row argmax against the broadcast centroid array.
-    // The aggregate HOF is interpreted, but VecDot inside it evaluates
-    // natively (nullSafeEval) — K dot products per row, no exchange.
-    val assigned = candidates
+    candidates
       .withColumn("cnrm", VectorFns.l2Norm(col(vecCol)))
       .crossJoin(broadcast(centsArr))
       .withColumn("best", aggregate(
@@ -182,6 +172,52 @@ object VectorSearch {
         }))
       .select(col(idCol), col(vecCol), col("cnrm"),
         col("best").getField("cell").as("cell"))
+  }
+
+  /** Deterministic spherical k-means (Lloyd) codebook trainer: init =
+    * the k lowest-id vectors, then `iters` rounds of narrow
+    * fold-assignment + long-form mean. Per iteration the corpus is
+    * scanned once with zero exchange (assignment) and only (cell,
+    * pos, sum) rows shuffle — the general codebook path when no
+    * natural cells exist. Cosine (spherical) assignment matches the
+    * retrieval metric. Deterministic: id-ordered init, tie-to-
+    * smallest-cell assignment, sequential-order means.
+    */
+  def lloydCentroids(
+      vectors: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    val w = Window.orderBy(col(idCol))
+    // k rows — driver-scale window; the WindowExec single-partition
+    // warning is expected and harmless here
+    var cents = vectors.orderBy(col(idCol)).limit(k)
+      .withColumn("cell", (row_number().over(w) - 1).cast("int"))
+      .select(col("cell"), VectorFns.asDouble(col(vecCol)).as("centroid"))
+    for (_ <- 1 to iters) {
+      val assigned = assignCells(vectors, cents, idCol, vecCol, "cell")
+      cents = centroidArrays(assigned, "cell", vecCol)
+        .select(col("cell"), col("centroid"))
+    }
+    cents
+  }
+
+  /** IVF-style ANN: assign every vector to its nearest coarse centroid
+    * (broadcast), probe the `nprobe` cells nearest to the query, exact
+    * cosine inside the probed cells only. This is the 100 TB path: the
+    * big side is scanned ONCE for assignment with zero exchange (see
+    * assignCells) and queries touch only `nprobe/K` of the data.
+    */
+  def annIvf(
+      candidates: DataFrame, query: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, qVec: String, groupCol: String,
+      nprobe: Int, k: Int): DataFrame = {
+    // centroid frame renamed to avoid colliding with candidate columns;
+    // centroid norms computed once (broadcast side)
+    val cents = centroids
+      .select(col(groupCol).as("cgroup"), col("centroid"))
+      .withColumn("gnrm", VectorFns.l2Norm(col("centroid")))
+    val q = query.select(col(qVec))
+      .withColumn("qnrm", VectorFns.l2Norm(col(qVec)))
+    val assigned = assignCells(candidates, centroids, idCol, vecCol, groupCol)
     // probe cells: nprobe centroids nearest to the query
     val probed = cents
       .crossJoin(broadcast(q))

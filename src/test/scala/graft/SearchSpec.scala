@@ -86,6 +86,28 @@ class SearchSpec extends SparkSpec {
     assert(knn.map(_._1).toSeq == Seq(1L, 2L)) // deterministic, no NaN
   }
 
+  test("lloydCentroids recovers well-separated direction clusters") {
+    // 3 tight direction bundles; ids interleaved so init picks one
+    // seed per bundle (ids 0, 1, 2 point in 3 different directions)
+    val dirs = Seq((1.0, 0.0), (0.0, 1.0), (-1.0, 0.0))
+    val vecs = (0 until 30).map { i =>
+      val (dx, dy) = dirs(i % 3)
+      val wob = 0.05 * ((i / 3) % 5 - 2)
+      (i.toLong, Array((dx + wob).toFloat, (dy + wob).toFloat))
+    }.toDF("vec_id", "embedding")
+    val cents = VectorSearch.lloydCentroids(vecs, "vec_id", "embedding", 3, 3)
+    assert(cents.count() == 3)
+    val assigned = VectorSearch.assignCells(vecs, cents, "vec_id", "embedding", "cell")
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("cell")).toMap
+    // members of the same bundle land in the same cell
+    for (g <- 0 until 3) {
+      val cells = (g until 30 by 3).map(assigned(_)).toSet
+      assert(cells.size == 1, s"bundle $g split across $cells")
+    }
+    // and different bundles in different cells
+    assert((0 until 3).map(assigned(_)).toSet.size == 3)
+  }
+
   test("annIvf assignment stays narrow: no Window in the physical plan") {
     // regression guard for the 100 TB path — centroid assignment must
     // be a per-row fold over the broadcast centroid array, never a
