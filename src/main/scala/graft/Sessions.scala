@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session tuning for the two environments this library runs in.
+  * The operators themselves never read these — they are pure plan
+  * builders — but the knobs below are the spill/skew levers that
+  * decide whether the same plans hold up at 100 TB.
+  */
+object Sessions {
+
+  /** Cluster-shaped defaults, documented knob by knob:
+    *
+    *  - shufflePartitions: start at 2-3× total executor cores; AQE
+    *    coalesces small partitions down, but cannot split a partition
+    *    that never existed — undersizing is the un-fixable direction.
+    *  - maxPartitionBytes 256m: scan-side partition sizing; with
+    *    ~4-8× that in executor memory per task, wide aggregations
+    *    stay in memory instead of spilling.
+    *  - AQE on (default) + skewJoin: runtime re-plan splits skewed
+    *    sort-merge partitions; the explicit `operators.Skew` salting
+    *    covers the aggregation-side and replicable-dim cases AQE
+    *    does not.
+    *  - autoBroadcastJoinThreshold 64m: dims up to TPC-H `customer`
+    *    scale broadcast instead of shuffling the fact side.
+    *  - ANSI stays ON (Spark 4 default): overflow/0-division are
+    *    errors, not silent wrap/NaN — the operators are written to
+    *    that contract (decimal checksum sums, nullif cosine guards).
+    */
+  def clusterBuilder(
+      shufflePartitions: Int,
+      appName: String = "graft"): SparkSession.Builder =
+    SparkSession.builder()
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.files.maxPartitionBytes", "256m")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
+
+  /** Local test/bench shape (what Bench/Verify use): one partition
+    * per core — at local scale the shuffle constant matters more
+    * than headroom.
+    */
+  def localBuilder(cores: Int): SparkSession.Builder =
+    clusterBuilder(shufflePartitions = cores)
+      .master(s"local[$cores]")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+}

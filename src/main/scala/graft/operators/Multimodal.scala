@@ -84,6 +84,61 @@ object Multimodal {
     }
   }
 
+  /** One sampled frame from a video payload. */
+  case class FrameRow(
+      media_id: Long, frame_index: Int, offset_bytes: Long,
+      frame: Array[Byte])
+
+  /** Frame sampling plumbing: emit `nFrames` evenly-spaced slices of
+    * each video payload as frame rows (a real pipeline seeks
+    * container keyframes here — the byte-slice stand-in keeps the
+    * row shape and offsets deterministic). Narrow flatMap; payload
+    * fan-out happens WITHIN a partition, frames never shuffle.
+    */
+  def sampleFrames(
+      media: Dataset[MediaRow], nFrames: Int): Dataset[FrameRow] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").flatMap { r =>
+      val len = r.payload.length
+      if (len == 0) Iterator.empty
+      else {
+        val stride = math.max(1, len / nFrames)
+        (0 until math.min(nFrames, len)).iterator.map { i =>
+          val from = i * stride
+          val until = math.min(len, from + stride)
+          FrameRow(r.media_id, i, from.toLong,
+            java.util.Arrays.copyOfRange(r.payload, from, until))
+        }
+      }
+    }
+  }
+
+  /** Resize plumbing: deterministic nearest-neighbor subsample of a
+    * frame byte-grid to targetW×targetH (a real pipeline calls the
+    * image library; the index arithmetic and output shape are the
+    * production contract). Pure function used inside batch decode.
+    */
+  def resizeGrid(
+      frame: Array[Byte], srcW: Int, srcH: Int,
+      targetW: Int, targetH: Int): Array[Byte] = {
+    require(srcW > 0 && srcH > 0 && targetW > 0 && targetH > 0)
+    val out = new Array[Byte](targetW * targetH)
+    var y = 0
+    while (y < targetH) {
+      val sy = math.min(srcH - 1, y * srcH / targetH)
+      var x = 0
+      while (x < targetW) {
+        val sx = math.min(srcW - 1, x * srcW / targetW)
+        val idx = sy * srcW + sx
+        out(y * targetW + x) =
+          if (idx < frame.length) frame(idx) else 0.toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** Route each modality to its own partition range before decode —
     * at cluster scale this pins codecs (image vs audio vs video) to
     * executor pools and keeps batches homogeneous.

@@ -16,6 +16,35 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.forall(f => again(f.media_id) == f.features.toSeq))
   }
 
+  test("sampleFrames emits evenly-spaced deterministic frame slices") {
+    val media = Multimodal.syntheticMedia(spark, 30)
+    val frames = Multimodal.sampleFrames(media, 4).collect()
+    // only video rows produce frames
+    assert(frames.map(_.media_id).distinct.forall(_ % 3 == 2))
+    val byMedia = frames.groupBy(_.media_id)
+    byMedia.values.foreach { fs =>
+      assert(fs.length == 4)
+      // offsets strictly increasing, frames non-empty
+      val offs = fs.sortBy(_.frame_index).map(_.offset_bytes)
+      assert(offs.zip(offs.tail).forall(p => p._1 < p._2))
+      assert(fs.forall(_.frame.nonEmpty))
+    }
+    // deterministic across recomputes
+    val again = Multimodal.sampleFrames(media, 4).collect()
+      .map(f => (f.media_id, f.frame_index) -> f.frame.toSeq).toMap
+    assert(frames.forall(f => again((f.media_id, f.frame_index)) == f.frame.toSeq))
+  }
+
+  test("resizeGrid subsamples to the target shape deterministically") {
+    val src = Array.tabulate[Byte](64 * 48)(i => (i % 251).toByte)
+    val out = Multimodal.resizeGrid(src, 64, 48, 8, 6)
+    assert(out.length == 8 * 6)
+    val again = Multimodal.resizeGrid(src, 64, 48, 8, 6)
+    assert(out.toSeq == again.toSeq)
+    // upscale also lands on the target shape
+    assert(Multimodal.resizeGrid(src, 64, 48, 128, 96).length == 128 * 96)
+  }
+
   test("partitionByKind co-locates modalities") {
     val media = Multimodal.syntheticMedia(spark, 30).toDF()
     val parted = Multimodal.partitionByKind(media, 3)
