@@ -58,6 +58,39 @@ object Events {
         (max(col("s")) - min(col("s"))).as("duration_secs"))
   }
 
+  /** Ordered-stage conversion funnel with first-touch semantics: a
+    * user reaches stage i when they have a stage-i event STRICTLY
+    * after their stage-(i-1) entry time. Every per-stage frame is one
+    * row per user; all joins/aggregations key on user_id, so the
+    * stages reuse one hash partitioning and the final summary is a
+    * union of K one-row aggregates plus a K-row window (driver-scale
+    * — its partition-less window warning is expected and harmless).
+    * Output: (stage_idx, stage, users, conv_from_prev).
+    */
+  def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val withS = events.withColumn("s", tsSecs("ts"))
+    val stageFrames = stages.tail.scanLeft(
+      withS.where(col("event_type") === stages.head)
+        .groupBy(col("user_id")).agg(min(col("s")).as("entry_s"))) {
+      (prev, stage) =>
+        withS.where(col("event_type") === stage)
+          .join(prev.select(col("user_id"), col("entry_s").as("prev_s")),
+            Seq("user_id"))
+          .where(col("s") > col("prev_s"))
+          .groupBy(col("user_id")).agg(min(col("s")).as("entry_s"))
+    }
+    val counts = stageFrames.zip(stages).zipWithIndex.map {
+      case ((df, stage), i) =>
+        df.agg(count(lit(1)).as("users"))
+          .select(lit(i.toLong).as("stage_idx"), lit(stage).as("stage"),
+            col("users"))
+    }.reduce(_ unionAll _)
+    counts.withColumn("conv_from_prev",
+      round(col("users").cast("double") /
+        lag(col("users"), 1).over(Window.orderBy(col("stage_idx"))), 6))
+  }
+
   /** Top-k users by summed value over a filtered event type.
     * Rank by rounded sum (engine-stable), id tiebreak.
     *

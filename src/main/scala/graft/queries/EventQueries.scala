@@ -70,6 +70,38 @@ object EventQueries {
       |SELECT user_id, n_events, sum_value, rank FROM r
       |WHERE rank <= 20 ORDER BY rank""".stripMargin
 
+  /* ---------------- ev_funnel ---------------- */
+
+  private val FunnelStages = Seq("view", "click", "purchase")
+
+  private def evFunnel(s: SparkSession, d: String): DataFrame =
+    Events.funnel(Tables.events(s, d), FunnelStages)
+      .orderBy(col("stage_idx"))
+
+  private val evFunnelSql = {
+    val stageCtes = FunnelStages.zipWithIndex.map { case (st, i) =>
+      if (i == 0)
+        s"""s0 AS (SELECT user_id, min(s) AS entry_s FROM e
+           |  WHERE event_type = '$st' GROUP BY user_id)""".stripMargin
+      else
+        s"""s$i AS (SELECT e.user_id, min(e.s) AS entry_s FROM e
+           |  JOIN s${i - 1} ON e.user_id = s${i - 1}.user_id
+           |    AND e.s > s${i - 1}.entry_s
+           |  WHERE e.event_type = '$st' GROUP BY e.user_id)""".stripMargin
+    }.mkString(",\n")
+    val unions = FunnelStages.zipWithIndex.map { case (st, i) =>
+      s"SELECT ${i}::BIGINT AS stage_idx, '$st' AS stage, count(*)::BIGINT AS users FROM s$i"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH e AS (SELECT user_id, event_type, $EpochSecs AS s FROM events),
+       |$stageCtes,
+       |c AS (
+       |  $unions)
+       |SELECT stage_idx, stage, users,
+       |  round(users::DOUBLE / lag(users) OVER (ORDER BY stage_idx), 6)
+       |    AS conv_from_prev
+       |FROM c ORDER BY stage_idx""".stripMargin
+  }
+
   /* ---------------- trend_daily ---------------- */
 
   private def trendDaily(s: SparkSession, d: String): DataFrame =
@@ -116,6 +148,7 @@ object EventQueries {
     Qdef("ev_windowed_agg", evWindowedAgg, Some(evWindowedAggSql)),
     Qdef("ev_sessionize", evSessionize, Some(evSessionizeSql)),
     Qdef("ev_user_topk", evUserTopK, Some(evUserTopKSql)),
+    Qdef("ev_funnel", evFunnel, Some(evFunnelSql)),
     Qdef("trend_daily", trendDaily, Some(trendDailySql)),
     Qdef("trend_growth", trendGrowth, Some(trendGrowthSql)))
 }
