@@ -115,6 +115,36 @@ object DedupQueries {
        |SELECT da, db, round(raw_jac, 6) AS jaccard FROM j
        |WHERE raw_jac >= 0.6 ORDER BY da, db""".stripMargin
 
+  /* ---------------- dedup_ngram_prefix ---------------- */
+
+  private def dedupNgramPrefix(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccardPrefix(Tables.documents(s, d), "doc_id", "text",
+      shingleN = 3, minJaccard = 0.6)
+      .orderBy(col("da"), col("db"))
+
+  private val dedupNgramPrefixSql =
+    s"""WITH ${shingleCtes(3)},
+       |sizes AS (SELECT doc_id, count(*) AS nsh FROM shs GROUP BY doc_id),
+       |rk AS (SELECT shs.doc_id, shs.shg,
+       |    row_number() OVER (PARTITION BY shs.doc_id ORDER BY md5(shs.shg)) AS rk,
+       |    sizes.nsh
+       |  FROM shs JOIN sizes ON shs.doc_id = sizes.doc_id),
+       |pr AS (SELECT doc_id, shg FROM rk
+       |  WHERE rk <= nsh - ceil(0.6 * nsh) + 1),
+       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM pr a JOIN pr b ON a.shg = b.shg AND a.doc_id < b.doc_id),
+       |cm AS (SELECT c.da, c.db, count(*)::DOUBLE AS common
+       |  FROM cand c
+       |  JOIN shs sa ON sa.doc_id = c.da
+       |  JOIN shs sb ON sb.doc_id = c.db AND sb.shg = sa.shg
+       |  GROUP BY c.da, c.db),
+       |j AS (SELECT cm.da, cm.db,
+       |    cm.common / (za.nsh + zb.nsh - cm.common) AS raw_jac
+       |  FROM cm JOIN sizes za ON cm.da = za.doc_id
+       |  JOIN sizes zb ON cm.db = zb.doc_id)
+       |SELECT da, db, round(raw_jac, 6) AS jaccard FROM j
+       |WHERE raw_jac >= 0.6 ORDER BY da, db""".stripMargin
+
   /* ---------------- dedup_simhash ---------------- */
 
   private def dedupSimhash(s: SparkSession, d: String): DataFrame =
@@ -245,6 +275,7 @@ object DedupQueries {
     Qdef("dedup_exact", dedupExact, Some(dedupExactSql)),
     Qdef("dedup_minhash_lsh", dedupMinhash, Some(dedupMinhashSql)),
     Qdef("dedup_ngram_jaccard", dedupNgram, Some(dedupNgramSql)),
+    Qdef("dedup_ngram_prefix", dedupNgramPrefix, Some(dedupNgramPrefixSql)),
     Qdef("dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
     Qdef("dedup_embcos", dedupEmbCos, Some(dedupEmbCosSql)),
     Qdef("dedup_embcos_mb", dedupEmbCosMb, Some(dedupEmbCosMbSql)))
