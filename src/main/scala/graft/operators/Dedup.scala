@@ -179,6 +179,11 @@ object Dedup {
     * are then verified with EXACT Jaccard over the full shingle sets
     * (unlike `ngramJaccard`, whose df-capped counts are approximate
     * in the presence of hot shingles).
+    *
+    * Cost crossover: the prefix rank pass and full-set verify are
+    * LINEAR overheads, the candidate-pair saving is QUADRATIC — at
+    * bench scale (5k docs) the naive join is still cheaper; the
+    * prefix variant is the one that survives a 100× corpus.
     */
   def ngramJaccardPrefix(
       docs: DataFrame, idCol: String, textCol: String,

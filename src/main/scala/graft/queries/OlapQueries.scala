@@ -138,6 +138,35 @@ object OlapQueries {
       |ORDER BY revenue DESC, c_custkey
       |LIMIT 20""".stripMargin
 
+  /** TPC-H Q18-shaped: large-volume orders (HAVING over a grouped
+    * fact scan → semi-join back). The HAVING aggregate runs FIRST and
+    * produces a tiny key set that broadcasts into the detail join —
+    * the fact table is scanned twice but never shuffled on a fat key.
+    */
+  private def q18(s: SparkSession, d: String): DataFrame = {
+    val bigOrders = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(round(sum(col("l_quantity")), 2).as("total_qty"))
+      .where(col("total_qty") > 150.0)
+    Tables.orders(s, d)
+      .join(broadcast(bigOrders), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  private val q18Sql =
+    """WITH big AS (SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+      |  FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity), 2) > 150.0)
+      |SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+      |FROM orders
+      |JOIN big ON o_orderkey = l_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 20""".stripMargin
+
   private def qWindowRank(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("c_custkey"))
@@ -191,6 +220,7 @@ object OlapQueries {
     Qdef("q3_top_orders", q3, Some(q3Sql)),
     Qdef("q5_region_revenue", q5, Some(q5Sql)),
     Qdef("q10_returned_items", q10, Some(q10Sql)),
+    Qdef("q18_big_orders", q18, Some(q18Sql)),
     Qdef("q_window_rank", qWindowRank, Some(qWindowRankSql)),
     Qdef("q_rollup_revenue", qRollup, Some(qRollupSql)))
 }
