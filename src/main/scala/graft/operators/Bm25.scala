@@ -34,7 +34,8 @@ object Bm25 {
     */
   def score(
       docs: DataFrame, idCol: String, textCol: String,
-      queryTerms: Seq[String]): DataFrame = {
+      queryTerms: Seq[String],
+      termWeights: Map[String, Double] = Map.empty): DataFrame = {
     val toks = docs.select(col(idCol),
       explode(TextFns.bm25Tokens(col(textCol))).as("term"))
 
@@ -69,9 +70,29 @@ object Bm25 {
       .where(queryTerms.map(t => col(tfCol(t))).reduce(_ + _) > 0)
       .crossJoin(broadcast(stats))
       .withColumn("bm25",
-        queryTerms.map(t => idf(t) * tfNorm(t)).reduce(_ + _))
+        queryTerms.map(t =>
+          idf(t) * tfNorm(t) * lit(termWeights.getOrElse(t, 1.0)))
+          .reduce(_ + _))
       .select(col(idCol), col("bm25"))
   }
+
+  /** Synonym/abbreviation-expanded top-k: primary terms at full
+    * weight, expansion terms down-weighted — the reference's
+    * vocabulary expansion (build_search_query adds primary_terms +
+    * synonyms + abbreviations to the lexical query,
+    * reference: backend/app/core/precision_search.py:165). Single
+    * pass — expanded terms just widen the pivoted tf columns.
+    */
+  def topKExpanded(
+      docs: DataFrame, idCol: String, textCol: String,
+      primary: Seq[String], expansions: Seq[String], expansionWeight: Double,
+      k: Int): DataFrame =
+    score(docs, idCol, textCol, primary ++ expansions,
+      expansions.map(_ -> expansionWeight).toMap)
+      .withColumn("bm25", round(col("bm25"), 6))
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("bm25"))
 
   /** Top-k BM25 search (TakeOrderedAndProject — no full sort).
     * Ranks on the ROUNDED score (6dp) with id tiebreak so the row set

@@ -8,9 +8,10 @@ object SqlSnippets {
 
   /** BM25 scoring CTE chain (tok → dl → st → tf → df → sc); `sc`
     * exposes (doc_id, s) with the raw Okapi score (k1=1.5, b=0.75),
-    * matching graft.operators.Bm25.score.
+    * matching graft.operators.Bm25.score. `weightCase` optionally
+    * appends a per-term weight factor (synonym down-weighting).
     */
-  def bm25ScoreCtes(termList: String): String =
+  def bm25ScoreCtes(termList: String, weightCase: String = ""): String =
     s"""tok AS (SELECT doc_id,
        |         unnest(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
        |                t -> length(t) > 2)) AS term
@@ -24,7 +25,8 @@ object SqlSnippets {
        |sc AS (SELECT tf.doc_id,
        |         sum(ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
        |             * tf.tf * 2.5
-       |             / (tf.tf + 1.5 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl))) AS s
+       |             / (tf.tf + 1.5 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl))
+       |             $weightCase) AS s
        |       FROM tf JOIN df ON tf.term = df.term
        |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
        |       GROUP BY tf.doc_id)""".stripMargin

@@ -203,6 +203,45 @@ object TextQueries {
        |       ELSE 'streaming' END AS lens
        |FROM h ORDER BY doc_id""".stripMargin
 
+  /* ---------------- corpus_stats ---------------- */
+
+  /** Collection-level statistics — the reference's
+    * get_collection_stats analog (vector_store.py:461: total chunks,
+    * per-section counts, model/dim metadata). Sections map to
+    * `source`; one map-side-combinable groupBy plus a broadcast
+    * 1-row total.
+    */
+  private def corpusStats(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val totals = docs.agg(
+      count(lit(1)).as("total_docs"),
+      sum(col("n_chars")).as("total_chars"))
+    docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        sum(col("n_chars")).as("chars"),
+        round(avg(col("n_chars")) + lit(1e-9), 4).as("avg_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+      .crossJoin(broadcast(totals))
+      .withColumn("doc_share",
+        round(col("docs").cast("double") / col("total_docs"), 6))
+      .select(col("source"), col("docs"), col("chars"), col("avg_chars"),
+        col("n_langs"), col("total_docs"), col("total_chars"), col("doc_share"))
+      .orderBy(col("source"))
+  }
+
+  private val corpusStatsSql =
+    """WITH t AS (SELECT count(*)::BIGINT AS total_docs,
+      |    sum(n_chars)::BIGINT AS total_chars FROM documents),
+      |g AS (SELECT source, count(*)::BIGINT AS docs,
+      |    sum(n_chars)::BIGINT AS chars,
+      |    round(avg(n_chars) + 0.000000001, 4) AS avg_chars,
+      |    count(DISTINCT lang)::BIGINT AS n_langs
+      |  FROM documents GROUP BY source)
+      |SELECT source, docs, chars, avg_chars, n_langs,
+      |  t.total_docs, t.total_chars,
+      |  round(docs::DOUBLE / t.total_docs, 6) AS doc_share
+      |FROM g CROSS JOIN t ORDER BY source""".stripMargin
+
   /* ---------------- txt_token_count ---------------- */
 
   /** LLM-token estimation: whitespace tokens plus a BPE-ish estimate —
@@ -342,6 +381,7 @@ object TextQueries {
     Qdef("chunk_fixed", chunkFixed, Some(chunkFixedSql)),
     Qdef("lens_classify", lensClassify, Some(lensClassifySql)),
     Qdef("txt_token_count", txtTokenCount, Some(txtTokenCountSql)),
+    Qdef("corpus_stats", corpusStats, Some(corpusStatsSql)),
     Qdef("trend_gaps", trendGaps, Some(trendGapsSql)),
     Qdef("topic_trends", topicTrends, Some(topicTrendsSql)))
 }

@@ -233,6 +233,29 @@ object VectorQueries {
        |SELECT doc_id, round(s, 6) AS bm25 FROM sc
        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
 
+  /* ---------------- bm25_synonyms ---------------- */
+
+  /** Vocabulary-expanded lexical search: primary query terms at full
+    * weight plus synonym/abbreviation expansions at 0.5 ("quick" is
+    * deliberately absent from the corpus — the missing-expansion path
+    * must contribute nothing, like an unknown abbreviation).
+    */
+  val SynTerms: Seq[String] = Seq("merge", "scan", "quick")
+  private val SynWeight = 0.5
+
+  private def bm25Synonyms(s: SparkSession, d: String): DataFrame =
+    Bm25.topKExpanded(Tables.documents(s, d), "doc_id", "text",
+      QueryTerms, SynTerms, SynWeight, 20)
+
+  private val bm25SynonymsSql = {
+    val allTerms = (QueryTerms ++ SynTerms).map(t => s"'$t'").mkString(", ")
+    val wCase = SynTerms.map(t => s"WHEN '$t' THEN $SynWeight")
+      .mkString("* (CASE tf.term ", " ", " ELSE 1.0 END)")
+    s"""WITH ${SqlSnippets.bm25ScoreCtes(allTerms, wCase)}
+       |SELECT doc_id, round(s, 6) AS bm25 FROM sc
+       |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   /* ---------------- hybrid_rrf ---------------- */
 
   private def hybridRrf(s: SparkSession, d: String): DataFrame = {
@@ -389,6 +412,7 @@ object VectorQueries {
     Qdef("vs_ann_ivf", annIvf, Some(annIvfSql)),
     Qdef("vs_ann_ivf_srp", annIvfSrp, Some(annIvfSrpSql)),
     Qdef("bm25_search", bm25Search, Some(bm25Sql)),
+    Qdef("bm25_synonyms", bm25Synonyms, Some(bm25SynonymsSql)),
     Qdef("hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
     Qdef("rerank_rule", rerankRule, Some(rerankRuleSql)),
     Qdef("precision_search", precisionSearch, Some(precisionSearchSql)),
