@@ -171,32 +171,35 @@ object Dedup {
   }
 
   /** Prefix-filtered n-gram Jaccard (PPJoin-style, lossless): under a
-    * GLOBAL total order of shingles (md5 — spreads hot shingles
-    * uniformly), any pair with J(A,B) >= t must share a shingle in
-    * each side's first n - ceil(t·n) + 1 shingles, so only the PREFIX
-    * postings enter the self-join — at t = 0.6 that indexes ~40% of
-    * postings and shrinks candidate pairs quadratically. Candidates
-    * are then verified with EXACT Jaccard over the full shingle sets
-    * (unlike `ngramJaccard`, whose df-capped counts are approximate
-    * in the presence of hot shingles).
-    *
-    * Cost crossover: the prefix rank pass and full-set verify are
-    * LINEAR overheads, the candidate-pair saving is QUADRATIC — at
-    * bench scale (5k docs) the naive join is still cheaper; the
-    * prefix variant is the one that survives a 100× corpus.
+    * GLOBAL total order of shingles by ASCENDING document frequency
+    * (rarest first — the canonical PPJoin ordering, so hot shingles
+    * land in suffixes and never generate candidates), any pair with
+    * J(A,B) >= t must share a shingle in each side's first
+    * n - ceil(t·n) + 1 shingles, so only those PREFIX postings enter
+    * the self-join. Candidates are then verified with EXACT Jaccard
+    * over the full shingle sets (unlike `ngramJaccard`, whose
+    * df-capped counts are approximate in the presence of hot
+    * shingles).
     */
   def ngramJaccardPrefix(
       docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int, minJaccard: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sh = shingles(docs, idCol, textCol, shingleN).cache()
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("nsh"))
-    val w = Window.partitionBy(col(idCol)).orderBy(md5(col("sh")))
-    val prefix = sh
-      .withColumn("rk", row_number().over(w))
-      .join(sizes, Seq(idCol))
-      .where(col("rk") <=
-        col("nsh") - ceil(lit(minJaccard) * col("nsh")) + 1)
+    val dfs = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    // (df, shingle) is the global sort key; per-doc threshold = the
+    // p-th smallest key, computed as a hash AGGREGATE (collect_list
+    // sorts ~doc-length structs in memory) rather than a row_number
+    // window over whole shuffle partitions
+    val keyed = sh.join(dfs, Seq("sh"))
+      .select(col(idCol), col("sh"), struct(col("df"), col("sh")).as("k"))
+    val thr = keyed.groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("k"))).as("ks"))
+      .select(col(idCol), element_at(col("ks"),
+        (size(col("ks")) -
+          ceil(lit(minJaccard) * size(col("ks"))) + 1).cast("int"))
+        .as("thr"))
+    val prefix = keyed.join(thr, Seq(idCol))
+      .where(col("k") <= col("thr"))
       .select(col(idCol), col("sh"))
     val a = prefix.select(col(idCol).as("da"), col("sh"))
     val b = prefix.select(col(idCol).as("db"), col("sh"))

@@ -125,10 +125,13 @@ object DedupQueries {
   private val dedupNgramPrefixSql =
     s"""WITH ${shingleCtes(3)},
        |sizes AS (SELECT doc_id, count(*) AS nsh FROM shs GROUP BY doc_id),
+       |dfs AS (SELECT shg, count(*) AS df FROM shs GROUP BY shg),
        |rk AS (SELECT shs.doc_id, shs.shg,
-       |    row_number() OVER (PARTITION BY shs.doc_id ORDER BY md5(shs.shg)) AS rk,
+       |    row_number() OVER (PARTITION BY shs.doc_id
+       |                       ORDER BY dfs.df, shs.shg) AS rk,
        |    sizes.nsh
-       |  FROM shs JOIN sizes ON shs.doc_id = sizes.doc_id),
+       |  FROM shs JOIN sizes ON shs.doc_id = sizes.doc_id
+       |  JOIN dfs ON shs.shg = dfs.shg),
        |pr AS (SELECT doc_id, shg FROM rk
        |  WHERE rk <= nsh - ceil(0.6 * nsh) + 1),
        |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
