@@ -86,13 +86,19 @@ object Bm25 {
   def topKExpanded(
       docs: DataFrame, idCol: String, textCol: String,
       primary: Seq[String], expansions: Seq[String], expansionWeight: Double,
-      k: Int): DataFrame =
-    score(docs, idCol, textCol, primary ++ expansions,
-      expansions.map(_ -> expansionWeight).toMap)
+      k: Int): DataFrame = {
+    // synonym lists routinely repeat the primary term — dedupe with
+    // primary-weight precedence (duplicate terms would otherwise
+    // build ambiguous tf_<term> columns)
+    val prim = primary.distinct
+    val exp = expansions.distinct.filterNot(prim.contains)
+    score(docs, idCol, textCol, prim ++ exp,
+      exp.map(_ -> expansionWeight).toMap)
       .withColumn("bm25", round(col("bm25"), 6))
       .orderBy(col("bm25").desc, col(idCol))
       .limit(k)
       .select(col(idCol), col("bm25"))
+  }
 
   /** Top-k BM25 search (TakeOrderedAndProject — no full sort).
     * Ranks on the ROUNDED score (6dp) with id tiebreak so the row set

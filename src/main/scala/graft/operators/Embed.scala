@@ -40,8 +40,12 @@ object Embed {
       docs: DataFrame, idCol: String, textCol: String, dim: Int): DataFrame = {
     val toks = docs.select(col(idCol),
       explode(TextFns.bm25Tokens(col(textCol))).as("term"))
+    // tf feeds BOTH the df aggregate and the weighting join — cache
+    // so the token explode + groupBy(id, term) runs once (same
+    // dual-consumer treatment as Bm25.score's perDoc frame)
     val tf = toks.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"))
+      .cache()
     val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val dfT = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
     tf.join(dfT, Seq("term"))

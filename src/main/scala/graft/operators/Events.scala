@@ -70,15 +70,20 @@ object Events {
   def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     val withS = events.withColumn("s", tsSecs("ts"))
+    // each stage frame has TWO consumers (its own count + the next
+    // stage's join) — cache each so the events scan runs once per
+    // stage, not O(K²) times (one narrow row per user per stage)
     val stageFrames = stages.tail.scanLeft(
       withS.where(col("event_type") === stages.head)
-        .groupBy(col("user_id")).agg(min(col("s")).as("entry_s"))) {
+        .groupBy(col("user_id")).agg(min(col("s")).as("entry_s"))
+        .cache()) {
       (prev, stage) =>
         withS.where(col("event_type") === stage)
           .join(prev.select(col("user_id"), col("entry_s").as("prev_s")),
             Seq("user_id"))
           .where(col("s") > col("prev_s"))
           .groupBy(col("user_id")).agg(min(col("s")).as("entry_s"))
+          .cache()
     }
     val counts = stageFrames.zip(stages).zipWithIndex.map {
       case ((df, stage), i) =>
@@ -86,9 +91,12 @@ object Events {
           .select(lit(i.toLong).as("stage_idx"), lit(stage).as("stage"),
             col("users"))
     }.reduce(_ unionAll _)
+    // nullif guard: a zero-user stage makes the next rate 0/0, which
+    // ANSI mode raises as DIVIDE_BY_ZERO — emit NULL instead
     counts.withColumn("conv_from_prev",
       round(col("users").cast("double") /
-        lag(col("users"), 1).over(Window.orderBy(col("stage_idx"))), 6))
+        nullif(lag(col("users"), 1).over(Window.orderBy(col("stage_idx")))
+          .cast("double"), lit(0.0)), 6))
   }
 
   /** Top-k users by summed value over a filtered event type.

@@ -50,12 +50,8 @@ object DedupQueries {
       .orderBy(col("da"), col("db"))
 
   private val dedupMinhashSql = {
-    val hexDec = (1 to 8).map { k =>
-      val coef = math.pow(16, 8 - k).toLong
-      s"(strpos('0123456789abcdef', substr(%s, $k, 1)) - 1) * ${coef}"
-    }.mkString(" + ")
-    val m1 = hexDec.replace("%s", "md5(shg)")
-    val m2 = hexDec.replace("%s", "md5(shg || '#')")
+    val m1 = SqlSnippets.hexPrefixDecode("md5(shg)")
+    val m2 = SqlSnippets.hexPrefixDecode("md5(shg || '#')")
     val sigCols = (0 until NumHashes)
       .map(i => s"min((m1 + $i * m2) % ${Dedup.MinhashPrime}) AS h$i")
       .mkString(",\n    ")
@@ -156,13 +152,10 @@ object DedupQueries {
       .orderBy(col("da"), col("db"))
 
   private val dedupSimhashSql = {
-    // two independent 32-bit hashes from md5 hex chars 1-8 / 9-16,
-    // decoded without conv(); 64-bit simhash carried as two halves
-    // (assembling hi*2^32+lo could overflow BIGINT — DuckDB raises)
-    def hexDecode(off: Int) = (1 to 8).map { k =>
-      val coef = math.pow(16, 8 - k).toLong
-      s"(strpos('0123456789abcdef', substr(m, ${off + k}, 1)) - 1) * ${coef}"
-    }.mkString(" + ")
+    // two independent 32-bit hashes from md5 hex chars 1-8 / 9-16;
+    // 64-bit simhash carried as two halves (assembling hi*2^32+lo
+    // could overflow BIGINT — DuckDB raises)
+    def hexDecode(off: Int) = SqlSnippets.hexPrefixDecode("m", off)
     def bitSums(h: String, p: String) = (0 until 32)
       .map(b => s"sum(CASE WHEN ($h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS $p$b")
       .mkString(",\n    ")

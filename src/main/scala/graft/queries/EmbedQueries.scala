@@ -24,11 +24,7 @@ object EmbedQueries {
         round(col("w"), 6).as("w"))
       .orderBy(col("doc_id"), col("pos"))
 
-  /** md5-prefix hex decode without conv() (DuckDB 1.0.0 lacks it). */
-  private val hexDec = (1 to 8).map { k =>
-    val coef = math.pow(16, 8 - k).toLong
-    s"(strpos('0123456789abcdef', substr(md5(tf.term), $k, 1)) - 1) * ${coef}"
-  }.mkString(" + ")
+  private val hexDec = SqlSnippets.hexPrefixDecode("md5(tf.term)")
 
   private val tfidfCtes =
     s"""tok AS (SELECT doc_id,
@@ -53,15 +49,23 @@ object EmbedQueries {
 
   /** Dense cosine top-10 over the GENERATED vectors (query = doc 0's
     * vector). Both engines score on the 6dp-ROUNDED bucket weights so
-    * the two sides share identical inputs.
+    * the two sides share identical inputs. Candidates are restricted
+    * to docs sharing >= 1 hashed bucket with the query — the oracle's
+    * sparse formulation joins on shared buckets, so a zero-overlap
+    * doc (cos exactly 0.0) would exist on the Spark side only and
+    * hash-mismatch on data-dependent boundaries.
     */
   private def embTfidfTopk(s: SparkSession, d: String): DataFrame = {
     val lf = Embed.hashedTfIdfLong(Tables.documents(s, d), "doc_id", "text", Dim)
       .withColumn("w", round(col("w"), 6))
     val vecs = Embed.assemble(lf, "doc_id", Dim)
+    val qPos = lf.where(col("doc_id") === 0).select(col("pos"))
+    val overlapping = lf.where(col("doc_id") =!= 0)
+      .join(broadcast(qPos), Seq("pos"))
+      .select(col("doc_id")).distinct()
     val q = vecs.where(col("doc_id") === 0).select(col("tfidf").as("qe"))
     VectorSearch.denseTopK(
-      vecs.where(col("doc_id") =!= 0), q, "doc_id", "tfidf", "qe", 10)
+      vecs.join(overlapping, Seq("doc_id")), q, "doc_id", "tfidf", "qe", 10)
   }
 
   private val embTfidfTopkSql =

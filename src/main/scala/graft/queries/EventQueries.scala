@@ -97,7 +97,8 @@ object EventQueries {
        |c AS (
        |  $unions)
        |SELECT stage_idx, stage, users,
-       |  round(users::DOUBLE / lag(users) OVER (ORDER BY stage_idx), 6)
+       |  round(users::DOUBLE /
+       |        nullif(lag(users) OVER (ORDER BY stage_idx), 0), 6)
        |    AS conv_from_prev
        |FROM c ORDER BY stage_idx""".stripMargin
   }

@@ -6,6 +6,18 @@ package graft.queries
   */
 object SqlSnippets {
 
+  /** 32-bit decode of md5 hex chars [off+1, off+8] of `mExpr`,
+    * without conv() (absent in DuckDB 1.0.0) — the oracle twin of
+    * TextFns.hexHash32 (off = 0) / hexHash32Hi (off = 8). ONE shared
+    * definition: every query family that hashes must decode
+    * identically or cross-engine hashes drift.
+    */
+  def hexPrefixDecode(mExpr: String, off: Int = 0): String =
+    (1 to 8).map { k =>
+      val coef = math.pow(16, 8 - k).toLong
+      s"(strpos('0123456789abcdef', substr($mExpr, ${off + k}, 1)) - 1) * ${coef}"
+    }.mkString(" + ")
+
   /** BM25 scoring CTE chain (tok → dl → st → tf → df → sc); `sc`
     * exposes (doc_id, s) with the raw Okapi score (k1=1.5, b=0.75),
     * matching graft.operators.Bm25.score. `weightCase` optionally

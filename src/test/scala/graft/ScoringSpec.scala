@@ -89,6 +89,37 @@ class ScoringSpec extends SparkSpec {
     assert(out("purchase") == (0L, Some(0.0)))
   }
 
+  test("funnel: a zero-user middle stage yields NULL rate, not DIVIDE_BY_ZERO") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    val events = Seq(
+      (1L, new java.sql.Timestamp(base), "view", 1.0),
+      (2L, new java.sql.Timestamp(base + 1000), "view", 1.0)
+      // nobody clicks OR purchases: click=0 then purchase computes 0/0
+    ).toDF("user_id", "tsx", "event_type", "value")
+      .withColumn("ts", (col("tsx").cast("double") * 1e9).cast("long"))
+      .drop("tsx")
+    val out = Events.funnel(events, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getString(1) ->
+        (r.getLong(2), Option(r.get(3)))).toMap
+    assert(out("view") == (2L, None))
+    assert(out("click") == (0L, Some(0.0)))
+    assert(out("purchase")._1 == 0L && out("purchase")._2.isEmpty) // 0/0 -> NULL
+  }
+
+  test("expanded bm25: an expansion duplicating a primary term keeps full weight") {
+    val docs = Seq(
+      (1L, "spark spark filter data"), (2L, "spark data table row")
+    ).toDF("doc_id", "text")
+    val plain = Bm25.topK(docs, "doc_id", "text", Seq("spark", "filter"), 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // "filter" appears as both primary and expansion — must not build
+    // ambiguous tf columns, and primary weight wins
+    val dup = Bm25.topKExpanded(docs, "doc_id", "text",
+      Seq("spark", "filter"), Seq("filter"), 0.5, 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(dup == plain)
+  }
+
   test("expanded bm25: absent expansion terms contribute nothing") {
     val docs = Seq(
       (1L, "spark spark filter data"), (2L, "spark data table row")
