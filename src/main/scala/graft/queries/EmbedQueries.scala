@@ -56,8 +56,11 @@ object EmbedQueries {
     * hash-mismatch on data-dependent boundaries.
     */
   private def embTfidfTopk(s: SparkSession, d: String): DataFrame = {
+    // lf feeds three consumers (vectors, query buckets, overlap
+    // semi-join) — cache the narrow long form once
     val lf = Embed.hashedTfIdfLong(Tables.documents(s, d), "doc_id", "text", Dim)
       .withColumn("w", round(col("w"), 6))
+      .cache()
     val vecs = Embed.assemble(lf, "doc_id", Dim)
     val qPos = lf.where(col("doc_id") === 0).select(col("pos"))
     val overlapping = lf.where(col("doc_id") =!= 0)
