@@ -38,6 +38,28 @@ object Chunker {
       .withColumn("chunk_len", length(col("chunk_text")))
   }
 
+  /** Junk-chunk filter — the reference drops chunks that are too
+    * short, mostly non-alphabetic, or dominated by boilerplate
+    * keywords before indexing (reference:
+    * backend/app/core/text_splitter.py:147 _is_junk_content — junk
+    * patterns over 30% of content, contribution-keyword density,
+    * excluded sections). Narrow codegen'd predicates, no shuffle.
+    */
+  def filterJunk(
+      chunks: DataFrame, textCol: String,
+      minChars: Int, minAlphaRatio: Double,
+      junkKeywords: Seq[String], maxJunkHits: Int): DataFrame = {
+    val trimmed = trim(col(textCol))
+    val junkHits = junkKeywords
+      .map(k => when(trimmed.contains(k), 1).otherwise(0))
+      .reduceOption(_ + _).getOrElse(lit(0))
+    chunks
+      .where(length(trimmed) >= minChars)
+      .where(length(regexp_replace(trimmed, "[^a-zA-Z]", "")) >=
+        lit(minAlphaRatio) * length(trimmed))
+      .where(junkHits <= maxJunkHits)
+  }
+
   /** Separator-aware recursive splitter (pure function).
     * Tries separators in order; greedily packs pieces into chunks of
     * at most `chunkSize` chars, with `overlap` chars carried between

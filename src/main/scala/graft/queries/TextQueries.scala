@@ -173,6 +173,45 @@ object TextQueries {
       |  length(substr(text, start + 1, 200))::BIGINT AS chunk_len
       |FROM st ORDER BY doc_id, chunk_index""".stripMargin
 
+  /* ---------------- chunk_filtered ---------------- */
+
+  private val JunkKw = Seq("error", "null")
+
+  /** Chunk + junk filter (BioPaperSplitter post-filter analog):
+    * chunks shorter than 100 trimmed chars, mostly non-alphabetic,
+    * or hitting > 1 boilerplate keyword are dropped before indexing.
+    */
+  private def chunkFiltered(s: SparkSession, d: String): DataFrame =
+    Chunker.filterJunk(
+      Chunker.fixedChunks(Tables.documents(s, d), "doc_id", "text", 200, 50),
+      "chunk_text", minChars = 100, minAlphaRatio = 0.5,
+      junkKeywords = JunkKw, maxJunkHits = 1)
+      .select(col("doc_id"),
+        col("chunk_index").cast("long").as("chunk_index"),
+        col("chunk_text"),
+        col("chunk_len").cast("long").as("chunk_len"))
+      .orderBy(col("doc_id"), col("chunk_index"))
+
+  private val chunkFilteredSql = {
+    val junkHits = JunkKw
+      .map(k => s"(CASE WHEN strpos(tr, '$k') > 0 THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH s AS (SELECT doc_id, text, length(text) AS n FROM documents
+       |           WHERE length(text) > 0),
+       |st AS (SELECT doc_id, text, unnest(generate_series(0, n - 1, 150)) AS start FROM s),
+       |ch AS (SELECT doc_id, (start // 150)::BIGINT AS chunk_index,
+       |    substr(text, start + 1, 200) AS chunk_text,
+       |    trim(substr(text, start + 1, 200)) AS tr
+       |  FROM st)
+       |SELECT doc_id, chunk_index, chunk_text,
+       |  length(chunk_text)::BIGINT AS chunk_len
+       |FROM ch
+       |WHERE length(tr) >= 100
+       |  AND length(regexp_replace(tr, '[^a-zA-Z]', '', 'g')) >= 0.5 * length(tr)
+       |  AND ($junkHits) <= 1
+       |ORDER BY doc_id, chunk_index""".stripMargin
+  }
+
   /* ---------------- lens_classify ---------------- */
 
   private def lensClassify(s: SparkSession, d: String): DataFrame = {
@@ -379,6 +418,7 @@ object TextQueries {
     Qdef("txt_entities", txtEntities, Some(txtEntitiesSql)),
     Qdef("txt_fingerprint", txtFingerprint, Some(txtFingerprintSql)),
     Qdef("chunk_fixed", chunkFixed, Some(chunkFixedSql)),
+    Qdef("chunk_filtered", chunkFiltered, Some(chunkFilteredSql)),
     Qdef("lens_classify", lensClassify, Some(lensClassifySql)),
     Qdef("txt_token_count", txtTokenCount, Some(txtTokenCountSql)),
     Qdef("corpus_stats", corpusStats, Some(corpusStatsSql)),
