@@ -34,8 +34,12 @@ object Bm25 {
     */
   def score(
       docs: DataFrame, idCol: String, textCol: String,
-      queryTerms: Seq[String],
+      rawQueryTerms: Seq[String],
       termWeights: Map[String, Double] = Map.empty): DataFrame = {
+    // dedupe HERE, where the pivoted tf_<term> columns are built — a
+    // repeated term would create ambiguous column references for
+    // every caller, not just the expansion path
+    val queryTerms = rawQueryTerms.distinct
     val toks = docs.select(col(idCol),
       explode(TextFns.bm25Tokens(col(textCol))).as("term"))
 

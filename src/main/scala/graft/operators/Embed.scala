@@ -23,6 +23,10 @@ import graft.functions.TextFns
   *  - output is LONG FORM (id, pos, w): map-side combinable and never
   *    materialises wide arrays in a shuffle; `assemble` densifies at
   *    the end, after the last exchange.
+  *
+  * Cache lifecycle: the tf frame is cached (two consumers in this
+  * plan); like Dedup, the caller owns the session-level lifecycle —
+  * Bench/Verify run spark.catalog.clearCache() between queries.
   */
 object Embed {
 

@@ -70,21 +70,23 @@ object Events {
   def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     val withS = events.withColumn("s", tsSecs("ts"))
-    // each stage frame has TWO consumers (its own count + the next
-    // stage's join) — cache each so the events scan runs once per
-    // stage, not O(K²) times (one narrow row per user per stage)
+    // every NON-FINAL stage frame has two consumers (its own count +
+    // the next stage's join) — cache those so the events scan runs
+    // once per stage, not O(K²) times (one narrow row per user per
+    // stage; the final frame has a single consumer and stays lazy).
+    // Cache lifecycle: caller-owned, like Dedup — Bench/Verify run
+    // spark.catalog.clearCache() between queries.
     val stageFrames = stages.tail.scanLeft(
       withS.where(col("event_type") === stages.head)
-        .groupBy(col("user_id")).agg(min(col("s")).as("entry_s"))
-        .cache()) {
+        .groupBy(col("user_id")).agg(min(col("s")).as("entry_s"))) {
       (prev, stage) =>
         withS.where(col("event_type") === stage)
           .join(prev.select(col("user_id"), col("entry_s").as("prev_s")),
             Seq("user_id"))
           .where(col("s") > col("prev_s"))
           .groupBy(col("user_id")).agg(min(col("s")).as("entry_s"))
-          .cache()
     }
+    stageFrames.init.foreach(_.cache())
     val counts = stageFrames.zip(stages).zipWithIndex.map {
       case ((df, stage), i) =>
         df.agg(count(lit(1)).as("users"))

@@ -18,6 +18,21 @@ object SqlSnippets {
       s"(strpos('0123456789abcdef', substr($mExpr, ${off + k}, 1)) - 1) * ${coef}"
     }.mkString(" + ")
 
+  /** Fixed-size overlapping chunking CTEs (s → st → ch); `ch` exposes
+    * (doc_id, chunk_index, chunk_text) — the oracle twin of
+    * graft.operators.Chunker.fixedChunks(size, overlap) with
+    * stride = size - overlap. ONE shared definition so chunk_fixed
+    * and every downstream filtered/derived chunk query stay in
+    * lockstep.
+    */
+  def chunkCtes(size: Int, stride: Int): String =
+    s"""s AS (SELECT doc_id, text, length(text) AS n FROM documents
+       |           WHERE length(text) > 0),
+       |st AS (SELECT doc_id, text, unnest(generate_series(0, n - 1, $stride)) AS start FROM s),
+       |ch AS (SELECT doc_id, (start // $stride)::BIGINT AS chunk_index,
+       |    substr(text, start + 1, $size) AS chunk_text
+       |  FROM st)""".stripMargin
+
   /** BM25 scoring CTE chain (tok → dl → st → tf → df → sc); `sc`
     * exposes (doc_id, s) with the raw Okapi score (k1=1.5, b=0.75),
     * matching graft.operators.Bm25.score. `weightCase` optionally

@@ -165,13 +165,10 @@ object TextQueries {
       .orderBy(col("doc_id"), col("chunk_index"))
 
   private val chunkFixedSql =
-    """WITH s AS (SELECT doc_id, text, length(text) AS n FROM documents
-      |           WHERE length(text) > 0),
-      |st AS (SELECT doc_id, text, unnest(generate_series(0, n - 1, 150)) AS start FROM s)
-      |SELECT doc_id, (start // 150)::BIGINT AS chunk_index,
-      |  substr(text, start + 1, 200) AS chunk_text,
-      |  length(substr(text, start + 1, 200))::BIGINT AS chunk_len
-      |FROM st ORDER BY doc_id, chunk_index""".stripMargin
+    s"""WITH ${SqlSnippets.chunkCtes(200, 150)}
+       |SELECT doc_id, chunk_index, chunk_text,
+       |  length(chunk_text)::BIGINT AS chunk_len
+       |FROM ch ORDER BY doc_id, chunk_index""".stripMargin
 
   /* ---------------- chunk_filtered ---------------- */
 
@@ -196,16 +193,12 @@ object TextQueries {
     val junkHits = JunkKw
       .map(k => s"(CASE WHEN strpos(tr, '$k') > 0 THEN 1 ELSE 0 END)")
       .mkString(" + ")
-    s"""WITH s AS (SELECT doc_id, text, length(text) AS n FROM documents
-       |           WHERE length(text) > 0),
-       |st AS (SELECT doc_id, text, unnest(generate_series(0, n - 1, 150)) AS start FROM s),
-       |ch AS (SELECT doc_id, (start // 150)::BIGINT AS chunk_index,
-       |    substr(text, start + 1, 200) AS chunk_text,
-       |    trim(substr(text, start + 1, 200)) AS tr
-       |  FROM st)
+    s"""WITH ${SqlSnippets.chunkCtes(200, 150)},
+       |cf AS (SELECT doc_id, chunk_index, chunk_text,
+       |    trim(chunk_text) AS tr FROM ch)
        |SELECT doc_id, chunk_index, chunk_text,
        |  length(chunk_text)::BIGINT AS chunk_len
-       |FROM ch
+       |FROM cf
        |WHERE length(tr) >= 100
        |  AND length(regexp_replace(tr, '[^a-zA-Z]', '', 'g')) >= 0.5 * length(tr)
        |  AND ($junkHits) <= 1

@@ -248,8 +248,11 @@ object VectorQueries {
       QueryTerms, SynTerms, SynWeight, 20)
 
   private val bm25SynonymsSql = {
-    val allTerms = (QueryTerms ++ SynTerms).map(t => s"'$t'").mkString(", ")
-    val wCase = SynTerms.map(t => s"WHEN '$t' THEN $SynWeight")
+    // mirror topKExpanded's dedupe EXACTLY: an expansion that repeats
+    // a primary term keeps full weight on both engines
+    val effSyn = SynTerms.distinct.filterNot(QueryTerms.contains)
+    val allTerms = (QueryTerms.distinct ++ effSyn).map(t => s"'$t'").mkString(", ")
+    val wCase = effSyn.map(t => s"WHEN '$t' THEN $SynWeight")
       .mkString("* (CASE tf.term ", " ", " ELSE 1.0 END)")
     s"""WITH ${SqlSnippets.bm25ScoreCtes(allTerms, wCase)}
        |SELECT doc_id, round(s, 6) AS bm25 FROM sc
