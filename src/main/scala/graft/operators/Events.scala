@@ -58,6 +58,36 @@ object Events {
         (max(col("s")) - min(col("s"))).as("duration_secs"))
   }
 
+  /** Backward as-of join per user: for each `rightType` event, the
+    * most recent `leftType` event time at or before it (inclusive) —
+    * the classic event-enrichment operator Spark has no builtin for.
+    * Implemented as ONE union + ONE window over (user_id, time): each
+    * event shuffles exactly once, whereas the naive inequality join
+    * emits |L_u|·|R_u| pairs per user before aggregating. Left rows
+    * sort before right rows at equal timestamps (tag ordering), so
+    * equality matches like an inclusive ASOF JOIN.
+    * Output: (event_id, user_id, right_s, left_s, lag_secs) for right
+    * events that have a preceding left event.
+    */
+  def asofJoin(
+      events: DataFrame, leftType: String, rightType: String): DataFrame = {
+    val withS = events.withColumn("s", tsSecs("ts"))
+    val tagged = withS.where(col("event_type") === leftType)
+      .select(col("user_id"), col("s"), lit(0).as("tag"),
+        lit(null).cast("long").as("event_id"))
+      .unionAll(withS.where(col("event_type") === rightType)
+        .select(col("user_id"), col("s"), lit(1).as("tag"), col("event_id")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("s"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("left_s",
+        last(when(col("tag") === 0, col("s")), ignoreNulls = true).over(w))
+      .where(col("tag") === 1 && col("left_s").isNotNull)
+      .select(col("event_id"), col("user_id"), col("s").as("right_s"),
+        col("left_s"), (col("s") - col("left_s")).as("lag_secs"))
+  }
+
   /** Ordered-stage conversion funnel with first-touch semantics: a
     * user reaches stage i when they have a stage-i event STRICTLY
     * after their stage-(i-1) entry time. Every per-stage frame is one

@@ -103,6 +103,29 @@ object EventQueries {
        |FROM c ORDER BY stage_idx""".stripMargin
   }
 
+  /* ---------------- ev_asof_view ---------------- */
+
+  /** Purchases enriched with the most recent prior view per user —
+    * oracle uses DuckDB's native ASOF JOIN; the Spark side is the
+    * union+window form (see Events.asofJoin).
+    */
+  private def evAsofView(s: SparkSession, d: String): DataFrame =
+    Events.asofJoin(Tables.events(s, d), "view", "purchase")
+      .select(col("event_id"), col("user_id"),
+        col("right_s").as("purchase_s"), col("left_s").as("view_s"),
+        col("lag_secs"))
+      .orderBy(col("event_id"))
+
+  private val evAsofViewSql =
+    s"""WITH e AS (SELECT event_id, user_id, event_type, $EpochSecs AS s
+       |  FROM events),
+       |v AS (SELECT user_id, s FROM e WHERE event_type = 'view'),
+       |p AS (SELECT event_id, user_id, s FROM e WHERE event_type = 'purchase')
+       |SELECT p.event_id, p.user_id, p.s AS purchase_s, v.s AS view_s,
+       |  (p.s - v.s)::BIGINT AS lag_secs
+       |FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.s >= v.s
+       |ORDER BY p.event_id""".stripMargin
+
   /* ---------------- trend_daily ---------------- */
 
   private def trendDaily(s: SparkSession, d: String): DataFrame =
@@ -150,6 +173,7 @@ object EventQueries {
     Qdef("ev_sessionize", evSessionize, Some(evSessionizeSql)),
     Qdef("ev_user_topk", evUserTopK, Some(evUserTopKSql)),
     Qdef("ev_funnel", evFunnel, Some(evFunnelSql)),
+    Qdef("ev_asof_view", evAsofView, Some(evAsofViewSql)),
     Qdef("trend_daily", trendDaily, Some(trendDailySql)),
     Qdef("trend_growth", trendGrowth, Some(trendGrowthSql)))
 }

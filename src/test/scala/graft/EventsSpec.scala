@@ -34,4 +34,22 @@ class EventsSpec extends SparkSpec {
     assert(out("A") == "rising")
     assert(out("B") == "declining")
   }
+
+  test("asofJoin picks the latest prior left event, inclusive on ties") {
+    val rows = Seq(
+      // user 1: views at 10, 20; purchases at 15, 20, 5
+      (100L, 1L, ns(10), "view", 0.0),
+      (101L, 1L, ns(20), "view", 0.0),
+      (102L, 1L, ns(15), "purchase", 1.0),
+      (103L, 1L, ns(20), "purchase", 1.0),  // ties with view@20 -> inclusive
+      (104L, 1L, ns(5), "purchase", 1.0),   // before any view -> excluded
+      // user 2: purchase with no views at all -> excluded
+      (200L, 2L, ns(50), "purchase", 1.0)
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val out = Events.asofJoin(rows, "view", "purchase")
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(out.keySet == Set(102L, 103L))
+    assert(out(102L) == (10L, 5L))  // view@10 is the latest <= 15
+    assert(out(103L) == (20L, 0L))  // equal timestamp matches inclusively
+  }
 }
