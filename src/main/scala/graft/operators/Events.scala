@@ -88,6 +88,29 @@ object Events {
         col("left_s"), (col("s") - col("left_s")).as("lag_secs"))
   }
 
+  /** Event-time range join: for each `atType` event, the number of
+    * `countType` events by the same user in the trailing `rangeSecs`
+    * window (inclusive). Expressed as ONE RANGE-frame window over the
+    * combined per-user timeline — the scale-correct form of an
+    * interval join (a t BETWEEN inequality join would re-emit every
+    * in-range pair; the window scans each event once per user).
+    */
+  def rangeCount(
+      events: DataFrame, countType: String, atType: String,
+      rangeSecs: Long): DataFrame = {
+    val withS = events
+      .where(col("event_type").isin(countType, atType))
+      .withColumn("s", tsSecs("ts"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("s"))
+      .rangeBetween(-rangeSecs, Window.currentRow)
+    withS
+      .withColumn("n_in_range",
+        sum(when(col("event_type") === countType, 1).otherwise(0)).over(w))
+      .where(col("event_type") === atType)
+      .select(col("event_id"), col("user_id"), col("s"),
+        col("n_in_range").cast("long").as("n_in_range"))
+  }
+
   /** Ordered-stage conversion funnel with first-touch semantics: a
     * user reaches stage i when they have a stage-i event STRICTLY
     * after their stage-(i-1) entry time. Every per-stage frame is one

@@ -126,6 +126,25 @@ object EventQueries {
        |FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.s >= v.s
        |ORDER BY p.event_id""".stripMargin
 
+  /* ---------------- ev_range_clicks ---------------- */
+
+  /** Clicks in the hour before each purchase (event-time range join
+    * via a RANGE window frame — identical formulation both engines).
+    */
+  private def evRangeClicks(s: SparkSession, d: String): DataFrame =
+    Events.rangeCount(Tables.events(s, d), "click", "purchase", 3600L)
+      .orderBy(col("event_id"))
+
+  private val evRangeClicksSql =
+    s"""WITH e AS (SELECT event_id, user_id, event_type, $EpochSecs AS s
+       |  FROM events WHERE event_type IN ('click', 'purchase'))
+       |SELECT event_id, user_id, s,
+       |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER (
+       |    PARTITION BY user_id ORDER BY s
+       |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)::BIGINT AS n_in_range
+       |FROM e QUALIFY event_type = 'purchase'
+       |ORDER BY event_id""".stripMargin
+
   /* ---------------- trend_daily ---------------- */
 
   private def trendDaily(s: SparkSession, d: String): DataFrame =
@@ -174,6 +193,7 @@ object EventQueries {
     Qdef("ev_user_topk", evUserTopK, Some(evUserTopKSql)),
     Qdef("ev_funnel", evFunnel, Some(evFunnelSql)),
     Qdef("ev_asof_view", evAsofView, Some(evAsofViewSql)),
+    Qdef("ev_range_clicks", evRangeClicks, Some(evRangeClicksSql)),
     Qdef("trend_daily", trendDaily, Some(trendDailySql)),
     Qdef("trend_growth", trendGrowth, Some(trendGrowthSql)))
 }
