@@ -11,14 +11,16 @@ object Bench {
     // steady state rather than first-job startup
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    // min of `Runs` timed executions per query (disclosed in the JSON):
-    // single-shot numbers on a shared host mix real cost with co-tenant
-    // noise and one-time codegen/JIT of each fresh plan; min-of-N is the
-    // standard way to report the reproducible cost. Cache is cleared
-    // between runs so every run recomputes from parquet.
+    // min of `Runs` timed executions per query (disclosed in the JSON,
+    // along with EVERY run's raw time so regressions can be separated
+    // from noise without a re-run): single-shot numbers on a shared
+    // host mix real cost with co-tenant noise and one-time codegen/JIT
+    // of each fresh plan; min-of-N is the standard way to report the
+    // reproducible cost. Cache is cleared between runs so every run
+    // recomputes from parquet.
     val Runs = 2
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to Runs).map { _ =>
+      val runs = (1 to Runs).map { _ =>
         val t0 = System.nanoTime()
         // checksum-aggregate EVERY output column (engine-local hash is
         // fine for a bench): a bare count() would let the optimizer
@@ -26,26 +28,45 @@ object Bench {
         // bench little more than the parquet scan. The hash sums in
         // decimal(38,0) — summing raw longs overflows and ANSI mode
         // (Spark 4 default) turns that into a query-killing error.
-        try {
+        val ok = try {
           val df = fn(spark, sfDir)
           df.agg(sum(xxhash64(df.columns.map(col): _*).cast("decimal(38,0)")))
             .collect()
+          true
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          false
         }
         val dt = (System.nanoTime() - t0) / 1e9
         // operators may cache() intermediates reused within their own
         // plan (e.g. dedup shingles); drop them between runs so every
-        // run starts cold and sessions never accumulate stale blocks
+        // run starts cold and sessions never accumulate stale blocks.
+        // The explicit GC matters in a 49-query session: Spark's
+        // ContextCleaner reclaims finished broadcasts/shuffles only
+        // when their weak references are collected, and without a
+        // nudge the accumulated state from earlier queries inflates
+        // later queries' times (observed 3-6x on mid-suite queries).
         spark.catalog.clearCache()
-        dt
+        System.gc()
+        (dt, ok)
       }
-      name -> times.min
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$Runs,"agg":"min"}""")
+      name -> runs
+    }
+    // a query that threw reports null (not its near-zero wall time) so
+    // a broken query can never masquerade as a fast one
+    def fmt(d: Double) = f"$d%.6f"
+    val qs = results.map { case (name, runs) =>
+      val t = if (runs.forall(_._2)) fmt(runs.map(_._1).min) else "null"
+      s"\"$name\":$t"
+    }.mkString("{", ",", "}")
+    val allRuns = results.map { case (name, runs) =>
+      s"\"$name\":[${runs.map(r => if (r._2) fmt(r._1) else "null").mkString(",")}]"
+    }.mkString("{", ",", "}")
+    val failed = results.collect {
+      case (name, runs) if runs.exists(!_._2) => s"\"$name\"" }
+    val total = results.flatMap { case (_, runs) =>
+      if (runs.forall(_._2)) Some(runs.map(_._1).min) else None }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$Runs,"agg":"min","run_times":$allRuns,"failed":[${failed.mkString(",")}]}""")
     spark.stop()
   }
 }

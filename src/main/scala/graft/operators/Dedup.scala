@@ -100,7 +100,9 @@ object Dedup {
       .agg(count(lit(1)).as("bsz"))
       .where(col("bsz") <= maxBucket)
       .select(col("band"), col("bkey"))
-    val pruned = exploded.join(smallBuckets, Seq("band", "bkey"))
+    // both self-join sides read the pruned postings; cached so the
+    // bucket-count aggregation + prune join run once, not twice
+    val pruned = exploded.join(smallBuckets, Seq("band", "bkey")).cache()
     val a = pruned.select(col(idCol).as("da"), col("band"), col("bkey"))
     val b = pruned.select(col(idCol).as("db"), col("band"), col("bkey"))
     a.join(b, Seq("band", "bkey"))

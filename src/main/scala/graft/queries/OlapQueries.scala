@@ -55,7 +55,7 @@ object OlapQueries {
       .where(col("c_mktsegment") === "BUILDING")
       .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
       .where(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
-      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.lineitem(s, d).hint("merge"), col("o_orderkey") === col("l_orderkey"))
       .where(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
       .groupBy(col("o_orderkey"), col("o_orderdate"))
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
@@ -78,6 +78,14 @@ object OlapQueries {
       |ORDER BY revenue DESC, o_orderkey
       |LIMIT 10""".stripMargin
 
+  /** Fact-side join discipline (q3/q5/q10): the lineitem join carries
+    * an explicit `merge` hint. Left alone, Spark's size estimate for
+    * the 11 MB sf0.1 parquet falls under the 64 m broadcast threshold
+    * and it BROADCASTS THE FACT TABLE — a 600k-row hash relation built
+    * and shipped per run locally, and a plan shape that inverts the
+    * moment the fact side outgrows the threshold. Fact-to-fact joins
+    * shuffle on the join key at every scale; dims still broadcast.
+    */
   private def q5(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d)
       .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
@@ -86,7 +94,7 @@ object OlapQueries {
       .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
       .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
         col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
-      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.lineitem(s, d).hint("merge"), col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("n_name"))
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
         .as("revenue"))
@@ -115,7 +123,7 @@ object OlapQueries {
       .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
       .where(col("o_orderdate") >= lit("1994-10-01").cast("timestamp") &&
         col("o_orderdate") < lit("1995-10-01").cast("timestamp"))
-      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.lineitem(s, d).hint("merge"), col("o_orderkey") === col("l_orderkey"))
       .where(col("l_returnflag") === "R")
       .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("n_name"))

@@ -46,4 +46,52 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.linesIterator.exists(l =>
       l.contains("PushedFilters") && l.contains("l_shipdate")))
   }
+
+  import org.apache.spark.sql.execution.SparkPlan
+  import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+  import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+  import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+
+  private def expand(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => expand(a.executedPlan)
+    case q: QueryStageExec => p +: expand(q.plan)
+    case _ => p +: p.children.flatMap(expand)
+  }
+
+  /** True iff some broadcast exchange's build relation is a raw (not
+    * aggregated) scan of the fact table — the shape that inverts the
+    * join the moment lineitem outgrows the broadcast threshold. An
+    * aggregate between the scan and the broadcast (q18's HAVING keys)
+    * means the broadcast relation is the small agg output: allowed.
+    */
+  private def broadcastsRawFact(name: String): Boolean = {
+    val df = SparkEntry.queries(name)(spark, d)
+    df.collect() // materialize so AQE finalizes the physical plan
+    expand(df.queryExecution.executedPlan)
+      .collect { case b: BroadcastExchangeExec => b }
+      .exists { b =>
+        def rawScan(p: SparkPlan): Boolean = p match {
+          case _: BaseAggregateExec => false
+          case s if s.children.isEmpty => s.toString.contains("lineitem.parquet")
+          case s => s.children.exists(rawScan)
+        }
+        rawScan(b.child)
+      }
+  }
+
+  test("OLAP fact joins never broadcast a raw lineitem scan") {
+    for (q <- Seq("q1_pricing_summary", "q3_top_orders", "q5_region_revenue",
+        "q10_returned_items", "q18_big_orders", "q_rollup_revenue"))
+      assert(!broadcastsRawFact(q), s"$q broadcasts the fact table")
+  }
+
+  test("q5 keeps dim joins broadcast (nation/region/customer side)") {
+    val df = SparkEntry.queries("q5_region_revenue")(spark, d)
+    df.collect()
+    val plan = expand(df.queryExecution.executedPlan).mkString("\n")
+    // dims reach the fact join via BroadcastHashJoin, the fact join
+    // itself is the pinned SortMergeJoin on the order key
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(plan.contains("SortMergeJoin"))
+  }
 }
