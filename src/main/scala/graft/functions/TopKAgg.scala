@@ -19,17 +19,23 @@ case class ScoredId(score: Double, id: Long)
   *
   * Determinism: the buffer keeps the k smallest elements under the
   * total order (score DESC, id ASC); merge order cannot change the
-  * result of a bounded selection under a total order. Scores are
-  * ordered with java.lang.Double.compare, which is total even for
-  * NaN (NaN sorts as the largest score, hence first) — sortWith's
-  * TimSort requires a total order, and a NaN from a zero-norm vector
-  * must not make the result merge-order-dependent.
+  * result of a bounded selection under a total order. The order is
+  * total even for NaN — and NaN sorts LAST, not first: callers guard
+  * null/zero-norm vectors, but an embedding containing NaN/Inf values
+  * passes those guards with a NaN cosine, and under plain
+  * Double.compare that row would deterministically occupy the top of
+  * every top-k result. A garbage score must lose to every real score.
   */
 class TopKAgg(k: Int) extends Aggregator[ScoredId, Seq[ScoredId], Seq[ScoredId]] {
 
   private def lt(a: ScoredId, b: ScoredId): Boolean = {
-    val c = java.lang.Double.compare(a.score, b.score)
-    c > 0 || (c == 0 && a.id < b.id)
+    val aNaN = a.score.isNaN
+    val bNaN = b.score.isNaN
+    if (aNaN != bNaN) bNaN // non-NaN wins; NaN-vs-NaN falls through to id
+    else {
+      val c = java.lang.Double.compare(a.score, b.score)
+      c > 0 || (c == 0 && a.id < b.id)
+    }
   }
 
   private def bounded(s: Seq[ScoredId]): Seq[ScoredId] =

@@ -245,10 +245,17 @@ object Dedup {
     * buckets → quadratic candidate growth). Pairs whose differing bits
     * spread across all 4 bands are unreachable — an accepted
     * recall/scale tradeoff applied identically in the oracle.
+    *
+    * Skew guard (same pattern as lshCandidates): a band bucket of B
+    * members emits B² pairs, and a pathological bucket — near-empty
+    * docs whose sparse features vote the same half-signature — grows
+    * with the corpus. Buckets larger than `maxBucket` are dropped
+    * BEFORE the self-join, mirrored in the oracle; true near-dups
+    * still collide in their other bands.
     */
   def simhashPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 6): DataFrame = {
+      maxHamming: Int = 6, maxBucket: Int = 100): DataFrame = {
     val sims = simhash(docs, idCol, textCol).cache()
     // bands 0-1 from the low half, 2-3 from the high half; each band
     // value is a non-negative 16-bit slice
@@ -257,15 +264,23 @@ object Dedup {
       shiftright(col("sim_lo"), 16).bitwiseAND(65535),
       col("sim_hi").bitwiseAND(65535),
       shiftright(col("sim_hi"), 16).bitwiseAND(65535))
+    // three consumers (bucket counts + both join sides) — cache, like
+    // the LSH band frame
     val banded = sims.select(col(idCol), col("sim_hi"), col("sim_lo"),
       explode(array(bandCols.zipWithIndex.map { case (bv, j) =>
         struct(lit(j).as("bj"), bv.as("bv"))
       }: _*)).as("b"))
       .select(col(idCol), col("sim_hi"), col("sim_lo"),
         col("b.bj").as("bj"), col("b.bv").as("bv"))
-    val a = banded.select(col(idCol).as("da"), col("sim_hi").as("ha"),
+      .cache()
+    val smallBuckets = banded.groupBy(col("bj"), col("bv"))
+      .agg(count(lit(1)).as("bsz"))
+      .where(col("bsz") <= maxBucket)
+      .select(col("bj"), col("bv"))
+    val pruned = banded.join(smallBuckets, Seq("bj", "bv"))
+    val a = pruned.select(col(idCol).as("da"), col("sim_hi").as("ha"),
       col("sim_lo").as("la"), col("bj"), col("bv"))
-    val b = banded.select(col(idCol).as("db"), col("sim_hi").as("hb"),
+    val b = pruned.select(col(idCol).as("db"), col("sim_hi").as("hb"),
       col("sim_lo").as("lb"), col("bj"), col("bv"))
     a.join(b, Seq("bj", "bv"))
       .where(col("da") < col("db"))
@@ -294,14 +309,23 @@ object Dedup {
     */
   def embeddingNearDupBands(
       vectors: DataFrame, idCol: String, vecCol: String,
-      blockKeys: Seq[Column], minCos: Double): DataFrame = {
+      blockKeys: Seq[Column], minCos: Double,
+      maxBlock: Int = 1000): DataFrame = {
     require(blockKeys.nonEmpty, "at least one blocking band required")
     val withNorm = vectors.select(col(idCol), col(vecCol),
       VectorFns.l2Norm(col(vecCol)).as("nrm")).cache()
     val pairs = blockKeys.map { bk =>
-      val keyed = vectors.select(bk.as("blk"), col(idCol))
-      val a = keyed.select(col("blk"), col(idCol).as("va"))
-      val b = keyed.select(col("blk"), col(idCol).as("vb"))
+      // band keys derive from the CACHED (id, vec, norm) frame — the
+      // raw source is scanned once for the whole operator, not twice
+      // per band
+      val keyed = withNorm.select(bk.as("blk"), col(idCol))
+      val smallBlocks = keyed.groupBy(col("blk"))
+        .agg(count(lit(1)).as("bsz"))
+        .where(col("bsz") <= maxBlock)
+        .select(col("blk"))
+      val pruned = keyed.join(smallBlocks, Seq("blk"))
+      val a = pruned.select(col("blk"), col(idCol).as("va"))
+      val b = pruned.select(col("blk"), col(idCol).as("vb"))
       a.join(b, Seq("blk"))
         .where(col("va") < col("vb"))
         .select(col("va"), col("vb"))
@@ -319,13 +343,22 @@ object Dedup {
 
   def embeddingNearDup(
       vectors: DataFrame, idCol: String, vecCol: String, blockKey: Column,
-      minCos: Double): DataFrame = {
-    // norms computed once per vector, not once per pair
+      minCos: Double, maxBlock: Int = 1000): DataFrame = {
+    // norms computed once per vector, not once per pair; cached
+    // because the block-size prune plus both join sides read it
     val withNorm = vectors.select(blockKey.as("blk"), col(idCol), col(vecCol),
-      VectorFns.l2Norm(col(vecCol)).as("nrm"))
-    val a = withNorm.select(col("blk"), col(idCol).as("va"),
+      VectorFns.l2Norm(col(vecCol)).as("nrm")).cache()
+    // per-block pair count grows as bsz² with the corpus — blocks
+    // beyond `maxBlock` are dropped before the self-join (mirrored in
+    // the oracle), the same guard LSH/simhash banding carries
+    val smallBlocks = withNorm.groupBy(col("blk"))
+      .agg(count(lit(1)).as("bsz"))
+      .where(col("bsz") <= maxBlock)
+      .select(col("blk"))
+    val pruned = withNorm.join(smallBlocks, Seq("blk"))
+    val a = pruned.select(col("blk"), col(idCol).as("va"),
       col(vecCol).as("ea"), col("nrm").as("nra"))
-    val b = withNorm.select(col("blk"), col(idCol).as("vb"),
+    val b = pruned.select(col("blk"), col(idCol).as("vb"),
       col(vecCol).as("eb"), col("nrm").as("nrb"))
     a.join(b, Seq("blk"))
       .where(col("va") < col("vb"))

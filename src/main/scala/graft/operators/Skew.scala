@@ -24,8 +24,11 @@ object Skew {
   def saltedJoin(
       big: DataFrame, small: DataFrame, key: String,
       saltCol: Column, saltBuckets: Int): DataFrame = {
+    // a null / non-castable salt source coalesces to bucket 0 rather
+    // than producing a null salt (which the inner join would silently
+    // drop, diverging from the unsalted join's semantics)
     val salted = big.withColumn("_salt",
-      pmod(saltCol.cast("long"), lit(saltBuckets.toLong)))
+      pmod(coalesce(saltCol.cast("long"), lit(0L)), lit(saltBuckets.toLong)))
     val replicated = small.withColumn("_salt",
       explode(sequence(lit(0L), lit(saltBuckets - 1L))))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")
@@ -41,7 +44,8 @@ object Skew {
   def saltedCountSum(
       df: DataFrame, key: String, valueCol: String,
       saltCol: Column, saltBuckets: Int): DataFrame =
-    df.withColumn("_salt", pmod(saltCol.cast("long"), lit(saltBuckets.toLong)))
+    df.withColumn("_salt",
+      pmod(coalesce(saltCol.cast("long"), lit(0L)), lit(saltBuckets.toLong)))
       .groupBy(col(key), col("_salt"))
       .agg(count(lit(1)).as("_c"), sum(col(valueCol)).as("_s"))
       .groupBy(col(key))

@@ -182,6 +182,14 @@ object VectorSearch {
     * natural cells exist. Cosine (spherical) assignment matches the
     * retrieval metric. Deterministic: id-ordered init, tie-to-
     * smallest-cell assignment, sequential-order means.
+    *
+    * The codebook can end up with FEWER than k cells: duplicate seed
+    * vectors collapse under cosine assignment, and a cell that wins
+    * no vectors in an iteration simply drops out of the groupBy (the
+    * standard empty-cluster shrink of Lloyd's algorithm). Callers
+    * sizing nprobe against K should read the returned frame's actual
+    * cell count, not the requested k — annIvf's probe fraction is
+    * nprobe / |codebook|.
     */
   def lloydCentroids(
       vectors: DataFrame, idCol: String, vecCol: String,

@@ -147,7 +147,8 @@ object DedupQueries {
   /* ---------------- dedup_simhash ---------------- */
 
   private def dedupSimhash(s: SparkSession, d: String): DataFrame =
-    Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 6)
+    Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
+      maxHamming = 6, maxBucket = MaxBucket)
       .select(col("da"), col("db"), col("hamming").cast("long").as("hamming"))
       .orderBy(col("da"), col("db"))
 
@@ -180,9 +181,14 @@ object DedupQueries {
        |    (${simBits("s")})::BIGINT AS sim_lo FROM bs),
        |bands AS (
        |  $bandSelects),
+       |bok AS (SELECT bj, bv FROM bands GROUP BY bj, bv
+       |  HAVING count(*) <= $MaxBucket),
+       |bp AS (SELECT bands.doc_id, bands.sim_hi, bands.sim_lo,
+       |    bands.bj, bands.bv
+       |  FROM bands JOIN bok ON bands.bj = bok.bj AND bands.bv = bok.bv),
        |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
        |    a.sim_hi AS ha, a.sim_lo AS la, b.sim_hi AS hb, b.sim_lo AS lb
-       |  FROM bands a JOIN bands b
+       |  FROM bp a JOIN bp b
        |    ON a.bj = b.bj AND a.bv = b.bv AND a.doc_id < b.doc_id)
        |SELECT da, db,
        |  (bit_count(xor(ha, hb)) + bit_count(xor(la, lb)))::BIGINT AS hamming
@@ -202,10 +208,18 @@ object DedupQueries {
     */
   private val SignBits = 6
 
+  /** Per-block population cap: blocks beyond this emit no pairs (the
+    * guard the Spark operators carry; pair count grows as bsz² so an
+    * uncapped hot block — e.g. a mass of near-zero vectors voting the
+    * same signs — would dominate the join).
+    */
+  private val MaxBlock = 1000
+
   private def dedupEmbCos(s: SparkSession, d: String): DataFrame = {
     import graft.functions.VectorFns
     Dedup.embeddingNearDup(Tables.embeddings(s, d), "vec_id", "embedding",
-      VectorFns.signCode(col("embedding"), SignBits), minCos = 0.4)
+      VectorFns.signCode(col("embedding"), SignBits), minCos = 0.4,
+      maxBlock = MaxBlock)
       .orderBy(col("va"), col("vb"))
   }
 
@@ -214,12 +228,16 @@ object DedupQueries {
     .mkString(" + ")
 
   private val dedupEmbCosSql =
-    s"""WITH p AS (SELECT a.vec_id AS va, a.embedding AS ea,
+    s"""WITH bl AS (SELECT vec_id, embedding,
+      |    (${signBlockSql.replace("%s.", "")})::BIGINT AS blk
+      |  FROM embeddings),
+      |bok AS (SELECT blk FROM bl GROUP BY blk HAVING count(*) <= $MaxBlock),
+      |pb AS (SELECT bl.vec_id, bl.embedding, bl.blk
+      |  FROM bl JOIN bok ON bl.blk = bok.blk),
+      |p AS (SELECT a.vec_id AS va, a.embedding AS ea,
       |    b.vec_id AS vb, b.embedding AS eb
-      |  FROM embeddings a JOIN embeddings b
-      |    ON (${signBlockSql.replace("%s", "a")})
-      |     = (${signBlockSql.replace("%s", "b")})
-      |    AND a.vec_id < b.vec_id),
+      |  FROM pb a JOIN pb b
+      |    ON a.blk = b.blk AND a.vec_id < b.vec_id),
       |ex AS (SELECT va, vb, ea, eb, unnest(generate_series(1, len(ea))) AS i FROM p),
       |dt AS (SELECT va, vb,
       |    sum(ea[i]::DOUBLE * eb[i]::DOUBLE) AS dot,
@@ -237,7 +255,7 @@ object DedupQueries {
     Dedup.embeddingNearDupBands(Tables.embeddings(s, d), "vec_id", "embedding",
       Seq(VectorFns.signCodeAt(col("embedding"), 1, SignBits),
         VectorFns.signCodeAt(col("embedding"), SignBits + 1, SignBits)),
-      minCos = 0.4)
+      minCos = 0.4, maxBlock = MaxBlock)
       .orderBy(col("va"), col("vb"))
   }
 
@@ -245,15 +263,23 @@ object DedupQueries {
     .map(i => s"(CASE WHEN $alias.embedding[${start + i}] >= 0 THEN ${1L << i} ELSE 0 END)")
     .mkString(" + ")
 
+  private def bandBlockCtes(n: Int, start: Int): String =
+    s"""b$n AS (SELECT e.vec_id, (${signBandSql("e", start)})::BIGINT AS blk
+       |  FROM embeddings e),
+       |b${n}ok AS (SELECT blk FROM b$n GROUP BY blk
+       |  HAVING count(*) <= $MaxBlock),
+       |p$n AS (SELECT b$n.vec_id, b$n.blk
+       |  FROM b$n JOIN b${n}ok ON b$n.blk = b${n}ok.blk)""".stripMargin
+
   private val dedupEmbCosMbSql =
-    s"""WITH pr AS (
-      |  SELECT a.vec_id AS va, b.vec_id AS vb FROM embeddings a JOIN embeddings b
-      |    ON (${signBandSql("a", 1)}) = (${signBandSql("b", 1)})
-      |    AND a.vec_id < b.vec_id
+    s"""WITH ${bandBlockCtes(1, 1)},
+      |${bandBlockCtes(2, SignBits + 1)},
+      |pr AS (
+      |  SELECT a.vec_id AS va, b.vec_id AS vb FROM p1 a JOIN p1 b
+      |    ON a.blk = b.blk AND a.vec_id < b.vec_id
       |  UNION
-      |  SELECT a.vec_id, b.vec_id FROM embeddings a JOIN embeddings b
-      |    ON (${signBandSql("a", SignBits + 1)}) = (${signBandSql("b", SignBits + 1)})
-      |    AND a.vec_id < b.vec_id),
+      |  SELECT a.vec_id, b.vec_id FROM p2 a JOIN p2 b
+      |    ON a.blk = b.blk AND a.vec_id < b.vec_id),
       |p AS (SELECT pr.va, pr.vb, ea.embedding AS ea, eb.embedding AS eb
       |  FROM pr JOIN embeddings ea ON pr.va = ea.vec_id
       |  JOIN embeddings eb ON pr.vb = eb.vec_id),
