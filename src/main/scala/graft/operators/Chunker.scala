@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import scala.annotation.tailrec
@@ -58,6 +58,44 @@ object Chunker {
       .where(length(regexp_replace(trimmed, "[^a-zA-Z]", "")) >=
         lit(minAlphaRatio) * length(trimmed))
       .where(junkHits <= maxJunkHits)
+  }
+
+  /** Section tagging — the Spark-native analog of the reference
+    * splitter's section detection (reference:
+    * backend/app/core/text_splitter.py:68 section-aware splitting;
+    * backend/app/core/vector_store.py:420 search_by_section filters
+    * retrieval on the resulting `section` metadata).
+    *
+    * Rule: the section of the EARLIEST-occurring marker in `textCol`
+    * wins; position ties resolve to marker priority order (the
+    * sequence order of `markers`); no marker → `default`. Narrow
+    * codegen'd CASE over instr positions — no shuffle, and the same
+    * CASE is expressible verbatim in an oracle.
+    *
+    * At ingest the emitted `section` column is STORED (and typically a
+    * partition column — see the partition-pruning spec in
+    * ChunkerSpec), so section-scoped reads prune at the scan; this
+    * function is the write-path tagger, not a per-query cost.
+    */
+  def tagSections(
+      chunks: DataFrame, textCol: String,
+      markers: Seq[(String, String)], default: String): DataFrame = {
+    val Big = Int.MaxValue
+    val pos: Seq[Column] = markers.map { case (kw, _) =>
+      val p = instr(lower(col(textCol)), kw)
+      when(p > 0, p).otherwise(lit(Big))
+    }
+    // first marker whose position is <= every LATER marker's position
+    // (earlier markers already failed their clause, so priority order
+    // breaks ties) — the langid-style chained CASE, oracle-mirrorable
+    val section = markers.zipWithIndex.reverse.foldLeft(lit(default)) {
+      case (els, ((_, sec), i)) =>
+        val isMin = ((i + 1) until markers.size)
+          .map(j => pos(i) <= pos(j))
+          .foldLeft(pos(i) =!= Big)(_ && _)
+        when(isMin, lit(sec)).otherwise(els)
+    }
+    chunks.withColumn("section", section)
   }
 
   /** Separator-aware recursive splitter (pure function).

@@ -33,6 +33,30 @@ object SqlSnippets {
        |    substr(text, start + 1, $size) AS chunk_text
        |  FROM st)""".stripMargin
 
+  /** Marker-position columns p0..p{n-1} for section tagging — the
+    * oracle twin of Chunker.tagSections' instr positions (absent
+    * marker → Int.MaxValue sentinel).
+    */
+  def sectionPosCols(markers: Seq[(String, String)], textExpr: String): String =
+    markers.zipWithIndex.map { case ((kw, _), i) =>
+      s"""(CASE WHEN strpos(lower($textExpr), '$kw') > 0
+         |      THEN strpos(lower($textExpr), '$kw')
+         |      ELSE 2147483647 END) AS p$i""".stripMargin
+    }.mkString(",\n    ")
+
+  /** Earliest-marker-wins CASE over p0..p{n-1} — the oracle twin of
+    * Chunker.tagSections' chained CASE (marker i wins iff present and
+    * at-or-before every LATER marker; priority order breaks ties).
+    */
+  def sectionCase(markers: Seq[(String, String)], default: String): String = {
+    val arms = markers.zipWithIndex.map { case ((_, sec), i) =>
+      val conds = s"p$i <> 2147483647" +:
+        ((i + 1) until markers.size).map(j => s"p$i <= p$j")
+      s"WHEN ${conds.mkString(" AND ")} THEN '$sec'"
+    }
+    s"CASE ${arms.mkString("\n       ")}\n       ELSE '$default' END"
+  }
+
   /** BM25 scoring CTE chain (tok → dl → st → tf → df → sc); `sc`
     * exposes (doc_id, s) with the raw Okapi score (k1=1.5, b=0.75),
     * matching graft.operators.Bm25.score. `weightCase` optionally

@@ -205,6 +205,42 @@ object TextQueries {
        |ORDER BY doc_id, chunk_index""".stripMargin
   }
 
+  /* ---------------- chunk_sections ---------------- */
+
+  /** Section names come from the reference's paper sections
+    * (text_splitter.py emits methods/results/discussion/background);
+    * the MARKERS are the demo binding for the synthetic engine-domain
+    * corpus — production swaps in real header keywords, the
+    * earliest-marker rule is unchanged.
+    */
+  val SectionMarkers: Seq[(String, String)] = Seq(
+    "join" -> "methods",
+    "scan" -> "results",
+    "stream" -> "discussion",
+    "vector" -> "background")
+
+  val DefaultSection = "other"
+
+  private def chunkSections(s: SparkSession, d: String): DataFrame =
+    Chunker.tagSections(
+      Chunker.fixedChunks(Tables.documents(s, d), "doc_id", "text", 200, 50),
+      "chunk_text", SectionMarkers, DefaultSection)
+      .select(col("doc_id"),
+        col("chunk_index").cast("long").as("chunk_index"),
+        col("section"),
+        col("chunk_len").cast("long").as("chunk_len"))
+      .orderBy(col("doc_id"), col("chunk_index"))
+
+  private val chunkSectionsSql =
+    s"""WITH ${SqlSnippets.chunkCtes(200, 150)},
+       |sp AS (SELECT doc_id, chunk_index, chunk_text,
+       |    ${SqlSnippets.sectionPosCols(SectionMarkers, "chunk_text")}
+       |  FROM ch)
+       |SELECT doc_id, chunk_index,
+       |  ${SqlSnippets.sectionCase(SectionMarkers, DefaultSection)} AS section,
+       |  length(chunk_text)::BIGINT AS chunk_len
+       |FROM sp ORDER BY doc_id, chunk_index""".stripMargin
+
   /* ---------------- lens_classify ---------------- */
 
   private def lensClassify(s: SparkSession, d: String): DataFrame = {
@@ -412,6 +448,7 @@ object TextQueries {
     Qdef("txt_fingerprint", txtFingerprint, Some(txtFingerprintSql)),
     Qdef("chunk_fixed", chunkFixed, Some(chunkFixedSql)),
     Qdef("chunk_filtered", chunkFiltered, Some(chunkFilteredSql)),
+    Qdef("chunk_sections", chunkSections, Some(chunkSectionsSql)),
     Qdef("lens_classify", lensClassify, Some(lensClassifySql)),
     Qdef("txt_token_count", txtTokenCount, Some(txtTokenCountSql)),
     Qdef("corpus_stats", corpusStats, Some(corpusStatsSql)),

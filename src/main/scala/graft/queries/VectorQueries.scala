@@ -67,6 +67,54 @@ object VectorQueries {
       |SELECT vec_id, label, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos_sim
       |FROM dt ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
 
+  /* ---------------- vs_section_topk ---------------- */
+
+  /** Section-scoped dense search (reference: vector_store.py:420
+    * search_by_section, search.py:100 search_methods — retrieval
+    * filtered to one paper section). Demo binding derives the section
+    * from document text via Chunker.tagSections and joins on
+    * vec_id = doc_id; in production the section is a STORED column on
+    * the vector table (written at ingest by the section-aware
+    * chunker), so the predicate prunes at the scan with no join —
+    * ChunkerSpec asserts the PartitionFilters shape for that layout.
+    */
+  private def sectionTopK(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Chunker
+    val secs = Chunker.tagSections(
+      Tables.documents(s, d).select(col("doc_id").as("sdoc"), col("text")),
+      "text", TextQueries.SectionMarkers, TextQueries.DefaultSection)
+      .select(col("sdoc"), col("section"))
+    val emb = Tables.embeddings(s, d)
+    val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val cands = emb.where(col("vec_id") =!= 0)
+      .join(secs, col("vec_id") === col("sdoc"))
+      .where(col("section") === "methods")
+      .select(col("vec_id"), col("embedding"), col("section"))
+    VectorSearch.denseTopK(cands, q, "vec_id", "embedding", "qe", 10,
+      Seq("section"))
+  }
+
+  private val sectionTopKSql =
+    s"""WITH sp AS (SELECT doc_id,
+       |    ${SqlSnippets.sectionPosCols(TextQueries.SectionMarkers, "text")}
+       |  FROM documents),
+       |sec AS (SELECT doc_id,
+       |    ${SqlSnippets.sectionCase(TextQueries.SectionMarkers, TextQueries.DefaultSection)}
+       |      AS section
+       |  FROM sp),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |ex AS (SELECT e.vec_id, sec.section, e.embedding AS ce, q.qe AS qe,
+       |         unnest(generate_series(1, len(e.embedding))) AS i
+       |       FROM embeddings e JOIN sec ON e.vec_id = sec.doc_id CROSS JOIN q
+       |       WHERE e.vec_id <> 0 AND sec.section = 'methods'),
+       |dt AS (SELECT vec_id, section,
+       |         sum(ce[i]::DOUBLE * qe[i]::DOUBLE) AS dot,
+       |         sum(ce[i]::DOUBLE * ce[i]::DOUBLE) AS na,
+       |         sum(qe[i]::DOUBLE * qe[i]::DOUBLE) AS nb
+       |       FROM ex GROUP BY vec_id, section)
+       |SELECT vec_id, section, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos_sim
+       |FROM dt ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+
   /* ---------------- vs_knn_join ---------------- */
 
   private def knnJoin(s: SparkSession, d: String): DataFrame = {
@@ -410,6 +458,7 @@ object VectorQueries {
   val defs: Seq[Qdef] = Seq(
     Qdef("vs_dense_topk", denseTopK, Some(denseTopKSql)),
     Qdef("vs_filtered_topk", filteredTopK, Some(filteredTopKSql)),
+    Qdef("vs_section_topk", sectionTopK, Some(sectionTopKSql)),
     Qdef("vs_knn_join", knnJoin, Some(knnJoinSql)),
     Qdef("vs_centroid_sim", centroidSim, Some(centroidSimSql)),
     Qdef("vs_ann_ivf", annIvf, Some(annIvfSql)),

@@ -43,6 +43,48 @@ class ChunkerSpec extends SparkSpec {
     assert(tc.forall(_.length <= 100))
   }
 
+  test("tagSections: earliest marker wins, priority breaks ties, default otherwise") {
+    val markers = Seq("alpha" -> "methods", "beta" -> "results")
+    val docs = Seq(
+      (1L, "xx alpha yy beta"),   // alpha first -> methods
+      (2L, "beta zz alpha"),      // beta first -> results
+      (3L, "alphabeta"),          // alpha at 1, beta at 6 -> methods
+      (4L, "nothing here"),       // no marker -> other
+      (5L, "ALPHA loud")          // case-insensitive -> methods
+    ).toDF("id", "text")
+    val out = Chunker.tagSections(docs, "text", markers, "other")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out == Map(1L -> "methods", 2L -> "results", 3L -> "methods",
+      4L -> "other", 5L -> "methods"))
+    // tie at identical position: both markers found at pos 1 is
+    // impossible for distinct strings, but equal positions CAN arise
+    // across columns; priority order (sequence order) must win
+    val tie = Seq((6L, "alpha beta alpha")).toDF("id", "text")
+    assert(Chunker.tagSections(tie, "text", Seq("alpha" -> "a", "alph" -> "b"),
+      "other").collect().head.getString(2) == "a")
+  }
+
+  test("stored section column prunes section-scoped reads at the scan") {
+    // the production layout vs_section_topk documents: chunks written
+    // partitioned BY SECTION, so a section predicate becomes a
+    // PartitionFilter (whole directories skipped), not a row filter
+    val docs = Seq(
+      (1L, "join the tables"), (2L, "scan the index"),
+      (3L, "stream results"), (4L, "plain text")).toDF("doc_id", "text")
+    val tagged = Chunker.tagSections(
+      Chunker.fixedChunks(docs, "doc_id", "text", 10, 2),
+      "chunk_text", Seq("join" -> "methods", "scan" -> "results",
+        "stream" -> "discussion"), "other")
+    val dir = java.nio.file.Files.createTempDirectory("sectioned").toString
+    graft.sources.Corpus.writePartitioned(tagged, dir, Seq("section"))
+    val scoped = spark.read.parquet(dir).where($"section" === "methods")
+    val plan = scoped.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("section"),
+      s"section predicate did not reach the scan:\n$plan")
+    assert(scoped.select("doc_id").distinct().collect().map(_.getLong(0))
+      .toSet == Set(1L))
+  }
+
   test("recursiveSplit is deterministic and handles short text") {
     val t = "short text"
     assert(Chunker.recursiveSplit(t, 100, 10) == Seq("short text"))
