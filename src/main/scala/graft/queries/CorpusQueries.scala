@@ -1,0 +1,60 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.sources.Corpus
+
+/** Corpus-maintenance queries: the reference's mutable store surface
+  * (add_chunks / delete_paper / incremental index) re-expressed as a
+  * latest-wins view over an append-only base+delta log.
+  */
+object CorpusQueries {
+
+  /* ---------------- corpus_latest ---------------- */
+
+  /** Demo binding: base = every document at version 0; a delta batch
+    * re-ingests docs ≡ 3 (mod 10) at version 1 with a changed payload
+    * (the add_chunks upsert) and tombstones docs ≡ 7 (mod 10) (the
+    * delete_paper path). The merged view must show the delta payload
+    * for upserted keys, drop tombstoned keys, and keep everything
+    * else at the base version.
+    */
+  private def corpusLatest(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val base = docs.select(col("doc_id"),
+      lit(0L).as("version"), lit("base").as("src"),
+      col("n_chars"), lit(false).as("deleted"))
+    val upserts = docs.where(pmod(col("doc_id"), lit(10)) === 3)
+      .select(col("doc_id"),
+        lit(1L).as("version"), lit("delta").as("src"),
+        (col("n_chars") + 100).as("n_chars"), lit(false).as("deleted"))
+    val tombstones = docs.where(pmod(col("doc_id"), lit(10)) === 7)
+      .select(col("doc_id"),
+        lit(1L).as("version"), lit("delta").as("src"),
+        col("n_chars"), lit(true).as("deleted"))
+    Corpus.mergeLatest(base.union(upserts).union(tombstones),
+      Seq("doc_id"), "version", deletedCol = Some("deleted"))
+      .select(col("doc_id"), col("version"), col("src"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val corpusLatestSql =
+    """WITH base AS (SELECT doc_id, 0::BIGINT AS version, 'base' AS src,
+      |    n_chars, false AS deleted FROM documents),
+      |up AS (SELECT doc_id, 1::BIGINT, 'delta', n_chars + 100, false
+      |  FROM documents WHERE doc_id % 10 = 3),
+      |del AS (SELECT doc_id, 1::BIGINT, 'delta', n_chars, true
+      |  FROM documents WHERE doc_id % 10 = 7),
+      |log AS (SELECT * FROM base UNION ALL SELECT * FROM up
+      |  UNION ALL SELECT * FROM del),
+      |r AS (SELECT doc_id, version, src, n_chars, deleted,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY version DESC) AS rn
+      |  FROM log)
+      |SELECT doc_id, version, src, n_chars FROM r
+      |WHERE rn = 1 AND NOT deleted ORDER BY doc_id""".stripMargin
+
+  val defs: Seq[Qdef] = Seq(
+    Qdef("corpus_latest", corpusLatest, Some(corpusLatestSql)))
+}

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Corpus ingestion + persistence — the Spark-native re-expression of
@@ -61,6 +62,56 @@ object Corpus {
       df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write
       .mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** Latest-wins merge over a keyed, versioned update stream — the
+    * Spark-native re-expression of the reference store's mutability
+    * (reference: backend/app/core/vector_store.py:136 add_chunks
+    * upserts, :482 delete_paper, :495 reset; indexer.py:57 index_pdf
+    * ingests incrementally). Instead of in-place mutation, the corpus
+    * is an append-only log of (key, version, payload [, deleted])
+    * rows; this view resolves each key to its highest-version row and
+    * drops tombstones — "dedup-on-read" compaction.
+    *
+    * Scale design: ONE hash aggregate of max(struct(version, payload))
+    * per key — partial (map-side) combine applies, so the shuffle
+    * carries at most one candidate row per key per map partition. No
+    * window/sort over the corpus. Ties on (key, version) resolve by
+    * payload field order (deterministic but arbitrary — writers should
+    * make versions unique per key, e.g. ingest timestamp or batch id).
+    *
+    * `deletedCol`, when given, names a boolean column: a true value on
+    * the WINNING version tombstones the key out of the view (the
+    * delete_paper analog). Earlier deletes are superseded by later
+    * re-inserts, exactly like any other upsert.
+    */
+  def mergeLatest(
+      updates: DataFrame, keyCols: Seq[String], versionCol: String,
+      deletedCol: Option[String] = None): DataFrame = {
+    val payload =
+      updates.columns.filterNot(c => keyCols.contains(c) || c == versionCol)
+    val ranked = struct((versionCol +: payload).map(col): _*)
+    val latest = updates
+      .groupBy(keyCols.map(col): _*)
+      .agg(max(ranked).as("_latest"))
+      .select(keyCols.map(col) ++
+        (versionCol +: payload).map(c => col(s"_latest.$c").as(c)): _*)
+    deletedCol.map(dc => latest.where(!col(dc))).getOrElse(latest)
+  }
+
+  /** Partition-scoped overwrite: replaces ONLY the partitions present
+    * in `df` (dynamic overwrite), leaving every other partition's
+    * files untouched — the batch analog of the reference's
+    * per-paper/per-batch re-index. Static overwrite mode (the
+    * default) would truncate the whole table first; the writer-level
+    * option scopes the setting to this write, not the session.
+    */
+  def overwritePartitions(
+      df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCols: _*)
       .parquet(path)
 

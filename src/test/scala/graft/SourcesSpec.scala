@@ -44,6 +44,52 @@ class SourcesSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [isnotnull(lang"))
   }
 
+  test("mergeLatest: upsert wins, tombstone removes, late re-insert revives") {
+    val log = Seq(
+      // key 1: base then upsert -> v1 payload wins
+      (1L, 0L, "base", 10L, false),
+      (1L, 1L, "delta", 110L, false),
+      // key 2: base only -> survives at v0
+      (2L, 0L, "base", 20L, false),
+      // key 3: base then delete -> gone
+      (3L, 0L, "base", 30L, false),
+      (3L, 1L, "delta", 30L, true),
+      // key 4: base, delete, then re-insert at v2 -> revived
+      (4L, 0L, "base", 40L, false),
+      (4L, 1L, "delta", 40L, true),
+      (4L, 2L, "delta", 240L, false)
+    ).toDF("doc_id", "version", "src", "n_chars", "deleted")
+    val out = Corpus.mergeLatest(log, Seq("doc_id"), "version", Some("deleted"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(out == Map(1L -> ((1L, 110L)), 2L -> ((0L, 20L)), 4L -> ((2L, 240L))))
+    // and the plan is a hash aggregate, not a window sort over the log
+    val plan = Corpus.mergeLatest(log, Seq("doc_id"), "version", Some("deleted"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"latest-wins must not window-sort:\n$plan")
+  }
+
+  test("overwritePartitions rewrites only the partitions present in the delta") {
+    val dir = Files.createTempDirectory("graft_dynpart").toString + "/docs"
+    Corpus.writePartitioned(docs, dir, Seq("source"))
+    def filesUnder(part: String): Set[String] = {
+      val d = new java.io.File(s"$dir/source=$part")
+      d.listFiles.filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName + ":" + f.lastModified).toSet
+    }
+    val src1Before = filesUnder("src1")
+    // delta touches ONLY source=src0 (one replacement row)
+    val delta = Seq((9L, "replacement doc", "en", "src0", 15L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    Corpus.overwritePartitions(delta, dir, Seq("source"))
+    // src1's files are byte-for-byte untouched (same names + mtimes)...
+    assert(filesUnder("src1") == src1Before)
+    // ...and the merged read shows src0 replaced, src1 intact
+    val back = spark.read.parquet(dir)
+    assert(back.where(col("source") === "src0").select("doc_id")
+      .collect().map(_.getLong(0)).toSeq == Seq(9L))
+    assert(back.where(col("source") === "src1").count() == 1)
+  }
+
   test("bucketed tables join without an exchange on the bucket key") {
     def rmrf(p: java.io.File): Unit = {
       if (p.isDirectory) p.listFiles.foreach(rmrf)
