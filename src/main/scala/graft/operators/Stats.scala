@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Grouped differential statistics — the Spark-native re-expression
+  * of the reference's RNA-seq differential-expression subsystem
+  * (reference: rnaseq_pipeline/agents/agent1_deg.py:168 _run_deseq2,
+  * :347 _run_synthetic_deg — per-gene log2 fold change, test
+  * statistic, p-value, FDR adjust;
+  * rnaseq_pipeline/ml/preprocessor.py:92 _normalize_cpm).
+  *
+  * Scale design: the whole per-feature statistics block is ONE
+  * map-side-combinable hash aggregate over (feature) with conditional
+  * aggregates per cohort — the sample table is scanned once and only
+  * (feature, partial-moment) rows shuffle. The BH adjust is a window
+  * over FEATURES (gene-panel cardinality — ~20k in a genome, never
+  * corpus-scale), not over samples.
+  *
+  * Cross-engine protocol: the p-value is pure arithmetic (erfc
+  * polynomial + exp) so the oracle evaluates the same expression; the
+  * BH rank orders by the ROUNDED p-value with a feature tiebreak, so
+  * last-ulp drift in the moments can never flip the rank order
+  * between engines.
+  */
+object Stats {
+
+  /** Two-sided normal-tail p-value for a t/z statistic via the
+    * Abramowitz-Stegun 7.1.26 erfc polynomial (|err| < 1.5e-7):
+    * p = erfc(|t|/√2). At DEG cohort sizes (hundreds of samples per
+    * arm) the normal approximation to Welch's reference distribution
+    * is the standard large-sample simplification; the polynomial
+    * keeps the oracle twin byte-identical in formula.
+    */
+  def normalTwoSidedP(t: Column): Column = {
+    val x = abs(t) / lit(math.sqrt(2.0))
+    val tt = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+    val poly = lit(0.254829592) * tt -
+      lit(0.284496736) * pow(tt, 2) +
+      lit(1.421413741) * pow(tt, 3) -
+      lit(1.453152027) * pow(tt, 4) +
+      lit(1.061405429) * pow(tt, 5)
+    poly * exp(-x * x)
+  }
+
+  /** Per-feature differential statistics between two cohorts:
+    * counts/means/variances per arm, log2 fold change (+1 pseudocount,
+    * the DESeq-style guard), Welch t statistic, normal-approximation
+    * p-value, and Benjamini-Hochberg adjusted p-value
+    * (padj_i = min_{j>=i} p_j * n / j over the p-ascending ranking,
+    * capped at 1).
+    *
+    * Output: (featureCol, n_a, n_b, mean_a, mean_b, log2_fc, t_stat,
+    * p_value, p_adj) — floats rounded to 6dp (with the suite's +1e-9
+    * half-boundary nudge).
+    */
+  def diffStats(
+      samples: DataFrame, featureCol: String, cohortCol: String,
+      valueCol: String, cohortA: String, cohortB: String): DataFrame = {
+    def arm(c: String) = when(col(cohortCol) === c, col(valueCol))
+    val agg = samples
+      .where(col(cohortCol).isin(cohortA, cohortB))
+      .groupBy(col(featureCol))
+      .agg(
+        count(arm(cohortA)).as("n_a"),
+        count(arm(cohortB)).as("n_b"),
+        avg(arm(cohortA)).as("raw_mean_a"),
+        avg(arm(cohortB)).as("raw_mean_b"),
+        var_samp(arm(cohortA)).as("var_a"),
+        var_samp(arm(cohortB)).as("var_b"))
+    val se = sqrt(col("var_a") / col("n_a") + col("var_b") / col("n_b"))
+    val t = (col("raw_mean_a") - col("raw_mean_b")) / nullif(se, lit(0.0))
+    def r6(c: Column) = round(c + lit(1e-9), 6)
+    val scored = agg
+      .withColumn("log2_fc", r6(
+        log(col("raw_mean_a") + 1.0) / lit(math.log(2.0)) -
+          log(col("raw_mean_b") + 1.0) / lit(math.log(2.0))))
+      .withColumn("t_stat", r6(t))
+      // rank on the ROUNDED p so both engines order identically
+      .withColumn("p_value", r6(normalTwoSidedP(t)))
+    val totals = scored.agg(count(lit(1)).as("n_feat"))
+    // feature-cardinality windows (a gene panel, not the sample
+    // table) — the single-partition WindowExec warning is expected
+    // and harmless here, as in the other ≤k-row windows
+    val byP = Window.orderBy(col("p_value"), col(featureCol))
+    val suffixMin = Window
+      .orderBy(col("p_value").desc, col(featureCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored
+      .crossJoin(broadcast(totals))
+      .withColumn("p_rank", row_number().over(byP).cast("long"))
+      .withColumn("p_adj", r6(least(
+        min(col("p_value") * col("n_feat") / col("p_rank")).over(suffixMin),
+        lit(1.0))))
+      .select(col(featureCol), col("n_a"), col("n_b"),
+        r6(col("raw_mean_a")).as("mean_a"),
+        r6(col("raw_mean_b")).as("mean_b"),
+        col("log2_fc"), col("t_stat"), col("p_value"), col("p_adj"))
+  }
+}

@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Stats
+
+/** Grouped differential-statistics queries (the reference's RNA-seq
+  * DEG surface re-expressed as cohort-vs-cohort groupBy statistics).
+  */
+object StatsQueries {
+
+  /* ---------------- deg_stats ---------------- */
+
+  private val NGenes = 40
+
+  /** Demo binding on synthetic cohorts (the reference's
+    * _run_synthetic_deg does the same on generated counts): feature
+    * ("gene") = l_partkey mod 40, cohorts = returned vs acknowledged
+    * line items, expression value = quantity — ~500 samples per arm
+    * per gene at sf0.01, the large-sample regime the normal
+    * approximation expects.
+    */
+  private def degStats(s: SparkSession, d: String): DataFrame =
+    Stats.diffStats(
+      Tables.lineitem(s, d).select(
+        pmod(col("l_partkey"), lit(NGenes)).cast("long").as("gene"),
+        col("l_returnflag").as("cohort"),
+        col("l_quantity").cast("double").as("expr_val")),
+      "gene", "cohort", "expr_val", cohortA = "A", cohortB = "R")
+      .orderBy(col("gene"))
+
+  // the erfc polynomial (A-S 7.1.26) — TEXTUALLY the same arithmetic
+  // Stats.normalTwoSidedP builds, so both engines agree to rounding
+  private val pSql =
+    """(0.254829592 * tt - 0.284496736 * tt*tt + 1.421413741 * tt*tt*tt
+      |       - 1.453152027 * tt*tt*tt*tt + 1.061405429 * tt*tt*tt*tt*tt)
+      |      * exp(-x * x)""".stripMargin
+
+  private val degStatsSql =
+    s"""WITH sm AS (SELECT (l_partkey % $NGenes)::BIGINT AS gene,
+       |    l_returnflag AS cohort, l_quantity::DOUBLE AS v
+       |  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+       |ag AS (SELECT gene,
+       |    count(CASE WHEN cohort = 'A' THEN v END)::BIGINT AS n_a,
+       |    count(CASE WHEN cohort = 'R' THEN v END)::BIGINT AS n_b,
+       |    avg(CASE WHEN cohort = 'A' THEN v END) AS raw_mean_a,
+       |    avg(CASE WHEN cohort = 'R' THEN v END) AS raw_mean_b,
+       |    var_samp(CASE WHEN cohort = 'A' THEN v END) AS var_a,
+       |    var_samp(CASE WHEN cohort = 'R' THEN v END) AS var_b
+       |  FROM sm GROUP BY gene),
+       |ts AS (SELECT gene, n_a, n_b, raw_mean_a, raw_mean_b,
+       |    (raw_mean_a - raw_mean_b)
+       |      / nullif(sqrt(var_a / n_a + var_b / n_b), 0.0) AS t
+       |  FROM ag),
+       |px AS (SELECT *, abs(t) / sqrt(2.0) AS x FROM ts),
+       |pt AS (SELECT *, 1.0 / (1.0 + 0.3275911 * x) AS tt FROM px),
+       |sc AS (SELECT gene, n_a, n_b,
+       |    round(raw_mean_a + 0.000000001, 6) AS mean_a,
+       |    round(raw_mean_b + 0.000000001, 6) AS mean_b,
+       |    round(ln(raw_mean_a + 1.0) / ln(2.0)
+       |        - ln(raw_mean_b + 1.0) / ln(2.0) + 0.000000001, 6) AS log2_fc,
+       |    round(t + 0.000000001, 6) AS t_stat,
+       |    round($pSql + 0.000000001, 6) AS p_value
+       |  FROM pt),
+       |tot AS (SELECT count(*)::BIGINT AS n_feat FROM sc),
+       |rk AS (SELECT sc.*, tot.n_feat,
+       |    row_number() OVER (ORDER BY p_value, gene)::BIGINT AS p_rank
+       |  FROM sc CROSS JOIN tot),
+       |bh AS (SELECT *,
+       |    round(least(
+       |      min(p_value * n_feat / p_rank) OVER (
+       |        ORDER BY p_value DESC, gene DESC
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       |      1.0) + 0.000000001, 6) AS p_adj
+       |  FROM rk)
+       |SELECT gene, n_a, n_b, mean_a, mean_b, log2_fc, t_stat, p_value, p_adj
+       |FROM bh ORDER BY gene""".stripMargin
+
+  val defs: Seq[Qdef] = Seq(
+    Qdef("deg_stats", degStats, Some(degStatsSql)))
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Stats
+
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two clearly-separated features and one null-effect feature,
+  // n=4 per arm — small enough to reason about by hand
+  private def samples = Seq(
+    // f1: A ~ 10, B ~ 20 -> strong negative t, small p
+    ("f1", "A", 10.0), ("f1", "A", 11.0), ("f1", "A", 9.0), ("f1", "A", 10.0),
+    ("f1", "B", 20.0), ("f1", "B", 21.0), ("f1", "B", 19.0), ("f1", "B", 20.0),
+    // f2: identical distributions -> t ~ 0, p ~ 1
+    ("f2", "A", 5.0), ("f2", "A", 6.0), ("f2", "A", 7.0), ("f2", "A", 8.0),
+    ("f2", "B", 5.0), ("f2", "B", 6.0), ("f2", "B", 7.0), ("f2", "B", 8.0),
+    // f3: A ~ 30, B ~ 3 -> strong positive t
+    ("f3", "A", 30.0), ("f3", "A", 31.0), ("f3", "A", 29.0), ("f3", "A", 30.0),
+    ("f3", "B", 3.0), ("f3", "B", 4.0), ("f3", "B", 2.0), ("f3", "B", 3.0),
+    // a cohort outside A/B must be ignored entirely
+    ("f1", "C", 999.0)
+  ).toDF("gene", "cohort", "v")
+
+  test("diffStats: directions, counts, and p-value ordering") {
+    val out = Stats.diffStats(samples, "gene", "cohort", "v", "A", "B")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("f1", "f2", "f3"))
+    val f1 = out("f1"); val f2 = out("f2"); val f3 = out("f3")
+    assert(f1.getLong(1) == 4 && f1.getLong(2) == 4) // C row ignored
+    assert(f1.getDouble(5) < 0 && f3.getDouble(5) > 0) // log2_fc signs
+    assert(f1.getDouble(6) < 0 && f3.getDouble(6) > 0) // t signs
+    assert(math.abs(f2.getDouble(6)) < 1e-6)           // null effect
+    // p: separated features far below the null-effect feature
+    assert(f1.getDouble(7) < 0.01 && f3.getDouble(7) < 0.01)
+    assert(f2.getDouble(7) > 0.9)
+  }
+
+  test("diffStats: BH adjustment is capped at 1 and monotone in p-order") {
+    val rows = Stats.diffStats(samples, "gene", "cohort", "v", "A", "B")
+      .select(col("p_value"), col("p_adj"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+      .sortBy(_._1)
+    assert(rows.forall { case (_, padj) => padj <= 1.0 + 1e-9 })
+    // padj never decreases as p increases (the suffix-min contract)
+    assert(rows.sliding(2).forall {
+      case Array((_, a1), (_, a2)) => a1 <= a2 + 1e-9
+      case _ => true
+    })
+    // padj >= p always (n / rank >= 1)
+    assert(rows.forall { case (p, padj) => padj >= p - 1e-6 })
+  }
+}
