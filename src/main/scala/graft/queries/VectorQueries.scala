@@ -161,6 +161,56 @@ object VectorQueries {
       |FROM p JOIN n na ON p.ga = na.label JOIN n nb ON p.gb = nb.label
       |ORDER BY ga, gb""".stripMargin
 
+  /* ---------------- vs_similar_papers ---------------- */
+
+  /** Per-paper similar-papers top-k (reference: vector_store.py:538
+    * find_similar_papers — mean chunk embedding per paper, cosine
+    * top-k against every OTHER paper). Papers = label groups; the
+    * composition is groupCentroids → knnJoin with centroids on BOTH
+    * sides, so the per-paper selection still goes through the bounded
+    * map-side TopKAgg. The self-pair (cosine exactly 1.0) is excluded
+    * after a k+1 bounded selection and rank recomputed over the
+    * survivors — a ≤k+1-row window per paper, not a corpus window.
+    */
+  private val SimilarK = 3
+
+  private def similarPapers(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = VectorSearch.centroidArrays(
+      Tables.embeddings(s, d), "label", "embedding")
+    val cands = cents.select(col("label").cast("long").as("cid"),
+      col("centroid").as("ce"))
+    val qs = cents.select(col("label").cast("long").as("paper"),
+      col("centroid").as("qe"))
+    VectorSearch.knnJoin(cands, qs, "cid", "ce", "paper", "qe", SimilarK + 1)
+      .where(col("cid") =!= col("paper"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("paper"))
+          .orderBy(col("cos_sim").desc, col("cid"))).cast("long"))
+      .where(col("rnk") <= SimilarK)
+      .select(col("paper"), col("cid").as("similar_paper"),
+        col("cos_sim"), col("rnk"))
+      .orderBy(col("paper"), col("rnk"))
+  }
+
+  private val similarPapersSql =
+    s"""WITH le AS (SELECT label, embedding,
+       |         unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
+       |c AS (SELECT label, i, avg(embedding[i]::DOUBLE) AS v FROM le GROUP BY label, i),
+       |n AS (SELECT label, sum(v * v) AS ns FROM c GROUP BY label),
+       |p AS (SELECT a.label AS paper, b.label AS cid, sum(a.v * b.v) AS dot
+       |      FROM c a JOIN c b ON a.i = b.i GROUP BY 1, 2),
+       |sc AS (SELECT paper, cid,
+       |         round(dot / (sqrt(na.ns) * sqrt(nb.ns)), 6) AS cos_sim
+       |       FROM p JOIN n na ON p.paper = na.label
+       |       JOIN n nb ON p.cid = nb.label),
+       |rk AS (SELECT paper, cid, cos_sim,
+       |         row_number() OVER (PARTITION BY paper
+       |           ORDER BY cos_sim DESC, cid)::BIGINT AS rnk
+       |       FROM sc WHERE paper <> cid)
+       |SELECT paper::BIGINT AS paper, cid::BIGINT AS similar_paper, cos_sim, rnk
+       |FROM rk WHERE rnk <= $SimilarK ORDER BY paper, rnk""".stripMargin
+
   /* ---------------- vs_ann_ivf ---------------- */
 
   private def annIvf(s: SparkSession, d: String): DataFrame = {
@@ -461,6 +511,7 @@ object VectorQueries {
     Qdef("vs_section_topk", sectionTopK, Some(sectionTopKSql)),
     Qdef("vs_knn_join", knnJoin, Some(knnJoinSql)),
     Qdef("vs_centroid_sim", centroidSim, Some(centroidSimSql)),
+    Qdef("vs_similar_papers", similarPapers, Some(similarPapersSql)),
     Qdef("vs_ann_ivf", annIvf, Some(annIvfSql)),
     Qdef("vs_ann_ivf_srp", annIvfSrp, Some(annIvfSrpSql)),
     Qdef("bm25_search", bm25Search, Some(bm25Sql)),
