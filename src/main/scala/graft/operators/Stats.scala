@@ -44,6 +44,46 @@ object Stats {
     poly * exp(-x * x)
   }
 
+  /** Counts-per-million normalization (reference:
+    * rnaseq_pipeline/ml/preprocessor.py:92 _normalize_cpm): scale
+    * each sample's counts by its library size (the sample's total
+    * count) to counts-per-million, plus the standard log2(cpm + 1)
+    * transform. Library sizes are one tiny aggregate over samples —
+    * sample cardinality is a cohort, never corpus-scale — broadcast
+    * back to the count matrix; the matrix itself is scanned once and
+    * never shuffled.
+    */
+  def cpmNormalize(
+      counts: DataFrame, sampleCol: String, featureCol: String,
+      valueCol: String): DataFrame = {
+    val lib = counts.groupBy(col(sampleCol))
+      .agg(sum(col(valueCol)).as("lib_size"))
+    counts
+      .join(broadcast(lib), Seq(sampleCol))
+      .withColumn("cpm", col(valueCol) / col("lib_size") * lit(1e6))
+      .withColumn("log2_cpm",
+        log(col("cpm") + 1.0) / lit(math.log(2.0)))
+  }
+
+  /** Top-N features by cross-sample variance (reference:
+    * preprocessor.py:102 _select_top_variance_genes — the standard
+    * dimensionality cut before clustering/ML). One hash aggregate per
+    * feature; the top-N goes through ORDER BY ... LIMIT
+    * (TakeOrderedAndProject — per-partition heaps, no global sort).
+    * Ordering uses the ROUNDED variance with a feature tiebreak so
+    * the cut is reproducible cross-engine.
+    */
+  def topVarianceFeatures(
+      normalized: DataFrame, featureCol: String, valueCol: String,
+      n: Int): DataFrame =
+    normalized
+      .groupBy(col(featureCol))
+      .agg(
+        count(lit(1)).as("n_samples"),
+        round(var_samp(col(valueCol)) + lit(1e-9), 6).as("variance"))
+      .orderBy(col("variance").desc, col(featureCol))
+      .limit(n)
+
   /** Per-feature differential statistics between two cohorts:
     * counts/means/variances per arm, log2 fold change (+1 pseudocount,
     * the DESeq-style guard), Welch t statistic, normal-approximation

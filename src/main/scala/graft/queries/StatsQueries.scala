@@ -78,6 +78,70 @@ object StatsQueries {
        |SELECT gene, n_a, n_b, mean_a, mean_b, log2_fc, t_stat, p_value, p_adj
        |FROM bh ORDER BY gene""".stripMargin
 
+  /* ---------------- deg_cpm ---------------- */
+
+  private val NSamples = 20
+
+  /** Count-matrix binding: sample = supplier mod 20, gene = part mod
+    * 40, count = summed quantity. Counts are integral doubles, so
+    * library sums are EXACT in both engines; the CPM ratios then
+    * agree bit-for-bit and rounding is belt-and-braces.
+    */
+  private def countMatrix(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(
+        pmod(col("l_suppkey"), lit(NSamples)).cast("long").as("sample_id"),
+        pmod(col("l_partkey"), lit(NGenes)).cast("long").as("gene"),
+        col("l_quantity").cast("double").as("qty"))
+      .groupBy(col("sample_id"), col("gene"))
+      .agg(sum(col("qty")).as("raw_count"))
+
+  private def degCpm(s: SparkSession, d: String): DataFrame =
+    Stats.cpmNormalize(countMatrix(s, d), "sample_id", "gene", "raw_count")
+      .select(col("sample_id"), col("gene"),
+        round(col("raw_count") + lit(1e-9), 2).as("raw_count"),
+        round(col("cpm") + lit(1e-9), 4).as("cpm"),
+        round(col("log2_cpm") + lit(1e-9), 6).as("log2_cpm"))
+      .orderBy(col("sample_id"), col("gene"))
+
+  private val countMatrixSql =
+    s"""cm AS (SELECT (l_suppkey % $NSamples)::BIGINT AS sample_id,
+       |    (l_partkey % $NGenes)::BIGINT AS gene,
+       |    sum(l_quantity::DOUBLE) AS raw_count
+       |  FROM lineitem GROUP BY 1, 2),
+       |lib AS (SELECT sample_id, sum(raw_count) AS lib_size
+       |  FROM cm GROUP BY sample_id),
+       |cpm AS (SELECT cm.sample_id, cm.gene, cm.raw_count,
+       |    cm.raw_count / lib.lib_size * 1000000.0 AS cpm
+       |  FROM cm JOIN lib ON cm.sample_id = lib.sample_id)""".stripMargin
+
+  private val degCpmSql =
+    s"""WITH $countMatrixSql
+       |SELECT sample_id, gene,
+       |  round(raw_count + 0.000000001, 2) AS raw_count,
+       |  round(cpm + 0.000000001, 4) AS cpm,
+       |  round(ln(cpm + 1.0) / ln(2.0) + 0.000000001, 6) AS log2_cpm
+       |FROM cpm ORDER BY sample_id, gene""".stripMargin
+
+  /* ---------------- deg_top_var ---------------- */
+
+  private val TopVarN = 10
+
+  private def degTopVar(s: SparkSession, d: String): DataFrame =
+    Stats.topVarianceFeatures(
+      Stats.cpmNormalize(countMatrix(s, d), "sample_id", "gene", "raw_count"),
+      "gene", "log2_cpm", TopVarN)
+
+  private val degTopVarSql =
+    s"""WITH $countMatrixSql,
+       |lg AS (SELECT gene, ln(cpm + 1.0) / ln(2.0) AS log2_cpm FROM cpm)
+       |SELECT gene, count(*)::BIGINT AS n_samples,
+       |  round(var_samp(log2_cpm) + 0.000000001, 6) AS variance
+       |FROM lg GROUP BY gene
+       |ORDER BY variance DESC, gene LIMIT $TopVarN""".stripMargin
+
   val defs: Seq[Qdef] = Seq(
-    Qdef("deg_stats", degStats, Some(degStatsSql)))
+    Qdef("deg_stats", degStats, Some(degStatsSql)),
+    Qdef("deg_cpm", degCpm, Some(degCpmSql)),
+    Qdef("deg_top_var", degTopVar, Some(degTopVarSql)))
 }
