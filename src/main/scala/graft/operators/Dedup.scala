@@ -188,26 +188,51 @@ object Dedup {
       shingleN: Int, minJaccard: Double): DataFrame = {
     val sh = shingles(docs, idCol, textCol, shingleN).cache()
     val dfs = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    // (df, shingle) is the global sort key; per-doc threshold = the
-    // p-th smallest key, computed as a hash AGGREGATE (collect_list
-    // sorts ~doc-length structs in memory) rather than a row_number
-    // window over whole shuffle partitions
-    val keyed = sh.join(dfs, Seq("sh"))
-      .select(col(idCol), col("sh"), struct(col("df"), col("sh")).as("k"))
-    val thr = keyed.groupBy(col(idCol))
-      .agg(sort_array(collect_list(col("k"))).as("ks"))
-      .select(col(idCol), element_at(col("ks"),
+    // (df, shingle) is the global sort key; each doc's shingles are
+    // sorted ONCE as a hash AGGREGATE (collect_list sorts
+    // ~doc-length structs in memory — never a row_number window over
+    // whole shuffle partitions) and the prefix is sliced off with its
+    // positions, which the candidate-time filters below need
+    val sorted = sh.join(dfs, Seq("sh"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("ks"))
+      .select(col(idCol), col("ks"), size(col("ks")).as("nsh"),
         (size(col("ks")) -
-          ceil(lit(minJaccard) * size(col("ks"))) + 1).cast("int"))
-        .as("thr"))
-    val prefix = keyed.join(thr, Seq(idCol))
-      .where(col("k") <= col("thr"))
-      .select(col(idCol), col("sh"))
-    val a = prefix.select(col(idCol).as("da"), col("sh"))
-    val b = prefix.select(col(idCol).as("db"), col("sh"))
+          ceil(lit(minJaccard) * size(col("ks"))) + 1).cast("int").as("plen"))
+    val prefix = sorted
+      .select(col(idCol), col("nsh"),
+        posexplode(slice(col("ks"), lit(1), col("plen"))).as(Seq("pos0", "k")))
+      .select(col(idCol), col("nsh"),
+        (col("pos0") + 1).as("pos"), col("k.sh").as("sh"))
+    val a = prefix.select(col(idCol).as("da"), col("sh"),
+      col("nsh").as("na"), col("pos").as("pa"))
+    val b = prefix.select(col(idCol).as("db"), col("sh"),
+      col("nsh").as("nb"), col("pos").as("pb"))
+    // Candidate-time prunes, both LOSSLESS (pure consequences of
+    // J >= t), so the oracle — which verifies its own candidate
+    // superset with exact Jaccard — needs no mirror:
+    //  - length filter: J <= min/max  ⇒  min(na,nb) >= t·max(na,nb);
+    //  - positional bound (PPJoin): the FIRST common shingle s* in
+    //    the global order is in both prefixes and attains both
+    //    min(pa) and min(pb) over matched rows (positions follow the
+    //    global order within a doc), and every common shingle sorts
+    //    at or after s*  ⇒  |A∩B| <= min(na - ia + 1, nb - jb + 1),
+    //    which must reach minOverlap = ceil(t(na+nb)/(1+t)).
+    // The 1e-9 guards keep fp threshold error on the conservative
+    // (keep-the-pair) side.
+    val minOverlap = ceil(
+      (lit(minJaccard) / (lit(1.0) + lit(minJaccard))) *
+        (col("na") + col("nb")) - lit(1e-9))
     val cand = a.join(b, Seq("sh"))
       .where(col("da") < col("db"))
-      .select(col("da"), col("db")).distinct()
+      .groupBy(col("da"), col("db"))
+      .agg(min(col("pa")).as("ia"), min(col("pb")).as("jb"),
+        max(col("na")).as("na"), max(col("nb")).as("nb"))
+      .where(col("na") >= lit(minJaccard) * col("nb") - lit(1e-9) &&
+        col("nb") >= lit(minJaccard) * col("na") - lit(1e-9))
+      .where(least(col("na") - col("ia") + 1, col("nb") - col("jb") + 1) >=
+        minOverlap)
+      .select(col("da"), col("db"))
     jaccardVerify(cand, sh, idCol, minJaccard)
   }
 
