@@ -119,16 +119,20 @@ object Stats {
       .withColumn("t_stat", r6(t))
       // rank on the ROUNDED p so both engines order identically
       .withColumn("p_value", r6(normalTwoSidedP(t)))
-    val totals = scored.agg(count(lit(1)).as("n_feat"))
     // feature-cardinality windows (a gene panel, not the sample
     // table) — the single-partition WindowExec warning is expected
-    // and harmless here, as in the other ≤k-row windows
+    // and harmless here, as in the other ≤k-row windows. n_feat also
+    // comes from a whole-frame window on the SAME panel: a separate
+    // count() aggregate would re-derive the frame from a second scan
+    // of the sample table (PlanAuditSpec pins the single scan).
+    val whole = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val byP = Window.orderBy(col("p_value"), col(featureCol))
     val suffixMin = Window
       .orderBy(col("p_value").desc, col(featureCol).desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     scored
-      .crossJoin(broadcast(totals))
+      .withColumn("n_feat", count(lit(1)).over(whole))
       .withColumn("p_rank", row_number().over(byP).cast("long"))
       .withColumn("p_adj", r6(least(
         min(col("p_value") * col("n_feat") / col("p_rank")).over(suffixMin),

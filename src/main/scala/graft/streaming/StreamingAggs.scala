@@ -16,6 +16,19 @@ case class ClosedSession(
     user_id: Long, session_start: Long, n_events: Long,
     sum_value: Double, duration_secs: Long)
 
+/** One keyed corpus update flowing on the stream. */
+case class UpsertEvent(
+    key: Long, version: Long, payload: String, deleted: Boolean)
+
+/** Per-key winning version kept in the state store. */
+case class KeyLatest(version: Long, payload: String, deleted: Boolean)
+
+/** The current resolved view row for a key (tombstones included so
+  * downstream sinks can delete).
+  */
+case class CurrentRow(
+    key: Long, version: Long, payload: String, deleted: Boolean)
+
 /** Structured Streaming twins of the batch event operators
   * (graft.operators.Events). Same logical shapes — tumbling windows,
   * sessionization-ready keyed state — expressed on an unbounded
@@ -68,6 +81,34 @@ object StreamingAggs {
           s"""imp_user = click_user
              |AND click_ts >= imp_ts
              |AND click_ts <= imp_ts + interval $window""".stripMargin))
+
+  /** Streaming latest-wins corpus upsert — the incremental twin of
+    * the batch `Corpus.mergeLatest` (reference: vector_store.py:136
+    * add_chunks / :482 delete_paper arriving as a live feed instead
+    * of a batch). Keyed state holds ONE KeyLatest per key (the
+    * winning version only — state size is the live key set, never the
+    * update history); each micro-batch folds its updates into the
+    * state and emits the key's new current row, tombstones included.
+    *
+    * Same resolution rule as the batch view: higher version wins;
+    * ties resolve by (payload, deleted) ordering — deterministic, and
+    * writers should make versions unique per key.
+    */
+  def latestWinsStream(
+      updates: Dataset[UpsertEvent]): Dataset[CurrentRow] = {
+    import updates.sparkSession.implicits._
+    implicit val ord: Ordering[KeyLatest] =
+      Ordering.by(s => (s.version, s.payload, s.deleted))
+    updates
+      .groupByKey(_.key)
+      .mapGroupsWithState[KeyLatest, CurrentRow](GroupStateTimeout.NoTimeout) {
+        (key: Long, it: Iterator[UpsertEvent], state: GroupState[KeyLatest]) =>
+          val incoming = it.map(e => KeyLatest(e.version, e.payload, e.deleted))
+          val best = (incoming ++ state.getOption.iterator).max
+          state.update(best)
+          CurrentRow(key, best.version, best.payload, best.deleted)
+      }
+  }
 
   /** Stateful streaming sessionization: gap-based sessions per user
     * via flatMapGroupsWithState — the streaming twin of the batch

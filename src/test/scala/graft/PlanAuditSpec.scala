@@ -41,6 +41,20 @@ class PlanAuditSpec extends SparkSpec {
       l.contains("PushedFilters") && l.contains("In(label")))
   }
 
+  test("deg_stats scans the sample table exactly once (one conditional agg pass)") {
+    val plan = planOf("deg_stats")
+    // all six per-cohort moments come from ONE aggregate over ONE
+    // lineitem scan — a per-cohort-subquery plan would scan twice
+    assert(plan.linesIterator.count(_.contains("lineitem.parquet")) == 1,
+      s"expected a single lineitem scan:\n$plan")
+  }
+
+  test("deg_cpm broadcasts library sizes back over the count matrix") {
+    val plan = planOf("deg_cpm")
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
   test("q1 pushes the shipdate filter into the parquet scan") {
     val plan = planOf("q1_pricing_summary")
     assert(plan.linesIterator.exists(l =>

@@ -85,6 +85,49 @@ class StreamingSpec extends SparkSpec {
     assert(rows((1L, 100L)) == (2L, 3.0, 10L))  // closed by timeout
   }
 
+  test("latestWinsStream resolves keys to their highest version across batches") {
+    val sql = spark.sqlContext
+    import spark.implicits._
+    implicit val ctx = sql
+    import graft.streaming.UpsertEvent
+
+    val input = MemoryStream[UpsertEvent]
+    val view = StreamingAggs.latestWinsStream(input.toDS())
+    val query = view.writeStream
+      .format("memory")
+      .queryName("latest_wins_test")
+      .outputMode(OutputMode.Update())
+      .start()
+
+    // batch 1: three keys at their base versions
+    input.addData(
+      UpsertEvent(1L, 0L, "a0", deleted = false),
+      UpsertEvent(2L, 0L, "b0", deleted = false),
+      UpsertEvent(3L, 0L, "c0", deleted = false))
+    query.processAllAvailable()
+    // batch 2: key 1 upserted, key 3 tombstoned; key 2 untouched
+    input.addData(
+      UpsertEvent(1L, 5L, "a5", deleted = false),
+      UpsertEvent(3L, 1L, "c-del", deleted = true))
+    query.processAllAvailable()
+    // batch 3: out-of-order history for key 1 (v1 after v5 was seen)
+    input.addData(UpsertEvent(1L, 1L, "a1-late", deleted = false))
+    query.processAllAvailable()
+
+    // update-mode memory sink: the LAST emission per key is current
+    val rows = spark.table("latest_wins_test").collect()
+      .map(r => (r.getAs[Long]("key"),
+        (r.getAs[Long]("version"), r.getAs[String]("payload"),
+          r.getAs[Boolean]("deleted"))))
+    val current = rows.zipWithIndex.groupBy(_._1._1)
+      .map { case (k, vs) => k -> vs.maxBy(_._2)._1._2 }
+    query.stop()
+
+    assert(current(1L) == ((5L, "a5", false))) // late v1 did not regress
+    assert(current(2L) == ((0L, "b0", false)))
+    assert(current(3L) == ((1L, "c-del", true))) // tombstone surfaced
+  }
+
   test("impressionClickJoin pairs clicks with in-window impressions only") {
     val sql = spark.sqlContext
     import spark.implicits._
