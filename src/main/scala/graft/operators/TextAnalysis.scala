@@ -105,6 +105,33 @@ object TextAnalysis {
       .groupBy(col("entity"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Pattern scrubbing / masking — the PII-redaction shape every
+    * LLM-training-data pipeline needs before text ships to a
+    * tokenizer: each (regex, replacement) pair is applied in order
+    * and its hit count reported per doc (the audit trail that lets a
+    * pipeline alert on docs with heavy redaction). Narrow codegen'd
+    * projection — regex evaluation only, no shuffle; patterns must
+    * stay in the RE2-compatible subset so the oracle twin (DuckDB)
+    * matches the Java regex semantics.
+    */
+  def scrub(
+      docs: DataFrame, idCol: String, textCol: String,
+      patterns: Seq[(String, String, String)]): DataFrame = {
+    val counted = patterns.foldLeft(docs.select(col(idCol), col(textCol))) {
+      case (df, (name, regex, _)) =>
+        df.withColumn(s"n_$name",
+          size(regexp_extract_all(col(textCol), lit(regex), lit(0)))
+            .cast("long"))
+    }
+    val masked = patterns.foldLeft(col(textCol)) {
+      case (c, (_, regex, repl)) => regexp_replace(c, regex, repl)
+    }
+    counted.withColumn("scrubbed", masked)
+      .select(Seq(col(idCol)) ++
+        patterns.map { case (n, _, _) => col(s"n_$n") } :+
+        col("scrubbed"): _*)
+  }
+
   /** Per-doc fingerprints: md5-prefix of normalized text plus the
     * minimum shingle hash (a 1-hash MinHash — robust to small edits).
     */

@@ -356,6 +356,36 @@ object TextQueries {
       |    AS chars_per_token
       |FROM b ORDER BY doc_id""".stripMargin
 
+  /* ---------------- txt_scrub ---------------- */
+
+  /** Scrub binding on the part descriptions (the corpus slice that
+    * actually contains code/number patterns): entity codes masked
+    * first, remaining digit runs second — order matters and is
+    * identical in the oracle.
+    */
+  private val ScrubPatterns: Seq[(String, String, String)] = Seq(
+    ("entity", "[A-Za-z]+#[0-9]+", "[ENT]"),
+    ("num", "[0-9]+", "[NUM]"))
+
+  private def txtScrub(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.scrub(
+      Tables.part(s, d).select(col("p_partkey"),
+        concat_ws(" ", col("p_name"), col("p_brand"), col("p_type")).as("text")),
+      "p_partkey", "text", ScrubPatterns)
+      .orderBy(col("p_partkey"))
+
+  private val txtScrubSql = {
+    val Seq((n1, p1, r1), (n2, p2, r2)) = ScrubPatterns
+    s"""WITH t AS (SELECT p_partkey,
+       |    concat_ws(' ', p_name, p_brand, p_type) AS text FROM part)
+       |SELECT p_partkey,
+       |  len(regexp_extract_all(text, '$p1'))::BIGINT AS n_$n1,
+       |  len(regexp_extract_all(text, '$p2'))::BIGINT AS n_$n2,
+       |  regexp_replace(regexp_replace(text, '$p1', '$r1', 'g'),
+       |                 '$p2', '$r2', 'g') AS scrubbed
+       |FROM t ORDER BY p_partkey""".stripMargin
+  }
+
   /* ---------------- trend_gaps ---------------- */
 
   /** Gap patterns in the reference's (pattern, report) shape
@@ -451,6 +481,7 @@ object TextQueries {
     Qdef("chunk_sections", chunkSections, Some(chunkSectionsSql)),
     Qdef("lens_classify", lensClassify, Some(lensClassifySql)),
     Qdef("txt_token_count", txtTokenCount, Some(txtTokenCountSql)),
+    Qdef("txt_scrub", txtScrub, Some(txtScrubSql)),
     Qdef("corpus_stats", corpusStats, Some(corpusStatsSql)),
     Qdef("trend_gaps", trendGaps, Some(trendGapsSql)),
     Qdef("topic_trends", topicTrends, Some(topicTrendsSql)))
