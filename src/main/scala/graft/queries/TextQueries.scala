@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFns
-import graft.operators.{Chunker, TextAnalysis, Trends}
+import graft.operators.{Chunker, Pack, TextAnalysis, Trends}
 
 /** Text-analysis queries over `documents` (plus `part` for entity
   * codes). All derived integers are BIGINT on both sides.
@@ -356,6 +356,36 @@ object TextQueries {
       |    AS chars_per_token
       |FROM b ORDER BY doc_id""".stripMargin
 
+  /* ---------------- pack_shards ---------------- */
+
+  private val ShardBudget = 10000L
+
+  /** Token estimate for packing: the ~4-chars-per-token heuristic on
+    * n_chars (kept deliberately simple so the oracle shares the exact
+    * integer arithmetic; txt_token_count carries the richer
+    * estimator).
+    */
+  private def packShards(s: SparkSession, d: String): DataFrame =
+    Pack.packByTokenBudget(
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("n_chars div 4 + 1").as("est_tokens")),
+      "doc_id", "est_tokens", ShardBudget)
+      .select(col("doc_id"), col("est_tokens"),
+        col("cum_tokens"), col("shard_id"))
+      .orderBy(col("doc_id"))
+
+  private val packShardsSql =
+    s"""WITH t AS (SELECT doc_id, n_chars // 4 + 1 AS est_tokens
+       |  FROM documents),
+       |c AS (SELECT doc_id, est_tokens,
+       |    sum(est_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+       |  FROM t)
+       |SELECT doc_id, est_tokens, cum_tokens,
+       |  (cum_tokens - est_tokens) // $ShardBudget AS shard_id
+       |FROM c ORDER BY doc_id""".stripMargin
+
   /* ---------------- txt_scrub ---------------- */
 
   /** Scrub binding on the part descriptions (the corpus slice that
@@ -482,6 +512,7 @@ object TextQueries {
     Qdef("lens_classify", lensClassify, Some(lensClassifySql)),
     Qdef("txt_token_count", txtTokenCount, Some(txtTokenCountSql)),
     Qdef("txt_scrub", txtScrub, Some(txtScrubSql)),
+    Qdef("pack_shards", packShards, Some(packShardsSql)),
     Qdef("corpus_stats", corpusStats, Some(corpusStatsSql)),
     Qdef("trend_gaps", trendGaps, Some(trendGapsSql)),
     Qdef("topic_trends", topicTrends, Some(topicTrendsSql)))
