@@ -461,6 +461,55 @@ object VectorQueries {
        |FROM f WHERE relevance >= 0.3
        |ORDER BY final_score DESC, doc_id LIMIT 10""".stripMargin
 
+  /* ---------------- rerank_cross ---------------- */
+
+  /** Cross-encoder-shaped rerank, oracle-checked end to end: BM25
+    * top-50 candidates are re-scored pairwise against the query text
+    * through the REAL batched mapPartitions plumbing
+    * (CrossScore.rerankTopK). The stub scorer — Jaccard of lowercase
+    * whitespace token SETS — is deliberately SQL-expressible, so the
+    * oracle can replay the whole rerank; a production model call
+    * swaps in without touching the pipeline shape.
+    */
+  private def rerankCross(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.CrossScore
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val q = QueryTerms.mkString(" ")
+    val pairs = Bm25.topK(docs, "doc_id", "text", QueryTerms, 50)
+      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) => CrossScore.TextPair(id, q, text) }
+    // rank on the ROUNDED score (the oracle does too) — an unrounded
+    // order could pick a different member of a 6dp tie
+    CrossScore.scorePairs(pairs, CrossScore.FakeCrossScorer)
+      .select(col("pair_id").as("doc_id"),
+        round(col("score") + lit(1e-9), 6).as("cross_score"))
+      .orderBy(col("cross_score").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  private val rerankCrossSql =
+    s"""WITH ${SqlSnippets.bm25ScoreCtes(termList)},
+       |cand AS (SELECT doc_id FROM sc
+       |         ORDER BY round(s, 6) DESC, doc_id LIMIT 50),
+       |qt AS (SELECT list_distinct(list_filter(
+       |         string_split_regex(lower('${QueryTerms.mkString(" ")}'), '\\s+'),
+       |         x -> x <> '')) AS qs),
+       |dd AS (SELECT c.doc_id,
+       |         list_distinct(list_filter(
+       |           string_split_regex(lower(d.text), '\\s+'),
+       |           x -> x <> '')) AS ds
+       |       FROM cand c JOIN documents d ON c.doc_id = d.doc_id),
+       |ov AS (SELECT doc_id,
+       |         len(list_filter(qs, x -> list_contains(ds, x)))::DOUBLE AS inter,
+       |         len(list_distinct(qs || ds))::DOUBLE AS uni
+       |       FROM dd CROSS JOIN qt)
+       |SELECT doc_id,
+       |  round(CASE WHEN uni = 0 THEN 0.0 ELSE inter / uni END + 0.000000001, 6)
+       |    AS cross_score
+       |FROM ov ORDER BY cross_score DESC, doc_id LIMIT 10""".stripMargin
+
   /* ---------------- rerank_recency ---------------- */
 
   /** Demo binding for the recency/impact/total scoring ladders
@@ -519,5 +568,6 @@ object VectorQueries {
     Qdef("hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
     Qdef("rerank_rule", rerankRule, Some(rerankRuleSql)),
     Qdef("precision_search", precisionSearch, Some(precisionSearchSql)),
-    Qdef("rerank_recency", rerankRecency, Some(rerankRecencySql)))
+    Qdef("rerank_recency", rerankRecency, Some(rerankRecencySql)),
+    Qdef("rerank_cross", rerankCross, Some(rerankCrossSql)))
 }
