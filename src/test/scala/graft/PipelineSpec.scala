@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Chunker, Dedup, Embed, VectorSearch}
+import graft.operators.{Chunker, Dedup, Embed, Pack, TextAnalysis, VectorSearch}
 
 /** End-to-end integration of the reference's corpus flow on graft
   * operators alone: documents → dedup → chunk → embed → search
@@ -55,5 +55,66 @@ class PipelineSpec extends SparkSpec {
     // ranked by rounded cosine, scores valid and non-increasing
     assert(hits.map(_._2).sliding(2).forall(p => p.head >= p.last))
     assert(hits.forall(h => h._2 >= -1.0 && h._2 <= 1.0))
+  }
+
+  test("training-data prep: scrub -> quality gate -> dedup -> sectioned chunks -> shards") {
+    val raw = Seq(
+      (0L, "User u#1234 ran the join stage and the merge stage on table t#77 " * 3),
+      (1L, "User u#1234 ran the join stage and the merge stage on table t#77 " * 3),
+      (2L, "stream processing keeps windowed state per key and emits results " +
+        "continuously as watermarks advance across the unbounded input data"),
+      (3L, "x"), // too short: the quality gate must drop it
+      (4L, "scan the columnar files and prune row groups using min max stats " +
+        "so the reader touches only matching byte ranges of the large table")
+    ).toDF("doc_id", "text")
+
+    // 1. scrub PII-shaped codes, keep the redaction audit columns
+    val scrubbed = TextAnalysis.scrub(raw, "doc_id", "text",
+      Seq(("entity", "[a-z]+#[0-9]+", "[ENT]")))
+    assert(scrubbed.where(col("n_entity") > 0).select("doc_id")
+      .as[Long].collect().toSet == Set(0L, 1L))
+
+    // 2. quality gate (length floor stands in for the full scorer)
+    val gated = scrubbed.where(length(col("scrubbed")) >= 50)
+      .select(col("doc_id"), col("scrubbed").as("text"))
+    assert(!gated.select("doc_id").as[Long].collect().contains(3L))
+
+    // 3. exact dedup after scrubbing (0 and 1 collapse to canonical 0)
+    val canon = Dedup.exact(gated, "doc_id", "text")
+    assert(canon.select("canonical_id").as[Long].collect().toSeq == Seq(0L))
+    val deduped = gated.join(
+      canon.select(col("canonical_id")).withColumn("keep_dup", lit(true)),
+      col("doc_id") === col("canonical_id"), "left")
+      .join(gated.groupBy(md5(col("text")).as("h")).count()
+        .where(col("count") > 1).select(col("h")),
+        md5(col("text")) === col("h"), "left")
+      .where(col("h").isNull || col("keep_dup"))
+      .select(col("doc_id"), col("text"))
+    assert(deduped.select("doc_id").as[Long].collect().toSet == Set(0L, 2L, 4L))
+
+    // 4. sectioned chunks (stored section column is what a production
+    //    write partitions by)
+    val chunks = Chunker.tagSections(
+      Chunker.fixedChunks(deduped, "doc_id", "text", 60, 10),
+      "chunk_text",
+      Seq("join" -> "methods", "scan" -> "results", "stream" -> "discussion"),
+      "other")
+    val sections = chunks.select("section").as[String].collect().toSet
+    assert(Set("methods", "results", "discussion").subsetOf(sections))
+
+    // 5. token estimate + shard packing (global id order, 2-phase scan)
+    val packed = Pack.packByTokenBudget(
+      chunks.withColumn("chunk_id", col("doc_id") * 1000 + col("chunk_index"))
+        .select(col("chunk_id"),
+          expr("chunk_len div 4 + 1").as("est_tokens")),
+      "chunk_id", "est_tokens", budget = 30L, partitions = 3)
+    val rows = packed.select("chunk_id", "est_tokens", "cum_tokens", "shard_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    // shards are contiguous in id order and start exactly at budget
+    // boundaries of the starting offset
+    assert(rows.forall { case (_, tok, cum, shard) => (cum - tok) / 30L == shard })
+    assert(rows.map(_._4).sliding(2).forall(p => p.head <= p.last))
+    assert(rows.map(_._4).distinct.length > 1) // budget actually splits
   }
 }

@@ -68,6 +68,30 @@ class SourcesSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"latest-wins must not window-sort:\n$plan")
   }
 
+  test("mergeLatest matches a sequential reference fold on randomized logs") {
+    val rnd = new scala.util.Random(42) // fixed seed: reproducible failures
+    for (_ <- 1 to 5) {
+      val log = rnd.shuffle(
+        (for (k <- 0L until 20L; v <- 0L until 10L) yield (k, v))
+          .filter(_ => rnd.nextDouble() < 0.4))
+        .map { case (k, v) =>
+          (k, v, s"p$k-$v", rnd.nextDouble() < 0.3)
+        }
+      if (log.nonEmpty) {
+        val expected = log.groupBy(_._1).flatMap { case (k, rows) =>
+          val best = rows.maxBy(_._2) // versions unique per key
+          if (best._4) None else Some(k -> ((best._2, best._3)))
+        }
+        val got = Corpus.mergeLatest(
+          log.toDF("doc_id", "version", "payload", "deleted"),
+          Seq("doc_id"), "version", Some("deleted"))
+          .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+          .toMap
+        assert(got == expected)
+      }
+    }
+  }
+
   test("overwritePartitions rewrites only the partitions present in the delta") {
     val dir = Files.createTempDirectory("graft_dynpart").toString + "/docs"
     Corpus.writePartitioned(docs, dir, Seq("source"))
