@@ -82,6 +82,24 @@ object StreamingAggs {
              |AND click_ts >= imp_ts
              |AND click_ts <= imp_ts + interval $window""".stripMargin))
 
+  /** Streaming exact dedup on ingest — the incremental twin of the
+    * batch `Dedup.exact` (an LLM-data pipeline dedups the feed, not
+    * just the resting corpus). Keyed by content hash;
+    * dropDuplicatesWithinWatermark holds each hash only until the
+    * watermark passes it, so state is bounded by `watermarkDelay` of
+    * arrivals — the unbounded-state dedup (plain dropDuplicates on a
+    * stream) is the classic slow-death failure mode this avoids.
+    * Contract: duplicates ARRIVING within the watermark window are
+    * dropped; a re-crawl months later re-emits (and the batch dedup
+    * sweep catches it downstream).
+    */
+  def dedupStream(
+      docs: DataFrame, textCol: String, watermarkDelay: String): DataFrame =
+    docs
+      .withColumn("text_hash", md5(col(textCol)))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("text_hash")
+
   /** Streaming latest-wins corpus upsert — the incremental twin of
     * the batch `Corpus.mergeLatest` (reference: vector_store.py:136
     * add_chunks / :482 delete_paper arriving as a live feed instead

@@ -85,6 +85,38 @@ class StreamingSpec extends SparkSpec {
     assert(rows((1L, 100L)) == (2L, 3.0, 10L))  // closed by timeout
   }
 
+  test("dedupStream drops in-window duplicate content, state bounded by watermark") {
+    val sql = spark.sqlContext
+    import spark.implicits._
+    implicit val ctx = sql
+
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val deduped = StreamingAggs.dedupStream(
+      input.toDF().toDF("ts", "doc_id", "text"), "text", "10 minutes")
+    val query = deduped.writeStream
+      .format("memory")
+      .queryName("dedup_stream_test")
+      .outputMode(OutputMode.Append())
+      .start()
+
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // same content arrives three times within the window, one unique
+    input.addData(
+      (t(0), 1L, "same content"),
+      (t(1), 2L, "same content"),
+      (t(2), 3L, "other content"))
+    query.processAllAvailable()
+    input.addData((t(5), 4L, "same content")) // still in-window dup
+    query.processAllAvailable()
+
+    val rows = spark.table("dedup_stream_test").collect()
+      .map(r => r.getAs[Long]("doc_id")).toSet
+    query.stop()
+
+    // exactly one survivor per distinct content
+    assert(rows == Set(1L, 3L))
+  }
+
   test("latestWinsStream resolves keys to their highest version across batches") {
     val sql = spark.sqlContext
     import spark.implicits._
