@@ -11,6 +11,15 @@ class PlanAuditSpec extends SparkSpec {
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
 
+  test("every shipped query has a SURVEY §2 coverage row") {
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
+    val missing = SparkEntry.queries.keySet.filterNot(k =>
+      survey.contains(s"`$k`"))
+    assert(missing.isEmpty,
+      s"queries without a SURVEY §2 row: ${missing.toSeq.sorted.mkString(", ")}")
+  }
+
   test("bm25 top-k terminates in TakeOrderedAndProject (no global sort)") {
     assert(planOf("bm25_search").contains("TakeOrderedAndProject"))
   }
