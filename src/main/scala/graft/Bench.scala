@@ -53,8 +53,11 @@ object Bench {
       name -> runs
     }
     // a query that threw reports null (not its near-zero wall time) so
-    // a broken query can never masquerade as a fast one
-    def fmt(d: Double) = f"$d%.6f"
+    // a broken query can never masquerade as a fast one. Locale.ROOT:
+    // the f-interpolator uses the JVM default locale, which on a
+    // comma-decimal locale would print 1,234567 — invalid JSON.
+    def fmt(d: Double) =
+      String.format(java.util.Locale.ROOT, "%.6f", Double.box(d))
     val qs = results.map { case (name, runs) =>
       val t = if (runs.forall(_._2)) fmt(runs.map(_._1).min) else "null"
       s"\"$name\":$t"

@@ -302,7 +302,10 @@ object Dedup {
       .agg(count(lit(1)).as("bsz"))
       .where(col("bsz") <= maxBucket)
       .select(col("bj"), col("bv"))
-    val pruned = banded.join(smallBuckets, Seq("bj", "bv"))
+    // cached: both self-join sides read the pruned bands (aliased
+    // projections don't canonicalize equal, so ReuseExchange won't
+    // dedupe the prune join on its own)
+    val pruned = banded.join(smallBuckets, Seq("bj", "bv")).cache()
     val a = pruned.select(col(idCol).as("da"), col("sim_hi").as("ha"),
       col("sim_lo").as("la"), col("bj"), col("bv"))
     val b = pruned.select(col(idCol).as("db"), col("sim_hi").as("hb"),
@@ -348,7 +351,8 @@ object Dedup {
         .agg(count(lit(1)).as("bsz"))
         .where(col("bsz") <= maxBlock)
         .select(col("blk"))
-      val pruned = keyed.join(smallBlocks, Seq("blk"))
+      // cached per band: both self-join sides read the pruned keys
+      val pruned = keyed.join(smallBlocks, Seq("blk")).cache()
       val a = pruned.select(col("blk"), col(idCol).as("va"))
       val b = pruned.select(col("blk"), col(idCol).as("vb"))
       a.join(b, Seq("blk"))
@@ -380,7 +384,8 @@ object Dedup {
       .agg(count(lit(1)).as("bsz"))
       .where(col("bsz") <= maxBlock)
       .select(col("blk"))
-    val pruned = withNorm.join(smallBlocks, Seq("blk"))
+    // cached: both self-join sides read the pruned frame
+    val pruned = withNorm.join(smallBlocks, Seq("blk")).cache()
     val a = pruned.select(col("blk"), col(idCol).as("va"),
       col(vecCol).as("ea"), col("nrm").as("nra"))
     val b = pruned.select(col("blk"), col(idCol).as("vb"),

@@ -125,18 +125,31 @@ object Stats {
     // comes from a whole-frame window on the SAME panel: a separate
     // count() aggregate would re-derive the frame from a second scan
     // of the sample table (PlanAuditSpec pins the single scan).
+    //
+    // Degenerate features (one-arm-only or zero-variance → null t →
+    // null p) are EXCLUDED from the BH family: null p-values sort
+    // after every real p (explicitly — Spark's ASC default is NULLS
+    // FIRST, DuckDB's is NULLS LAST, so an implicit ordering would
+    // rank differently per engine), n_feat counts only non-null p,
+    // and a degenerate feature's own p_adj is null (its suffix window
+    // holds only nulls; min ignores nulls in both engines).
     val whole = Window.partitionBy(lit(1))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val byP = Window.orderBy(col("p_value"), col(featureCol))
+    val byP = Window.orderBy(col("p_value").asc_nulls_last, col(featureCol))
     val suffixMin = Window
-      .orderBy(col("p_value").desc, col(featureCol).desc)
+      .orderBy(col("p_value").desc_nulls_first, col(featureCol).desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     scored
-      .withColumn("n_feat", count(lit(1)).over(whole))
+      .withColumn("n_feat", count(col("p_value")).over(whole))
       .withColumn("p_rank", row_number().over(byP).cast("long"))
-      .withColumn("p_adj", r6(least(
-        min(col("p_value") * col("n_feat") / col("p_rank")).over(suffixMin),
-        lit(1.0))))
+      // explicit null for degenerate features: Spark's least() and
+      // DuckDB's least() both skip nulls, which would silently turn
+      // "no p-value" into p_adj = 1.0
+      .withColumn("p_adj", when(col("p_value").isNull,
+        lit(null).cast("double"))
+        .otherwise(r6(least(
+          min(col("p_value") * col("n_feat") / col("p_rank")).over(suffixMin),
+          lit(1.0)))))
       .select(col(featureCol), col("n_a"), col("n_b"),
         r6(col("raw_mean_a")).as("mean_a"),
         r6(col("raw_mean_b")).as("mean_b"),

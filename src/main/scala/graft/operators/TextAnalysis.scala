@@ -117,19 +117,19 @@ object TextAnalysis {
   def scrub(
       docs: DataFrame, idCol: String, textCol: String,
       patterns: Seq[(String, String, String)]): DataFrame = {
-    val counted = patterns.foldLeft(docs.select(col(idCol), col(textCol))) {
-      case (df, (name, regex, _)) =>
-        df.withColumn(s"n_$name",
-          size(regexp_extract_all(col(textCol), lit(regex), lit(0)))
-            .cast("long"))
-    }
-    val masked = patterns.foldLeft(col(textCol)) {
-      case (c, (_, regex, repl)) => regexp_replace(c, regex, repl)
-    }
-    counted.withColumn("scrubbed", masked)
-      .select(Seq(col(idCol)) ++
-        patterns.map { case (n, _, _) => col(s"n_$n") } :+
-        col("scrubbed"): _*)
+    // counts measure what each pass ACTUALLY redacts: pattern i is
+    // counted on the text AFTER passes 1..i-1 masked it, matching the
+    // sequential replace — counting every pattern on the raw text
+    // would report phantom redactions wherever patterns overlap
+    // (e.g. a digit run inside an already-masked entity code)
+    val (masked, countCols) = patterns
+      .foldLeft((col(textCol), Seq.empty[org.apache.spark.sql.Column])) {
+        case ((cur, counts), (name, regex, repl)) =>
+          val n = size(regexp_extract_all(cur, lit(regex), lit(0)))
+            .cast("long").as(s"n_$name")
+          (regexp_replace(cur, regex, repl), counts :+ n)
+      }
+    docs.select(Seq(col(idCol)) ++ countCols :+ masked.as("scrubbed"): _*)
   }
 
   /** Per-doc fingerprints: md5-prefix of normalized text plus the

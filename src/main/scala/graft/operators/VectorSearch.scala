@@ -42,8 +42,11 @@ object VectorSearch {
       .withColumn("cos_sim", round(col("raw_cos"), 6))
       // a zero-norm vector has no defined cosine — cosinePrenormed
       // yields NULL for it (nullif guard); drop explicitly rather
-      // than rely on NULLS LAST ordering
-      .where(col("cos_sim").isNotNull)
+      // than rely on NULLS LAST ordering. NaN (an Inf/NaN component
+      // with a non-zero norm) passes that guard and would sort FIRST
+      // under both engines' ORDER BY — garbage must not surface, so
+      // it is dropped the same way
+      .where(col("cos_sim").isNotNull && !isnan(col("cos_sim")))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
       .select((Seq(idCol) ++ extraCols :+ "cos_sim").map(col): _*)
@@ -81,8 +84,12 @@ object VectorSearch {
     scored
       // null cos_sim (null embedding row, or a zero-norm vector via
       // the nullif guard in cosinePrenormed) would hit ScoredId's
-      // non-nullable primitives inside the udaf encoder
-      .where(col("cos_sim").isNotNull)
+      // non-nullable primitives inside the udaf encoder; NaN (Inf/NaN
+      // vector components with a non-zero norm) is dropped for the
+      // same garbage-must-not-surface contract as denseTopK —
+      // TopKAgg's NaN-last ordering is the defense in depth behind
+      // this filter, not the primary mechanism
+      .where(col("cos_sim").isNotNull && !isnan(col("cos_sim")))
       .groupBy(col(qId))
       .agg(topk(col("cos_sim"), col(candId).cast("long")).as("tk"))
       .select(col(qId), posexplode(col("tk")).as(Seq("pos", "nb")))

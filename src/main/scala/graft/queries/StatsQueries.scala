@@ -64,16 +64,18 @@ object StatsQueries {
        |    round(t + 0.000000001, 6) AS t_stat,
        |    round($pSql + 0.000000001, 6) AS p_value
        |  FROM pt),
-       |tot AS (SELECT count(*)::BIGINT AS n_feat FROM sc),
+       |tot AS (SELECT count(p_value)::BIGINT AS n_feat FROM sc),
        |rk AS (SELECT sc.*, tot.n_feat,
-       |    row_number() OVER (ORDER BY p_value, gene)::BIGINT AS p_rank
+       |    row_number() OVER (ORDER BY p_value ASC NULLS LAST, gene)::BIGINT
+       |      AS p_rank
        |  FROM sc CROSS JOIN tot),
        |bh AS (SELECT *,
-       |    round(least(
-       |      min(p_value * n_feat / p_rank) OVER (
-       |        ORDER BY p_value DESC, gene DESC
-       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-       |      1.0) + 0.000000001, 6) AS p_adj
+       |    CASE WHEN p_value IS NULL THEN NULL ELSE
+       |      round(least(
+       |        min(p_value * n_feat / p_rank) OVER (
+       |          ORDER BY p_value DESC NULLS FIRST, gene DESC
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       |        1.0) + 0.000000001, 6) END AS p_adj
        |  FROM rk)
        |SELECT gene, n_a, n_b, mean_a, mean_b, log2_fc, t_stat, p_value, p_adj
        |FROM bh ORDER BY gene""".stripMargin

@@ -407,13 +407,15 @@ object TextQueries {
   private val txtScrubSql = {
     val Seq((n1, p1, r1), (n2, p2, r2)) = ScrubPatterns
     s"""WITH t AS (SELECT p_partkey,
-       |    concat_ws(' ', p_name, p_brand, p_type) AS text FROM part)
-       |SELECT p_partkey,
-       |  len(regexp_extract_all(text, '$p1'))::BIGINT AS n_$n1,
-       |  len(regexp_extract_all(text, '$p2'))::BIGINT AS n_$n2,
-       |  regexp_replace(regexp_replace(text, '$p1', '$r1', 'g'),
-       |                 '$p2', '$r2', 'g') AS scrubbed
-       |FROM t ORDER BY p_partkey""".stripMargin
+       |    concat_ws(' ', p_name, p_brand, p_type) AS text FROM part),
+       |m1 AS (SELECT p_partkey,
+       |    len(regexp_extract_all(text, '$p1'))::BIGINT AS n_$n1,
+       |    regexp_replace(text, '$p1', '$r1', 'g') AS t1
+       |  FROM t)
+       |SELECT p_partkey, n_$n1,
+       |  len(regexp_extract_all(t1, '$p2'))::BIGINT AS n_$n2,
+       |  regexp_replace(t1, '$p2', '$r2', 'g') AS scrubbed
+       |FROM m1 ORDER BY p_partkey""".stripMargin
   }
 
   /* ---------------- trend_gaps ---------------- */

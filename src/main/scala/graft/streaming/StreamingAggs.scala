@@ -94,10 +94,11 @@ object StreamingAggs {
     * sweep catches it downstream).
     */
   def dedupStream(
-      docs: DataFrame, textCol: String, watermarkDelay: String): DataFrame =
+      docs: DataFrame, textCol: String, tsCol: String,
+      watermarkDelay: String): DataFrame =
     docs
       .withColumn("text_hash", md5(col(textCol)))
-      .withWatermark("ts", watermarkDelay)
+      .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("text_hash")
 
   /** Streaming latest-wins corpus upsert — the incremental twin of

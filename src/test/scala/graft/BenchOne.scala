@@ -26,25 +26,19 @@ object BenchOne {
         spark.catalog.clearCache()
         dt
       }
-      println(s"TIMES $name: ${times.map(t => f"$t%.3f").mkString(", ")}")
+      println(s"TIMES $name: ${times.map(t =>
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(t))).mkString(", ")}")
       val df = fn(spark, sfDir)
       df.collect()
-      // flag any fact-table scan that sits under a broadcast exchange
-      import org.apache.spark.sql.execution.SparkPlan
-      import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
-      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-      def expand(p: SparkPlan): Seq[SparkPlan] = p match {
-        case a: AdaptiveSparkPlanExec => expand(a.executedPlan)
-        case q: QueryStageExec => p +: expand(q.plan)
-        case _ => p +: p.children.flatMap(expand)
-      }
-      val bcastSubtrees = expand(df.queryExecution.executedPlan)
-        .collect { case b: BroadcastExchangeExec => b }
-      bcastSubtrees.foreach { b =>
-        val scans = expand(b).filter(_.toString.contains("lineitem.parquet"))
-        if (scans.nonEmpty) println(s"FACT-BCAST $name: lineitem under BroadcastExchange")
-      }
-      println(s"BCASTS $name: ${bcastSubtrees.size}")
+      // flag any RAW fact-table scan under a broadcast exchange
+      // (shared walker: same rules as PlanAuditSpec)
+      if (PlanWalk.broadcastsRawScan(
+          df.queryExecution.executedPlan, "lineitem.parquet"))
+        println(s"FACT-BCAST $name: raw lineitem under BroadcastExchange")
+      val bcasts = PlanWalk.expand(df.queryExecution.executedPlan)
+        .count(_.isInstanceOf[
+          org.apache.spark.sql.execution.exchange.BroadcastExchangeExec])
+      println(s"BCASTS $name: $bcasts")
     }
     spark.stop()
   }

@@ -70,36 +70,14 @@ class PlanAuditSpec extends SparkSpec {
       l.contains("PushedFilters") && l.contains("l_shipdate")))
   }
 
-  import org.apache.spark.sql.execution.SparkPlan
-  import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
-  import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
-  import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-
-  private def expand(p: SparkPlan): Seq[SparkPlan] = p match {
-    case a: AdaptiveSparkPlanExec => expand(a.executedPlan)
-    case q: QueryStageExec => p +: expand(q.plan)
-    case _ => p +: p.children.flatMap(expand)
-  }
-
-  /** True iff some broadcast exchange's build relation is a raw (not
-    * aggregated) scan of the fact table — the shape that inverts the
-    * join the moment lineitem outgrows the broadcast threshold. An
-    * aggregate between the scan and the broadcast (q18's HAVING keys)
-    * means the broadcast relation is the small agg output: allowed.
+  /** q18's HAVING-aggregate broadcast is allowed; a raw lineitem scan
+    * under a BroadcastExchange is the regression this pins out (see
+    * PlanWalk.broadcastsRawScan for the traversal rules).
     */
   private def broadcastsRawFact(name: String): Boolean = {
     val df = SparkEntry.queries(name)(spark, d)
     df.collect() // materialize so AQE finalizes the physical plan
-    expand(df.queryExecution.executedPlan)
-      .collect { case b: BroadcastExchangeExec => b }
-      .exists { b =>
-        def rawScan(p: SparkPlan): Boolean = p match {
-          case _: BaseAggregateExec => false
-          case s if s.children.isEmpty => s.toString.contains("lineitem.parquet")
-          case s => s.children.exists(rawScan)
-        }
-        rawScan(b.child)
-      }
+    PlanWalk.broadcastsRawScan(df.queryExecution.executedPlan, "lineitem.parquet")
   }
 
   test("OLAP fact joins never broadcast a raw lineitem scan") {
@@ -111,7 +89,7 @@ class PlanAuditSpec extends SparkSpec {
   test("q5 keeps dim joins broadcast (nation/region/customer side)") {
     val df = SparkEntry.queries("q5_region_revenue")(spark, d)
     df.collect()
-    val plan = expand(df.queryExecution.executedPlan).mkString("\n")
+    val plan = PlanWalk.expand(df.queryExecution.executedPlan).mkString("\n")
     // dims reach the fact join via BroadcastHashJoin, the fact join
     // itself is the pinned SortMergeJoin on the order key
     assert(plan.contains("BroadcastHashJoin"))

@@ -37,6 +37,24 @@ class StatsSpec extends SparkSpec {
     assert(f2.getDouble(7) > 0.9)
   }
 
+  test("degenerate features get null p/p_adj and are excluded from the BH family") {
+    // f4 has samples in only one arm -> null variance on the other
+    // side -> null t -> null p; it must not steal a BH rank from the
+    // real features or surface with a fabricated p_adj
+    val withDegenerate = samples.union(Seq(
+      ("f4", "A", 1.0), ("f4", "A", 2.0)).toDF("gene", "cohort", "v"))
+    val out = Stats.diffStats(withDegenerate, "gene", "cohort", "v", "A", "B")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("f4").isNullAt(7) && out("f4").isNullAt(8))
+    // real features' p_adj computed over n=3 (not 4): the strongest
+    // feature's padj = p * 3 / 1 (suffix-min can only lower it)
+    val realPadj = Seq("f1", "f2", "f3").map(g => out(g).getDouble(8))
+    assert(realPadj.forall(p => !p.isNaN && p <= 1.0 + 1e-9))
+    val best = Seq("f1", "f3").map(g =>
+      (out(g).getDouble(7), out(g).getDouble(8))).minBy(_._1)
+    assert(best._2 <= best._1 * 3 + 1e-6)
+  }
+
   test("diffStats: BH adjustment is capped at 1 and monotone in p-order") {
     val rows = Stats.diffStats(samples, "gene", "cohort", "v", "A", "B")
       .select(col("p_value"), col("p_adj"))

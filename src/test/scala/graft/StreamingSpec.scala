@@ -92,7 +92,7 @@ class StreamingSpec extends SparkSpec {
 
     val input = MemoryStream[(Timestamp, Long, String)]
     val deduped = StreamingAggs.dedupStream(
-      input.toDF().toDF("ts", "doc_id", "text"), "text", "10 minutes")
+      input.toDF().toDF("ts", "doc_id", "text"), "text", "ts", "10 minutes")
     val query = deduped.writeStream
       .format("memory")
       .queryName("dedup_stream_test")
