@@ -84,6 +84,60 @@ object Stats {
       .orderBy(col("variance").desc, col(featureCol))
       .limit(n)
 
+  /** Pairwise Pearson correlation between features over their aligned
+    * per-sample values, kept as edges where |corr| >= `minAbsCorr`
+    * (reference: rnaseq_pipeline/agents/agent2_network.py:115
+    * _calculate_correlations — DEG co-expression edges). Long-form
+    * self-join on the SAMPLE axis; all five moment sums are map-side
+    * combinable, so the shuffle carries (featureA, featureB, partial
+    * sums), never sample-level rows twice. Pair count is bounded by
+    * the feature panel (the reference caps it at max_genes_for_network
+    * for the same reason), not by the sample count.
+    *
+    * Correlation from explicit moment sums — the same arithmetic the
+    * oracle runs — rather than an engine-native corr() whose
+    * accumulation strategy may differ between engines.
+    */
+  def correlationEdges(
+      samples: DataFrame, featureCol: String, sampleCol: String,
+      valueCol: String, minAbsCorr: Double): DataFrame = {
+    val a = samples.select(col(featureCol).as("ga"),
+      col(sampleCol).as("s"), col(valueCol).as("va"))
+    val b = samples.select(col(featureCol).as("gb"),
+      col(sampleCol).as("s"), col(valueCol).as("vb"))
+    def r6(c: Column) = round(c + lit(1e-9), 6)
+    val m = a.join(b, Seq("s"))
+      .where(col("ga") < col("gb"))
+      .groupBy(col("ga"), col("gb"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("va")).as("sx"), sum(col("vb")).as("sy"),
+        sum(col("va") * col("va")).as("sxx"),
+        sum(col("vb") * col("vb")).as("syy"),
+        sum(col("va") * col("vb")).as("sxy"))
+    m.withColumn("corr",
+      (col("n") * col("sxy") - col("sx") * col("sy")) /
+        nullif(sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+          (col("n") * col("syy") - col("sy") * col("sy"))), lit(0.0)))
+      // a constant feature has no defined correlation (zero variance
+      // denominator) — dropped, like the reference skips NaN edges
+      .where(abs(col("corr")) >= minAbsCorr)
+      .select(col("ga"), col("gb"), r6(col("corr")).as("corr"),
+        r6(abs(col("corr"))).as("abs_corr"))
+  }
+
+  /** Degree-centrality hubs from a thresholded edge list (reference:
+    * agent2_network.py:207 _calculate_centrality_metrics degree, :257
+    * _identify_hub_genes top-N). Both endpoints count; top-N through
+    * ORDER BY ... LIMIT with a feature tiebreak.
+    */
+  def hubFeatures(edges: DataFrame, n: Int): DataFrame =
+    edges.select(col("ga").as("feature"))
+      .union(edges.select(col("gb").as("feature")))
+      .groupBy(col("feature"))
+      .agg(count(lit(1)).as("degree"))
+      .orderBy(col("degree").desc, col("feature"))
+      .limit(n)
+
   /** Per-feature differential statistics between two cohorts:
     * counts/means/variances per arm, log2 fold change (+1 pseudocount,
     * the DESeq-style guard), Welch t statistic, normal-approximation

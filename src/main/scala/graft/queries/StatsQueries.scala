@@ -142,8 +142,66 @@ object StatsQueries {
        |FROM lg GROUP BY gene
        |ORDER BY variance DESC, gene LIMIT $TopVarN""".stripMargin
 
+  /* ---------------- deg_network / deg_hub ---------------- */
+
+  private val MinAbsCorr = 0.4
+  private val HubN = 10
+
+  /** Co-expression network edges over the normalized expression
+    * profiles (agent2_network analog): pairwise Pearson correlation
+    * between genes across the 20 samples, |corr| >= 0.4 kept.
+    */
+  private def normalized(s: SparkSession, d: String): DataFrame =
+    Stats.cpmNormalize(countMatrix(s, d), "sample_id", "gene", "raw_count")
+      .select(col("sample_id"), col("gene"), col("log2_cpm"))
+
+  private def degNetwork(s: SparkSession, d: String): DataFrame =
+    Stats.correlationEdges(normalized(s, d),
+      "gene", "sample_id", "log2_cpm", MinAbsCorr)
+      .orderBy(col("ga"), col("gb"))
+
+  private val corrCtes =
+    s"""lg AS (SELECT sample_id AS s, gene,
+       |    ln(cpm + 1.0) / ln(2.0) AS v FROM cpm),
+       |mm AS (SELECT a.gene AS ga, b.gene AS gb, count(*)::DOUBLE AS n,
+       |    sum(a.v) AS sx, sum(b.v) AS sy, sum(a.v * a.v) AS sxx,
+       |    sum(b.v * b.v) AS syy, sum(a.v * b.v) AS sxy
+       |  FROM lg a JOIN lg b ON a.s = b.s AND a.gene < b.gene
+       |  GROUP BY 1, 2),
+       |ce AS (SELECT ga, gb,
+       |    (n * sxy - sx * sy) / nullif(sqrt((n * sxx - sx * sx)
+       |      * (n * syy - sy * sy)), 0.0) AS corr
+       |  FROM mm),
+       |ed AS (SELECT ga, gb, round(corr + 0.000000001, 6) AS corr,
+       |    round(abs(corr) + 0.000000001, 6) AS abs_corr
+       |  FROM ce WHERE abs(corr) >= $MinAbsCorr)""".stripMargin
+
+  private val degNetworkSql =
+    s"""WITH $countMatrixSql,
+       |$corrCtes
+       |SELECT ga, gb, corr, abs_corr FROM ed ORDER BY ga, gb""".stripMargin
+
+  /** Hub genes by degree centrality over the thresholded edges
+    * (agent2_network.py:207/:257 analog).
+    */
+  private def degHub(s: SparkSession, d: String): DataFrame =
+    Stats.hubFeatures(
+      Stats.correlationEdges(normalized(s, d),
+        "gene", "sample_id", "log2_cpm", MinAbsCorr),
+      HubN)
+      .select(col("feature").as("gene"), col("degree"))
+
+  private val degHubSql =
+    s"""WITH $countMatrixSql,
+       |$corrCtes,
+       |dg AS (SELECT ga AS gene FROM ed UNION ALL SELECT gb FROM ed)
+       |SELECT gene, count(*)::BIGINT AS degree FROM dg
+       |GROUP BY gene ORDER BY degree DESC, gene LIMIT $HubN""".stripMargin
+
   val defs: Seq[Qdef] = Seq(
     Qdef("deg_stats", degStats, Some(degStatsSql)),
     Qdef("deg_cpm", degCpm, Some(degCpmSql)),
-    Qdef("deg_top_var", degTopVar, Some(degTopVarSql)))
+    Qdef("deg_top_var", degTopVar, Some(degTopVarSql)),
+    Qdef("deg_network", degNetwork, Some(degNetworkSql)),
+    Qdef("deg_hub", degHub, Some(degHubSql)))
 }
