@@ -55,6 +55,28 @@ class StatsSpec extends SparkSpec {
     assert(best._2 <= best._1 * 3 + 1e-6)
   }
 
+  test("correlationEdges: signs, symmetry bound, constant features dropped") {
+    // g1 and g2 move together, g3 moves opposite, g4 is constant
+    val profiles = (1 to 10).flatMap { s =>
+      Seq(("g1", s.toLong, s.toDouble), ("g2", s.toLong, 2.0 * s + 1),
+        ("g3", s.toLong, -s.toDouble), ("g4", s.toLong, 5.0))
+    }.toDF("gene", "sample", "v")
+    val edges = Stats.correlationEdges(profiles, "gene", "sample", "v", 0.9)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(math.abs(edges(("g1", "g2")) - 1.0) < 1e-6)  // perfect +
+    assert(math.abs(edges(("g1", "g3")) + 1.0) < 1e-6)  // perfect -
+    assert(math.abs(edges(("g2", "g3")) + 1.0) < 1e-6)
+    // constant g4 has zero variance -> no defined correlation -> no edge
+    assert(!edges.keySet.exists(p => p._1 == "g4" || p._2 == "g4"))
+
+    val hubs = Stats.hubFeatures(
+      Stats.correlationEdges(profiles, "gene", "sample", "v", 0.9), 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // all three correlated genes have degree 2; top-2 tiebreak by name
+    assert(hubs.toSeq == Seq(("g1", 2L), ("g2", 2L)))
+  }
+
   test("diffStats: BH adjustment is capped at 1 and monotone in p-order") {
     val rows = Stats.diffStats(samples, "gene", "cohort", "v", "A", "B")
       .select(col("p_value"), col("p_adj"))
