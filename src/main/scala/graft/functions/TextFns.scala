@@ -21,7 +21,12 @@ object TextFns {
     "the", "a", "an", "of", "and", "to", "in", "is", "for", "on",
     "with", "as", "by", "at", "or", "be", "are", "was", "were", "this")
 
-  /** Whitespace tokens (lowercased). */
+  /** Whitespace tokens (lowercased). Empty / whitespace-only text
+    * yields ONE empty-string token (split-on-empty semantics) — a
+    * deliberate cross-engine contract: DuckDB's string_split_regex
+    * does the same, and every oracle that counts tokens relies on the
+    * two engines agreeing on this edge.
+    */
   def wsTokens(text: Column): Column =
     split(lower(trim(text)), "\\s+")
 

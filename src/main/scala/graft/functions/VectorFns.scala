@@ -93,8 +93,13 @@ object VectorFns {
     */
   def signCodeAt(a: Column, start: Int, bits: Int): Column =
     aggregate(
+      // exact bit weights via shiftleft — the previous
+      // pow(2.0, i).cast(long) route went through a double and would
+      // CAST_OVERFLOW under ANSI at bit 63 (the natural full-64-bit
+      // SRP binding)
       zip_with(slice(a, start, bits), sequence(lit(0), lit(bits - 1)),
-        (x, i) => when(x.cast("double") >= 0d, expr("1").cast("long") * pow(lit(2.0), i).cast("long")).otherwise(lit(0L))),
+        (x, i) => when(x.cast("double") >= 0d,
+          call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
       lit(0L),
       (acc, x) => acc + x)
 }

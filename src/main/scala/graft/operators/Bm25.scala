@@ -21,61 +21,71 @@ object Bm25 {
   val B = 0.75
 
   /** Per-doc BM25 score against `queryTerms`; docs with no matching
-    * term are absent (score would be 0).
+    * term are absent (score would be 0). Empty query → empty frame
+    * (not an empty.reduce crash).
     * Output: (idCol, bm25 double — unrounded).
     *
-    * Single-pass wide plan: one token explode feeds ONE groupBy that
-    * computes doc length AND per-query-term tf columns together
-    * (query terms are statically known, so tf pivots into columns);
-    * corpus stats (N, avgdl, per-term df) are a second aggregate over
-    * the already-tiny per-doc frame, broadcast back as one row. The
-    * corpus is scanned once; the only wide shuffle carries one row per
-    * doc with |queryTerms| + 1 numeric columns.
+    * Single-pass NARROW plan: query terms are statically known, so
+    * per-term tf and doc length are array counts over the token
+    * expression in ONE projection — no token explode, no per-doc
+    * groupBy, zero shuffle for the per-doc frame (subexpression
+    * elimination computes the tokenizer once per row). Corpus stats
+    * (N, avgdl, per-term df) are one aggregate over that frame,
+    * broadcast back as a single row.
+    *
+    * Reference parity: N and avgdl are computed over ALL documents,
+    * including docs that tokenize to nothing (BM25Okapi's corpus
+    * statistics include zero-length docs — deriving stats from an
+    * exploded token stream silently dropped them). Query terms are
+    * lowercased to match the lowercase token stream, and pivoted
+    * columns are aliased by INDEX (a term containing '.' would break
+    * a col("tf_<term>") reference).
     */
   def score(
       docs: DataFrame, idCol: String, textCol: String,
       rawQueryTerms: Seq[String],
       termWeights: Map[String, Double] = Map.empty): DataFrame = {
-    // dedupe HERE, where the pivoted tf_<term> columns are built — a
-    // repeated term would create ambiguous column references for
-    // every caller, not just the expansion path
-    val queryTerms = rawQueryTerms.distinct
-    val toks = docs.select(col(idCol),
-      explode(TextFns.bm25Tokens(col(textCol))).as("term"))
+    val queryTerms = rawQueryTerms.map(_.toLowerCase).distinct
+    val weights = termWeights.map { case (t, w) => t.toLowerCase -> w }
+    if (queryTerms.isEmpty)
+      return docs.select(col(idCol), lit(0.0).as("bm25")).limit(0)
+    val idx = queryTerms.indices
 
-    def tfCol(t: String) = s"tf_${t}"
-    def dfCol(t: String) = s"df_${t}"
+    def tfCol(i: Int) = s"tf_$i"
+    def dfCol(i: Int) = s"df_$i"
 
     // per-doc frame feeds BOTH the corpus-stats aggregate and the
-    // final scoring join — cache so the token explode + groupBy runs
-    // once (one narrow row per doc; caller owns cache lifecycle, see
-    // Dedup's scaladoc note)
-    val perDoc = toks.groupBy(col(idCol)).agg(
-      count(lit(1)).cast("double").as("dl"),
-      queryTerms.map(t =>
-        sum(when(col("term") === t, 1).otherwise(0)).cast("double")
-          .as(tfCol(t))): _*)
+    // final scoring join — cache so the tokenizer runs once (one
+    // narrow row per doc; caller owns cache lifecycle, see Dedup's
+    // scaladoc note)
+    val tokens = TextFns.bm25Tokens(col(textCol))
+    val perDoc = docs.select(
+      col(idCol) +:
+        size(tokens).cast("double").as("dl") +:
+        idx.map(i =>
+          size(filter(tokens, t => t === queryTerms(i))).cast("double")
+            .as(tfCol(i))): _*)
       .cache()
 
     val stats = perDoc.agg(
       count(lit(1)).cast("double").as("n_docs"),
       (avg(col("dl")).as("avgdl") +:
-        queryTerms.map(t =>
-          sum(when(col(tfCol(t)) > 0, 1).otherwise(0)).cast("double")
-            .as(dfCol(t)))): _*)
+        idx.map(i =>
+          sum(when(col(tfCol(i)) > 0, 1).otherwise(0)).cast("double")
+            .as(dfCol(i)))): _*)
 
-    def idf(t: String) = log(
-      (col("n_docs") - col(dfCol(t)) + 0.5) / (col(dfCol(t)) + 0.5) + 1.0)
-    def tfNorm(t: String) = col(tfCol(t)) * (K1 + 1.0) /
-      (col(tfCol(t)) +
+    def idf(i: Int) = log(
+      (col("n_docs") - col(dfCol(i)) + 0.5) / (col(dfCol(i)) + 0.5) + 1.0)
+    def tfNorm(i: Int) = col(tfCol(i)) * (K1 + 1.0) /
+      (col(tfCol(i)) +
         lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl")))
 
     perDoc
-      .where(queryTerms.map(t => col(tfCol(t))).reduce(_ + _) > 0)
+      .where(idx.map(i => col(tfCol(i))).reduce(_ + _) > 0)
       .crossJoin(broadcast(stats))
       .withColumn("bm25",
-        queryTerms.map(t =>
-          idf(t) * tfNorm(t) * lit(termWeights.getOrElse(t, 1.0)))
+        idx.map(i =>
+          idf(i) * tfNorm(i) * lit(weights.getOrElse(queryTerms(i), 1.0)))
           .reduce(_ + _))
       .select(col(idCol), col("bm25"))
   }
@@ -92,10 +102,11 @@ object Bm25 {
       primary: Seq[String], expansions: Seq[String], expansionWeight: Double,
       k: Int): DataFrame = {
     // synonym lists routinely repeat the primary term — dedupe with
-    // primary-weight precedence (duplicate terms would otherwise
-    // build ambiguous tf_<term> columns)
-    val prim = primary.distinct
-    val exp = expansions.distinct.filterNot(prim.contains)
+    // primary-weight precedence AFTER lowercasing (score() lowercases
+    // too, so "Spark" as primary and "spark" as expansion are the
+    // same term and must keep full weight)
+    val prim = primary.map(_.toLowerCase).distinct
+    val exp = expansions.map(_.toLowerCase).distinct.filterNot(prim.contains)
     score(docs, idCol, textCol, prim ++ exp,
       exp.map(_ -> expansionWeight).toMap)
       .withColumn("bm25", round(col("bm25"), 6))

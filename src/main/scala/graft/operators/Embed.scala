@@ -71,7 +71,14 @@ object Embed {
         transform(sequence(lit(0L), lit(dim - 1L)),
           i => coalesce(element_at(col("m"), i), lit(0.0))).as("tfidf"))
 
-  /** Full pipeline: documents → dense hashed-TF-IDF vectors. */
+  /** Full pipeline: documents → dense hashed-TF-IDF vectors.
+    * SPARSE contract: a document whose text tokenizes to nothing
+    * (all tokens length <= 2) has no long-form rows and therefore NO
+    * output vector — not a zero vector. Callers that need the full
+    * doc universe (e.g. before an inner join on doc_id) left-join the
+    * source frame; both engines share the omission, so the oracle
+    * comparison is unaffected.
+    */
   def hashedTfIdf(
       docs: DataFrame, idCol: String, textCol: String, dim: Int): DataFrame =
     assemble(hashedTfIdfLong(docs, idCol, textCol, dim), idCol, dim)

@@ -62,9 +62,16 @@ object Fusion {
 
   /** Citation-impact score, log-bucket ladder
     * (reference: recommender.py:454 _calculate_impact_score).
+    * Null citations (unscraped paper) land in the BOTTOM bucket
+    * explicitly — every when() is null-false, so without the guard a
+    * null would fall through to otherwise(100.0) and an unknown-
+    * citation doc would outrank genuinely high-impact ones.
+    * (recencyScore needs no guard: its fall-through IS the bottom
+    * bucket.)
     */
   def impactScore(citations: Column): Column =
-    when(citations <= 0, 10.0).when(citations < 10, 30.0)
+    when(citations.isNull, 10.0)
+      .when(citations <= 0, 10.0).when(citations < 10, 30.0)
       .when(citations < 50, 50.0).when(citations < 100, 70.0)
       .when(citations < 500, 85.0).otherwise(100.0)
 
@@ -83,8 +90,12 @@ object Fusion {
       docs: DataFrame, idCol: String, textCol: String, lenCol: String,
       centralityKw: Seq[String], clinicalKw: Seq[String],
       k: Int): DataFrame = {
+    // case-insensitive like the reference reranker (and like
+    // Precision.search's identical hits logic); an empty keyword
+    // group scores 0 rather than crashing empty.reduce
     def hits(kws: Seq[String]) = kws.map(w =>
-      when(col(textCol).contains(w), 1).otherwise(0)).reduce(_ + _)
+      when(lower(col(textCol)).contains(w.toLowerCase), 1).otherwise(0))
+      .reduceOption(_ + _).getOrElse(lit(0))
     val scored = docs.select(
       col(idCol),
       hits(centralityKw).as("centrality_hits"),

@@ -61,13 +61,19 @@ object SqlSnippets {
     * exposes (doc_id, s) with the raw Okapi score (k1=1.5, b=0.75),
     * matching graft.operators.Bm25.score. `weightCase` optionally
     * appends a per-term weight factor (synonym down-weighting).
+    * `dl` is computed per DOCUMENT (not from the exploded token
+    * stream) so zero-token docs count in n_docs/avgdl, mirroring the
+    * operator's all-docs corpus statistics.
     */
   def bm25ScoreCtes(termList: String, weightCase: String = ""): String =
     s"""tok AS (SELECT doc_id,
        |         unnest(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
        |                t -> length(t) > 2)) AS term
        |       FROM documents),
-       |dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+       |dl AS (SELECT doc_id,
+       |         len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+       |             t -> length(t) > 2))::DOUBLE AS dl
+       |       FROM documents),
        |st AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
        |tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
        |       WHERE term IN ($termList) GROUP BY doc_id, term),

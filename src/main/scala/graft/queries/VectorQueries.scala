@@ -412,8 +412,10 @@ object VectorQueries {
     Fusion.ruleScore(Tables.documents(s, d), "doc_id", "text", "n_chars",
       CentralityKw, ClinicalKw, 50)
 
+  // lower() mirrors Fusion.ruleScore's case-insensitive matching
   private def hitsSql(kws: Seq[String]): String =
-    kws.map(w => s"(CASE WHEN strpos(text, '$w') > 0 THEN 1 ELSE 0 END)")
+    kws.map(w =>
+      s"(CASE WHEN strpos(lower(text), '${w.toLowerCase}') > 0 THEN 1 ELSE 0 END)")
       .mkString(" + ")
 
   private val rerankRuleSql =
