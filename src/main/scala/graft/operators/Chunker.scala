@@ -24,6 +24,10 @@ object Chunker {
   def fixedChunks(
       docs: DataFrame, idCol: String, textCol: String,
       chunkSize: Int, overlap: Int): DataFrame = {
+    // same argument contract as recursiveSplit — stride <= 0 would
+    // otherwise surface as a sequence-step error mid-scan
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize, got size=$chunkSize overlap=$overlap")
     val stride = chunkSize - overlap
     docs
       .withColumn("n", length(col(textCol)))
@@ -34,7 +38,9 @@ object Chunker {
       .select(
         col(idCol),
         (col("start") / stride).cast("int").as("chunk_index"),
-        expr(s"substring($textCol, start + 1, $chunkSize)").as("chunk_text"))
+        // Column.substr, not an expr() splice — arbitrary column
+        // names stay legal
+        col(textCol).substr(col("start") + 1, lit(chunkSize)).as("chunk_text"))
       .withColumn("chunk_len", length(col("chunk_text")))
   }
 
@@ -81,8 +87,10 @@ object Chunker {
       chunks: DataFrame, textCol: String,
       markers: Seq[(String, String)], default: String): DataFrame = {
     val Big = Int.MaxValue
+    // markers lowercased like the text — a capitalized marker would
+    // silently never match and tag every chunk with the default
     val pos: Seq[Column] = markers.map { case (kw, _) =>
-      val p = instr(lower(col(textCol)), kw)
+      val p = instr(lower(col(textCol)), kw.toLowerCase)
       when(p > 0, p).otherwise(lit(Big))
     }
     // first marker whose position is <= every LATER marker's position

@@ -82,6 +82,10 @@ object Dedup {
   def lshCandidates(
       sigs: DataFrame, idCol: String, numHashes: Int, rows: Int,
       maxBucket: Int): DataFrame = {
+    // an indivisible band width would silently ignore the trailing
+    // hashes — paid for in the signatures but contributing no recall
+    require(numHashes % rows == 0,
+      s"numHashes ($numHashes) must be divisible by band rows ($rows)")
     val numBands = numHashes / rows
     val bands = (0 until numBands).map { b =>
       val cols = (b * rows until (b + 1) * rows).map(i => col(s"h$i"))

@@ -28,8 +28,13 @@ object Precision {
     */
   def search(
       docs: DataFrame, idCol: String, textCol: String,
-      terms: Seq[String], titleLen: Int, candidates: Int,
+      rawTerms: Seq[String], titleLen: Int, candidates: Int,
       minRelevance: Double, k: Int): DataFrame = {
+    // lowercase like Bm25.score does — the diagnostics below match
+    // against lowercased text, so an uppercase term would zero out
+    // relevance for candidates BM25 itself had matched
+    val terms = rawTerms.map(_.toLowerCase).distinct
+    require(terms.nonEmpty, "precision search needs at least one term")
     val cand = Bm25.topK(docs, idCol, textCol, terms, candidates)
     def hits(c: Column): Column =
       terms.map(t => when(c.contains(t), 1).otherwise(0)).reduce(_ + _)

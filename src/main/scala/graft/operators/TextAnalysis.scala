@@ -100,8 +100,9 @@ object TextAnalysis {
     */
   def extractEntities(
       docs: DataFrame, textCol: String): DataFrame =
-    docs.select(explode(expr(
-      s"regexp_extract_all($textCol, '[A-Za-z]+#[0-9]+', 0)")).as("entity"))
+    docs.select(explode(
+      regexp_extract_all(col(textCol), lit("[A-Za-z]+#[0-9]+"), lit(0)))
+      .as("entity"))
       .groupBy(col("entity"))
       .agg(count(lit(1)).as("cnt"))
 

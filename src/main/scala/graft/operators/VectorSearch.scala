@@ -129,8 +129,12 @@ object VectorSearch {
       .join(broadcast(norms).withColumnRenamed(groupCol, "gb")
         .withColumnRenamed("ns", "nsb"), Seq("gb"))
       .select(col("ga"), col("gb"),
-        round(col("dot") / (sqrt(col("nsa")) * sqrt(col("nsb"))), 6)
+        // nullif: a zero-norm centroid (all-zero group) has no
+        // defined cosine — the repo-wide guard against ANSI 0/0
+        round(col("dot") /
+          nullif(sqrt(col("nsa")) * sqrt(col("nsb")), lit(0.0)), 6)
           .as("centroid_cos"))
+      .where(col("centroid_cos").isNotNull)
   }
 
   /** Centroids as dense arrays (pos-sorted), for broadcasting. */
@@ -246,7 +250,9 @@ object VectorSearch {
       .crossJoin(broadcast(q))
       .withColumn("cos_sim", round(VectorFns.cosinePrenormed(
         col(vecCol), col(qVec), col("cnrm"), col("qnrm")), 6))
-      .where(col("cos_sim").isNotNull)
+      // same garbage-must-not-surface contract as denseTopK/knnJoin:
+      // NaN (Inf/NaN components, non-zero norm) sorts first desc
+      .where(col("cos_sim").isNotNull && !isnan(col("cos_sim")))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
       .select(col(idCol), col("cell"), col("cos_sim"))

@@ -53,7 +53,7 @@ object CorpusQueries {
       |    row_number() OVER (PARTITION BY doc_id ORDER BY version DESC) AS rn
       |  FROM log)
       |SELECT doc_id, version, src, n_chars FROM r
-      |WHERE rn = 1 AND NOT deleted ORDER BY doc_id""".stripMargin
+      |WHERE rn = 1 AND NOT coalesce(deleted, false) ORDER BY doc_id""".stripMargin
 
   val defs: Seq[Qdef] = Seq(
     Qdef("corpus_latest", corpusLatest, Some(corpusLatestSql)))

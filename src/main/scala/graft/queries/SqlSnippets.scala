@@ -39,8 +39,9 @@ object SqlSnippets {
     */
   def sectionPosCols(markers: Seq[(String, String)], textExpr: String): String =
     markers.zipWithIndex.map { case ((kw, _), i) =>
-      s"""(CASE WHEN strpos(lower($textExpr), '$kw') > 0
-         |      THEN strpos(lower($textExpr), '$kw')
+      val k = kw.toLowerCase // tagSections lowercases markers too
+      s"""(CASE WHEN strpos(lower($textExpr), '$k') > 0
+         |      THEN strpos(lower($textExpr), '$k')
          |      ELSE 2147483647 END) AS p$i""".stripMargin
     }.mkString(",\n    ")
 

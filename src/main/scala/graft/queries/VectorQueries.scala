@@ -157,8 +157,10 @@ object VectorQueries {
       |n AS (SELECT label, sum(v * v) AS ns FROM c GROUP BY label),
       |p AS (SELECT a.label AS ga, b.label AS gb, sum(a.v * b.v) AS dot
       |      FROM c a JOIN c b ON a.i = b.i AND a.label < b.label GROUP BY 1, 2)
-      |SELECT ga, gb, round(dot / (sqrt(na.ns) * sqrt(nb.ns)), 6) AS centroid_cos
+      |SELECT ga, gb,
+      |  round(dot / nullif(sqrt(na.ns) * sqrt(nb.ns), 0.0), 6) AS centroid_cos
       |FROM p JOIN n na ON p.ga = na.label JOIN n nb ON p.gb = nb.label
+      |WHERE dot / nullif(sqrt(na.ns) * sqrt(nb.ns), 0.0) IS NOT NULL
       |ORDER BY ga, gb""".stripMargin
 
   /* ---------------- vs_similar_papers ---------------- */

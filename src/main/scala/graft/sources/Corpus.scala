@@ -97,7 +97,11 @@ object Corpus {
       .agg(max(ranked).as("_latest"))
       .select(keyCols.map(col) ++
         (versionCol +: payload).map(c => col(s"_latest.$c").as(c)): _*)
-    deletedCol.map(dc => latest.where(!col(dc))).getOrElse(latest)
+    // null-deleted (schema evolution, quarantined rows) means
+    // NOT deleted — a bare !col would null out and silently drop the
+    // key as if tombstoned
+    deletedCol.map(dc =>
+      latest.where(!coalesce(col(dc), lit(false)))).getOrElse(latest)
   }
 
   /** Partition-scoped overwrite: replaces ONLY the partitions present

@@ -142,10 +142,15 @@ object StreamingAggs {
     *    keyed by user, expired by watermark, never a full history).
     */
   def sessionizeStream(
-      events: Dataset[SessionEvent], gapSecs: Long): Dataset[ClosedSession] = {
+      events: Dataset[SessionEvent], gapSecs: Long,
+      disorderDelay: String = "0 seconds"): Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
     events
-      .withWatermark("ts", "0 seconds")
+      // disorderDelay is the cross-batch event-time disorder the
+      // stream tolerates before an event counts as late — a real feed
+      // sets it to its observed skew (the 0s default assumes ordered
+      // arrival, fine for tests, lossy on production streams)
+      .withWatermark("ts", disorderDelay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, ClosedSession](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
