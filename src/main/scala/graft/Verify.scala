@@ -15,6 +15,14 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a failed query must not leave a STALE dump from a previous
+        // run in place — the driver's compare would read outdated
+        // rows as if current instead of flagging the query broken
+        def rmrf(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles.foreach(rmrf)
+          f.delete(): Unit
+        }
+        rmrf(new java.io.File(s"$outDir/$name"))
       }
       // drop operator-cached intermediates between queries (operators
       // cache() frames reused inside their own plan; the caller owns

@@ -66,15 +66,19 @@ object Multimodal {
     }
   }
 
-  /** Batch-shaped decode: partitions iterate in fixed-size batches
-    * (the shape a vectorized codec or model-server call needs), each
-    * batch decoded together. Narrow — no shuffle of payloads.
+  /** Batch-shaped decode: partitions iterate in fixed-size,
+    * KIND-HOMOGENEOUS batches (the shape a vectorized codec or
+    * model-server call needs — an image codec must never receive an
+    * audio row). A batch breaks both at `batchSize` and at every kind
+    * boundary; with partitionByKind-routed input the boundary splits
+    * are rare. Narrow — no shuffle of payloads.
     */
   def extractFeatures(
       media: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaFeatures] = {
+    require(batchSize > 0, "batchSize must be positive")
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      rows.grouped(batchSize).flatMap { batch =>
+      batchedByKind(rows, batchSize).flatMap { batch =>
         // production: one vectorized codec/model call per batch here
         batch.map { r =>
           MediaFeatures(r.media_id, r.kind, r.payload.length.toLong,
@@ -83,6 +87,25 @@ object Multimodal {
       }
     }
   }
+
+  /** Split an iterator into batches of at most `batchSize` rows that
+    * never mix kinds (consecutive same-kind runs, then size-chunked).
+    */
+  private[operators] def batchedByKind(
+      rows: Iterator[MediaRow], batchSize: Int): Iterator[Seq[MediaRow]] =
+    new Iterator[Seq[MediaRow]] {
+      private val it = rows.buffered
+      def hasNext: Boolean = it.hasNext
+      def next(): Seq[MediaRow] = {
+        val kind = it.head.kind
+        val b = Seq.newBuilder[MediaRow]
+        var n = 0
+        while (n < batchSize && it.hasNext && it.head.kind == kind) {
+          b += it.next(); n += 1
+        }
+        b.result()
+      }
+    }
 
   /** One sampled frame from a video payload. */
   case class FrameRow(
@@ -97,6 +120,7 @@ object Multimodal {
     */
   def sampleFrames(
       media: Dataset[MediaRow], nFrames: Int): Dataset[FrameRow] = {
+    require(nFrames > 0, "nFrames must be positive")
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").flatMap { r =>
       val len = r.payload.length
@@ -139,12 +163,17 @@ object Multimodal {
     out
   }
 
-  /** Route each modality to its own partition range before decode —
+  /** Route each modality toward its own partitions before decode —
     * at cluster scale this pins codecs (image vs audio vs video) to
-    * executor pools and keeps batches homogeneous.
+    * executor pools. Kinds can still share a partition (hash
+    * collisions mod `partitions`), so rows are additionally SORTED by
+    * kind within each partition: extractFeatures' kind-boundary
+    * batching then yields homogeneous batches with at most one break
+    * per kind per partition.
     */
   def partitionByKind(media: DataFrame, partitions: Int): DataFrame =
     media.repartition(partitions, col("kind"))
+      .sortWithinPartitions(col("kind"))
 
   /** Deterministic synthetic media table for tests/demo: payload
     * bytes derived from media_id.

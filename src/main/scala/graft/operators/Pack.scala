@@ -57,8 +57,11 @@ object Pack {
       .join(broadcast(offsets), Seq("_pid"))
       .withColumn("cum_tokens",
         col("_offset") + sum(col(tokenCol)).over(perPartition))
-      .withColumn("shard_id",
-        expr(s"(cum_tokens - $tokenCol) div ${budget}L"))
+      // exact integral division via the registered `div` function —
+      // an expr() splice would break for token column names needing
+      // backticks, and double division would round, not floor
+      .withColumn("shard_id", call_function("div",
+        col("cum_tokens") - col(tokenCol), lit(budget)))
       .drop("_pid", "_offset")
   }
 }

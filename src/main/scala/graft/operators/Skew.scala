@@ -24,6 +24,7 @@ object Skew {
   def saltedJoin(
       big: DataFrame, small: DataFrame, key: String,
       saltCol: Column, saltBuckets: Int): DataFrame = {
+    require(saltBuckets > 0, "saltBuckets must be positive")
     // a null / non-castable salt source coalesces to bucket 0 rather
     // than producing a null salt (which the inner join would silently
     // drop, diverging from the unsalted join's semantics)
@@ -43,11 +44,13 @@ object Skew {
     */
   def saltedCountSum(
       df: DataFrame, key: String, valueCol: String,
-      saltCol: Column, saltBuckets: Int): DataFrame =
+      saltCol: Column, saltBuckets: Int): DataFrame = {
+    require(saltBuckets > 0, "saltBuckets must be positive")
     df.withColumn("_salt",
       pmod(coalesce(saltCol.cast("long"), lit(0L)), lit(saltBuckets.toLong)))
       .groupBy(col(key), col("_salt"))
       .agg(count(lit(1)).as("_c"), sum(col(valueCol)).as("_s"))
       .groupBy(col(key))
       .agg(sum(col("_c")).as("cnt"), sum(col("_s")).as("sum_value"))
+  }
 }

@@ -66,12 +66,17 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "et", "est"),
     "es" -> Seq("el", "los", "las", "y", "es"))
 
-  def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** `passThrough` columns ride along in the output — re-joining the
+    * source just to recover one of its own columns would scan the
+    * corpus twice.
+    */
+  def languageId(docs: DataFrame, idCol: String, textCol: String,
+      passThrough: Seq[String] = Nil): DataFrame = {
     val toks = TextFns.wsTokens(col(textCol))
     val withHits = docs.select(Seq(col(idCol)) ++ langMarkers.map {
       case (lang, markers) =>
         TextFns.countInList(toks, markers).as(s"${lang}_hits")
-    }: _*)
+    } ++ passThrough.map(col): _*)
     val pred =
       when(col("en_hits") >= col("de_hits") && col("en_hits") >= col("fr_hits")
         && col("en_hits") >= col("es_hits"), "en")

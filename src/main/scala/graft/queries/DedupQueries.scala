@@ -224,12 +224,12 @@ object DedupQueries {
   }
 
   private val signBlockSql = (1 to SignBits)
-    .map(i => s"(CASE WHEN %s.embedding[$i] >= 0 THEN ${1L << (i - 1)} ELSE 0 END)")
+    .map(i => s"(CASE WHEN embedding[$i] >= 0 THEN ${1L << (i - 1)} ELSE 0 END)")
     .mkString(" + ")
 
   private val dedupEmbCosSql =
     s"""WITH bl AS (SELECT vec_id, embedding,
-      |    (${signBlockSql.replace("%s.", "")})::BIGINT AS blk
+      |    ($signBlockSql)::BIGINT AS blk
       |  FROM embeddings),
       |bok AS (SELECT blk FROM bl GROUP BY blk HAVING count(*) <= $MaxBlock),
       |pb AS (SELECT bl.vec_id, bl.embedding, bl.blk

@@ -182,8 +182,10 @@ object EventQueries {
        |  FROM h GROUP BY event_type)
        |SELECT event_type, early_cnt, late_cnt,
        |  round(late_cnt::DOUBLE / greatest(early_cnt::DOUBLE, 1.0), 6) AS growth_ratio,
-       |  CASE WHEN late_cnt::DOUBLE / greatest(early_cnt::DOUBLE, 1.0) > 1.1 THEN 'rising'
-       |       WHEN late_cnt::DOUBLE / greatest(early_cnt::DOUBLE, 1.0) < 0.9 THEN 'declining'
+       |  CASE WHEN round(late_cnt::DOUBLE / greatest(early_cnt::DOUBLE, 1.0), 6) > 1.1
+       |         THEN 'rising'
+       |       WHEN round(late_cnt::DOUBLE / greatest(early_cnt::DOUBLE, 1.0), 6) < 0.9
+       |         THEN 'declining'
        |       ELSE 'stable' END AS trend
        |FROM g ORDER BY event_type""".stripMargin
 

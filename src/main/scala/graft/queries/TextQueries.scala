@@ -77,8 +77,8 @@ object TextQueries {
   /* ---------------- txt_langid ---------------- */
 
   private def txtLangid(s: SparkSession, d: String): DataFrame =
-    TextAnalysis.languageId(Tables.documents(s, d), "doc_id", "text")
-      .join(Tables.documents(s, d).select(col("doc_id"), col("lang")), Seq("doc_id"))
+    TextAnalysis.languageId(Tables.documents(s, d), "doc_id", "text",
+      passThrough = Seq("lang"))
       .select(col("doc_id"),
         col("en_hits").cast("long").as("en_hits"),
         col("de_hits").cast("long").as("de_hits"),
