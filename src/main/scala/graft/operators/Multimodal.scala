@@ -91,7 +91,7 @@ object Multimodal {
   /** Split an iterator into batches of at most `batchSize` rows that
     * never mix kinds (consecutive same-kind runs, then size-chunked).
     */
-  private[operators] def batchedByKind(
+  private[graft] def batchedByKind(
       rows: Iterator[MediaRow], batchSize: Int): Iterator[Seq[MediaRow]] =
     new Iterator[Seq[MediaRow]] {
       private val it = rows.buffered

@@ -57,4 +57,23 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(kindsPerPart.values.forall(_ == 1L))
   }
+
+  test("batchedByKind never mixes kinds and respects the batch size") {
+    def row(i: Long, kind: String) = Multimodal.MediaRow(
+      i, kind, Array[Byte](1), 1, 1, 1)
+    // mixed run lengths around the batch size of 3
+    val rows = (0L until 7L).map(row(_, "image")) ++
+      Seq(row(7L, "audio")) ++
+      (8L until 12L).map(row(_, "video"))
+    val batches = Multimodal.batchedByKind(rows.iterator, 3).toSeq
+    // each batch is single-kind and <= batchSize
+    assert(batches.forall(b => b.map(_.kind).distinct.size == 1))
+    assert(batches.forall(b => b.nonEmpty && b.size <= 3))
+    // 7 images -> 3+3+1, 1 audio -> 1, 4 videos -> 3+1
+    assert(batches.map(b => (b.head.kind, b.size)) == Seq(
+      ("image", 3), ("image", 3), ("image", 1),
+      ("audio", 1), ("video", 3), ("video", 1)))
+    // nothing lost or reordered
+    assert(batches.flatten.map(_.media_id) == (0L until 12L))
+  }
 }
