@@ -219,6 +219,53 @@ object VectorSearch {
     cents
   }
 
+  /** Batch IVF ANN: top-k per query for a WHOLE query set, scoring
+    * only probed cells — the bulk-retrieval scale path (knnJoin
+    * scores |C|·|Q| pairs; here each candidate is scored only against
+    * the queries probing its cell, ~nprobe/K of the query set).
+    *
+    * Shape: one zero-exchange assignment pass over the corpus (see
+    * assignCells), a |Q|·K probe ranking (driver-scale window), then
+    * candidates join the broadcast probe list and the broadcast query
+    * vectors, reduced per query by the bounded map-side TopKAgg.
+    * Requires integral query ids (TopKAgg contract, like knnJoin).
+    */
+  def annIvfBatch(
+      candidates: DataFrame, queries: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, qId: String, qVec: String,
+      groupCol: String, nprobe: Int, k: Int): DataFrame = {
+    val cents = centroids
+      .select(col(groupCol).as("cgroup"), col("centroid"))
+      .withColumn("gnrm", VectorFns.l2Norm(col("centroid")))
+    val qs = queries.select(col(qId), col(qVec))
+      .withColumn("qnrm", VectorFns.l2Norm(col(qVec)))
+    val assigned = assignCells(candidates, centroids, idCol, vecCol, groupCol)
+    // nprobe cells per query — |Q|·K rows, pruned per query by a
+    // window (driver-scale: query batch × codebook, never the corpus)
+    val probes = cents
+      .crossJoin(broadcast(qs.select(col(qId), col(qVec), col("qnrm"))))
+      .withColumn("pcos", round(VectorFns.cosinePrenormed(
+        col("centroid"), col(qVec), col("gnrm"), col("qnrm")), 6))
+      .withColumn("prn", row_number().over(
+        Window.partitionBy(col(qId))
+          .orderBy(col("pcos").desc, col("cgroup"))))
+      .where(col("prn") <= nprobe)
+      .select(col(qId).as("pq"), col("cgroup").as("cell"))
+    val topk = udaf(new TopKAgg(k))
+    assigned
+      .join(broadcast(probes), Seq("cell"))
+      .join(broadcast(qs), col("pq") === col(qId))
+      .withColumn("cos_sim", round(VectorFns.cosinePrenormed(
+        col(vecCol), col(qVec), col("cnrm"), col("qnrm")), 6))
+      .where(col("cos_sim").isNotNull && !isnan(col("cos_sim")))
+      .groupBy(col(qId))
+      .agg(topk(col("cos_sim"), col(idCol).cast("long")).as("tk"))
+      .select(col(qId), posexplode(col("tk")).as(Seq("pos", "nb")))
+      .select(col(qId), col("nb.id").as(idCol),
+        col("nb.score").as("cos_sim"),
+        (col("pos") + 1).cast("long").as("rnk"))
+  }
+
   /** IVF-style ANN: assign every vector to its nearest coarse centroid
     * (broadcast), probe the `nprobe` cells nearest to the query, exact
     * cosine inside the probed cells only. This is the 100 TB path: the

@@ -261,6 +261,76 @@ object VectorQueries {
       |SELECT vec_id, cell, round(dot / (sqrt(na) * sqrt(qn.ns)), 6) AS cos_sim
       |FROM fd CROSS JOIN qn ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
 
+  /* ---------------- vs_ann_ivf_batch ---------------- */
+
+  /** Batch IVF: top-5 per query for 10 queries at once, scoring only
+    * probed cells — the bulk-retrieval twin of vs_knn_join (which
+    * scores the full cross product). Oracle = per-query restricted
+    * exact comparison, like vs_ann_ivf.
+    */
+  private def annIvfBatch(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cs = emb.where(col("vec_id") >= 10)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("label"))
+    val qs = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val centroids = VectorSearch.centroidArrays(cs, "label", "ce")
+    VectorSearch.annIvfBatch(cs, qs, centroids,
+      "cid", "ce", "qid", "qe", "label", nprobe = 3, k = 5)
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  private val annIvfBatchSql =
+    """WITH cs AS (SELECT vec_id AS cid, embedding AS ce, label
+      |       FROM embeddings WHERE vec_id >= 10),
+      |qs AS (SELECT vec_id AS qid, embedding AS qe
+      |       FROM embeddings WHERE vec_id < 10),
+      |le AS (SELECT label, ce, unnest(generate_series(1, len(ce))) AS i FROM cs),
+      |c AS (SELECT label, i, avg(ce[i]::DOUBLE) AS v FROM le GROUP BY label, i),
+      |cn AS (SELECT label, sum(v * v) AS ns FROM c GROUP BY label),
+      |ev AS (SELECT cid, ce, unnest(generate_series(1, len(ce))) AS i FROM cs),
+      |en AS (SELECT cid, sum(ce[i]::DOUBLE * ce[i]::DOUBLE) AS ns
+      |       FROM ev GROUP BY cid),
+      |ass0 AS (SELECT ev.cid, c.label, sum(ev.ce[ev.i]::DOUBLE * c.v) AS dot
+      |         FROM ev JOIN c ON ev.i = c.i GROUP BY 1, 2),
+      |ass1 AS (SELECT a.cid, a.label,
+      |           round(a.dot / (sqrt(en.ns) * sqrt(cn.ns)), 6) AS s
+      |         FROM ass0 a JOIN en ON a.cid = en.cid JOIN cn ON a.label = cn.label),
+      |ass AS (SELECT cid, label AS cell FROM (
+      |          SELECT cid, label,
+      |            row_number() OVER (PARTITION BY cid ORDER BY s DESC, label) AS rn
+      |          FROM ass1) WHERE rn = 1),
+      |qv AS (SELECT qid, qe, unnest(generate_series(1, len(qe))) AS i FROM qs),
+      |qn AS (SELECT qid, sum(qe[i]::DOUBLE * qe[i]::DOUBLE) AS ns
+      |       FROM qv GROUP BY qid),
+      |qc AS (SELECT qv.qid, c.label, sum(qv.qe[qv.i]::DOUBLE * c.v) AS dot
+      |       FROM qv JOIN c ON qv.i = c.i GROUP BY 1, 2),
+      |probe AS (SELECT qid, label AS cell FROM (
+      |            SELECT qc.qid, qc.label,
+      |              row_number() OVER (PARTITION BY qc.qid
+      |                ORDER BY round(qc.dot / (sqrt(qn.ns) * sqrt(cn.ns)), 6) DESC,
+      |                         qc.label) AS rn
+      |            FROM qc JOIN qn ON qc.qid = qn.qid
+      |            JOIN cn ON qc.label = cn.label) WHERE rn <= 3),
+      |cand AS (SELECT p.qid, cs.cid, cs.ce
+      |         FROM cs JOIN ass ON cs.cid = ass.cid
+      |         JOIN probe p ON ass.cell = p.cell),
+      |cx AS (SELECT qid, cid, ce, unnest(generate_series(1, len(ce))) AS i
+      |       FROM cand),
+      |fd AS (SELECT cx.qid, cx.cid,
+      |         sum(cx.ce[cx.i]::DOUBLE * qs.qe[cx.i]::DOUBLE) AS dot,
+      |         sum(cx.ce[cx.i]::DOUBLE * cx.ce[cx.i]::DOUBLE) AS na
+      |       FROM cx JOIN qs ON cx.qid = qs.qid GROUP BY 1, 2),
+      |sc AS (SELECT fd.qid, fd.cid,
+      |         round(fd.dot / (sqrt(fd.na) * sqrt(qn.ns)), 6) AS cos_sim
+      |       FROM fd JOIN qn ON fd.qid = qn.qid),
+      |rk AS (SELECT qid, cid, cos_sim,
+      |         row_number() OVER (PARTITION BY qid
+      |           ORDER BY cos_sim DESC, cid)::BIGINT AS rnk
+      |       FROM sc)
+      |SELECT qid, cid, cos_sim, rnk FROM rk WHERE rnk <= 5
+      |ORDER BY qid, rnk""".stripMargin
+
   /* ---------------- vs_ann_ivf_srp ---------------- */
 
   /** IVF whose coarse codebook is DATA-DERIVED: cells are SRP sign
@@ -567,6 +637,7 @@ object VectorQueries {
     Qdef("vs_similar_papers", similarPapers, Some(similarPapersSql)),
     Qdef("vs_ann_ivf", annIvf, Some(annIvfSql)),
     Qdef("vs_ann_ivf_srp", annIvfSrp, Some(annIvfSrpSql)),
+    Qdef("vs_ann_ivf_batch", annIvfBatch, Some(annIvfBatchSql)),
     Qdef("bm25_search", bm25Search, Some(bm25Sql)),
     Qdef("bm25_synonyms", bm25Synonyms, Some(bm25SynonymsSql)),
     Qdef("hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
