@@ -41,6 +41,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!planOf("vs_ann_ivf_srp").contains("Window"))
   }
 
+  test("batch IVF reduces per query through the bounded map-side aggregate") {
+    val plan = planOf("vs_ann_ivf_batch")
+    // TopKAgg plans ObjectHashAggregate (partial on the map side);
+    // a row_number-over-scored-rows plan would show a corpus Window
+    assert(plan.contains("ObjectHashAggregate"))
+  }
+
   test("metadata-filtered search pushes the predicate to the scan") {
     val plan = planOf("vs_filtered_topk")
     assert(plan.contains("PushedFilters"))
