@@ -379,11 +379,12 @@ object TextQueries {
     s"""WITH t AS (SELECT doc_id, n_chars // 4 + 1 AS est_tokens
        |  FROM documents),
        |c AS (SELECT doc_id, est_tokens,
-       |    sum(est_tokens) OVER (ORDER BY doc_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+       |    (sum(est_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+       |      AS cum_tokens
        |  FROM t)
        |SELECT doc_id, est_tokens, cum_tokens,
-       |  (cum_tokens - est_tokens) // $ShardBudget AS shard_id
+       |  ((cum_tokens - est_tokens) // $ShardBudget)::BIGINT AS shard_id
        |FROM c ORDER BY doc_id""".stripMargin
 
   /* ---------------- txt_scrub ---------------- */
