@@ -138,6 +138,47 @@ object Stats {
       .orderBy(col("degree").desc, col("feature"))
       .limit(n)
 
+  /** Benjamini-Hochberg FDR adjust over a scored frame's `p_value`
+    * column: padj_i = min_{j>=i} p_j * n / j over the p-ascending
+    * ranking, capped at 1. Appends `p_adj`, keyed tiebreaks on
+    * `keyCol` so last-ulp drift can never flip rank order between
+    * engines (ranking is on the ROUNDED p).
+    *
+    * Feature-cardinality windows (a gene panel / pathway list, never
+    * corpus-scale) — the single-partition WindowExec warning is
+    * expected and harmless, as in the other ≤k-row windows. n_feat
+    * also comes from a whole-frame window on the SAME panel: a
+    * separate count() aggregate would re-derive the frame from a
+    * second scan of the source (PlanAuditSpec pins deg_stats' single
+    * scan).
+    *
+    * Degenerate rows (null p) are EXCLUDED from the BH family: null
+    * p-values sort after every real p (explicitly — Spark's ASC
+    * default is NULLS FIRST, DuckDB's is NULLS LAST, so an implicit
+    * ordering would rank differently per engine), n_feat counts only
+    * non-null p, and a degenerate row's own p_adj is null (its suffix
+    * window holds only nulls; min ignores nulls in both engines; an
+    * implicit least() would silently turn "no p-value" into 1.0).
+    */
+  def withBhAdjust(scored: DataFrame, keyCol: String): DataFrame = {
+    def r6(c: Column) = round(c + lit(1e-9), 6)
+    val whole = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val byP = Window.orderBy(col("p_value").asc_nulls_last, col(keyCol))
+    val suffixMin = Window
+      .orderBy(col("p_value").desc_nulls_first, col(keyCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored
+      .withColumn("n_feat", count(col("p_value")).over(whole))
+      .withColumn("p_rank", row_number().over(byP).cast("long"))
+      .withColumn("p_adj", when(col("p_value").isNull,
+        lit(null).cast("double"))
+        .otherwise(r6(least(
+          min(col("p_value") * col("n_feat") / col("p_rank")).over(suffixMin),
+          lit(1.0)))))
+      .drop("n_feat", "p_rank")
+  }
+
   /** Per-feature differential statistics between two cohorts:
     * counts/means/variances per arm, log2 fold change (+1 pseudocount,
     * the DESeq-style guard), Welch t statistic, normal-approximation
@@ -173,40 +214,93 @@ object Stats {
       .withColumn("t_stat", r6(t))
       // rank on the ROUNDED p so both engines order identically
       .withColumn("p_value", r6(normalTwoSidedP(t)))
-    // feature-cardinality windows (a gene panel, not the sample
-    // table) — the single-partition WindowExec warning is expected
-    // and harmless here, as in the other ≤k-row windows. n_feat also
-    // comes from a whole-frame window on the SAME panel: a separate
-    // count() aggregate would re-derive the frame from a second scan
-    // of the sample table (PlanAuditSpec pins the single scan).
-    //
-    // Degenerate features (one-arm-only or zero-variance → null t →
-    // null p) are EXCLUDED from the BH family: null p-values sort
-    // after every real p (explicitly — Spark's ASC default is NULLS
-    // FIRST, DuckDB's is NULLS LAST, so an implicit ordering would
-    // rank differently per engine), n_feat counts only non-null p,
-    // and a degenerate feature's own p_adj is null (its suffix window
-    // holds only nulls; min ignores nulls in both engines).
-    val whole = Window.partitionBy(lit(1))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val byP = Window.orderBy(col("p_value").asc_nulls_last, col(featureCol))
-    val suffixMin = Window
-      .orderBy(col("p_value").desc_nulls_first, col(featureCol).desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    scored
-      .withColumn("n_feat", count(col("p_value")).over(whole))
-      .withColumn("p_rank", row_number().over(byP).cast("long"))
-      // explicit null for degenerate features: Spark's least() and
-      // DuckDB's least() both skip nulls, which would silently turn
-      // "no p-value" into p_adj = 1.0
-      .withColumn("p_adj", when(col("p_value").isNull,
-        lit(null).cast("double"))
-        .otherwise(r6(least(
-          min(col("p_value") * col("n_feat") / col("p_rank")).over(suffixMin),
-          lit(1.0)))))
+    withBhAdjust(scored, featureCol)
       .select(col(featureCol), col("n_a"), col("n_b"),
         r6(col("raw_mean_a")).as("mean_a"),
         r6(col("raw_mean_b")).as("mean_b"),
         col("log2_fc"), col("t_stat"), col("p_value"), col("p_adj"))
+  }
+
+  /** Gene-set over-representation analysis (reference:
+    * rnaseq_pipeline/agents/agent3_pathway.py:238 run — the Enrichr
+    * call's statistic computed natively, :204
+    * _create_gene_to_pathway_mapping consumes the result): for each
+    * pathway, the exact hypergeometric upper-tail p-value of the
+    * observed overlap k between the DEG list (size n) and the pathway
+    * gene set (size K) within a universe of `universe` genes,
+    * P(X >= k), plus the Enrichr-style sample odds ratio and BH
+    * adjust across the tested pathways (only pathways with k >= 1 are
+    * tested, as Enrichr only returns overlapping terms).
+    *
+    * Scale design: membership is pathway-panel-scale (pathway × gene
+    * pairs), the DEG list is capped upstream (the reference caps at
+    * max_genes_for_enrichment=500), and the log-factorial table is
+    * one broadcast array of `universe`+1 doubles — so the only
+    * shuffles are two panel-scale hash aggregates; nothing
+    * corpus-scale moves. The tail sum is a per-row strict left fold
+    * (`aggregate` over `sequence(k, min(K, n))`, at most n terms) —
+    * no explode/regroup, and the fold order is deterministic so both
+    * engines sum identically-ordered terms.
+    *
+    * Cross-engine protocol: log-factorials come from a cumulative sum
+    * of ln(i) in increasing i (NOT an engine-native lgamma, whose
+    * polynomial differs per engine); p and odds are rounded to 6dp
+    * with the suite's +1e-9 nudge; BH ranks on the rounded p with a
+    * pathway tiebreak.
+    */
+  def hypergeomEnrich(
+      membership: DataFrame, pathwayCol: String, geneCol: String,
+      degGenes: DataFrame, degGeneCol: String, universe: Int): DataFrame = {
+    val spark = membership.sparkSession
+    def r6(c: Column) = round(c + lit(1e-9), 6)
+    val mem = membership
+      .select(col(pathwayCol).as("pathway"), col(geneCol).as("gene"))
+      .distinct()
+    val genes = degGenes.select(col(degGeneCol).as("gene")).distinct()
+    val sizes = mem.groupBy(col("pathway"))
+      .agg(count(lit(1)).as("pathway_size"))
+    val overlap = mem.join(broadcast(genes), Seq("gene"))
+      .groupBy(col("pathway")).agg(count(lit(1)).as("gene_count"))
+    val listSize = genes.agg(count(lit(1)).as("list_size"))
+    // log-factorial table lf(0..universe) as one broadcast array row;
+    // universe is a gene panel (≤ tens of thousands), so the single-
+    // partition cumulative window is driver-scale and intentional
+    val cum = Window.orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lfArr = spark.range(0L, universe + 1L)
+      .withColumn("lf", sum(when(col("id") === 0L, lit(0.0))
+        .otherwise(log(col("id")))).over(cum))
+      .groupBy()
+      .agg(transform(
+        array_sort(collect_list(struct(col("id"), col("lf")))),
+        p => p.getField("lf")).as("lfa"))
+    def lf(x: Column) = element_at(col("lfa"), (x + lit(1)).cast("int"))
+    val bigN = lit(universe.toLong)
+    val k = col("gene_count")
+    val bigK = col("pathway_size")
+    val n = col("list_size")
+    val lnChooseN = lf(bigN) - lf(n) - lf(bigN - n)
+    val tailP = aggregate(
+      sequence(k, least(bigK, n)), lit(0.0),
+      (acc, i) => acc + exp(
+        lf(bigK) - lf(i) - lf(bigK - i) +
+          lf(bigN - bigK) - lf(n - i) - lf(bigN - bigK - n + i) -
+          lnChooseN))
+    // Enrichr-style sample odds ratio: (k / (n-k)) / ((K-k) / (N-K-n+k));
+    // a zero denominator (whole list or whole pathway overlapping)
+    // means an infinite odds ratio → null
+    val odds = (k * (bigN - bigK - n + k)).cast("double") /
+      nullif(((bigK - k) * (n - k)).cast("double"), lit(0.0))
+    val scored = overlap
+      .join(broadcast(sizes), Seq("pathway"))
+      .crossJoin(broadcast(listSize))
+      .crossJoin(broadcast(lfArr))
+      .withColumn("p_value", r6(least(tailP, lit(1.0))))
+      .withColumn("odds_ratio", r6(odds))
+    withBhAdjust(scored, "pathway")
+      .select(col("pathway"), k, bigK, n, bigN.as("universe"),
+        concat(k.cast("string"), lit("/"), bigK.cast("string"))
+          .as("overlap"),
+        col("odds_ratio"), col("p_value"), col("p_adj"))
   }
 }

@@ -38,8 +38,10 @@ object StatsQueries {
       |       - 1.453152027 * tt*tt*tt*tt + 1.061405429 * tt*tt*tt*tt*tt)
       |      * exp(-x * x)""".stripMargin
 
-  private val degStatsSql =
-    s"""WITH sm AS (SELECT (l_partkey % $NGenes)::BIGINT AS gene,
+  // the full deg-stats pipeline as a reusable WITH body (deg_enrich
+  // builds its DEG list from the same CTEs)
+  private val degStatsCtes =
+    s"""sm AS (SELECT (l_partkey % $NGenes)::BIGINT AS gene,
        |    l_returnflag AS cohort, l_quantity::DOUBLE AS v
        |  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
        |ag AS (SELECT gene,
@@ -76,7 +78,10 @@ object StatsQueries {
        |          ORDER BY p_value DESC NULLS FIRST, gene DESC
        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
        |        1.0) + 0.000000001, 6) END AS p_adj
-       |  FROM rk)
+       |  FROM rk)""".stripMargin
+
+  private val degStatsSql =
+    s"""WITH $degStatsCtes
        |SELECT gene, n_a, n_b, mean_a, mean_b, log2_fc, t_stat, p_value, p_adj
        |FROM bh ORDER BY gene""".stripMargin
 
@@ -198,8 +203,94 @@ object StatsQueries {
        |SELECT gene, count(*)::BIGINT AS degree FROM dg
        |GROUP BY gene ORDER BY degree DESC, gene LIMIT $HubN""".stripMargin
 
+  /* ---------------- deg_enrich ---------------- */
+
+  private val EnrichTopN = 10
+
+  /** Pathway membership, synthetic but shaped like a real gene-set
+    * library (agent3_pathway's Enrichr databases): pathway = brand,
+    * gene = partkey mod 40, sparsified by p_size < 4 so pathway sizes
+    * vary across scale factors (K ∈ [1,10] at sf0.01).
+    */
+  private def membership(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).where(col("p_size") < 4)
+      .select(col("p_brand").as("pathway"),
+        pmod(col("p_partkey"), lit(NGenes)).cast("long").as("gene"))
+
+  /** DEG list = top-10 genes by adjusted p (the reference's "top
+    * max_genes by padj" cut, agent3_pathway.py:241), enriched against
+    * the membership table over the 40-gene universe.
+    */
+  private def degEnrich(s: SparkSession, d: String): DataFrame =
+    Stats.hypergeomEnrich(
+      membership(s, d), "pathway", "gene",
+      Stats.diffStats(
+        Tables.lineitem(s, d).select(
+          pmod(col("l_partkey"), lit(NGenes)).cast("long").as("gene"),
+          col("l_returnflag").as("cohort"),
+          col("l_quantity").cast("double").as("expr_val")),
+        "gene", "cohort", "expr_val", cohortA = "A", cohortB = "R")
+        .orderBy(col("p_adj").asc_nulls_last, col("gene"))
+        .limit(EnrichTopN),
+      "gene", universe = NGenes)
+      .orderBy(col("p_adj").asc_nulls_last, col("pathway"))
+
+  private val degEnrichSql =
+    s"""WITH $degStatsCtes,
+       |deg AS (SELECT gene FROM bh
+       |  ORDER BY p_adj ASC NULLS LAST, gene LIMIT $EnrichTopN),
+       |mem AS (SELECT DISTINCT p_brand AS pathway,
+       |    (p_partkey % $NGenes)::BIGINT AS gene
+       |  FROM part WHERE p_size < 4),
+       |szs AS (SELECT pathway, count(*)::BIGINT AS pathway_size
+       |  FROM mem GROUP BY 1),
+       |ov AS (SELECT pathway, count(*)::BIGINT AS gene_count
+       |  FROM mem JOIN deg USING (gene) GROUP BY 1),
+       |ls AS (SELECT count(*)::BIGINT AS list_size FROM deg),
+       |lfs AS (SELECT i, sum(ln(i)) OVER (ORDER BY i
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+       |  FROM generate_series(1, $NGenes) t(i)),
+       |lfv AS (SELECT list_prepend(0.0, list(s ORDER BY i)) AS arr
+       |  FROM lfs),
+       |en AS (SELECT ov.pathway, gene_count, pathway_size, list_size,
+       |    $NGenes::BIGINT AS universe, arr
+       |  FROM ov JOIN szs USING (pathway) CROSS JOIN ls CROSS JOIN lfv),
+       |sc2 AS (SELECT pathway, gene_count, pathway_size, list_size, universe,
+       |    round(least(list_sum(list_transform(
+       |      generate_series(gene_count, least(pathway_size, list_size)),
+       |      i -> exp(arr[pathway_size+1] - arr[i+1] - arr[pathway_size-i+1]
+       |        + arr[universe-pathway_size+1] - arr[list_size-i+1]
+       |        - arr[universe-pathway_size-list_size+i+1]
+       |        - (arr[universe+1] - arr[list_size+1]
+       |           - arr[universe-list_size+1])))),
+       |      1.0) + 0.000000001, 6) AS p_value,
+       |    round((gene_count * (universe - pathway_size - list_size
+       |        + gene_count))::DOUBLE
+       |      / nullif(((pathway_size - gene_count)
+       |        * (list_size - gene_count))::DOUBLE, 0.0)
+       |      + 0.000000001, 6) AS odds_ratio
+       |  FROM en),
+       |tot2 AS (SELECT count(p_value)::BIGINT AS n_feat FROM sc2),
+       |rk2 AS (SELECT sc2.*, tot2.n_feat,
+       |    row_number() OVER (ORDER BY p_value ASC NULLS LAST, pathway)::BIGINT
+       |      AS p_rank
+       |  FROM sc2 CROSS JOIN tot2),
+       |bh2 AS (SELECT *,
+       |    CASE WHEN p_value IS NULL THEN NULL ELSE
+       |      round(least(
+       |        min(p_value * n_feat / p_rank) OVER (
+       |          ORDER BY p_value DESC NULLS FIRST, pathway DESC
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       |        1.0) + 0.000000001, 6) END AS p_adj
+       |  FROM rk2)
+       |SELECT pathway, gene_count, pathway_size, list_size, universe,
+       |  gene_count::VARCHAR || '/' || pathway_size::VARCHAR AS overlap,
+       |  odds_ratio, p_value, p_adj
+       |FROM bh2 ORDER BY p_adj ASC NULLS LAST, pathway""".stripMargin
+
   val defs: Seq[Qdef] = Seq(
     Qdef("deg_stats", degStats, Some(degStatsSql)),
+    Qdef("deg_enrich", degEnrich, Some(degEnrichSql)),
     Qdef("deg_cpm", degCpm, Some(degCpmSql)),
     Qdef("deg_top_var", degTopVar, Some(degTopVarSql)),
     Qdef("deg_network", degNetwork, Some(degNetworkSql)),

@@ -61,7 +61,8 @@ class OracleLintSpec extends AnyFunSuite {
   private def integerish(arg: String): Boolean = {
     val a = arg.toLowerCase
     if (a.contains(".") || a.contains("1e") || a.contains("/") ||
-      a.contains("::double") || a.contains("::float")) false
+      a.contains("::double") || a.contains("::float") ||
+      Seq("ln(", "log(", "exp(", "sqrt(").exists(a.contains)) false
     else {
       val idents = "[a-z_][a-z_0-9]*".r.findAllIn(a)
         .filterNot(Set("case", "when", "then", "else", "end", "and",
@@ -78,7 +79,8 @@ class OracleLintSpec extends AnyFunSuite {
     var from = 0
     while ({ from = lower.indexOf("sum(", from); from >= 0 }) {
       // `sum` must be a standalone token (not e.g. `checksum(`)
-      val standalone = from == 0 || !lower(from - 1).isLetterOrDigit
+      val standalone = from == 0 ||
+        (!lower(from - 1).isLetterOrDigit && lower(from - 1) != '_')
       val open = from + 3
       val end = matchParen(s, open)
       val arg = s.substring(open + 1, end - 1)

@@ -91,4 +91,32 @@ class StatsSpec extends SparkSpec {
     // padj >= p always (n / rank >= 1)
     assert(rows.forall { case (p, padj) => padj >= p - 1e-6 })
   }
+
+  test("hypergeomEnrich: exact tail p, odds ratio, BH, zero-overlap excluded") {
+    // universe N=10, DEG list {0..4} (n=5); hand-computed tails:
+    //   pw_a = {0,1,2,7}: k=3, K=4 -> P(X>=3) = (C(4,3)C(6,2) +
+    //     C(4,4)C(6,1)) / C(10,5) = 66/252 = 0.261905
+    //   pw_b = {0,1}: k=2, K=2 -> C(2,2)C(8,3)/C(10,5) = 56/252
+    //     = 0.222222; odds denominator (K-k)(n-k) = 0 -> null
+    //   pw_c = {8,9}: k=0 -> excluded (Enrichr returns overlap>=1)
+    val mem = Seq(
+      ("pw_a", 0L), ("pw_a", 1L), ("pw_a", 2L), ("pw_a", 7L),
+      ("pw_b", 0L), ("pw_b", 1L),
+      ("pw_c", 8L), ("pw_c", 9L)).toDF("pathway", "gene")
+    val deg = Seq(0L, 1L, 2L, 3L, 4L).toDF("gene")
+    val out = Stats.hypergeomEnrich(mem, "pathway", "gene", deg, "gene", 10)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("pw_a", "pw_b"))
+    val a = out("pw_a"); val b = out("pw_b")
+    assert(a.getLong(1) == 3 && a.getLong(2) == 4 && a.getLong(3) == 5)
+    assert(a.getString(5) == "3/4")
+    assert(math.abs(a.getDouble(7) - 66.0 / 252) < 1e-5)
+    assert(math.abs(b.getDouble(7) - 56.0 / 252) < 1e-5)
+    // odds(pw_a) = k(N-K-n+k) / ((K-k)(n-k)) = 3*4 / (1*2) = 6
+    assert(math.abs(a.getDouble(6) - 6.0) < 1e-5)
+    assert(b.isNullAt(6)) // infinite odds ratio -> null
+    // BH over the 2 tested pathways: both padj = max tail = 66/252
+    assert(math.abs(a.getDouble(8) - 66.0 / 252) < 1e-5)
+    assert(math.abs(b.getDouble(8) - 66.0 / 252) < 1e-5)
+  }
 }
