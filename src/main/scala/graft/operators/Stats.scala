@@ -303,4 +303,95 @@ object Stats {
           .as("overlap"),
         col("odds_ratio"), col("p_value"), col("p_adj"))
   }
+
+  /** Score weights and confidence thresholds for `validationScore`,
+    * defaulting to the reference's config (agent4_validation.py:140
+    * score_weights, :148 confidence_thresholds).
+    */
+  final case class ValidationConfig(
+      isHub: Double = 2.0,
+      dbMatched: Double = 2.0,
+      cancerTypeMatch: Double = 1.5,
+      highPathwayCount: Double = 0.5,
+      highThreshold: Double = 5.0,
+      mediumThreshold: Double = 3.0,
+      lowThreshold: Double = 1.5)
+
+  /** Validation-tier composed scoring (reference:
+    * agent4_validation.py:405 _calculate_interpretation_score, :432
+    * _determine_confidence, :663 _interpret_gene): joins the DEG list
+    * against hub status, known-database membership, cancer-type
+    * association, and pathway membership, then applies the reference's
+    * additive score and confidence CASE ladder per gene.
+    *
+    * Semantics mirrored exactly:
+    *  - `cancer_type_match` is null unless the gene is db-matched
+    *    (:683 — the reference passes None otherwise), and a null
+    *    contributes nothing to the score (CASE WHEN null → ELSE in
+    *    both engines, like Python's falsy None).
+    *  - `pathway_count` counts pathways whose ENRICHED overlap
+    *    contains the gene (:204 builds the mapping from returned
+    *    terms' overlap genes). For a DEG gene, membership in a
+    *    pathway implies that pathway overlaps the DEG list (the gene
+    *    itself is the witness), so the count equals the gene's plain
+    *    membership degree — computed directly, no enrichment join.
+    *  - `expression_direction_consistent` is None in the reference's
+    *    stage-1 checklist (:75 default, never set at :681) and so
+    *    never scores; it is omitted here.
+    *
+    * Scale design: the DEG list is capped upstream and every side
+    * table is gene-panel-scale → all joins are broadcast left joins
+    * onto the list; one narrow plan, no shuffle of anything large.
+    */
+  def validationScore(
+      degGenes: DataFrame, hubs: DataFrame, dbGenes: DataFrame,
+      cancerGenes: DataFrame, membership: DataFrame,
+      geneCol: String, pathwayCol: String,
+      cfg: ValidationConfig = ValidationConfig()): DataFrame = {
+    def flagged(df: DataFrame, flag: String) =
+      broadcast(df.select(col(geneCol)).distinct()
+        .withColumn(flag, lit(true)))
+    val pathwayCount = membership
+      .select(col(pathwayCol).as("pathway"), col(geneCol))
+      .distinct()
+      .groupBy(col(geneCol))
+      .agg(count(lit(1)).as("pathway_count"))
+    val joined = degGenes.select(col(geneCol))
+      .join(flagged(hubs, "hub_flag"), Seq(geneCol), "left")
+      .join(flagged(dbGenes, "db_flag"), Seq(geneCol), "left")
+      .join(flagged(cancerGenes, "cancer_flag"), Seq(geneCol), "left")
+      .join(broadcast(pathwayCount), Seq(geneCol), "left")
+      .withColumn("is_hub", coalesce(col("hub_flag"), lit(false)))
+      .withColumn("db_matched", coalesce(col("db_flag"), lit(false)))
+      .withColumn("cancer_type_match",
+        when(col("db_matched"), coalesce(col("cancer_flag"), lit(false)))
+          .otherwise(lit(null).cast("boolean")))
+      .withColumn("pathway_count",
+        coalesce(col("pathway_count"), lit(0L)))
+    // weights are dyadic-exact doubles (2.0/1.5/0.5 sums), so the
+    // score needs no cross-engine rounding guard
+    val score =
+      when(col("is_hub"), lit(cfg.isHub)).otherwise(lit(0.0)) +
+        when(col("db_matched"), lit(cfg.dbMatched)).otherwise(lit(0.0)) +
+        when(col("cancer_type_match"), lit(cfg.cancerTypeMatch))
+          .otherwise(lit(0.0)) +
+        when(col("pathway_count") >= 3, lit(cfg.highPathwayCount))
+          .otherwise(lit(0.0))
+    joined
+      .withColumn("interpretation_score", score)
+      .withColumn("confidence",
+        when(col("db_matched") &&
+          col("interpretation_score") >= cfg.highThreshold, lit("high"))
+          .when(col("db_matched") &&
+            col("interpretation_score") >= cfg.mediumThreshold,
+            lit("medium"))
+          .when(!col("db_matched") && col("is_hub"),
+            lit("novel_candidate"))
+          .when(col("interpretation_score") >= cfg.lowThreshold,
+            lit("low"))
+          .otherwise(lit("requires_validation")))
+      .select(col(geneCol), col("is_hub"), col("db_matched"),
+        col("cancer_type_match"), col("pathway_count"),
+        col("interpretation_score"), col("confidence"))
+  }
 }

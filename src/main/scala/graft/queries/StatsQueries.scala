@@ -196,12 +196,17 @@ object StatsQueries {
       HubN)
       .select(col("feature").as("gene"), col("degree"))
 
+  // hub computation as reusable CTEs (assumes corrCtes' `ed` in scope)
+  private val hubCtes =
+    s"""dg AS (SELECT ga AS gene FROM ed UNION ALL SELECT gb FROM ed),
+       |hubq AS (SELECT gene, count(*)::BIGINT AS degree FROM dg
+       |  GROUP BY gene ORDER BY degree DESC, gene LIMIT $HubN)""".stripMargin
+
   private val degHubSql =
     s"""WITH $countMatrixSql,
        |$corrCtes,
-       |dg AS (SELECT ga AS gene FROM ed UNION ALL SELECT gb FROM ed)
-       |SELECT gene, count(*)::BIGINT AS degree FROM dg
-       |GROUP BY gene ORDER BY degree DESC, gene LIMIT $HubN""".stripMargin
+       |$hubCtes
+       |SELECT gene, degree FROM hubq ORDER BY degree DESC, gene""".stripMargin
 
   /* ---------------- deg_enrich ---------------- */
 
@@ -221,27 +226,37 @@ object StatsQueries {
     * max_genes by padj" cut, agent3_pathway.py:241), enriched against
     * the membership table over the 40-gene universe.
     */
+  private def degListTop(s: SparkSession, d: String): DataFrame =
+    Stats.diffStats(
+      Tables.lineitem(s, d).select(
+        pmod(col("l_partkey"), lit(NGenes)).cast("long").as("gene"),
+        col("l_returnflag").as("cohort"),
+        col("l_quantity").cast("double").as("expr_val")),
+      "gene", "cohort", "expr_val", cohortA = "A", cohortB = "R")
+      .orderBy(col("p_adj").asc_nulls_last, col("gene"))
+      .limit(EnrichTopN)
+
   private def degEnrich(s: SparkSession, d: String): DataFrame =
     Stats.hypergeomEnrich(
       membership(s, d), "pathway", "gene",
-      Stats.diffStats(
-        Tables.lineitem(s, d).select(
-          pmod(col("l_partkey"), lit(NGenes)).cast("long").as("gene"),
-          col("l_returnflag").as("cohort"),
-          col("l_quantity").cast("double").as("expr_val")),
-        "gene", "cohort", "expr_val", cohortA = "A", cohortB = "R")
-        .orderBy(col("p_adj").asc_nulls_last, col("gene"))
-        .limit(EnrichTopN),
-      "gene", universe = NGenes)
+      degListTop(s, d), "gene", universe = NGenes)
       .orderBy(col("p_adj").asc_nulls_last, col("pathway"))
+
+  // the DEG-list and membership CTEs, shared by deg_enrich and
+  // deg_validate (both assume degStatsCtes is already in the WITH)
+  private val degListCte =
+    s"""deg AS (SELECT gene FROM bh
+       |  ORDER BY p_adj ASC NULLS LAST, gene LIMIT $EnrichTopN)""".stripMargin
+
+  private val memCte =
+    s"""mem AS (SELECT DISTINCT p_brand AS pathway,
+       |    (p_partkey % $NGenes)::BIGINT AS gene
+       |  FROM part WHERE p_size < 4)""".stripMargin
 
   private val degEnrichSql =
     s"""WITH $degStatsCtes,
-       |deg AS (SELECT gene FROM bh
-       |  ORDER BY p_adj ASC NULLS LAST, gene LIMIT $EnrichTopN),
-       |mem AS (SELECT DISTINCT p_brand AS pathway,
-       |    (p_partkey % $NGenes)::BIGINT AS gene
-       |  FROM part WHERE p_size < 4),
+       |$degListCte,
+       |$memCte,
        |szs AS (SELECT pathway, count(*)::BIGINT AS pathway_size
        |  FROM mem GROUP BY 1),
        |ov AS (SELECT pathway, count(*)::BIGINT AS gene_count
@@ -288,9 +303,75 @@ object StatsQueries {
        |  odds_ratio, p_value, p_adj
        |FROM bh2 ORDER BY p_adj ASC NULLS LAST, pathway""".stripMargin
 
+  /* ---------------- deg_validate ---------------- */
+
+  /** Validation-tier composed scoring over the DEG list
+    * (agent4_validation.py:405/:432/:663): hub status from the
+    * co-expression pipeline, synthetic known-database and cancer-type
+    * gene sets (deterministic residue classes over the 40-gene
+    * universe, standing in for the reference's static COSMIC/OncoKB
+    * symbol sets), pathway membership degree, then the reference's
+    * additive score + confidence ladder.
+    */
+  private def degValidate(s: SparkSession, d: String): DataFrame =
+    Stats.validationScore(
+      degListTop(s, d),
+      Stats.hubFeatures(
+        Stats.correlationEdges(normalized(s, d),
+          "gene", "sample_id", "log2_cpm", MinAbsCorr),
+        HubN).select(col("feature").as("gene")),
+      s.range(NGenes).where(col("id") % 3 === 0)
+        .select(col("id").as("gene")),
+      s.range(NGenes).where(col("id") % 6 === 0)
+        .select(col("id").as("gene")),
+      membership(s, d),
+      "gene", "pathway")
+      .orderBy(col("gene"))
+
+  private val degValidateSql =
+    s"""WITH $degStatsCtes,
+       |$degListCte,
+       |$memCte,
+       |$countMatrixSql,
+       |$corrCtes,
+       |$hubCtes,
+       |pc AS (SELECT gene, count(*)::BIGINT AS pathway_count
+       |  FROM mem GROUP BY gene),
+       |dbg AS (SELECT i::BIGINT AS gene
+       |  FROM generate_series(0, ${NGenes - 1}) t(i) WHERE i % 3 = 0),
+       |cag AS (SELECT i::BIGINT AS gene
+       |  FROM generate_series(0, ${NGenes - 1}) u(i) WHERE i % 6 = 0),
+       |base AS (SELECT deg.gene,
+       |    (hubq.gene IS NOT NULL) AS is_hub,
+       |    (dbg.gene IS NOT NULL) AS db_matched,
+       |    CASE WHEN dbg.gene IS NOT NULL THEN (cag.gene IS NOT NULL)
+       |         ELSE NULL END AS cancer_type_match,
+       |    coalesce(pc.pathway_count, 0)::BIGINT AS pathway_count
+       |  FROM deg
+       |  LEFT JOIN hubq ON deg.gene = hubq.gene
+       |  LEFT JOIN dbg ON deg.gene = dbg.gene
+       |  LEFT JOIN cag ON deg.gene = cag.gene
+       |  LEFT JOIN pc ON deg.gene = pc.gene),
+       |scored2 AS (SELECT *,
+       |    (CASE WHEN is_hub THEN 2.0 ELSE 0.0 END
+       |      + CASE WHEN db_matched THEN 2.0 ELSE 0.0 END
+       |      + CASE WHEN cancer_type_match THEN 1.5 ELSE 0.0 END
+       |      + CASE WHEN pathway_count >= 3 THEN 0.5 ELSE 0.0 END)
+       |      AS interpretation_score
+       |  FROM base)
+       |SELECT gene, is_hub, db_matched, cancer_type_match, pathway_count,
+       |  interpretation_score,
+       |  CASE WHEN db_matched AND interpretation_score >= 5.0 THEN 'high'
+       |       WHEN db_matched AND interpretation_score >= 3.0 THEN 'medium'
+       |       WHEN NOT db_matched AND is_hub THEN 'novel_candidate'
+       |       WHEN interpretation_score >= 1.5 THEN 'low'
+       |       ELSE 'requires_validation' END AS confidence
+       |FROM scored2 ORDER BY gene""".stripMargin
+
   val defs: Seq[Qdef] = Seq(
     Qdef("deg_stats", degStats, Some(degStatsSql)),
     Qdef("deg_enrich", degEnrich, Some(degEnrichSql)),
+    Qdef("deg_validate", degValidate, Some(degValidateSql)),
     Qdef("deg_cpm", degCpm, Some(degCpmSql)),
     Qdef("deg_top_var", degTopVar, Some(degTopVarSql)),
     Qdef("deg_network", degNetwork, Some(degNetworkSql)),

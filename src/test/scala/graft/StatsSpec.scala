@@ -119,4 +119,38 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(a.getDouble(8) - 66.0 / 252) < 1e-5)
     assert(math.abs(b.getDouble(8) - 66.0 / 252) < 1e-5)
   }
+
+  test("validationScore: weights, null cancer-match, and every confidence branch") {
+    val deg = Seq(1L, 2L, 3L, 4L, 5L).toDF("gene")
+    val hubs = Seq(1L, 3L, 4L, 99L).toDF("gene") // 99 not in DEG list
+    val db = Seq(1L, 2L, 4L).toDF("gene")
+    val cancer = Seq(1L, 5L).toDF("gene")
+    // gene 1 sits in 3 pathways (high_pathway_count bonus), others <3
+    val mem = Seq(
+      ("pA", 1L), ("pB", 1L), ("pC", 1L), ("pC", 1L), // dup pair ignored
+      ("pA", 2L), ("pA", 4L)).toDF("pathway", "gene")
+    val out = Stats.validationScore(deg, hubs, db, cancer, mem,
+      "gene", "pathway")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    // gene 1: hub(2) + db(2) + cancer(1.5) + pathways>=3(0.5) = 6 -> high
+    assert(out(1L).getLong(4) == 3)
+    assert(out(1L).getDouble(5) == 6.0)
+    assert(out(1L).getString(6) == "high")
+    // gene 2: db only (2.0) -> db-matched but < medium -> falls to low
+    assert(out(2L).getBoolean(2) && !out(2L).getBoolean(1))
+    assert(out(2L).getDouble(5) == 2.0 && out(2L).getString(6) == "low")
+    // gene 3: hub, not db -> novel_candidate; cancer_type_match null
+    assert(out(3L).isNullAt(3))
+    assert(out(3L).getString(6) == "novel_candidate")
+    // gene 4: hub(2) + db(2) = 4, not cancer -> cancer_type_match =
+    // false (non-null: db-matched), medium
+    assert(!out(4L).isNullAt(3) && !out(4L).getBoolean(3))
+    assert(out(4L).getDouble(5) == 4.0 && out(4L).getString(6) == "medium")
+    // gene 5: nothing (cancer set doesn't score without db) ->
+    // score 0, requires_validation, null cancer match
+    assert(out(5L).getDouble(5) == 0.0)
+    assert(out(5L).isNullAt(3))
+    assert(out(5L).getString(6) == "requires_validation")
+  }
 }
