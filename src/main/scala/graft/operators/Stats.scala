@@ -160,12 +160,17 @@ object Stats {
     * window holds only nulls; min ignores nulls in both engines; an
     * implicit least() would silently turn "no p-value" into 1.0).
     */
-  def withBhAdjust(scored: DataFrame, keyCol: String): DataFrame = {
+  def withBhAdjust(scored: DataFrame, keyCol: String,
+      partitionCols: Seq[Column] = Nil): DataFrame = {
     def r6(c: Column) = round(c + lit(1e-9), 6)
-    val whole = Window.partitionBy(lit(1))
+    // with partitions, each partition is its own BH family (e.g. one
+    // per cluster for one-vs-rest markers)
+    val part = if (partitionCols.isEmpty) Seq(lit(1)) else partitionCols
+    val whole = Window.partitionBy(part: _*)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val byP = Window.orderBy(col("p_value").asc_nulls_last, col(keyCol))
-    val suffixMin = Window
+    val byP = Window.partitionBy(partitionCols: _*)
+      .orderBy(col("p_value").asc_nulls_last, col(keyCol))
+    val suffixMin = Window.partitionBy(partitionCols: _*)
       .orderBy(col("p_value").desc_nulls_first, col(keyCol).desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     scored
