@@ -226,6 +226,77 @@ object Stats {
         col("log2_fc"), col("t_stat"), col("p_value"), col("p_adj"))
   }
 
+  /** Per-cluster one-vs-rest marker statistics (reference:
+    * rnaseq_pipeline/agents/agent_singlecell.py:1658 _find_markers —
+    * sc.tl.rank_genes_groups(groupby='cluster',
+    * n_genes=deg_n_genes at :285): for each cluster, every feature is
+    * tested against ALL OTHER clusters pooled, ranked by the test
+    * statistic, top `topN` kept per cluster; output mirrors the
+    * extracted markers_df columns at :1679 (cluster, gene, score,
+    * logfoldchange, pval, pval_adj).
+    *
+    * Scale design: ONE scan of the (cell, feature, value) long matrix
+    * into a map-side-combinable (cluster, feature) moment aggregate
+    * (count/sum/sum-of-squares). The rest-of-corpus arm needs no
+    * second scan: per-feature TOTALS are re-aggregated from the tiny
+    * cluster×feature moment frame (cached — panel-scale, never
+    * cell-scale) and the rest moments fall out by subtraction. BH is
+    * per-cluster (withBhAdjust partitionCols — each cluster is its
+    * own FDR family, matching scanpy's per-group pvals_adj), and the
+    * rank/top-N windows partition by cluster over the feature panel —
+    * no single-partition window anywhere, so the whole plan scales
+    * with clusters × features, not cells.
+    *
+    * Cross-engine protocol: variances come from the EXPLICIT moment
+    * arithmetic ((ss - s²/n) / (n-1)) rather than var_samp, so the
+    * oracle runs textually the same formula; score/logfc/p are
+    * rounded to 6dp (with the suite's +1e-9 nudge) and the per-cluster
+    * marker rank orders by the ROUNDED score with a feature tiebreak.
+    * Degenerate arms (single-cell cluster, empty rest) null out via
+    * nullif guards instead of ANSI divide-by-zero errors.
+    */
+  def markerStats(
+      cells: DataFrame, clusterCol: String, featureCol: String,
+      valueCol: String, topN: Int): DataFrame = {
+    def r6(c: Column) = round(c + lit(1e-9), 6)
+    val v = col(valueCol)
+    // one corpus scan; cached because totals + the join both read it
+    val g = cells.groupBy(col(clusterCol), col(featureCol))
+      .agg(count(v).cast("double").as("n_in"),
+        sum(v).as("s_in"),
+        sum(v * v).as("ss_in"))
+      .cache()
+    val tot = g.groupBy(col(featureCol))
+      .agg(sum(col("n_in")).as("n_all"), sum(col("s_in")).as("s_all"),
+        sum(col("ss_in")).as("ss_all"))
+    val j = g.join(broadcast(tot), Seq(featureCol))
+      .withColumn("n_out", col("n_all") - col("n_in"))
+      .withColumn("s_out", col("s_all") - col("s_in"))
+      .withColumn("ss_out", col("ss_all") - col("ss_in"))
+    val meanIn = col("s_in") / nullif(col("n_in"), lit(0.0))
+    val meanOut = col("s_out") / nullif(col("n_out"), lit(0.0))
+    val varIn = (col("ss_in") - col("s_in") * col("s_in") /
+      nullif(col("n_in"), lit(0.0))) / nullif(col("n_in") - 1.0, lit(0.0))
+    val varOut = (col("ss_out") - col("s_out") * col("s_out") /
+      nullif(col("n_out"), lit(0.0))) / nullif(col("n_out") - 1.0, lit(0.0))
+    val t = (meanIn - meanOut) /
+      nullif(sqrt(varIn / col("n_in") + varOut / col("n_out")), lit(0.0))
+    val scored = j
+      .withColumn("score", r6(t))
+      .withColumn("logfoldchange", r6(
+        log(meanIn + 1.0) / lit(math.log(2.0)) -
+          log(meanOut + 1.0) / lit(math.log(2.0))))
+      .withColumn("p_value", r6(normalTwoSidedP(t)))
+    val byScore = Window.partitionBy(col(clusterCol))
+      .orderBy(col("score").desc_nulls_last, col(featureCol))
+    withBhAdjust(scored, featureCol, Seq(col(clusterCol)))
+      .withColumn("rnk", row_number().over(byScore).cast("long"))
+      .where(col("rnk") <= topN)
+      .select(col(clusterCol), col(featureCol), col("score"),
+        col("logfoldchange"), col("p_value").as("pval"),
+        col("p_adj").as("pval_adj"), col("rnk"))
+  }
+
   /** Gene-set over-representation analysis (reference:
     * rnaseq_pipeline/agents/agent3_pathway.py:238 run — the Enrichr
     * call's statistic computed natively, :204

@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.Stats
+import graft.functions.VectorFns
+import graft.operators.{Stats, VectorSearch}
 
 /** Grouped differential-statistics queries (the reference's RNA-seq
   * DEG surface re-expressed as cohort-vs-cohort groupBy statistics).
@@ -368,6 +369,127 @@ object StatsQueries {
        |       ELSE 'requires_validation' END AS confidence
        |FROM scored2 ORDER BY gene""".stripMargin
 
+  /* ---------------- sc_markers ---------------- */
+
+  private val ScClusters = 4
+  private val ScIters = 2
+  private val ScTopN = 10
+
+  /** Single-cell marker surface (agent_singlecell.py:1658
+    * _find_markers, deg_n_genes per cluster at :285): cells = the
+    * embedding vectors, clusters = the deterministic spherical
+    * k-means codebook (lloydCentroids, k=4, 2 iterations, seeded by
+    * the 4 lowest vec_ids) plus one final nearest-centroid
+    * assignment, features = embedding dimensions, one-vs-rest Welch
+    * markers per cluster, top-10 by score. The oracle replays the
+    * SAME restricted computation — the seeded k-means unrolled one
+    * CTE block per assignment — like the IVF rows' restricted-exact
+    * oracles.
+    */
+  private def scMarkers(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cents = VectorSearch.lloydCentroids(
+      emb, "vec_id", "embedding", ScClusters, ScIters)
+    val assigned = VectorSearch.assignCells(
+      emb, cents, "vec_id", "embedding", "cell")
+    val long = assigned
+      .select(col("cell").cast("long").as("cluster"),
+        posexplode(VectorFns.asDouble(col("embedding"))).as(Seq("gene", "v")))
+      .select(col("cluster"), col("gene").cast("long").as("gene"), col("v"))
+    Stats.markerStats(long, "cluster", "gene", "v", ScTopN)
+      .orderBy(col("cluster"), col("rnk"))
+  }
+
+  /** One nearest-centroid assignment block over centroid CTE `cents`
+    * (long form: cell, i, v): cosine against every centroid from the
+    * shared per-vector norms `en`, rounded to 6dp like
+    * VectorSearch.assignCells, max-cosine with ties to the smallest
+    * cell (row_number DESC, cell).
+    */
+  private def assignSql(n: Int, cents: String): String =
+    s"""cn$n AS (SELECT cell, sum(v * v) AS ns FROM $cents GROUP BY cell),
+       |ad$n AS (SELECT evv.vec_id, c.cell, sum(evv.v * c.v) AS dot
+       |  FROM evv JOIN $cents c ON evv.i = c.i GROUP BY 1, 2),
+       |as$n AS (SELECT vec_id, cell FROM (
+       |    SELECT a.vec_id, a.cell, row_number() OVER (PARTITION BY a.vec_id
+       |      ORDER BY round(a.dot / nullif(sqrt(en.ns) * sqrt(cn$n.ns), 0.0), 6)
+       |        DESC NULLS LAST, a.cell) AS rn
+       |    FROM ad$n a JOIN en USING (vec_id) JOIN cn$n USING (cell))
+       |  WHERE rn = 1)""".stripMargin
+
+  /** Lloyd centroid-recompute block: new centroid c(n+1) = per-cell
+    * dimension means of the vectors assigned in as(n) (mirrors
+    * centroidArrays' long-form avg).
+    */
+  private def meanSql(n: Int): String =
+    s"""c${n + 1} AS (SELECT a.cell, evv.i, avg(evv.v) AS v
+       |  FROM as$n a JOIN evv USING (vec_id) GROUP BY 1, 2)""".stripMargin
+
+  private val scMarkersSql =
+    s"""WITH ev AS (SELECT vec_id, embedding,
+       |    unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
+       |evv AS (SELECT vec_id, i, embedding[i]::DOUBLE AS v FROM ev),
+       |en AS (SELECT vec_id, sum(v * v) AS ns FROM evv GROUP BY vec_id),
+       |seed AS (SELECT vec_id,
+       |    (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cell
+       |  FROM embeddings ORDER BY vec_id LIMIT $ScClusters),
+       |c0 AS (SELECT s.cell, evv.i, evv.v FROM seed s JOIN evv USING (vec_id)),
+       |${assignSql(0, "c0")},
+       |${meanSql(0)},
+       |${assignSql(1, "c1")},
+       |${meanSql(1)},
+       |${assignSql(2, "c2")},
+       |lm AS (SELECT a.cell::BIGINT AS cluster, (evv.i - 1)::BIGINT AS gene,
+       |    evv.v AS v
+       |  FROM as2 a JOIN evv USING (vec_id)),
+       |g AS (SELECT cluster, gene, count(v)::DOUBLE AS n_in, sum(v) AS s_in,
+       |    sum(v * v) AS ss_in
+       |  FROM lm GROUP BY 1, 2),
+       |tg AS (SELECT gene, sum(n_in) AS n_all, sum(s_in) AS s_all,
+       |    sum(ss_in) AS ss_all
+       |  FROM g GROUP BY gene),
+       |jx AS (SELECT g.cluster, g.gene, g.n_in, g.s_in, g.ss_in,
+       |    tg.n_all - g.n_in AS n_out, tg.s_all - g.s_in AS s_out,
+       |    tg.ss_all - g.ss_in AS ss_out
+       |  FROM g JOIN tg USING (gene)),
+       |st AS (SELECT cluster, gene, n_in, n_out,
+       |    s_in / nullif(n_in, 0.0) AS mean_in,
+       |    s_out / nullif(n_out, 0.0) AS mean_out,
+       |    (ss_in - s_in * s_in / nullif(n_in, 0.0))
+       |      / nullif(n_in - 1.0, 0.0) AS var_in,
+       |    (ss_out - s_out * s_out / nullif(n_out, 0.0))
+       |      / nullif(n_out - 1.0, 0.0) AS var_out
+       |  FROM jx),
+       |tv AS (SELECT cluster, gene, mean_in, mean_out,
+       |    (mean_in - mean_out)
+       |      / nullif(sqrt(var_in / n_in + var_out / n_out), 0.0) AS t
+       |  FROM st),
+       |px2 AS (SELECT *, abs(t) / sqrt(2.0) AS x FROM tv),
+       |pt2 AS (SELECT *, 1.0 / (1.0 + 0.3275911 * x) AS tt FROM px2),
+       |scm AS (SELECT cluster, gene,
+       |    round(t + 0.000000001, 6) AS score,
+       |    round(ln(mean_in + 1.0) / ln(2.0) - ln(mean_out + 1.0) / ln(2.0)
+       |      + 0.000000001, 6) AS logfoldchange,
+       |    round($pSql + 0.000000001, 6) AS p_value
+       |  FROM pt2),
+       |rk3 AS (SELECT *, count(p_value) OVER (PARTITION BY cluster)::BIGINT AS n_feat,
+       |    row_number() OVER (PARTITION BY cluster
+       |      ORDER BY p_value ASC NULLS LAST, gene)::BIGINT AS p_rank
+       |  FROM scm),
+       |bh3 AS (SELECT *, CASE WHEN p_value IS NULL THEN NULL ELSE
+       |    round(least(min(p_value * n_feat / p_rank) OVER (PARTITION BY cluster
+       |      ORDER BY p_value DESC NULLS FIRST, gene DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1.0)
+       |      + 0.000000001, 6) END AS p_adj
+       |  FROM rk3),
+       |fin AS (SELECT cluster, gene, score, logfoldchange, p_value AS pval,
+       |    p_adj AS pval_adj,
+       |    row_number() OVER (PARTITION BY cluster
+       |      ORDER BY score DESC NULLS LAST, gene)::BIGINT AS rnk
+       |  FROM bh3)
+       |SELECT cluster, gene, score, logfoldchange, pval, pval_adj, rnk
+       |FROM fin WHERE rnk <= $ScTopN ORDER BY cluster, rnk""".stripMargin
+
   val defs: Seq[Qdef] = Seq(
     Qdef("deg_stats", degStats, Some(degStatsSql)),
     Qdef("deg_enrich", degEnrich, Some(degEnrichSql)),
@@ -375,5 +497,6 @@ object StatsQueries {
     Qdef("deg_cpm", degCpm, Some(degCpmSql)),
     Qdef("deg_top_var", degTopVar, Some(degTopVarSql)),
     Qdef("deg_network", degNetwork, Some(degNetworkSql)),
-    Qdef("deg_hub", degHub, Some(degHubSql)))
+    Qdef("deg_hub", degHub, Some(degHubSql)),
+    Qdef("sc_markers", scMarkers, Some(scMarkersSql)))
 }

@@ -92,6 +92,41 @@ class StatsSpec extends SparkSpec {
     assert(rows.forall { case (p, padj) => padj >= p - 1e-6 })
   }
 
+  test("markerStats: one-vs-rest direction, per-cluster rank, padj >= p") {
+    // 3 clusters x 2 features, 10 cells each; cluster 0 elevated on
+    // gene 0, cluster 1 on gene 1, cluster 2 flat — the top marker of
+    // each elevated cluster must be its own gene with a positive score
+    val rows = for {
+      c <- 0 to 2; cell <- 0 to 9; f <- 0 to 1
+    } yield {
+      val base = 10.0 + cell * 0.1
+      val v =
+        if (c == 0 && f == 0) base + 20
+        else if (c == 1 && f == 1) base + 30
+        else base
+      (c.toLong, f.toLong, v)
+    }
+    val df = rows.toDF("cluster", "gene", "v")
+    val top1 = Stats.markerStats(df, "cluster", "gene", "v", 1)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(top1.size == 3 && top1.values.forall(_.getLong(6) == 1L))
+    assert(top1(0L).getLong(1) == 0L && top1(0L).getDouble(2) > 0)
+    assert(top1(1L).getLong(1) == 1L && top1(1L).getDouble(2) > 0)
+    // the flat cluster sees every feature elsewhere elevated or equal:
+    // its best score cannot be positive
+    assert(top1(2L).getDouble(2) <= 0)
+
+    // full listing: per-cluster rank covers the feature panel, BH is a
+    // per-cluster family (padj >= p, capped at 1)
+    val all = Stats.markerStats(df, "cluster", "gene", "v", 5).collect()
+    assert(all.length == 6) // 3 clusters x 2 features
+    assert(all.forall(r => r.getLong(6) >= 1L && r.getLong(6) <= 2L))
+    assert(all.filter(!_.isNullAt(4)).forall { r =>
+      val p = r.getDouble(4); val padj = r.getDouble(5)
+      padj >= p - 1e-6 && padj <= 1.0 + 1e-9
+    })
+  }
+
   test("hypergeomEnrich: exact tail p, odds ratio, BH, zero-overlap excluded") {
     // universe N=10, DEG list {0..4} (n=5); hand-computed tails:
     //   pw_a = {0,1,2,7}: k=3, K=4 -> P(X>=3) = (C(4,3)C(6,2) +
