@@ -90,9 +90,25 @@ object Stats {
     * _calculate_correlations — DEG co-expression edges). Long-form
     * self-join on the SAMPLE axis; all five moment sums are map-side
     * combinable, so the shuffle carries (featureA, featureB, partial
-    * sums), never sample-level rows twice. Pair count is bounded by
-    * the feature panel (the reference caps it at max_genes_for_network
-    * for the same reason), not by the sample count.
+    * sums), never sample-level rows twice.
+    *
+    * Pair count is bounded by the feature panel — ENFORCED: when the
+    * input carries more than `maxFeatures` features, the panel is
+    * pre-cut to the top `maxFeatures` by cross-sample variance
+    * (rounded variance, feature tiebreak — the operator-local analog
+    * of the reference keeping the top max_genes_for_network=1000
+    * genes by padj, agent2_network.py:127-131). An uncapped
+    * genome-wide call (20k features → 2×10⁸ pairs replicated per
+    * sample join key) is the classic scale-killer this contract
+    * prevents; pair space is ≤ maxFeatures², whatever the caller
+    * passes.
+    *
+    * The projected (feature, sample, value) frame is cached: the
+    * panel cut and BOTH self-join sides read it, and aliased
+    * projections of the same frame do not canonicalize equal, so
+    * without the cache ReuseExchange recomputes the upstream pipeline
+    * (e.g. cpmNormalize) once per side — the same rule every Dedup
+    * pair generator follows.
     *
     * Correlation from explicit moment sums — the same arithmetic the
     * oracle runs — rather than an engine-native corr() whose
@@ -100,11 +116,23 @@ object Stats {
     */
   def correlationEdges(
       samples: DataFrame, featureCol: String, sampleCol: String,
-      valueCol: String, minAbsCorr: Double): DataFrame = {
-    val a = samples.select(col(featureCol).as("ga"),
-      col(sampleCol).as("s"), col(valueCol).as("va"))
-    val b = samples.select(col(featureCol).as("gb"),
-      col(sampleCol).as("s"), col(valueCol).as("vb"))
+      valueCol: String, minAbsCorr: Double,
+      maxFeatures: Int = 1000): DataFrame = {
+    require(maxFeatures > 0, "maxFeatures must be positive")
+    val proj = samples.select(col(featureCol).as("g"),
+      col(sampleCol).as("s"), col(valueCol).as("v")).cache()
+    // panel contract: top-maxFeatures by variance, deterministic
+    // (TakeOrderedAndProject — per-partition heaps, no global sort);
+    // identity when the panel already fits, so in-contract callers
+    // lose nothing
+    val panel = proj.groupBy(col("g"))
+      .agg(round(var_samp(col("v")) + lit(1e-9), 6).as("variance"))
+      .orderBy(col("variance").desc, col("g"))
+      .limit(maxFeatures)
+      .select(col("g"))
+    val cut = proj.join(broadcast(panel), Seq("g")).cache()
+    val a = cut.select(col("g").as("ga"), col("s"), col("v").as("va"))
+    val b = cut.select(col("g").as("gb"), col("s"), col("v").as("vb"))
     def r6(c: Column) = round(c + lit(1e-9), 6)
     val m = a.join(b, Seq("s"))
       .where(col("ga") < col("gb"))

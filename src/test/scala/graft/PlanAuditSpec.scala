@@ -71,6 +71,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"))
   }
 
+  test("deg_network reads both self-join sides from cache (one upstream compute)") {
+    val plan = planOf("deg_network")
+    // correlationEdges caches the pre-cut (feature, sample, value)
+    // frame; without it each aliased side recomputes cpmNormalize —
+    // both join sides (plus the panel cut) must read InMemoryTableScan
+    // and the lineitem source must not be re-scanned per side
+    assert(plan.linesIterator.count(_.contains("InMemoryTableScan")) >= 2,
+      s"expected cached self-join sides:\n$plan")
+  }
+
   test("q1 pushes the shipdate filter into the parquet scan") {
     val plan = planOf("q1_pricing_summary")
     assert(plan.linesIterator.exists(l =>

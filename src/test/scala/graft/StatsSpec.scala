@@ -77,6 +77,27 @@ class StatsSpec extends SparkSpec {
     assert(hubs.toSeq == Seq(("g1", 2L), ("g2", 2L)))
   }
 
+  test("correlationEdges: panel contract pre-cuts to top-variance features") {
+    // four perfectly correlated features with descending variances;
+    // maxFeatures=2 must keep only the two highest-variance ones, so
+    // the only surviving edge is (g1, g2) — the pair space is bounded
+    // by the cap no matter how wide the caller's panel is
+    val profiles = (1 to 10).flatMap { s =>
+      Seq(("g1", s.toLong, 10.0 * s), ("g2", s.toLong, 5.0 * s),
+        ("g3", s.toLong, 1.0 * s), ("g4", s.toLong, 0.5 * s))
+    }.toDF("gene", "sample", "v")
+    val capped = Stats.correlationEdges(
+      profiles, "gene", "sample", "v", 0.5, maxFeatures = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(capped.toSet == Set(("g1", "g2")))
+    // in-contract panels are untouched: all 6 edges at the default cap
+    val full = Stats.correlationEdges(profiles, "gene", "sample", "v", 0.5)
+    assert(full.count() == 6)
+    intercept[IllegalArgumentException] {
+      Stats.correlationEdges(profiles, "gene", "sample", "v", 0.5, 0)
+    }
+  }
+
   test("diffStats: BH adjustment is capped at 1 and monotone in p-order") {
     val rows = Stats.diffStats(samples, "gene", "cohort", "v", "A", "B")
       .select(col("p_value"), col("p_adj"))
