@@ -81,6 +81,24 @@ object Fusion {
   def totalScore(sim: Column, recency: Column, impact: Column): Column =
     round(sim * 0.4 + recency * 0.3 + impact * 0.3, 6)
 
+  /** Keyword-match similarity on a 0-100 scale (reference:
+    * recommender.py:410 _calculate_keyword_similarity — the
+    * similarity leg of the recommender's total score): the fraction
+    * of the DISTINCT lowercased keywords appearing as substrings of
+    * the lowercased text, ×100. The reference's min(100, …) cap is
+    * kept for fidelity even though matches ≤ |keywords| makes it
+    * inert. Pure narrow projection — codegen'd per row, no shuffle,
+    * no tokenization pass (the reference tests substring containment,
+    * not token equality).
+    */
+  def keywordSimilarity(textCol: Column, keywords: Seq[String]): Column = {
+    val kws = keywords.map(_.toLowerCase).distinct
+    require(kws.nonEmpty, "at least one keyword required")
+    val matches = kws.map(w =>
+      when(lower(textCol).contains(w), 1).otherwise(0)).reduce(_ + _)
+    least(lit(100.0), matches.cast("double") / kws.size * 100.0)
+  }
+
   /** Rule-based re-rank score: weighted counts of keyword-group hits
     * plus a length prior, the shape of the reference's
     * centrality/clinical/recency scoring (core_paper_reranker.py:323

@@ -628,6 +628,57 @@ object VectorQueries {
       |    AS total_score
       |FROM sc ORDER BY total_score DESC, doc_id LIMIT 50""".stripMargin
 
+  /* ---------------- rerank_keyword ---------------- */
+
+  /** The keyword-similarity leg of the recommender's total score
+    * (recommender.py:410 _calculate_keyword_similarity, fused at
+    * :146/:496 with the recency and impact legs that rerank_recency
+    * carries): similarity = fraction of the distinct lowercase query
+    * keywords contained in the text ×100, total = 0.4·sim +
+    * 0.3·recency + 0.3·impact. Year/citation proxies are the same
+    * deterministic derivations as rerank_recency.
+    */
+  private def rerankKeyword(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"),
+      (lit(2016) + pmod(col("doc_id"), lit(10))).cast("long").as("year"),
+      col("n_chars"))
+    base
+      .withColumn("similarity_score",
+        round(Fusion.keywordSimilarity(col("text"), QueryTerms) + lit(1e-9), 6))
+      .withColumn("recency_score", Fusion.recencyScore(col("year"), 2025))
+      .withColumn("impact_score", Fusion.impactScore(col("n_chars")))
+      .withColumn("total_score", Fusion.totalScore(
+        col("similarity_score"), col("recency_score"), col("impact_score")))
+      .orderBy(col("total_score").desc, col("doc_id"))
+      .limit(50)
+      .select(col("doc_id"), col("year"), col("similarity_score"),
+        col("recency_score"), col("impact_score"), col("total_score"))
+  }
+
+  private val rerankKeywordSql = {
+    val kws = QueryTerms.map(_.toLowerCase).distinct
+    val hits = kws.map(w =>
+      s"(CASE WHEN strpos(lower(text), '$w') > 0 THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH b AS (SELECT doc_id, text,
+       |    (2016 + doc_id % 10)::BIGINT AS year, n_chars
+       |  FROM documents),
+       |sc AS (SELECT doc_id, year,
+       |    round(least(100.0, ($hits)::DOUBLE / ${kws.size} * 100.0)
+       |      + 0.000000001, 6) AS similarity_score,
+       |    (CASE WHEN 2025 - year <= 1 THEN 100.0 WHEN 2025 - year <= 3 THEN 80.0
+       |          WHEN 2025 - year <= 5 THEN 60.0 WHEN 2025 - year <= 7 THEN 40.0
+       |          ELSE 20.0 END) AS recency_score,
+       |    (CASE WHEN n_chars <= 0 THEN 10.0 WHEN n_chars < 10 THEN 30.0
+       |          WHEN n_chars < 50 THEN 50.0 WHEN n_chars < 100 THEN 70.0
+       |          WHEN n_chars < 500 THEN 85.0 ELSE 100.0 END) AS impact_score
+       |  FROM b)
+       |SELECT doc_id, year, similarity_score, recency_score, impact_score,
+       |  round(similarity_score * 0.4 + recency_score * 0.3 + impact_score * 0.3,
+       |    6) AS total_score
+       |FROM sc ORDER BY total_score DESC, doc_id LIMIT 50""".stripMargin
+  }
+
   val defs: Seq[Qdef] = Seq(
     Qdef("vs_dense_topk", denseTopK, Some(denseTopKSql)),
     Qdef("vs_filtered_topk", filteredTopK, Some(filteredTopKSql)),
@@ -644,5 +695,6 @@ object VectorQueries {
     Qdef("rerank_rule", rerankRule, Some(rerankRuleSql)),
     Qdef("precision_search", precisionSearch, Some(precisionSearchSql)),
     Qdef("rerank_recency", rerankRecency, Some(rerankRecencySql)),
+    Qdef("rerank_keyword", rerankKeyword, Some(rerankKeywordSql)),
     Qdef("rerank_cross", rerankCross, Some(rerankCrossSql)))
 }

@@ -32,6 +32,27 @@ class ScoringSpec extends SparkSpec {
     assert(out(300L) == 85.0 && out(900L) == 100.0)
   }
 
+  test("keywordSimilarity: distinct-keyword match fraction, case-insensitive") {
+    val docs = Seq(
+      (1L, "Spark JOIN strategies for fast scans"), // spark, join, fast
+      (2L, "a fast fast fast loop"),                // fast (counted once)
+      (3L, "nothing relevant here"),                // none
+      (4L, "spark filter join fast slow")           // all five
+    ).toDF("id", "text")
+    // duplicate + mixed-case keywords collapse to the distinct set
+    val kws = Seq("Spark", "filter", "join", "fast", "slow", "SPARK")
+    val out = docs.select(col("id"),
+      Fusion.keywordSimilarity(col("text"), kws).as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) == 60.0) // 3 of 5
+    assert(out(2L) == 20.0) // repeated hits count once
+    assert(out(3L) == 0.0)
+    assert(out(4L) == 100.0)
+    intercept[IllegalArgumentException] {
+      Fusion.keywordSimilarity(col("text"), Nil)
+    }
+  }
+
   test("precision search filters below min relevance and boosts title matches") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta filler filler"),
