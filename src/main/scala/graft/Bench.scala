@@ -69,7 +69,15 @@ object Bench {
       case (name, runs) if runs.exists(!_._2) => s"\"$name\"" }
     val total = results.flatMap { case (_, runs) =>
       if (runs.forall(_._2)) Some(runs.map(_._1).min) else None }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$Runs,"agg":"min","run_times":$allRuns,"failed":[${failed.mkString(",")}]}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$Runs,"agg":"min","run_times":$allRuns,"failed":[${failed.mkString(",")}]}"""
+    println(json)
+    // the driver captures a truncated log TAIL — two rounds running,
+    // the leading queries' times were lost to truncation. The file is
+    // the durable record; the stdout line stays the driver contract.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json)
+    println(s"[bench] json written to $outPath")
     spark.stop()
   }
 }

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFns
+import graft.operators.VectorSearch
+
+/** Measured recall@k of the IVF ANN surface against exact brute force
+  * — the nprobe recall/cost trade as a NUMBER rather than an article
+  * of faith (SURVEY §5: IVF scores ~nprobe/K of the corpus; this spec
+  * supplies the recall half of that trade). Each test mirrors its
+  * oracle binding's exact parameters (vs_ann_ivf / vs_ann_ivf_srp /
+  * vs_ann_ivf_batch at sf0.01) and asserts a regression floor BELOW
+  * the currently measured value, so a codebook or assignment change
+  * that silently craters recall fails loudly while benign ulp drift
+  * does not.
+  */
+class AnnRecallSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.01"
+
+  private def recall(ann: Set[Long], exact: Set[Long]): Double =
+    ann.intersect(exact).size.toDouble / exact.size
+
+  test("vs_ann_ivf (10 label cells, nprobe=3): measured recall@10 vs exact") {
+    val emb = Tables.embeddings(spark, d)
+    val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val exact = VectorSearch
+      .denseTopK(emb, q, "vec_id", "embedding", "qe", 10)
+      .collect().map(_.getLong(0)).toSet
+    val centroids = VectorSearch.centroidArrays(emb, "label", "embedding")
+    val ann = VectorSearch
+      .annIvf(emb, q, centroids, "vec_id", "embedding", "qe", "label",
+        nprobe = 3, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val r = recall(ann, exact)
+    info(f"vs_ann_ivf recall@10 = $r%.2f (probing 3/10 cells)")
+    assert(r >= 0.5, f"recall@10 regressed: $r%.2f")
+  }
+
+  test("vs_ann_ivf_srp (16 SRP cells, nprobe=3): measured recall@10 vs exact") {
+    val emb = Tables.embeddings(spark, d)
+      .withColumn("cell", VectorFns.signCode(col("embedding"), 4).cast("int"))
+    val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val exact = VectorSearch
+      .denseTopK(emb, q, "vec_id", "embedding", "qe", 10)
+      .collect().map(_.getLong(0)).toSet
+    val centroids = VectorSearch.centroidArrays(emb, "cell", "embedding")
+    val ann = VectorSearch
+      .annIvf(emb.select(col("vec_id"), col("embedding")), q, centroids,
+        "vec_id", "embedding", "qe", "cell", nprobe = 3, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val r = recall(ann, exact)
+    info(f"vs_ann_ivf_srp recall@10 = $r%.2f (probing 3/16 cells)")
+    assert(r >= 0.3, f"recall@10 regressed: $r%.2f")
+  }
+
+  test("vs_ann_ivf_batch (nprobe=3, k=5): mean recall@5 over the query batch") {
+    val emb = Tables.embeddings(spark, d)
+    val cs = emb.where(col("vec_id") >= 10)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("label"))
+    val qs = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val exact = VectorSearch
+      .knnJoin(cs, qs, "cid", "ce", "qid", "qe", k = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val centroids = VectorSearch.centroidArrays(cs, "label", "ce")
+    val ann = VectorSearch
+      .annIvfBatch(cs, qs, centroids, "cid", "ce", "qid", "qe", "label",
+        nprobe = 3, k = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (qid, ex) =>
+      recall(ann.getOrElse(qid, Set.empty), ex)
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"vs_ann_ivf_batch mean recall@5 = $mean%.2f over ${recalls.size} queries")
+    assert(recalls.size == 10)
+    assert(mean >= 0.5, f"mean recall@5 regressed: $mean%.2f")
+  }
+}
