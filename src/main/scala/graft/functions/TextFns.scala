@@ -13,6 +13,21 @@ import org.apache.spark.sql.functions._
   */
 object TextFns {
 
+  /** Locale-independent lowercase for driver-side term/keyword folds.
+    * `String.toLowerCase` uses the JVM default locale — under a
+    * Turkish locale "I".toLowerCase is "ı" (dotless), diverging from
+    * SQL `lower()` on BOTH engines and silently breaking term
+    * matching. Every driver-side fold of a constant that must agree
+    * with SQL `lower()` routes here.
+    */
+  def lcRoot(s: String): String = s.toLowerCase(java.util.Locale.ROOT)
+
+  /** Quote a string into a single-quoted SQL literal ('' doubling) —
+    * every term/keyword interpolated into an oracle's SQL goes
+    * through this so a quote in the term can't break the oracle text.
+    */
+  def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
   /** English-ish stopwords used for stats/quality/keywords (mirrors
     * the stopword filtering in
     * reference: backend/app/utils/trend_analyzer.py:216).

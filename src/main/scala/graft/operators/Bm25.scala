@@ -45,8 +45,8 @@ object Bm25 {
       docs: DataFrame, idCol: String, textCol: String,
       rawQueryTerms: Seq[String],
       termWeights: Map[String, Double] = Map.empty): DataFrame = {
-    val queryTerms = rawQueryTerms.map(_.toLowerCase).distinct
-    val weights = termWeights.map { case (t, w) => t.toLowerCase -> w }
+    val queryTerms = rawQueryTerms.map(TextFns.lcRoot).distinct
+    val weights = termWeights.map { case (t, w) => TextFns.lcRoot(t) -> w }
     if (queryTerms.isEmpty)
       return docs.select(col(idCol), lit(0.0).as("bm25")).limit(0)
     val idx = queryTerms.indices
@@ -105,8 +105,8 @@ object Bm25 {
     // primary-weight precedence AFTER lowercasing (score() lowercases
     // too, so "Spark" as primary and "spark" as expansion are the
     // same term and must keep full weight)
-    val prim = primary.map(_.toLowerCase).distinct
-    val exp = expansions.map(_.toLowerCase).distinct.filterNot(prim.contains)
+    val prim = primary.map(TextFns.lcRoot).distinct
+    val exp = expansions.map(TextFns.lcRoot).distinct.filterNot(prim.contains)
     score(docs, idCol, textCol, prim ++ exp,
       exp.map(_ -> expansionWeight).toMap)
       .withColumn("bm25", round(col("bm25"), 6))

@@ -5,6 +5,8 @@ import org.apache.spark.sql.functions._
 
 import scala.annotation.tailrec
 
+import graft.functions.TextFns
+
 /** Document chunking — re-expression of the reference's splitter
   * (reference: backend/app/core/text_splitter.py:68 BioPaperSplitter:
   * RecursiveCharacterTextSplitter with chunk_size/chunk_overlap and
@@ -90,7 +92,7 @@ object Chunker {
     // markers lowercased like the text — a capitalized marker would
     // silently never match and tag every chunk with the default
     val pos: Seq[Column] = markers.map { case (kw, _) =>
-      val p = instr(lower(col(textCol)), kw.toLowerCase)
+      val p = instr(lower(col(textCol)), TextFns.lcRoot(kw))
       when(p > 0, p).otherwise(lit(Big))
     }
     // first marker whose position is <= every LATER marker's position

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.Dataset
 import org.apache.spark.sql.functions._
 
+import graft.functions.TextFns
+
 /** Batched text-pair scoring plumbing — the Spark-side contract of
   * the reference's cross-encoder rerank stage (reference:
   * backend/app/core/core_paper_reranker.py:33 loads a cross-encoder
@@ -40,8 +42,8 @@ object CrossScore {
     * is the production contract.
     */
   val FakeCrossScorer: BatchScorer = batch => batch.map { p =>
-    val q = p.query.toLowerCase.split("\\s+").filter(_.nonEmpty).toSet
-    val d = p.passage.toLowerCase.split("\\s+").filter(_.nonEmpty).toSet
+    val q = TextFns.lcRoot(p.query).split("\\s+").filter(_.nonEmpty).toSet
+    val d = TextFns.lcRoot(p.passage).split("\\s+").filter(_.nonEmpty).toSet
     val union = (q ++ d).size
     if (union == 0) 0.0 else q.intersect(d).size.toDouble / union
   }

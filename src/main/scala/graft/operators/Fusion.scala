@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.TextFns
+
 /** Rank fusion + rule-based re-ranking — re-expression of the
   * reference's hybrid search and core-paper reranker
   * (reference: backend/app/core/embeddings.py:320 fuse_results —
@@ -92,7 +94,7 @@ object Fusion {
     * not token equality).
     */
   def keywordSimilarity(textCol: Column, keywords: Seq[String]): Column = {
-    val kws = keywords.map(_.toLowerCase).distinct
+    val kws = keywords.map(TextFns.lcRoot).distinct
     require(kws.nonEmpty, "at least one keyword required")
     val matches = kws.map(w =>
       when(lower(textCol).contains(w), 1).otherwise(0)).reduce(_ + _)
@@ -112,7 +114,7 @@ object Fusion {
     // Precision.search's identical hits logic); an empty keyword
     // group scores 0 rather than crashing empty.reduce
     def hits(kws: Seq[String]) = kws.map(w =>
-      when(lower(col(textCol)).contains(w.toLowerCase), 1).otherwise(0))
+      when(lower(col(textCol)).contains(TextFns.lcRoot(w)), 1).otherwise(0))
       .reduceOption(_ + _).getOrElse(lit(0))
     val scored = docs.select(
       col(idCol),

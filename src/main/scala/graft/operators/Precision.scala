@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.TextFns
+
 /** Precision search: lexical candidate retrieval + per-field match
   * diagnostics + fused scoring — the Spark-native re-expression of
   * the reference's precision engine
@@ -33,7 +35,7 @@ object Precision {
     // lowercase like Bm25.score does — the diagnostics below match
     // against lowercased text, so an uppercase term would zero out
     // relevance for candidates BM25 itself had matched
-    val terms = rawTerms.map(_.toLowerCase).distinct
+    val terms = rawTerms.map(TextFns.lcRoot).distinct
     require(terms.nonEmpty, "precision search needs at least one term")
     val cand = Bm25.topK(docs, idCol, textCol, terms, candidates)
     def hits(c: Column): Column =

@@ -281,7 +281,11 @@ object Stats {
     * rounded to 6dp (with the suite's +1e-9 nudge) and the per-cluster
     * marker rank orders by the ROUNDED score with a feature tiebreak.
     * Degenerate arms (single-cell cluster, empty rest) null out via
-    * nullif guards instead of ANSI divide-by-zero errors.
+    * nullif guards instead of ANSI divide-by-zero errors, and
+    * logfoldchange is explicitly guarded to means > -1 (raw inputs
+    * such as embedding dims can be negative; Spark's log would
+    * silently null where DuckDB's ln() raises, so both engines carry
+    * the same CASE and agree on null).
     */
   def markerStats(
       cells: DataFrame, clusterCol: String, featureCol: String,
@@ -311,9 +315,13 @@ object Stats {
       nullif(sqrt(varIn / col("n_in") + varOut / col("n_out")), lit(0.0))
     val scored = j
       .withColumn("score", r6(t))
-      .withColumn("logfoldchange", r6(
+      // log2(mean+1) is only defined for mean > -1; raw values (e.g.
+      // embedding dims) can push a cluster mean below that, where
+      // Spark's log returns null but the oracle's ln() raises — so
+      // BOTH engines carry the explicit guard and agree on null
+      .withColumn("logfoldchange", when(meanIn > -1.0 && meanOut > -1.0, r6(
         log(meanIn + 1.0) / lit(math.log(2.0)) -
-          log(meanOut + 1.0) / lit(math.log(2.0))))
+          log(meanOut + 1.0) / lit(math.log(2.0)))))
       .withColumn("p_value", r6(normalTwoSidedP(t)))
     val byScore = Window.partitionBy(col(clusterCol))
       .orderBy(col("score").desc_nulls_last, col(featureCol))

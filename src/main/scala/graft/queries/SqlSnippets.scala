@@ -39,9 +39,11 @@ object SqlSnippets {
     */
   def sectionPosCols(markers: Seq[(String, String)], textExpr: String): String =
     markers.zipWithIndex.map { case ((kw, _), i) =>
-      val k = kw.toLowerCase // tagSections lowercases markers too
-      s"""(CASE WHEN strpos(lower($textExpr), '$k') > 0
-         |      THEN strpos(lower($textExpr), '$k')
+      // tagSections lowercases markers too; sqlLit keeps a quote in a
+      // marker from breaking the oracle text
+      val k = graft.functions.TextFns.sqlLit(graft.functions.TextFns.lcRoot(kw))
+      s"""(CASE WHEN strpos(lower($textExpr), $k) > 0
+         |      THEN strpos(lower($textExpr), $k)
          |      ELSE 2147483647 END) AS p$i""".stripMargin
     }.mkString(",\n    ")
 

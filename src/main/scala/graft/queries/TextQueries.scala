@@ -12,7 +12,7 @@ import graft.operators.{Chunker, Pack, TextAnalysis, Trends}
   */
 object TextQueries {
 
-  private val stopList = TextFns.stopwords.map(w => s"'$w'").mkString(", ")
+  private val stopList = TextFns.stopwords.map(TextFns.sqlLit).mkString(", ")
 
   /* ---------------- txt_stats ---------------- */
 
@@ -89,7 +89,7 @@ object TextQueries {
 
   private val langHits: Seq[String] = TextAnalysis.langMarkers.map {
     case (lang, markers) =>
-      val list = markers.map(m => s"'$m'").mkString(", ")
+      val list = markers.map(TextFns.sqlLit).mkString(", ")
       s"len(list_filter(toks, x -> x IN ($list)))::BIGINT AS ${lang}_hits"
   }
 
@@ -255,7 +255,7 @@ object TextQueries {
   private val lensHits: Seq[String] = TextAnalysis.lenses.map {
     case (lens, kws) =>
       val cases = kws.map(w =>
-        s"(CASE WHEN strpos(text, '$w') > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+        s"(CASE WHEN strpos(text, ${TextFns.sqlLit(w)}) > 0 THEN 1 ELSE 0 END)").mkString(" + ")
       s"($cases)::BIGINT AS ${lens}_hits"
   }
 

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.TextFns
 import graft.operators.{Bm25, Fusion, Precision, VectorSearch}
 
 /** Vector + sparse + hybrid search queries (the reference's retrieval
@@ -13,7 +14,7 @@ import graft.operators.{Bm25, Fusion, Precision, VectorSearch}
 object VectorQueries {
 
   val QueryTerms: Seq[String] = Seq("spark", "filter", "join", "fast", "slow")
-  private val termList = QueryTerms.map(t => s"'$t'").mkString(", ")
+  private val termList = QueryTerms.map(TextFns.sqlLit).mkString(", ")
 
   /* ---------------- vs_dense_topk ---------------- */
 
@@ -421,8 +422,8 @@ object VectorQueries {
     // mirror topKExpanded's dedupe EXACTLY: an expansion that repeats
     // a primary term keeps full weight on both engines
     val effSyn = SynTerms.distinct.filterNot(QueryTerms.contains)
-    val allTerms = (QueryTerms.distinct ++ effSyn).map(t => s"'$t'").mkString(", ")
-    val wCase = effSyn.map(t => s"WHEN '$t' THEN $SynWeight")
+    val allTerms = (QueryTerms.distinct ++ effSyn).map(TextFns.sqlLit).mkString(", ")
+    val wCase = effSyn.map(t => s"WHEN ${TextFns.sqlLit(t)} THEN $SynWeight")
       .mkString("* (CASE tf.term ", " ", " ELSE 1.0 END)")
     s"""WITH ${SqlSnippets.bm25ScoreCtes(allTerms, wCase)}
        |SELECT doc_id, round(s, 6) AS bm25 FROM sc
@@ -487,7 +488,7 @@ object VectorQueries {
   // lower() mirrors Fusion.ruleScore's case-insensitive matching
   private def hitsSql(kws: Seq[String]): String =
     kws.map(w =>
-      s"(CASE WHEN strpos(lower(text), '${w.toLowerCase}') > 0 THEN 1 ELSE 0 END)")
+      s"(CASE WHEN strpos(lower(text), ${TextFns.sqlLit(TextFns.lcRoot(w))}) > 0 THEN 1 ELSE 0 END)")
       .mkString(" + ")
 
   private val rerankRuleSql =
@@ -568,7 +569,7 @@ object VectorQueries {
        |cand AS (SELECT doc_id FROM sc
        |         ORDER BY round(s, 6) DESC, doc_id LIMIT 50),
        |qt AS (SELECT list_distinct(list_filter(
-       |         string_split_regex(lower('${QueryTerms.mkString(" ")}'), '\\s+'),
+       |         string_split_regex(lower(${TextFns.sqlLit(QueryTerms.mkString(" "))}), '\\s+'),
        |         x -> x <> '')) AS qs),
        |dd AS (SELECT c.doc_id,
        |         list_distinct(list_filter(
@@ -656,9 +657,9 @@ object VectorQueries {
   }
 
   private val rerankKeywordSql = {
-    val kws = QueryTerms.map(_.toLowerCase).distinct
+    val kws = QueryTerms.map(TextFns.lcRoot).distinct
     val hits = kws.map(w =>
-      s"(CASE WHEN strpos(lower(text), '$w') > 0 THEN 1 ELSE 0 END)")
+      s"(CASE WHEN strpos(lower(text), ${TextFns.sqlLit(w)}) > 0 THEN 1 ELSE 0 END)")
       .mkString(" + ")
     s"""WITH b AS (SELECT doc_id, text,
        |    (2016 + doc_id % 10)::BIGINT AS year, n_chars

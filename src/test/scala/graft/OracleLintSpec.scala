@@ -23,7 +23,10 @@ class OracleLintSpec extends AnyFunSuite {
   private val doubleish = Set(
     "value", "l_extendedprice", "l_quantity", "l_discount", "o_totalprice",
     "w", "v", "tf", "dot", "ns", "score", "sim", "revenue", "amount",
-    "raw_count") // raw_count = sum(l_quantity::DOUBLE), stays DOUBLE
+    "raw_count", // raw_count = sum(l_quantity::DOUBLE), stays DOUBLE
+    // sc_markers moment CTE: n_in = count(v)::DOUBLE, s_in/ss_in sum
+    // the DOUBLE v — re-summing them for per-feature totals stays DOUBLE
+    "n_in", "s_in", "ss_in")
 
   /** Reviewed intermediates: HUGEINT result is consumed by float
     * arithmetic or a comparison, never emitted. Key = query name,
