@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.graftshim.SessionShim
+
+/** Cache lifecycle contract for graft operators.
+  *
+  * Several operators `cache()` an internal frame that appears on BOTH
+  * sides of a self-join (every Dedup pair generator, Stats
+  * correlationEdges/markerStats, VectorSearch.centroidSimilarity,
+  * Pack.packShards, Bm25's postings, Embed's long form): aliased
+  * self-join sides of the same uncached frame defeat ReuseExchange, so
+  * without the cache the upstream pipeline is computed once PER SIDE.
+  * Those cached frames are part of the (lazy) plan the operator
+  * returns — they must stay cached until the caller's terminal action
+  * has run, so the operator itself has no correct place to unpersist
+  * them.
+  *
+  * The contract is therefore CALLER-OWNED:
+  *
+  *   - One-shot use (a query per session, the driver's Verify/Bench
+  *     loops): call [[clearOperatorCaches]] (or
+  *     `spark.catalog.clearCache()`) after the terminal action on each
+  *     operator's result — exactly what `Verify.main` and `Bench.main`
+  *     do between queries.
+  *   - Long-lived sessions invoking operators repeatedly: same call,
+  *     per batch. Blocks do NOT accumulate across batches under this
+  *     contract; `CacheLifecycleSpec` pins that (runs each caching
+  *     operator, acts, clears, asserts zero net cached plans).
+  *
+  * Unreferenced cached plans are NOT garbage-collected — Spark's
+  * CacheManager holds them strongly until `clearCache`/`unpersist` —
+  * which is why the lifecycle must be explicit rather than left to GC.
+  */
+object Caching {
+
+  /** Drop every cached plan the current session holds (operator
+    * internals included). Cheap when nothing is cached.
+    */
+  def clearOperatorCaches(spark: SparkSession): Unit =
+    spark.catalog.clearCache()
+
+  /** True when no plan is cached in this session — the post-condition
+    * of [[clearOperatorCaches]], exposed so specs (and callers that
+    * want to audit their own lifecycle) can assert it.
+    */
+  def noCachedPlans(spark: SparkSession): Boolean =
+    SessionShim.cacheIsEmpty(spark)
+}

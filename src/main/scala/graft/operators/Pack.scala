@@ -40,6 +40,8 @@ object Pack {
       docs: DataFrame, idCol: String, tokenCol: String,
       budget: Long, partitions: Int = 32): DataFrame = {
     require(budget > 0, "budget must be positive")
+    // cached: the offsets aggregate and the final join both read it,
+    // and _pid must be IDENTICAL in both (graft.Caching lifecycle)
     val withPid = docs
       .repartitionByRange(partitions, col(idCol))
       .withColumn("_pid", spark_partition_id())

@@ -119,6 +119,8 @@ object Stats {
       valueCol: String, minAbsCorr: Double,
       maxFeatures: Int = 1000): DataFrame = {
     require(maxFeatures > 0, "maxFeatures must be positive")
+    // cached: both the panel cut and the self-join read proj
+    // (lifecycle: caller-owned, see graft.Caching)
     val proj = samples.select(col(featureCol).as("g"),
       col(sampleCol).as("s"), col(valueCol).as("v")).cache()
     // panel contract: top-maxFeatures by variance, deterministic

@@ -115,6 +115,7 @@ object VectorSearch {
     */
   def centroidSimilarity(
       vectors: DataFrame, groupCol: String, vecCol: String): DataFrame = {
+    // cached: norms + both join sides read it (graft.Caching lifecycle)
     val c = groupCentroids(vectors, groupCol, vecCol).cache()
     val norms = c.groupBy(col(groupCol))
       .agg(sum(col("v") * col("v")).as("ns"))

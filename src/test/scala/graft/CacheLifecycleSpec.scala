@@ -1,0 +1,50 @@
+package graft
+
+/** Pins the graft.Caching contract: operators that cache() internal
+  * self-join inputs leave those blocks cached (by design — the cache
+  * must outlive the caller's action on the returned lazy plan), and
+  * ONE clearOperatorCaches call after the action leaves zero net
+  * cached plans. Runs the caching operators through their real
+  * SparkEntry bindings so the spec exercises exactly what the
+  * Verify/Bench loops run.
+  */
+class CacheLifecycleSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  /** Every SparkEntry query whose operator caches an internal frame
+    * (grep `.cache()` in operators/ + EmbedQueries): one per caching
+    * code path.
+    */
+  private val cachingQueries = Seq(
+    "dedup_exact", // Dedup via shared shingle cache paths: none — control
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_ngram_prefix",
+    "dedup_simhash", "dedup_embcos", "dedup_embcos_mb",
+    "pack_shards", "vs_centroid_sim", "vs_similar_papers",
+    "deg_network", "deg_hub", "sc_markers", "deg_validate",
+    "bm25_search", "emb_tfidf_topk", "ev_funnel")
+
+  test("each caching operator leaves zero net cached plans after the " +
+    "documented lifecycle call") {
+    val qs = SparkEntry.queries
+    cachingQueries.foreach { name =>
+      assert(qs.contains(name), s"unknown query $name")
+      Caching.clearOperatorCaches(spark) // clean slate per operator
+      qs(name)(spark, d).collect()
+      Caching.clearOperatorCaches(spark)
+      assert(Caching.noCachedPlans(spark),
+        s"$name: cached plans survive clearOperatorCaches")
+    }
+  }
+
+  test("caching operators DO cache (the contract is load-bearing, " +
+    "not vacuous)") {
+    Caching.clearOperatorCaches(spark)
+    SparkEntry.queries("dedup_minhash_lsh")(spark, d).collect()
+    assert(!Caching.noCachedPlans(spark),
+      "expected dedup_minhash_lsh to hold cached internal frames " +
+        "after its action — did its caching strategy change?")
+    Caching.clearOperatorCaches(spark)
+    assert(Caching.noCachedPlans(spark))
+  }
+}
