@@ -432,6 +432,15 @@ object VectorQueries {
 
   /* ---------------- hybrid_rrf ---------------- */
 
+  /** Hybrid search = dense + sparse legs fused with RRF. Its wall time
+    * is the SUM of its legs (the fusion join itself is two pruned
+    * top-50 lists — negligible): at sf0.1 steady-state ≈ bm25_search
+    * (~0.65 s) + vs_dense_topk (~0.27 s) + overhead ≈ 0.95–1.3 s.
+    * The r3→r4 step (0.82→1.3 s) tracks the BM25 shuffle-free rewrite
+    * (commit 2936cfd), which costs a little wall-clock at benchmark
+    * scale but removes the per-doc shuffle — the correct trade at
+    * corpus scale. Not a plan pathology.
+    */
   private def hybridRrf(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qe"))
