@@ -152,6 +152,47 @@ object TextAnalysis {
           array_distinct(TextFns.shinglesOfTokens(col("tk"), shingleN)),
           s => md5(s))).as("min_shingle_fp"))
 
+  /** Gopher-style word-repetition signals — the quality filters a
+    * training-data pipeline runs before text ships to a tokenizer
+    * (Rae et al. 2021 §A1.1 repetition filters; the reference's
+    * corpus builder has no equivalent, so this extends the surface):
+    *   - dup_token_frac: fraction of tokens that are repeats,
+    *   - top_token_frac: share of the single most frequent token,
+    *   - top_bigram_frac: share of the most frequent bigram among
+    *     all bigram slots (null for docs with < 2 tokens).
+    *
+    * Plan shape: two explode → two-level hash-aggregate pipelines
+    * (unigrams, bigrams), each map-side combined, joined on the doc
+    * key. Per-doc gram counting is deliberately NOT a per-row
+    * O(distinct×len) array HOF — on long documents the explode path
+    * scales linearly and stays inside whole-stage codegen (the
+    * bigram generator is the native TokenShingles expression).
+    */
+  def repetition(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = docs.select(col(idCol), TextFns.wsTokens(col(textCol)).as("tk"))
+    def gramStats(grams: Column, totalAs: String, topAs: String) =
+      base.select(col(idCol), explode(grams).as("g"))
+        .groupBy(col(idCol), col("g"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col(idCol))
+        .agg(
+          sum(col("c")).as(totalAs),
+          count(lit(1)).as("n_distinct"),
+          max(col("c")).as(topAs))
+    val uni = gramStats(col("tk"), "n_tokens", "top_c")
+    val bi = gramStats(TextFns.shinglesOfTokens(col("tk"), 2), "n_bigrams", "top_bc")
+      .drop("n_distinct")
+    uni.join(bi, Seq(idCol), "left")
+      .select(col(idCol),
+        col("n_tokens").cast("long").as("n_tokens"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"), 6)
+          .as("dup_token_frac"),
+        round(col("top_c").cast("double") / col("n_tokens"), 6)
+          .as("top_token_frac"),
+        round(col("top_bc").cast("double") / col("n_bigrams"), 6)
+          .as("top_bigram_frac"))
+  }
+
   /** Lens classification: distinct-keyword-presence score per lens,
     * argmax with fixed precedence (lens_classifier.py:352 classify).
     */

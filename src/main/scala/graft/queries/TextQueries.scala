@@ -419,6 +419,36 @@ object TextQueries {
        |FROM m1 ORDER BY p_partkey""".stripMargin
   }
 
+  /* ---------------- txt_repetition ---------------- */
+
+  private def txtRepetition(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.repetition(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  private val txtRepetitionSql =
+    """WITH t AS (SELECT doc_id,
+      |    string_split_regex(lower(trim(text)), '\s+') AS tk
+      |  FROM documents),
+      |uc AS (SELECT doc_id, g, count(*) AS c
+      |  FROM (SELECT doc_id, unnest(tk) AS g FROM t) GROUP BY doc_id, g),
+      |ua AS (SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+      |    count(*)::BIGINT AS n_distinct, max(c)::BIGINT AS top_c
+      |  FROM uc GROUP BY doc_id),
+      |bx AS (SELECT doc_id, tk,
+      |    unnest(generate_series(1, len(tk) - 1)) AS i FROM t),
+      |bc AS (SELECT doc_id, g, count(*) AS c
+      |  FROM (SELECT doc_id, tk[i] || ' ' || tk[i+1] AS g FROM bx)
+      |  GROUP BY doc_id, g),
+      |ba AS (SELECT doc_id, sum(c)::BIGINT AS n_bigrams,
+      |    max(c)::BIGINT AS top_bc
+      |  FROM bc GROUP BY doc_id)
+      |SELECT ua.doc_id, n_tokens,
+      |  round(1.0 - n_distinct::DOUBLE / n_tokens, 6) AS dup_token_frac,
+      |  round(top_c::DOUBLE / n_tokens, 6) AS top_token_frac,
+      |  round(top_bc::DOUBLE / n_bigrams, 6) AS top_bigram_frac
+      |FROM ua LEFT JOIN ba ON ua.doc_id = ba.doc_id
+      |ORDER BY ua.doc_id""".stripMargin
+
   /* ---------------- trend_gaps ---------------- */
 
   /** Gap patterns in the reference's (pattern, report) shape
@@ -515,6 +545,7 @@ object TextQueries {
     Qdef("lens_classify", lensClassify, Some(lensClassifySql)),
     Qdef("txt_token_count", txtTokenCount, Some(txtTokenCountSql)),
     Qdef("txt_scrub", txtScrub, Some(txtScrubSql)),
+    Qdef("txt_repetition", txtRepetition, Some(txtRepetitionSql)),
     Qdef("pack_shards", packShards, Some(packShardsSql)),
     Qdef("corpus_stats", corpusStats, Some(corpusStatsSql)),
     Qdef("trend_gaps", trendGaps, Some(trendGapsSql)),

@@ -90,4 +90,22 @@ class TextAnalysisSpec extends SparkSpec {
       assert(native == hof, s"mismatch at n=$n")
     }
   }
+
+  test("repetition reports dup/top token and top bigram fractions") {
+    val docs = Seq(
+      (1L, "a a a b"),   // top token a=3/4, bigrams: "a a"x2, "a b"x1
+      (2L, "solo")       // single token -> no bigrams -> null frac
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetition(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("n_tokens") == 4L)
+    assert(r1.getAs[Double]("dup_token_frac") == 0.5)    // 2 distinct of 4
+    assert(r1.getAs[Double]("top_token_frac") == 0.75)
+    assert(r1.getAs[Double]("top_bigram_frac") == 0.666667) // 2 of 3 slots
+    val r2 = out(2L)
+    assert(r2.getAs[Long]("n_tokens") == 1L)
+    assert(r2.getAs[Double]("top_token_frac") == 1.0)
+    assert(r2.isNullAt(r2.fieldIndex("top_bigram_frac")))
+  }
 }
