@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.Dedup
+import graft.operators.{Decontam, Dedup}
 
 /** Dedup family queries. The heavier oracle SQL (32 MinHash mins,
   * 32 SimHash bit sums) is generated from the same seeds/constants the
@@ -293,6 +293,39 @@ object DedupQueries {
       |FROM dt WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.4
       |ORDER BY va, vb""".stripMargin
 
+  /* ---------------- decontam_ngram ---------------- */
+
+  private val DecontamN = 3
+  private val BenchMod = 50
+
+  /** Benchmark decontamination binding: every 50th doc stands in for
+    * the held-out eval set (a residue class so the oracle can rebuild
+    * it); the rest is the training corpus. n = 3 keeps the overlap
+    * non-trivial on the short synthetic docs — production pipelines
+    * use 8-13-grams, which is only the constant.
+    */
+  private def decontamNgram(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Decontam.contaminated(
+      docs.where(col("doc_id") % BenchMod =!= 0),
+      docs.where(col("doc_id") % BenchMod === 0),
+      "doc_id", "text", DecontamN)
+      .orderBy(col("contamination").desc, col("doc_id"))
+  }
+
+  private val decontamNgramSql =
+    s"""WITH ${shingleCtes(DecontamN)},
+       |cg AS (SELECT doc_id, shg FROM shs WHERE doc_id % $BenchMod <> 0),
+       |bg AS (SELECT DISTINCT shg FROM shs WHERE doc_id % $BenchMod = 0),
+       |pd AS (SELECT doc_id, count(*)::BIGINT AS n_grams
+       |  FROM cg GROUP BY doc_id),
+       |ht AS (SELECT doc_id, count(*)::BIGINT AS hit_grams
+       |  FROM cg JOIN bg USING (shg) GROUP BY doc_id)
+       |SELECT ht.doc_id, n_grams, hit_grams,
+       |  round(hit_grams::DOUBLE / n_grams, 6) AS contamination
+       |FROM ht JOIN pd ON ht.doc_id = pd.doc_id
+       |ORDER BY contamination DESC, ht.doc_id""".stripMargin
+
   val defs: Seq[Qdef] = Seq(
     Qdef("dedup_exact", dedupExact, Some(dedupExactSql)),
     Qdef("dedup_minhash_lsh", dedupMinhash, Some(dedupMinhashSql)),
@@ -300,5 +333,6 @@ object DedupQueries {
     Qdef("dedup_ngram_prefix", dedupNgramPrefix, Some(dedupNgramPrefixSql)),
     Qdef("dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
     Qdef("dedup_embcos", dedupEmbCos, Some(dedupEmbCosSql)),
-    Qdef("dedup_embcos_mb", dedupEmbCosMb, Some(dedupEmbCosMbSql)))
+    Qdef("dedup_embcos_mb", dedupEmbCosMb, Some(dedupEmbCosMbSql)),
+    Qdef("decontam_ngram", decontamNgram, Some(decontamNgramSql)))
 }

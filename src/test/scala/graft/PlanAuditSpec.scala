@@ -112,4 +112,10 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"))
     assert(plan.contains("SortMergeJoin"))
   }
+
+  test("decontam_ngram probes the benchmark gram set via broadcast") {
+    val plan = planOf("decontam_ngram")
+    assert(plan.contains("BroadcastHashJoin"),
+      "benchmark gram membership probe must broadcast, not shuffle the corpus")
+  }
 }
