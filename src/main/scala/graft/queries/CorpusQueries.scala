@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.operators.Sampling
 import graft.sources.Corpus
 
 /** Corpus-maintenance queries: the reference's mutable store surface
@@ -55,6 +56,41 @@ object CorpusQueries {
       |SELECT doc_id, version, src, n_chars FROM r
       |WHERE rn = 1 AND NOT coalesce(deleted, false) ORDER BY doc_id""".stripMargin
 
+  /* ---------------- sample_stratified ---------------- */
+
+  private val MixRates: Map[String, Double] =
+    Map("src0" -> 0.5, "src1" -> 0.5, "src2" -> 0.2)
+  private val MixDefault = 0.1
+  private val MixSalt = "mix-v1"
+
+  /** Training-mix binding: upweight two sources to 50%, one to 20%,
+    * everything else to 10% — the per-source composition knob of a
+    * pre-training data pipeline. Hash-deterministic, so the oracle
+    * replays the exact sample.
+    */
+  private def sampleStratified(s: SparkSession, d: String): DataFrame =
+    Sampling.stratifiedSample(
+      Tables.documents(s, d).select(col("doc_id"), col("source")),
+      "source", "doc_id", MixRates, MixDefault, MixSalt)
+      .orderBy(col("doc_id"))
+
+  private val sampleStratifiedSql = {
+    val cases = MixRates.toSeq.sorted.map { case (k, r) =>
+      s"WHEN ${graft.functions.TextFns.sqlLit(k)} " +
+        s"THEN ${(r * Sampling.Buckets).round}"
+    }.mkString(" ")
+    val dec = SqlSnippets.hexPrefixDecode(
+      s"md5(doc_id::VARCHAR || '|$MixSalt')")
+    s"""WITH b AS (SELECT doc_id, source,
+       |    (($dec) % ${Sampling.Buckets})::BIGINT AS bucket
+       |  FROM documents)
+       |SELECT doc_id, source, bucket FROM b
+       |WHERE bucket < CASE source $cases
+       |  ELSE ${(MixDefault * Sampling.Buckets).round} END
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val defs: Seq[Qdef] = Seq(
-    Qdef("corpus_latest", corpusLatest, Some(corpusLatestSql)))
+    Qdef("corpus_latest", corpusLatest, Some(corpusLatestSql)),
+    Qdef("sample_stratified", sampleStratified, Some(sampleStratifiedSql)))
 }

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sampling
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ids(n: Int) =
+    (0L until n.toLong).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "stratum")
+
+  test("sampling is deterministic and near the requested rate") {
+    val df = ids(2000)
+    val once = Sampling.stratifiedSample(
+      df, "stratum", "id", Map.empty, 0.3, "s1")
+      .select("id").as[Long].collect().toSet
+    val twice = Sampling.stratifiedSample(
+      df, "stratum", "id", Map.empty, 0.3, "s1")
+      .select("id").as[Long].collect().toSet
+    assert(once == twice)
+    // md5 buckets are uniform; 2000 rows at 0.3 -> ~600 +/- noise
+    assert(once.size > 500 && once.size < 700, s"got ${once.size}")
+  }
+
+  test("per-stratum rates apply independently; 0 and 1 are exact") {
+    val out = Sampling.stratifiedSample(
+      ids(1000), "stratum", "id", Map("a" -> 1.0, "b" -> 0.0), 0.5, "s1")
+      .groupBy("stratum").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("a") == 500L) // every even id kept
+    assert(!out.contains("b")) // every odd id dropped
+  }
+
+  test("samples are stable under corpus growth (subset property)") {
+    val small = Sampling.stratifiedSample(
+      ids(500), "stratum", "id", Map.empty, 0.2, "s1")
+      .select("id").as[Long].collect().toSet
+    val big = Sampling.stratifiedSample(
+      ids(1000), "stratum", "id", Map.empty, 0.2, "s1")
+      .select("id").as[Long].collect().toSet
+    assert(small.subsetOf(big))
+  }
+
+  test("different salts draw (nearly) independent samples") {
+    val df = ids(2000)
+    def sample(salt: String) = Sampling.stratifiedSample(
+      df, "stratum", "id", Map.empty, 0.5, salt)
+      .select("id").as[Long].collect().toSet
+    val s1 = sample("s1")
+    val s2 = sample("s2")
+    val overlap = (s1 & s2).size.toDouble / 2000
+    // independent 0.5 samples intersect at ~0.25
+    assert(overlap > 0.15 && overlap < 0.35, s"overlap $overlap")
+  }
+
+  test("out-of-range rates are rejected") {
+    intercept[IllegalArgumentException] {
+      Sampling.stratifiedSample(
+        ids(10), "stratum", "id", Map("a" -> 1.5), 0.5, "s1")
+    }
+  }
+
+  test("sampling plans as a pure narrow filter (no shuffle)") {
+    val plan = Sampling.stratifiedSample(
+      ids(100), "stratum", "id", Map("a" -> 0.5), 0.1, "s1")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      "stratified sampling must not shuffle")
+  }
+}
