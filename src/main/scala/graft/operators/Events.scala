@@ -175,4 +175,45 @@ object Events {
       .withColumn("rank", row_number().over(
         Window.orderBy(col("sum_value").desc, col("user_id"))))
   }
+
+  /** Epoch-period index from the nanos long — integer arithmetic
+    * only (periods are anchored at the epoch: 86400 = days,
+    * 604800 = Thursday-anchored weeks), so both engines agree
+    * bit-for-bit with no timezone/date_trunc semantics in play.
+    */
+  def tsPeriods(c: String, periodSecs: Long): org.apache.spark.sql.Column =
+    expr(s"($c div 1000000000) div $periodSecs")
+
+  /** Cohort retention: cohort = a user's first active period (day,
+    * week, ... via `periodSecs`); n_users = distinct users from that
+    * cohort active at each period offset (0..maxOffset);
+    * retained_frac = n_users / cohort size.
+    *
+    * One distinct over (user, period) — map-side combined, the corpus
+    * collapses to at most |users|·|periods| rows — then a per-user MIN
+    * window (single user_id shuffle, no self-join) tags each activity
+    * row with its cohort. The final aggregate and the cohort-size
+    * window run on cohort×offset rows — driver-scale, so the
+    * partition-less first_value frame is harmless at any event count.
+    */
+  def retention(
+      events: DataFrame, periodSecs: Long, maxOffset: Int): DataFrame = {
+    val uw = events
+      .select(col("user_id"), tsPeriods("ts", periodSecs).as("period"))
+      .distinct()
+    val perUser = Window.partitionBy(col("user_id"))
+    val agg = uw
+      .withColumn("cohort_period", min(col("period")).over(perUser))
+      .withColumn("period_offset", col("period") - col("cohort_period"))
+      .where(col("period_offset") <= maxOffset)
+      .groupBy(col("cohort_period"), col("period_offset"))
+      .agg(count(lit(1)).as("n_users")) // (user, period) distinct upstream
+    val byCohort = Window.partitionBy(col("cohort_period"))
+      .orderBy(col("period_offset"))
+    // offset 0 exists for every cohort by construction (a user's min
+    // period is their own first row), so first_value is the cohort size
+    agg.withColumn("retained_frac",
+      round(col("n_users").cast("double") /
+        first(col("n_users")).over(byCohort), 6))
+  }
 }

@@ -145,6 +145,34 @@ object EventQueries {
        |FROM e QUALIFY event_type = 'purchase'
        |ORDER BY event_id""".stripMargin
 
+  /* ---------------- ev_retention ---------------- */
+
+  private val RetentionPeriodSecs = 86400L // daily cohorts
+  private val RetentionMaxOffset = 14
+
+  private def evRetention(s: SparkSession, d: String): DataFrame =
+    Events.retention(Tables.events(s, d), RetentionPeriodSecs,
+      RetentionMaxOffset)
+      .orderBy(col("cohort_period"), col("period_offset"))
+
+  private val evRetentionSql =
+    s"""WITH uw AS (SELECT DISTINCT user_id,
+       |    (($EpochSecs) // $RetentionPeriodSecs)::BIGINT AS period
+       |  FROM events),
+       |c AS (SELECT user_id, period,
+       |    min(period) OVER (PARTITION BY user_id) AS cohort_period
+       |  FROM uw),
+       |a AS (SELECT cohort_period,
+       |    (period - cohort_period)::BIGINT AS period_offset,
+       |    count(*)::BIGINT AS n_users
+       |  FROM c WHERE period - cohort_period <= $RetentionMaxOffset
+       |  GROUP BY cohort_period, period - cohort_period)
+       |SELECT cohort_period, period_offset, n_users,
+       |  round(n_users::DOUBLE / first_value(n_users) OVER (
+       |    PARTITION BY cohort_period ORDER BY period_offset), 6)
+       |    AS retained_frac
+       |FROM a ORDER BY cohort_period, period_offset""".stripMargin
+
   /* ---------------- trend_daily ---------------- */
 
   private def trendDaily(s: SparkSession, d: String): DataFrame =
@@ -196,6 +224,7 @@ object EventQueries {
     Qdef("ev_funnel", evFunnel, Some(evFunnelSql)),
     Qdef("ev_asof_view", evAsofView, Some(evAsofViewSql)),
     Qdef("ev_range_clicks", evRangeClicks, Some(evRangeClicksSql)),
+    Qdef("ev_retention", evRetention, Some(evRetentionSql)),
     Qdef("trend_daily", trendDaily, Some(trendDailySql)),
     Qdef("trend_growth", trendGrowth, Some(trendGrowthSql)))
 }

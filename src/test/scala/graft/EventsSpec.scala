@@ -52,4 +52,30 @@ class EventsSpec extends SparkSpec {
     assert(out(102L) == (10L, 5L))  // view@10 is the latest <= 15
     assert(out(103L) == (20L, 0L))  // equal timestamp matches inclusively
   }
+
+  test("retention cohorts users by first week and tracks distinct actives") {
+    val wk = 604800L
+    val rows = Seq(
+      // user 1: weeks 0, 1, 2 (two events in week 1 count once)
+      (1L, 1L, ns(10), "view", 0.0),
+      (2L, 1L, ns(wk + 10), "view", 0.0),
+      (3L, 1L, ns(wk + 20), "click", 0.0),
+      (4L, 1L, ns(2 * wk + 10), "view", 0.0),
+      // user 2: weeks 0, 2 (skips week 1)
+      (5L, 2L, ns(20), "view", 0.0),
+      (6L, 2L, ns(2 * wk + 5), "view", 0.0),
+      // user 3: first seen week 1 -> its own cohort
+      (7L, 3L, ns(wk + 5), "view", 0.0)
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val out = Events.retention(rows, periodSecs = wk, maxOffset = 8)
+      .collect()
+      .map(r => (r.getAs[Long]("cohort_period"), r.getAs[Long]("period_offset"))
+        -> (r.getAs[Long]("n_users"), r.getAs[Double]("retained_frac")))
+      .toMap
+    assert(out((0L, 0L)) == (2L, 1.0))
+    assert(out((0L, 1L)) == (1L, 0.5))  // only user 1 active week 1
+    assert(out((0L, 2L)) == (2L, 1.0))  // both again in week 2
+    assert(out((1L, 0L)) == (1L, 1.0))  // user 3's own cohort
+    assert(!out.contains((1L, 1L)))
+  }
 }
