@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFns, VectorFns}
@@ -400,5 +401,66 @@ object Dedup {
         col("ea"), col("eb"), col("nra"), col("nrb")))
       .where(col("raw_cos") >= minCos)
       .select(col("va"), col("vb"), round(col("raw_cos"), 6).as("cos_sim"))
+  }
+
+  /** Connected-component duplicate clusters over any pair-generator
+    * output — the canonicalization stage that turns near-dup PAIRS
+    * into groups with one keeper (a "keep min doc_id per cluster"
+    * policy falls out of the component label).
+    *
+    * Pregel-style min-label propagation on DataFrames: every node
+    * starts labelled with itself; each round replaces a node's label
+    * with the min over itself and its neighbors' labels (one edge
+    * join + one map-side-combined min aggregate — all key-partitioned
+    * shuffles, no data ever reaches the driver). Labels are
+    * monotonically non-increasing and bounded, so an unchanged label
+    * SUM certifies the fixpoint; the per-round driver action reads
+    * that single decimal scalar (overflow-proof) and nothing else.
+    * Rounds needed = component diameter; duplicate clusters are
+    * near-cliques (diameter a few hops), and `maxIters` turns a
+    * pathological chain into a loud failure rather than a silently
+    * wrong clustering.
+    *
+    * Caches edges and each round's labels (previous round unpersisted
+    * eagerly); the final cached frame follows the [[graft.Caching]]
+    * caller-owned lifecycle.
+    * Output: (node, component, cluster_size) — component = min node
+    * id reachable, engine-independent.
+    */
+  def connectedComponents(
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().cache()
+    def sumOf(labels: DataFrame): java.math.BigDecimal =
+      labels.agg(sum(col("component").cast("decimal(38,0)")))
+        .head().getDecimal(0)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("component", col("node")).cache()
+    var cert = sumOf(labels)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val next = labels
+        .unionAll(edges
+          .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
+          .select(col("src").as("node"), col("component")))
+        .groupBy(col("node"))
+        .agg(min(col("component")).as("component"))
+        .cache()
+      val nextCert = sumOf(next) // materializes `next`
+      labels.unpersist()
+      labels = next
+      converged = nextCert.compareTo(cert) == 0
+      cert = nextCert
+      iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIters rounds — " +
+        "component diameter exceeds the bound; raise maxIters")
+    labels.withColumn("cluster_size",
+      count(lit(1)).over(Window.partitionBy(col("component")))
+        .cast("long"))
   }
 }

@@ -49,7 +49,11 @@ object DedupQueries {
       minJaccard = 0.5, maxBucket = MaxBucket)
       .orderBy(col("da"), col("db"))
 
-  private val dedupMinhashSql = {
+  /** The full MinHash+LSH pipeline as a CTE chain ending in `j`
+    * (da, db, raw_jac) — shared by the pair query and the cluster
+    * query so both stay in mechanical lockstep.
+    */
+  private val minhashCtes: String = {
     val m1 = SqlSnippets.hexPrefixDecode("md5(shg)")
     val m2 = SqlSnippets.hexPrefixDecode("md5(shg || '#')")
     val sigCols = (0 until NumHashes)
@@ -60,7 +64,7 @@ object DedupQueries {
       val key = cols.mkString(" || '|' || ") + s" || '|' || '$b'"
       s"SELECT doc_id, $b AS band, md5($key) AS bkey FROM sigs"
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH ${shingleCtes(3)},
+    s"""${shingleCtes(3)},
        |sizes AS (SELECT doc_id, count(*) AS nsh FROM shs GROUP BY doc_id),
        |hb AS (SELECT doc_id, ($m1)::BIGINT AS m1, ($m2)::BIGINT AS m2 FROM shs),
        |sigs AS (SELECT doc_id,
@@ -83,10 +87,46 @@ object DedupQueries {
        |j AS (SELECT cm.da, cm.db,
        |    cm.common / (za.nsh + zb.nsh - cm.common) AS raw_jac
        |  FROM cm JOIN sizes za ON cm.da = za.doc_id
-       |  JOIN sizes zb ON cm.db = zb.doc_id)
+       |  JOIN sizes zb ON cm.db = zb.doc_id)""".stripMargin
+  }
+
+  private val dedupMinhashSql =
+    s"""WITH $minhashCtes
        |SELECT da, db, round(raw_jac, 6) AS jaccard FROM j
        |WHERE raw_jac >= 0.5 ORDER BY da, db""".stripMargin
-  }
+
+  /* ---------------- dedup_cluster ---------------- */
+
+  /** Duplicate-cluster canonicalization over the MinHash pair output:
+    * Spark side runs Pregel-style min-label propagation
+    * (Dedup.connectedComponents); the oracle computes the same
+    * components as a recursive transitive closure — tiny for the
+    * oracle's pair counts, while the Spark path scales to corpus-size
+    * graphs.
+    */
+  private def dedupCluster(s: SparkSession, d: String): DataFrame =
+    Dedup.connectedComponents(
+      Dedup.minhashLsh(Tables.documents(s, d), "doc_id", "text",
+        shingleN = 3, numHashes = NumHashes, bandRows = BandRows,
+        minJaccard = 0.5, maxBucket = MaxBucket),
+      "da", "db")
+      .select(col("node").as("doc_id"), col("component"), col("cluster_size"))
+      .orderBy(col("component"), col("doc_id"))
+
+  private val dedupClusterSql =
+    s"""WITH RECURSIVE $minhashCtes,
+       |p AS (SELECT da, db FROM j WHERE raw_jac >= 0.5),
+       |e AS (SELECT da AS src, db AS dst FROM p
+       |  UNION SELECT db, da FROM p),
+       |reach AS (
+       |  SELECT src AS node, src AS r FROM e
+       |  UNION
+       |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.node),
+       |comp AS (SELECT node, min(r)::BIGINT AS component
+       |  FROM reach GROUP BY node)
+       |SELECT node AS doc_id, component,
+       |  (count(*) OVER (PARTITION BY component))::BIGINT AS cluster_size
+       |FROM comp ORDER BY component, doc_id""".stripMargin
 
   /* ---------------- dedup_ngram_jaccard ---------------- */
 
@@ -334,5 +374,6 @@ object DedupQueries {
     Qdef("dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
     Qdef("dedup_embcos", dedupEmbCos, Some(dedupEmbCosSql)),
     Qdef("dedup_embcos_mb", dedupEmbCosMb, Some(dedupEmbCosMbSql)),
-    Qdef("decontam_ngram", decontamNgram, Some(decontamNgramSql)))
+    Qdef("decontam_ngram", decontamNgram, Some(decontamNgramSql)),
+    Qdef("dedup_cluster", dedupCluster, Some(dedupClusterSql)))
 }

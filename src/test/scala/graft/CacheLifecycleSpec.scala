@@ -22,7 +22,8 @@ class CacheLifecycleSpec extends SparkSpec {
     "dedup_simhash", "dedup_embcos", "dedup_embcos_mb",
     "pack_shards", "vs_centroid_sim", "vs_similar_papers",
     "deg_network", "deg_hub", "sc_markers", "deg_validate",
-    "bm25_search", "emb_tfidf_topk", "ev_funnel", "decontam_ngram")
+    "bm25_search", "emb_tfidf_topk", "ev_funnel", "decontam_ngram",
+    "dedup_cluster")
 
   test("each caching operator leaves zero net cached plans after the " +
     "documented lifecycle call") {

@@ -80,4 +80,28 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(out.toSet == Set((1L, 2L)))
   }
+
+  test("connectedComponents labels every cluster with its min id") {
+    val pairs = Seq(
+      (2L, 5L), (5L, 9L),   // chain {2,5,9}
+      (7L, 3L),             // pair {3,7}
+      (11L, 12L), (12L, 13L), (13L, 14L), (14L, 15L) // path, diameter 4
+    ).toDF("da", "db")
+    val out = Dedup.connectedComponents(pairs, "da", "db")
+      .collect()
+      .map(r => r.getAs[Long]("node") ->
+        (r.getAs[Long]("component"), r.getAs[Long]("cluster_size")))
+      .toMap
+    assert(out(2L) == (2L, 3L) && out(5L) == (2L, 3L) && out(9L) == (2L, 3L))
+    assert(out(3L) == (3L, 2L) && out(7L) == (3L, 2L))
+    (11L to 15L).foreach(n => assert(out(n) == (11L, 5L)))
+    assert(out.size == 10)
+  }
+
+  test("connectedComponents fails loudly when the diameter exceeds maxIters") {
+    val path = (1L until 8L).map(i => (i, i + 1)).toDF("da", "db")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(path, "da", "db", maxIters = 2).collect()
+    }
+  }
 }
