@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFns
-import graft.operators.{Bm25, Fusion, Precision, VectorSearch}
+import graft.operators.{Bm25, Fusion, Precision, RankEval, VectorSearch}
 
 /** Vector + sparse + hybrid search queries (the reference's retrieval
   * surface re-expressed on Spark). All scores double-precision,
@@ -430,6 +430,63 @@ object VectorQueries {
        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
   }
 
+  /* ---------------- rank_ndcg ---------------- */
+
+  /** NDCG@20 curve for the BM25 run: relevance grade = how many of
+    * the query terms a doc's token set contains (0..5, deterministic
+    * so the oracle replays it). The full metric curve ships as one
+    * row per rank.
+    */
+  private def rankNdcg(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val run = Fusion.ranked(
+      Bm25.topK(docs, "doc_id", "text", QueryTerms, 20), "doc_id", "bm25")
+    val toks = TextFns.bm25Tokens(col("text"))
+    val grade = QueryTerms.map(t =>
+      when(array_contains(toks, TextFns.lcRoot(t)), 1).otherwise(0))
+      .reduce(_ + _)
+    RankEval.ndcgAtK(run, docs.select(col("doc_id"), grade.as("rel")),
+      "doc_id", "rank", "rel", 20)
+      .orderBy(col("rank"))
+  }
+
+  private val rankNdcgSql = {
+    val gradeSum = QueryTerms.map(t =>
+      s"(CASE WHEN list_contains(tk, ${TextFns.sqlLit(TextFns.lcRoot(t))}) " +
+        "THEN 1 ELSE 0 END)").mkString(" + ")
+    val cum = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    s"""WITH ${SqlSnippets.bm25ScoreCtes(termList)},
+       |run AS (SELECT doc_id, rank FROM (
+       |    SELECT doc_id, row_number() OVER (
+       |        ORDER BY round(s, 6) DESC, doc_id)::BIGINT AS rank
+       |    FROM sc) WHERE rank <= 20),
+       |gr AS (SELECT doc_id, ($gradeSum) AS rel FROM (
+       |    SELECT doc_id,
+       |      list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+       |        t -> length(t) > 2) AS tk
+       |    FROM documents)),
+       |realg AS (SELECT run.rank, run.doc_id,
+       |    coalesce(gr.rel, 0)::DOUBLE AS grade
+       |  FROM run LEFT JOIN gr ON run.doc_id = gr.doc_id),
+       |realc AS (SELECT rank, doc_id, grade,
+       |    sum((pow(2.0, grade) - 1.0) / (ln(rank + 1.0) / ln(2.0)))
+       |      OVER (ORDER BY rank $cum) AS dcg
+       |  FROM realg),
+       |ideal AS (SELECT row_number() OVER (ORDER BY rel DESC, doc_id)::BIGINT
+       |      AS rank, rel::DOUBLE AS ig
+       |  FROM gr ORDER BY rel DESC, doc_id LIMIT 20),
+       |idealc AS (SELECT rank,
+       |    sum((pow(2.0, ig) - 1.0) / (ln(rank + 1.0) / ln(2.0)))
+       |      OVER (ORDER BY rank $cum) AS idcg
+       |  FROM ideal)
+       |SELECT r.rank, r.doc_id, r.grade::BIGINT AS grade,
+       |  round(r.dcg + 0.000000001, 6) AS dcg,
+       |  round(i.idcg + 0.000000001, 6) AS idcg,
+       |  round(r.dcg / nullif(i.idcg, 0.0) + 0.000000001, 6) AS ndcg
+       |FROM realc r LEFT JOIN idealc i ON r.rank = i.rank
+       |ORDER BY r.rank""".stripMargin
+  }
+
   /* ---------------- hybrid_rrf ---------------- */
 
   /** Hybrid search = dense + sparse legs fused with RRF. Its wall time
@@ -701,6 +758,7 @@ object VectorQueries {
     Qdef("vs_ann_ivf_batch", annIvfBatch, Some(annIvfBatchSql)),
     Qdef("bm25_search", bm25Search, Some(bm25Sql)),
     Qdef("bm25_synonyms", bm25Synonyms, Some(bm25SynonymsSql)),
+    Qdef("rank_ndcg", rankNdcg, Some(rankNdcgSql)),
     Qdef("hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
     Qdef("rerank_rule", rerankRule, Some(rerankRuleSql)),
     Qdef("precision_search", precisionSearch, Some(precisionSearchSql)),
