@@ -176,6 +176,35 @@ object Events {
         Window.orderBy(col("sum_value").desc, col("user_id"))))
   }
 
+  /** Daily-count anomaly detection per event_type: z-score of each
+    * day's event count against that type's mean/stddev over the whole
+    * range — the alerting primitive over an ingest stream ("did
+    * clicks crater on Tuesday?").
+    *
+    * The corpus collapses to one row per (day, type) in a single
+    * map-side-combined aggregate; the per-type mean/stddev windows
+    * then run on that days×types frame — driver-scale at any event
+    * volume. Counts are integers, so the mean is exact; the stddev's
+    * float fold is rounded with the +1e-9 guard, and the anomaly flag
+    * compares the ROUNDED z on both engines (a raw-value CASE could
+    * disagree at the threshold boundary). A single-day type has no
+    * sample stddev → null z, flag false.
+    */
+  def anomalies(events: DataFrame, zThreshold: Double): DataFrame = {
+    val daily = events
+      .withColumn("day", to_date(timestamp_seconds(tsSecs("ts"))))
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val byType = Window.partitionBy(col("event_type"))
+    daily
+      .withColumn("z_score", round(
+        (col("cnt") - avg(col("cnt")).over(byType)) /
+          nullif(stddev_samp(col("cnt")).over(byType), lit(0.0))
+          + lit(1e-9), 6))
+      .withColumn("is_anomaly",
+        coalesce(abs(col("z_score")) >= zThreshold, lit(false)))
+  }
+
   /** Epoch-period index from the nanos long — integer arithmetic
     * only (periods are anchored at the epoch: 86400 = days,
     * 604800 = Thursday-anchored weeks), so both engines agree

@@ -145,6 +145,27 @@ object EventQueries {
        |FROM e QUALIFY event_type = 'purchase'
        |ORDER BY event_id""".stripMargin
 
+  /* ---------------- ev_anomaly ---------------- */
+
+  private val AnomalyZ = 2.0
+
+  private def evAnomaly(s: SparkSession, d: String): DataFrame =
+    Events.anomalies(Tables.events(s, d), AnomalyZ)
+      .orderBy(col("day"), col("event_type"))
+
+  private val evAnomalySql =
+    s"""WITH daily AS (SELECT date_trunc('day', ts)::DATE AS day,
+       |    event_type, count(*)::BIGINT AS cnt
+       |  FROM events GROUP BY 1, 2),
+       |z AS (SELECT day, event_type, cnt,
+       |    round((cnt - avg(cnt) OVER (PARTITION BY event_type))
+       |      / nullif(stddev_samp(cnt) OVER (PARTITION BY event_type), 0.0)
+       |      + 0.000000001, 6) AS z_score
+       |  FROM daily)
+       |SELECT day, event_type, cnt, z_score,
+       |  coalesce(abs(z_score) >= $AnomalyZ, false) AS is_anomaly
+       |FROM z ORDER BY day, event_type""".stripMargin
+
   /* ---------------- ev_retention ---------------- */
 
   private val RetentionPeriodSecs = 86400L // daily cohorts
@@ -225,6 +246,7 @@ object EventQueries {
     Qdef("ev_asof_view", evAsofView, Some(evAsofViewSql)),
     Qdef("ev_range_clicks", evRangeClicks, Some(evRangeClicksSql)),
     Qdef("ev_retention", evRetention, Some(evRetentionSql)),
+    Qdef("ev_anomaly", evAnomaly, Some(evAnomalySql)),
     Qdef("trend_daily", trendDaily, Some(trendDailySql)),
     Qdef("trend_growth", trendGrowth, Some(trendGrowthSql)))
 }

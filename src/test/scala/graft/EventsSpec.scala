@@ -78,4 +78,24 @@ class EventsSpec extends SparkSpec {
     assert(out((1L, 0L)) == (1L, 1.0))  // user 3's own cohort
     assert(!out.contains((1L, 1L)))
   }
+
+  test("anomalies flags days whose count z-score crosses the threshold") {
+    val day = 86400L
+    // type A: counts 10,10,10,22 across 4 days -> day 3 is the spike;
+    // type B: a single day -> no sample stddev -> null z, not flagged
+    val rows =
+      (0 until 3).flatMap(d => (0 until 10).map(i =>
+        (d * 100L + i, 1L, ns(d * day + i), "A", 0.0))) ++
+        (0 until 22).map(i => (300L + i, 1L, ns(3 * day + i), "A", 0.0)) ++
+        Seq((400L, 2L, ns(10), "B", 0.0))
+    val out = Events.anomalies(rows.toDF(
+      "event_id", "user_id", "ts", "event_type", "value"), 1.4)
+      .collect()
+      .map(r => (r.getAs[java.sql.Date]("day").toString, r.getString(1))
+        -> (r.getAs[Long]("cnt"), r.getAs[Boolean]("is_anomaly")))
+      .toMap
+    assert(out(("1970-01-04", "A")) == (22L, true))
+    assert(out(("1970-01-01", "A"))._2 == false)
+    assert(out(("1970-01-01", "B")) == (1L, false)) // null z -> false
+  }
 }
