@@ -408,8 +408,9 @@ object Dedup {
     * into groups with one keeper (a "keep min doc_id per cluster"
     * policy falls out of the component label).
     *
-    * Pregel-style min-label propagation on DataFrames: every node
-    * starts labelled with itself; each round replaces a node's label
+    * Pregel-style min-label propagation on DataFrames: nodes are
+    * seeded with min(self, neighbors) in one aggregate straight off
+    * the edge list; each round then replaces a node's label
     * with the min over itself and its neighbors' labels (one edge
     * join + one map-side-combined min aggregate — all key-partitioned
     * shuffles, no data ever reaches the driver). Labels are
@@ -430,15 +431,27 @@ object Dedup {
   def connectedComponents(
       pairs: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 25): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct().cache()
+    // both direction branches read the pair frame — cache it or the
+    // entire upstream pair generator runs once per branch (the same
+    // ReuseExchange defeat every pair generator guards against).
+    // `edges` stays a NARROW union over the cached pairs: duplicate
+    // or mirrored edges are harmless under an idempotent min, so the
+    // defensive distinct (a full shuffle + cache per round budget)
+    // buys nothing.
+    val p = pairs.select(col(aCol).as("src"), col(bCol).as("dst")).cache()
+    val edges = p
+      .unionAll(p.select(col("dst").as("src"), col("src").as("dst")))
     def sumOf(labels: DataFrame): java.math.BigDecimal =
       labels.agg(sum(col("component").cast("decimal(38,0)")))
         .head().getDecimal(0)
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("component", col("node")).cache()
-    var cert = sumOf(labels)
+    // round 0 is folded into the seed: min(self, neighbors) comes
+    // straight off the edge list in one aggregate — the identity
+    // labelling plus its propagation round would cost two extra
+    // actions for a state every graph leaves immediately
+    var labels = edges.groupBy(col("src").as("node"))
+      .agg(min(least(col("src"), col("dst"))).as("component"))
+      .cache()
+    var cert = sumOf(labels) // materializes the seed
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -452,9 +465,10 @@ object Dedup {
       val nextCert = sumOf(next) // materializes `next`
       labels.unpersist()
       labels = next
-      converged = nextCert.compareTo(cert) == 0
+      converged = (nextCert == null && cert == null) ||
+        (nextCert != null && cert != null && nextCert.compareTo(cert) == 0)
       cert = nextCert
-      iter += 1
+      iter += 1 // rounds spent AFTER the folded seed round
     }
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIters rounds — " +
