@@ -83,6 +83,34 @@ object Fusion {
   def totalScore(sim: Column, recency: Column, impact: Column): Column =
     round(sim * 0.4 + recency * 0.3 + impact * 0.3, 6)
 
+  /** Min-max-normalized score fusion — the reference reranker's final
+    * combine step (reference: backend/app/core/reranker.py:173-189
+    * rerank(): rerank scores min-max-normalized to 0-100 over the
+    * CANDIDATE SET, then final = original_weight·original +
+    * rerank_weight·normalized, with score_range forced to 1 when the
+    * scores are all equal). The normalization windows are global but
+    * run over an already top-k-pruned candidate frame — driver-scale
+    * rows at any corpus size (same contract as `ranked`).
+    *
+    * Output adds `rerank_score` (the 0-100 normalized value) and
+    * `final_score`, both rounded 6dp.
+    */
+  def minMaxFuse(
+      candidates: DataFrame, origCol: String, scoreCol: String,
+      origWeight: Double, rerankWeight: Double): DataFrame = {
+    val all = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val lo = min(col(scoreCol)).over(all)
+    val hi = max(col(scoreCol)).over(all)
+    val range = when(hi > lo, hi - lo).otherwise(lit(1.0))
+    candidates
+      .withColumn("rerank_score",
+        round((col(scoreCol) - lo) / range * 100.0 + lit(1e-9), 6))
+      .withColumn("final_score",
+        round(col(origCol) * origWeight + (col(scoreCol) - lo) / range
+          * 100.0 * rerankWeight + lit(1e-9), 6))
+  }
+
   /** Keyword-match similarity on a 0-100 scale (reference:
     * recommender.py:410 _calculate_keyword_similarity — the
     * similarity leg of the recommender's total score): the fraction

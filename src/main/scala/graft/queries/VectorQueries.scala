@@ -651,6 +651,71 @@ object VectorQueries {
        |    AS cross_score
        |FROM ov ORDER BY cross_score DESC, doc_id LIMIT 10""".stripMargin
 
+  /* ---------------- rerank_fused ---------------- */
+
+  // reference: backend/app/core/reranker.py:66-67 default weights
+  private val OrigWeight = 0.3
+  private val RerankWeight = 0.7
+
+  /** The reranker's final combine (reranker.py:173-189): cross scores
+    * min-max-normalized to 0-100 over the candidate set, fused with
+    * the original retrieval score at 0.3/0.7. Normalization reads the
+    * ROUNDED cross score on both engines so a 6dp tie cannot pick
+    * different extrema.
+    */
+  private def rerankFused(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.CrossScore
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val q = QueryTerms.mkString(" ")
+    // candidate frame feeds both the scoring pairs and the original-
+    // score join — cache it (caller-owned lifecycle, graft.Caching)
+    val cand = Bm25.topK(docs, "doc_id", "text", QueryTerms, 50).cache()
+    val pairs = cand
+      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) => CrossScore.TextPair(id, q, text) }
+    val scored = CrossScore.scorePairs(pairs, CrossScore.FakeCrossScorer)
+      .select(col("pair_id").as("doc_id"),
+        round(col("score") + lit(1e-9), 6).as("cross_score"))
+    Fusion.minMaxFuse(
+      cand.join(scored, Seq("doc_id"))
+        .select(col("doc_id"), col("bm25"), col("cross_score")),
+      "bm25", "cross_score", OrigWeight, RerankWeight)
+      .orderBy(col("final_score").desc, col("doc_id"))
+  }
+
+  private val rerankFusedSql = {
+    val range = "(CASE WHEN hi > lo THEN hi - lo ELSE 1.0 END)"
+    s"""WITH ${SqlSnippets.bm25ScoreCtes(termList)},
+       |cand AS (SELECT doc_id, round(s, 6) AS bm25 FROM sc
+       |         ORDER BY round(s, 6) DESC, doc_id LIMIT 50),
+       |qt AS (SELECT list_distinct(list_filter(
+       |         string_split_regex(lower(${TextFns.sqlLit(QueryTerms.mkString(" "))}), '\\s+'),
+       |         x -> x <> '')) AS qs),
+       |dd AS (SELECT c.doc_id, c.bm25,
+       |         list_distinct(list_filter(
+       |           string_split_regex(lower(d.text), '\\s+'),
+       |           x -> x <> '')) AS ds
+       |       FROM cand c JOIN documents d ON c.doc_id = d.doc_id),
+       |ov AS (SELECT doc_id, bm25,
+       |         len(list_filter(qs, x -> list_contains(ds, x)))::DOUBLE AS inter,
+       |         len(list_distinct(qs || ds))::DOUBLE AS uni
+       |       FROM dd CROSS JOIN qt),
+       |cs AS (SELECT doc_id, bm25,
+       |         round(CASE WHEN uni = 0 THEN 0.0 ELSE inter / uni END
+       |           + 0.000000001, 6) AS cross_score
+       |       FROM ov),
+       |mm AS (SELECT *, min(cross_score) OVER () AS lo,
+       |         max(cross_score) OVER () AS hi FROM cs)
+       |SELECT doc_id, bm25, cross_score,
+       |  round((cross_score - lo) / $range * 100.0 + 0.000000001, 6)
+       |    AS rerank_score,
+       |  round(bm25 * $OrigWeight + (cross_score - lo) / $range * 100.0
+       |    * $RerankWeight + 0.000000001, 6) AS final_score
+       |FROM mm ORDER BY final_score DESC, doc_id""".stripMargin
+  }
+
   /* ---------------- rerank_recency ---------------- */
 
   /** Demo binding for the recency/impact/total scoring ladders
@@ -764,5 +829,6 @@ object VectorQueries {
     Qdef("precision_search", precisionSearch, Some(precisionSearchSql)),
     Qdef("rerank_recency", rerankRecency, Some(rerankRecencySql)),
     Qdef("rerank_keyword", rerankKeyword, Some(rerankKeywordSql)),
-    Qdef("rerank_cross", rerankCross, Some(rerankCrossSql)))
+    Qdef("rerank_cross", rerankCross, Some(rerankCrossSql)),
+    Qdef("rerank_fused", rerankFused, Some(rerankFusedSql)))
 }

@@ -152,4 +152,30 @@ class ScoringSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(plain == expanded)
   }
+
+  test("minMaxFuse normalizes to 0-100 and fuses at the given weights") {
+    val cand = Seq(
+      (1L, 50.0, 0.2), (2L, 10.0, 0.6), (3L, 30.0, 0.4)
+    ).toDF("doc_id", "orig", "cross")
+    val out = Fusion.minMaxFuse(cand, "orig", "cross", 0.3, 0.7)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("rerank_score"), r.getAs[Double]("final_score")))
+      .toMap
+    assert(out(1L)._1 == 0.0)     // min -> 0
+    assert(out(2L)._1 == 100.0)   // max -> 100
+    assert(out(3L)._1 == 50.0)    // midpoint
+    assert(out(1L)._2 == 15.0)    // 0.3*50 + 0.7*0
+    assert(out(2L)._2 == 73.0)    // 0.3*10 + 0.7*100
+  }
+
+  test("minMaxFuse with all-equal scores uses range 1, like the reference") {
+    val cand = Seq((1L, 40.0, 0.5), (2L, 20.0, 0.5)).toDF("doc_id", "orig", "cross")
+    val out = Fusion.minMaxFuse(cand, "orig", "cross", 0.3, 0.7)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("rerank_score"), r.getAs[Double]("final_score")))
+      .toMap
+    // (s - min)/1 * 100 = 0 for every row -> final is pure original
+    assert(out(1L) == (0.0, 12.0))
+    assert(out(2L) == (0.0, 6.0))
+  }
 }
