@@ -55,7 +55,7 @@ object Decontam {
       .select(col(idCol),
         col("n_grams").cast("long").as("n_grams"),
         col("hit_grams").cast("long").as("hit_grams"),
-        round(col("hit_grams").cast("double") / col("n_grams"), 6)
+        round(col("hit_grams").cast("double") / col("n_grams") + lit(1e-9), 6)
           .as("contamination"))
   }
 }

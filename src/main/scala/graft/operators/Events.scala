@@ -243,6 +243,6 @@ object Events {
     // period is their own first row), so first_value is the cohort size
     agg.withColumn("retained_frac",
       round(col("n_users").cast("double") /
-        first(col("n_users")).over(byCohort), 6))
+        first(col("n_users")).over(byCohort) + lit(1e-9), 6))
   }
 }

@@ -320,8 +320,13 @@ object Stats {
       // log2(mean+1) is only defined for mean > -1; raw values (e.g.
       // embedding dims) can push a cluster mean below that, where
       // Spark's log returns null but the oracle's ln() raises — so
-      // BOTH engines carry the explicit guard and agree on null
-      .withColumn("logfoldchange", when(meanIn > -1.0 && meanOut > -1.0, r6(
+      // BOTH engines carry the explicit guard and agree on null.
+      // The guard compares the ROUNDED mean: each engine folds the
+      // mean in its own partial-aggregation order, so an unrounded
+      // compare within an ulp of -1.0 could emit value on one engine
+      // and null on the other (round-8 ADVICE).
+      .withColumn("logfoldchange",
+        when(r6(meanIn) > -1.0 && r6(meanOut) > -1.0, r6(
         log(meanIn + 1.0) / lit(math.log(2.0)) -
           log(meanOut + 1.0) / lit(math.log(2.0)))))
       .withColumn("p_value", r6(normalTwoSidedP(t)))

@@ -185,11 +185,11 @@ object TextAnalysis {
     uni.join(bi, Seq(idCol), "left")
       .select(col(idCol),
         col("n_tokens").cast("long").as("n_tokens"),
-        round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"), 6)
-          .as("dup_token_frac"),
-        round(col("top_c").cast("double") / col("n_tokens"), 6)
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens")
+          + lit(1e-9), 6).as("dup_token_frac"),
+        round(col("top_c").cast("double") / col("n_tokens") + lit(1e-9), 6)
           .as("top_token_frac"),
-        round(col("top_bc").cast("double") / col("n_bigrams"), 6)
+        round(col("top_bc").cast("double") / col("n_bigrams") + lit(1e-9), 6)
           .as("top_bigram_frac"))
   }
 

@@ -362,7 +362,7 @@ object DedupQueries {
        |ht AS (SELECT doc_id, count(*)::BIGINT AS hit_grams
        |  FROM cg JOIN bg USING (shg) GROUP BY doc_id)
        |SELECT ht.doc_id, n_grams, hit_grams,
-       |  round(hit_grams::DOUBLE / n_grams, 6) AS contamination
+       |  round(hit_grams::DOUBLE / n_grams + 0.000000001, 6) AS contamination
        |FROM ht JOIN pd ON ht.doc_id = pd.doc_id
        |ORDER BY contamination DESC, ht.doc_id""".stripMargin
 

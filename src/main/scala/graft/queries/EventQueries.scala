@@ -190,8 +190,8 @@ object EventQueries {
        |  GROUP BY cohort_period, period - cohort_period)
        |SELECT cohort_period, period_offset, n_users,
        |  round(n_users::DOUBLE / first_value(n_users) OVER (
-       |    PARTITION BY cohort_period ORDER BY period_offset), 6)
-       |    AS retained_frac
+       |    PARTITION BY cohort_period ORDER BY period_offset)
+       |    + 0.000000001, 6) AS retained_frac
        |FROM a ORDER BY cohort_period, period_offset""".stripMargin
 
   /* ---------------- trend_daily ---------------- */

@@ -468,7 +468,8 @@ object StatsQueries {
        |pt2 AS (SELECT *, 1.0 / (1.0 + 0.3275911 * x) AS tt FROM px2),
        |scm AS (SELECT cluster, gene,
        |    round(t + 0.000000001, 6) AS score,
-       |    (CASE WHEN mean_in > -1.0 AND mean_out > -1.0 THEN
+       |    (CASE WHEN round(mean_in + 0.000000001, 6) > -1.0
+       |        AND round(mean_out + 0.000000001, 6) > -1.0 THEN
        |      round(ln(mean_in + 1.0) / ln(2.0) - ln(mean_out + 1.0) / ln(2.0)
        |        + 0.000000001, 6) END) AS logfoldchange,
        |    round($pSql + 0.000000001, 6) AS p_value

@@ -443,9 +443,10 @@ object TextQueries {
       |    max(c)::BIGINT AS top_bc
       |  FROM bc GROUP BY doc_id)
       |SELECT ua.doc_id, n_tokens,
-      |  round(1.0 - n_distinct::DOUBLE / n_tokens, 6) AS dup_token_frac,
-      |  round(top_c::DOUBLE / n_tokens, 6) AS top_token_frac,
-      |  round(top_bc::DOUBLE / n_bigrams, 6) AS top_bigram_frac
+      |  round(1.0 - n_distinct::DOUBLE / n_tokens + 0.000000001, 6)
+      |    AS dup_token_frac,
+      |  round(top_c::DOUBLE / n_tokens + 0.000000001, 6) AS top_token_frac,
+      |  round(top_bc::DOUBLE / n_bigrams + 0.000000001, 6) AS top_bigram_frac
       |FROM ua LEFT JOIN ba ON ua.doc_id = ba.doc_id
       |ORDER BY ua.doc_id""".stripMargin
 
