@@ -1,0 +1,217 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Single-cell pipeline stages beyond marker finding (which lives in
+  * Stats.markerStats): QC filtering, pseudobulk aggregation, and
+  * marker-based cluster annotation — the Spark-native re-expression
+  * of the data-processing stages of
+  * reference: rnaseq_pipeline/agents/agent_singlecell.py.
+  *
+  * Scale design: a single-cell count matrix is long-form
+  * (cell, gene, count) rows — at atlas scale (10⁸ cells × 2×10⁴
+  * genes, ~1% density → 2×10¹⁰ nonzero rows) everything here must be
+  * map-side-combinable aggregates with panel-scale (genes × clusters)
+  * or cell-scale outputs, and nothing may shuffle matrix rows twice.
+  * Every method below is one or two cascaded hash aggregates over the
+  * matrix; windows only ever run on panel- or cluster-cardinality
+  * frames.
+  */
+object SingleCell {
+
+  private def r6(c: Column) = round(c + lit(1e-9), 6)
+
+  /** QC thresholds (reference: agent_singlecell.py:424
+    * min_counts_per_cell=500 empty-droplet cut, :436/:443
+    * min/max_genes_per_cell, :457 max_mito_percent).
+    */
+  final case class QcThresholds(
+      minCounts: Double = 500.0,
+      minGenes: Long = 200L,
+      maxGenes: Long = 6000L,
+      maxMitoPct: Double = 20.0)
+
+  /** Per-cell QC metrics (reference: agent_singlecell.py:384
+    * _qc_filtering step 1.1 — sc.pp.calculate_qc_metrics:
+    * n_genes_by_counts, total_counts, pct_counts_mt with the mito
+    * flag from var_names.str.startswith('MT-') at :392).
+    *
+    * Input: long-form (cell, gene, count) rows, possibly with
+    * duplicate (cell, gene) entries (raw molecule rows). Two cascaded
+    * map-side-combinable aggregates: first coalesce to the sparse
+    * matrix entry per (cell, gene) — that IS the count-matrix build —
+    * then per-cell metrics. No count(distinct) expand, no window, no
+    * join; output is one row per cell.
+    *
+    * Cross-engine protocol: counts are summed raw (exact when counts
+    * are integral); only the mito PERCENTAGE is a ratio, rounded to
+    * 6dp with the suite's +1e-9 half-boundary nudge — threshold
+    * compares happen on the rounded value so both engines cut
+    * identically.
+    */
+  def qcMetrics(
+      matrix: DataFrame, cellCol: String, geneCol: String,
+      countCol: String, mitoPrefix: String = "MT-"): DataFrame = {
+    val entry = matrix
+      .groupBy(col(cellCol), col(geneCol))
+      .agg(sum(col(countCol)).as("cnt"))
+    entry
+      .groupBy(col(cellCol))
+      .agg(
+        count(lit(1)).as("n_genes"),
+        sum(col("cnt")).as("total_counts"),
+        sum(when(col(geneCol).startsWith(mitoPrefix), col("cnt"))
+          .otherwise(lit(0.0))).as("mito_counts"))
+      .select(col(cellCol), col("n_genes"),
+        col("total_counts"),
+        r6(col("mito_counts") * lit(100.0) / col("total_counts"))
+          .as("pct_mt"))
+  }
+
+  /** QC filter with audit attribution (reference:
+    * agent_singlecell.py:420-466 — the sequential empty-droplet,
+    * min-genes, max-genes, mito filters, each logging its removal
+    * count into qc_stats["filters_applied"]). The reference applies
+    * the filters in sequence, so a cell failing several is counted
+    * once, by the FIRST failing filter — mirrored here as a CASE
+    * ladder in the same order. `status = 'kept'` rows are the
+    * surviving cells; grouping the output by status reproduces the
+    * reference's per-filter cells_removed audit.
+    *
+    * Purely narrow over the qcMetrics frame — the status column costs
+    * nothing at any scale.
+    */
+  def qcFilter(metrics: DataFrame, t: QcThresholds): DataFrame =
+    metrics.withColumn("status",
+      when(col("total_counts") < t.minCounts, lit("empty_droplet"))
+        .when(col("n_genes") < t.minGenes, lit("low_genes"))
+        .when(col("n_genes") >= t.maxGenes, lit("high_genes"))
+        .when(col("pct_mt") >= t.maxMitoPct, lit("high_mito"))
+        .otherwise(lit("kept")))
+
+  /** Pseudobulk aggregation (reference: agent_singlecell.py:1838
+    * _generate_pseudobulk — per-cluster summed counts over the
+    * cluster assignment, then CPM-like scaling: each cluster column
+    * divided by its own total × 1e6).
+    *
+    * Input: long-form (cluster, gene, count) rows — the caller joins
+    * the cluster assignment onto the matrix (one broadcast-able join
+    * when clusters come from a codebook assignment; the assignment
+    * frame is cell-cardinality but only (cell, cluster) wide).
+    *
+    * One map-side-combinable hash aggregate over (cluster, gene);
+    * cluster library sizes re-aggregate from the RESULT (panel-scale,
+    * never matrix-scale) and broadcast back. The reference's
+    * pseudobulk frame is DENSE (genes × clusters, missing = 0 because
+    * the source matrix is a dense array) — mirrored by a panel-scale
+    * genes × clusters cross join with coalesce-to-zero, so
+    * downstream DEG sees every gene in every cluster exactly as the
+    * reference does.
+    *
+    * Output: (clusterCol, geneCol, pb_count, cpm) — cpm = count /
+    * cluster-total × 1e6, the reference's TPM-like value. pb_count
+    * sums are exact for integral counts, so the cpm ratio is
+    * bit-identical cross-engine; rounded to 6dp regardless
+    * (belt-and-braces, like deg_cpm).
+    */
+  def pseudobulk(
+      assigned: DataFrame, clusterCol: String, geneCol: String,
+      countCol: String): DataFrame = {
+    val pb = assigned
+      .groupBy(col(clusterCol), col(geneCol))
+      .agg(sum(col(countCol)).as("pb_count"))
+    val genes = pb.select(col(geneCol)).distinct()
+    val clusters = pb.select(col(clusterCol)).distinct()
+    val dense = clusters.crossJoin(genes)
+      .join(pb, Seq(clusterCol, geneCol), "left")
+      .withColumn("pb_count", coalesce(col("pb_count"), lit(0.0)))
+    val lib = dense.groupBy(col(clusterCol))
+      .agg(sum(col("pb_count")).as("lib_size"))
+    dense
+      .join(broadcast(lib), Seq(clusterCol))
+      .select(col(clusterCol), col(geneCol), col("pb_count"),
+        r6(col("pb_count") / nullif(col("lib_size"), lit(0.0)) * lit(1e6))
+          .as("cpm"))
+  }
+
+  /** Marker-based cluster annotation (reference:
+    * agent_singlecell.py:1181 _annotate_clusters_by_markers — match
+    * each cluster's top-`listLen` ranked markers against canonical
+    * cell-type signatures; :1597-1610 the position-weighted overlap
+    * score: for each signature gene found among the markers,
+    * score += (listLen - idx) / listLen, then ×(1 + 0.2·|overlap|);
+    * :1622 the best match wins if score > minScore else
+    * 'Unknown_<cluster>'; :1634-1643 duplicate cell-type names get
+    * '_2', '_3'… suffixes in cluster order).
+    *
+    * Inputs: `markers` = ranked marker rows (clusterCol, geneCol,
+    * rankCol 1-based — Stats.markerStats output shape);
+    * `signatures` = the canonical (cell_type, gene) membership rows
+    * (a curated panel — broadcast by construction).
+    *
+    * Scale: markers is clusters × listLen rows and signatures is a
+    * panel — everything here is panel-scale; the only join is
+    * markers ⋈ broadcast(signatures). Windows partition by cluster
+    * (argmax) or cell type (duplicate numbering) over ≤|clusters|
+    * rows.
+    *
+    * Cross-engine protocol: the per-match weight (listLen − (rnk−1))
+    * / listLen is a small-int division — identical IEEE doubles both
+    * engines — but the overlap SUM's fold order is engine-specific,
+    * so the final score is rounded to 6dp (+1e-9 nudge) and the
+    * argmax/threshold run on the ROUNDED score with a cell-type-name
+    * tiebreak.
+    *
+    * Output: one row per cluster — (clusterCol, cell_type, score,
+    * n_overlap), where cell_type carries the reference's Unknown
+    * fallback and duplicate suffixes.
+    */
+  def annotateClusters(
+      markers: DataFrame, clusterCol: String, geneCol: String,
+      rankCol: String, signatures: DataFrame, listLen: Int = 50,
+      minScore: Double = 1.0): DataFrame = {
+    val sig = signatures
+      .select(col("cell_type"), col(geneCol))
+      .distinct()
+    val weight = (lit(listLen) - (col(rankCol) - 1).cast("double")) /
+      lit(listLen.toDouble)
+    val scored = markers
+      .join(broadcast(sig), Seq(geneCol))
+      .groupBy(col(clusterCol), col("cell_type"))
+      .agg(sum(weight).as("raw_w"), count(lit(1)).as("n_overlap"))
+      .withColumn("score",
+        r6(col("raw_w") * (lit(1.0) + lit(0.2) * col("n_overlap"))))
+    val byScore = Window.partitionBy(col(clusterCol))
+      .orderBy(col("score").desc, col("cell_type"))
+    val best = scored
+      .withColumn("rn", row_number().over(byScore))
+      .where(col("rn") === 1)
+    // clusters with NO signature overlap at all drop out of the join —
+    // restore them from the markers frame so they still annotate as
+    // Unknown_<cluster>, like the reference's else branch
+    val allClusters = markers.select(col(clusterCol)).distinct()
+    val labeled = allClusters
+      .join(best, Seq(clusterCol), "left")
+      .withColumn("base_type",
+        when(col("score") > minScore, col("cell_type"))
+          .otherwise(concat(lit("Unknown_"), col(clusterCol).cast("string"))))
+    // duplicate numbering in cluster order: first keeps the bare
+    // name, later clusters of the same type get _2, _3, ...
+    val byType = Window.partitionBy(col("base_type"))
+      .orderBy(col(clusterCol))
+    labeled
+      .withColumn("dup_rn", row_number().over(byType))
+      .select(col(clusterCol),
+        when(col("dup_rn") === 1, col("base_type"))
+          .otherwise(concat(col("base_type"), lit("_"),
+            col("dup_rn").cast("string"))).as("cell_type"),
+        // the reference records score 0 for Unknown clusters
+        // (agent_singlecell.py:1630), whatever the sub-threshold
+        // best overlap scored
+        when(col("score") > minScore, col("score")).otherwise(lit(0.0))
+          .as("score"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+  }
+}

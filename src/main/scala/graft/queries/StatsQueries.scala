@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.VectorFns
-import graft.operators.{Stats, VectorSearch}
+import graft.operators.{SingleCell, Stats, VectorSearch}
 
 /** Grouped differential-statistics queries (the reference's RNA-seq
   * DEG surface re-expressed as cohort-vs-cohort groupBy statistics).
@@ -492,6 +492,60 @@ object StatsQueries {
        |SELECT cluster, gene, score, logfoldchange, pval, pval_adj, rnk
        |FROM fin WHERE rnk <= $ScTopN ORDER BY cluster, rnk""".stripMargin
 
+  /* ---------------- sc_qc ---------------- */
+
+  private val QcCells = 2000
+  private val QcGenes = 60
+  private val QcMitoGenes = 5
+
+  /** Single-cell QC binding (agent_singlecell.py:384 _qc_filtering):
+    * cells = l_orderkey mod 2000, genes = l_partkey mod 60 with the
+    * first 5 carrying the reference's 'MT-' name prefix (:392
+    * var_names.str.startswith('MT-')), molecule counts = quantity.
+    * Thresholds are tuned so every status bucket is non-empty at
+    * sf0.01 (min_counts=500 as the reference's default at :424;
+    * min_genes=15 / max_genes=33 / max_mito=20% scaled to the
+    * synthetic matrix's gene panel). Output = per-cell metrics +
+    * first-failing-filter status, the reference's qc_stats audit in
+    * relational form.
+    */
+  private def scQc(s: SparkSession, d: String): DataFrame = {
+    val gid = pmod(col("l_partkey"), lit(QcGenes))
+    val m = Tables.lineitem(s, d).select(
+      pmod(col("l_orderkey"), lit(QcCells)).cast("long").as("cell_id"),
+      concat(
+        when(gid < QcMitoGenes, lit("MT-")).otherwise(lit("G")),
+        gid.cast("string")).as("gene"),
+      col("l_quantity").cast("double").as("cnt"))
+    SingleCell.qcFilter(
+      SingleCell.qcMetrics(m, "cell_id", "gene", "cnt"),
+      SingleCell.QcThresholds(
+        minCounts = 500.0, minGenes = 15L, maxGenes = 33L,
+        maxMitoPct = 20.0))
+      .orderBy(col("cell_id"))
+  }
+
+  private val scQcSql =
+    s"""WITH m AS (SELECT (l_orderkey % $QcCells)::BIGINT AS cell_id,
+       |    (CASE WHEN l_partkey % $QcGenes < $QcMitoGenes THEN 'MT-'
+       |          ELSE 'G' END) || (l_partkey % $QcGenes)::VARCHAR AS gene,
+       |    l_quantity::DOUBLE AS cnt
+       |  FROM lineitem),
+       |e AS (SELECT cell_id, gene, sum(cnt) AS cnt
+       |  FROM m GROUP BY cell_id, gene),
+       |pc AS (SELECT cell_id, count(*)::BIGINT AS n_genes,
+       |    sum(cnt) AS total_counts,
+       |    round(sum(CASE WHEN gene LIKE 'MT-%' THEN cnt ELSE 0.0 END)
+       |      * 100.0 / sum(cnt) + 0.000000001, 6) AS pct_mt
+       |  FROM e GROUP BY cell_id)
+       |SELECT cell_id, n_genes, total_counts, pct_mt,
+       |  CASE WHEN total_counts < 500.0 THEN 'empty_droplet'
+       |       WHEN n_genes < 15 THEN 'low_genes'
+       |       WHEN n_genes >= 33 THEN 'high_genes'
+       |       WHEN pct_mt >= 20.0 THEN 'high_mito'
+       |       ELSE 'kept' END AS status
+       |FROM pc ORDER BY cell_id""".stripMargin
+
   val defs: Seq[Qdef] = Seq(
     Qdef("deg_stats", degStats, Some(degStatsSql)),
     Qdef("deg_enrich", degEnrich, Some(degEnrichSql)),
@@ -500,5 +554,6 @@ object StatsQueries {
     Qdef("deg_top_var", degTopVar, Some(degTopVarSql)),
     Qdef("deg_network", degNetwork, Some(degNetworkSql)),
     Qdef("deg_hub", degHub, Some(degHubSql)),
-    Qdef("sc_markers", scMarkers, Some(scMarkersSql)))
+    Qdef("sc_markers", scMarkers, Some(scMarkersSql)),
+    Qdef("sc_qc", scQc, Some(scQcSql)))
 }

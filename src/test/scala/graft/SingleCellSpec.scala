@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.SingleCell
+
+class SingleCellSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 4 cells exercising each filter branch + one kept cell; duplicate
+  // (cell, gene) molecule rows must coalesce before metrics
+  private def matrix = Seq(
+    // c1: healthy — 3 genes, 300 counts, 10% mito
+    ("c1", "MT-1", 30.0), ("c1", "G2", 200.0), ("c1", "G3", 70.0),
+    // c2: empty droplet — 2 genes but only 40 counts
+    ("c2", "G2", 20.0), ("c2", "G3", 20.0),
+    // c3: one gene only (low_genes), counts fine — split across two
+    // molecule rows to exercise the coalescing pre-aggregate
+    ("c3", "G2", 100.0), ("c3", "G2", 150.0),
+    // c4: high mito — 3 genes, 250 counts, 60% mito
+    ("c4", "MT-1", 150.0), ("c4", "G2", 50.0), ("c4", "G3", 50.0),
+    // c5: too many genes (4 >= maxGenes)
+    ("c5", "G2", 50.0), ("c5", "G3", 50.0), ("c5", "G4", 50.0),
+    ("c5", "G5", 50.0)
+  ).toDF("cell", "gene", "cnt")
+
+  private val thresholds = SingleCell.QcThresholds(
+    minCounts = 100.0, minGenes = 2L, maxGenes = 4L, maxMitoPct = 20.0)
+
+  test("qcMetrics coalesces molecule rows and computes per-cell QC") {
+    val m = SingleCell.qcMetrics(matrix, "cell", "gene", "cnt")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(m("c1").getLong(1) == 3 && m("c1").getDouble(2) == 300.0)
+    assert(m("c1").getDouble(3) == 10.0)
+    assert(m("c3").getLong(1) == 1 && m("c3").getDouble(2) == 250.0)
+    assert(m("c4").getDouble(3) == 60.0)
+  }
+
+  test("qcFilter attributes each cell to its FIRST failing filter") {
+    val st = SingleCell
+      .qcFilter(SingleCell.qcMetrics(matrix, "cell", "gene", "cnt"),
+        thresholds)
+      .collect().map(r => r.getString(0) -> r.getString(4)).toMap
+    assert(st == Map(
+      "c1" -> "kept", "c2" -> "empty_droplet", "c3" -> "low_genes",
+      "c4" -> "high_mito", "c5" -> "high_genes"))
+  }
+
+  test("qcFilter order: a cell failing several filters counts once, first") {
+    // 1 gene AND 40 counts: empty_droplet wins over low_genes,
+    // matching the reference's sequential filter order
+    val both = Seq(("cx", "G9", 40.0)).toDF("cell", "gene", "cnt")
+    val st = SingleCell
+      .qcFilter(SingleCell.qcMetrics(both, "cell", "gene", "cnt"),
+        thresholds)
+      .select(col("status")).as[String].collect()
+    assert(st.toSeq == Seq("empty_droplet"))
+  }
+
+  test("pseudobulk densifies missing (cluster, gene) pairs to zero and CPM-scales") {
+    val assigned = Seq(
+      (0L, "g1", 600.0), (0L, "g2", 400.0),
+      (1L, "g1", 50.0) // g2 missing from cluster 1 -> dense 0
+    ).toDF("cluster", "gene", "cnt")
+    val pb = SingleCell.pseudobulk(assigned, "cluster", "gene", "cnt")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r).toMap
+    assert(pb.size == 4) // 2 clusters x 2 genes, dense
+    assert(pb((0L, "g1")).getDouble(2) == 600.0)
+    assert(pb((0L, "g1")).getDouble(3) == 600000.0) // 600/1000 * 1e6
+    assert(pb((1L, "g2")).getDouble(2) == 0.0)
+    assert(pb((1L, "g2")).getDouble(3) == 0.0)
+    assert(pb((1L, "g1")).getDouble(3) == 1000000.0) // whole library
+  }
+
+  test("annotateClusters: position-weighted overlap, threshold, duplicate numbering") {
+    // cluster 0: strong T_cells overlap at top ranks; cluster 1 the
+    // same (duplicate -> suffix _2); cluster 2 below threshold
+    val markers = Seq(
+      (0L, "CD3D", 1L), (0L, "CD3E", 2L), (0L, "TRAC", 3L),
+      (1L, "CD3E", 1L), (1L, "CD3D", 2L), (1L, "XYZ", 3L),
+      (2L, "AAA", 1L), (2L, "BBB", 2L), (2L, "CD3D", 50L)
+    ).toDF("cluster", "gene", "rnk")
+    val sigs = Seq(
+      ("T_cells", "CD3D"), ("T_cells", "CD3E"), ("T_cells", "TRAC"),
+      ("B_cells", "CD79A")).toDF("cell_type", "gene")
+    val out = SingleCell
+      .annotateClusters(markers, "cluster", "gene", "rnk", sigs,
+        listLen = 50, minScore = 1.0)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getString(1) == "T_cells")
+    // weights (50-0)/50 + (50-1)/50 + (50-2)/50 = 2.94, x(1+0.2*3)
+    assert(math.abs(out(0L).getDouble(2) - 2.94 * 1.6) < 1e-6)
+    assert(out(0L).getLong(3) == 3)
+    assert(out(1L).getString(1) == "T_cells_2") // duplicate numbering
+    // cluster 2: single overlap at rank 50 -> weight 1/50 * 1.2 << 1
+    assert(out(2L).getString(1) == "Unknown_2")
+    assert(out(2L).getDouble(2) < 1.0)
+  }
+
+  test("annotateClusters: a cluster with zero signature overlap still annotates Unknown") {
+    val markers = Seq((7L, "ZZZ", 1L)).toDF("cluster", "gene", "rnk")
+    val sigs = Seq(("T_cells", "CD3D")).toDF("cell_type", "gene")
+    val out = SingleCell
+      .annotateClusters(markers, "cluster", "gene", "rnk", sigs)
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getString(1) == "Unknown_7")
+    assert(out.head.getDouble(2) == 0.0 && out.head.getLong(3) == 0L)
+  }
+}
