@@ -425,8 +425,13 @@ object StatsQueries {
     s"""c${n + 1} AS (SELECT a.cell, evv.i, avg(evv.v) AS v
        |  FROM as$n a JOIN evv USING (vec_id) GROUP BY 1, 2)""".stripMargin
 
-  private val scMarkersSql =
-    s"""WITH ev AS (SELECT vec_id, embedding,
+  /** The seeded k-means chain (unrolled one CTE block per
+    * assignment), ending at `as2` = the final (vec_id, cell)
+    * assignment — shared by every sc_* oracle that replays the
+    * cluster assignment (sc_markers, sc_pseudobulk, sc_annotate).
+    */
+  private val kmeansCtes =
+    s"""ev AS (SELECT vec_id, embedding,
        |    unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
        |evv AS (SELECT vec_id, i, embedding[i]::DOUBLE AS v FROM ev),
        |en AS (SELECT vec_id, sum(v * v) AS ns FROM evv GROUP BY vec_id),
@@ -438,7 +443,10 @@ object StatsQueries {
        |${meanSql(0)},
        |${assignSql(1, "c1")},
        |${meanSql(1)},
-       |${assignSql(2, "c2")},
+       |${assignSql(2, "c2")}""".stripMargin
+
+  private val scMarkersSql =
+    s"""WITH $kmeansCtes,
        |lm AS (SELECT a.cell::BIGINT AS cluster, (evv.i - 1)::BIGINT AS gene,
        |    evv.v AS v
        |  FROM as2 a JOIN evv USING (vec_id)),
