@@ -50,19 +50,29 @@ object SingleCell {
     * 6dp with the suite's +1e-9 half-boundary nudge — threshold
     * compares happen on the rounded value so both engines cut
     * identically.
+    *
+    * n_genes counts only POSITIVE entries (scanpy's n_genes_by_counts
+    * semantics) — a sparse input carrying explicit zero rows must not
+    * inflate the gene count. Mito detection takes a prefix LIST
+    * (default MT-/mt-, reference :392 startswith(('MT-','mt-'))) so
+    * lowercase mouse-style names are flagged too.
     */
   def qcMetrics(
       matrix: DataFrame, cellCol: String, geneCol: String,
-      countCol: String, mitoPrefix: String = "MT-"): DataFrame = {
+      countCol: String,
+      mitoPrefixes: Seq[String] = Seq("MT-", "mt-")): DataFrame = {
     val entry = matrix
       .groupBy(col(cellCol), col(geneCol))
       .agg(sum(col(countCol)).as("cnt"))
+    val isMito = mitoPrefixes
+      .map(p => col(geneCol).startsWith(p))
+      .reduce(_ || _)
     entry
       .groupBy(col(cellCol))
       .agg(
-        count(lit(1)).as("n_genes"),
+        count(when(col("cnt") > 0, lit(1))).as("n_genes"),
         sum(col("cnt")).as("total_counts"),
-        sum(when(col(geneCol).startsWith(mitoPrefix), col("cnt"))
+        sum(when(isMito, col("cnt"))
           .otherwise(lit(0.0))).as("mito_counts"))
       .select(col(cellCol), col("n_genes"),
         col("total_counts"),
@@ -114,15 +124,27 @@ object SingleCell {
     * cluster-total × 1e6, the reference's TPM-like value. pb_count
     * sums are exact for integral counts, so the cpm ratio is
     * bit-identical cross-engine; rounded to 6dp regardless
-    * (belt-and-braces, like deg_cpm).
+    * (belt-and-braces, like deg_cpm). A cluster whose whole library
+    * sums to 0 gets cpm 0.0 for every gene (coalesced — the
+    * reference's dense array would divide 0/0; all-zero clusters
+    * cannot occur from a positive count matrix anyway).
+    *
+    * `genePanel` (optional, one geneCol column): densify against this
+    * FIXED panel instead of the genes observed in `assigned` — the
+    * reference's pseudobulk frame is indexed by the full adata.var
+    * gene universe, so a gene absent from every cluster appears as a
+    * zero row there; deriving the universe from the aggregate drops
+    * it. Pass the var panel for reference-exact shape.
     */
   def pseudobulk(
       assigned: DataFrame, clusterCol: String, geneCol: String,
-      countCol: String): DataFrame = {
+      countCol: String, genePanel: Option[DataFrame] = None): DataFrame = {
     val pb = assigned
       .groupBy(col(clusterCol), col(geneCol))
       .agg(sum(col(countCol)).as("pb_count"))
-    val genes = pb.select(col(geneCol)).distinct()
+    val genes = genePanel
+      .map(_.select(col(geneCol)).distinct())
+      .getOrElse(pb.select(col(geneCol)).distinct())
     val clusters = pb.select(col(clusterCol)).distinct()
     val dense = clusters.crossJoin(genes)
       .join(pb, Seq(clusterCol, geneCol), "left")
@@ -132,13 +154,15 @@ object SingleCell {
     dense
       .join(broadcast(lib), Seq(clusterCol))
       .select(col(clusterCol), col(geneCol), col("pb_count"),
-        r6(col("pb_count") / nullif(col("lib_size"), lit(0.0)) * lit(1e6))
-          .as("cpm"))
+        coalesce(
+          r6(col("pb_count") / nullif(col("lib_size"), lit(0.0)) * lit(1e6)),
+          lit(0.0)).as("cpm"))
   }
 
   /** Marker-based cluster annotation (reference:
     * agent_singlecell.py:1181 _annotate_clusters_by_markers — match
-    * each cluster's top-`listLen` ranked markers against canonical
+    * each cluster's top-`matchLen` ranked markers (the reference's
+    * set(top_markers[:30]) window at :1581) against canonical
     * cell-type signatures; :1597-1610 the position-weighted overlap
     * score: for each signature gene found among the markers,
     * score += (listLen - idx) / listLen, then ×(1 + 0.2·|overlap|);
@@ -171,13 +195,19 @@ object SingleCell {
   def annotateClusters(
       markers: DataFrame, clusterCol: String, geneCol: String,
       rankCol: String, signatures: DataFrame, listLen: Int = 50,
-      minScore: Double = 1.0): DataFrame = {
+      minScore: Double = 1.0, matchLen: Int = 30): DataFrame = {
     val sig = signatures
       .select(col("cell_type"), col(geneCol))
       .distinct()
     val weight = (lit(listLen) - (col(rankCol) - 1).cast("double")) /
       lit(listLen.toDouble)
-    val scored = markers
+    // the reference matches against set(top_markers[:30]) while
+    // WEIGHTING by top-50 position (agent_singlecell.py:1581,1605):
+    // only ranks <= matchLen may overlap, and ranks beyond listLen
+    // never score (they'd get zero/negative weights otherwise)
+    val matched = markers
+      .where(col(rankCol) <= lit(math.min(matchLen, listLen)))
+    val scored = matched
       .join(broadcast(sig), Seq(geneCol))
       .groupBy(col(clusterCol), col("cell_type"))
       .agg(sum(weight).as("raw_w"), count(lit(1)).as("n_overlap"))

@@ -539,12 +539,14 @@ object StatsQueries {
        |          ELSE 'G' END) || (l_partkey % $QcGenes)::VARCHAR AS gene,
        |    l_quantity::DOUBLE AS cnt
        |  FROM lineitem),
-       |e AS (SELECT cell_id, gene, sum(cnt) AS cnt
+       |e AS (SELECT cell_id, gene, sum(cnt)::DOUBLE AS cnt
        |  FROM m GROUP BY cell_id, gene),
-       |pc AS (SELECT cell_id, count(*)::BIGINT AS n_genes,
-       |    sum(cnt) AS total_counts,
-       |    round(sum(CASE WHEN gene LIKE 'MT-%' THEN cnt ELSE 0.0 END)
-       |      * 100.0 / sum(cnt) + 0.000000001, 6) AS pct_mt
+       |pc AS (SELECT cell_id,
+       |    count(CASE WHEN cnt > 0 THEN 1 END)::BIGINT AS n_genes,
+       |    sum(cnt)::DOUBLE AS total_counts,
+       |    round(sum(CASE WHEN gene LIKE 'MT-%' OR gene LIKE 'mt-%'
+       |        THEN cnt ELSE 0.0 END)
+       |      * 100.0 / sum(cnt)::DOUBLE + 0.000000001, 6) AS pct_mt
        |  FROM e GROUP BY cell_id)
        |SELECT cell_id, n_genes, total_counts, pct_mt,
        |  CASE WHEN total_counts < 500.0 THEN 'empty_droplet'

@@ -92,9 +92,29 @@ class SingleCellSpec extends SparkSpec {
     assert(math.abs(out(0L).getDouble(2) - 2.94 * 1.6) < 1e-6)
     assert(out(0L).getLong(3) == 3)
     assert(out(1L).getString(1) == "T_cells_2") // duplicate numbering
-    // cluster 2: single overlap at rank 50 -> weight 1/50 * 1.2 << 1
+    // cluster 2: its only signature gene sits at rank 50, OUTSIDE the
+    // reference's top-30 matching window -> zero overlap -> Unknown
     assert(out(2L).getString(1) == "Unknown_2")
-    assert(out(2L).getDouble(2) < 1.0)
+    assert(out(2L).getDouble(2) == 0.0 && out(2L).getLong(3) == 0L)
+  }
+
+  test("annotateClusters: only ranks within matchLen overlap; weights stay listLen-based") {
+    // rank 30 is the last matching position (reference top_markers[:30]);
+    // rank 31 must not contribute weight OR the 0.2-overlap bonus
+    val markers = Seq(
+      (0L, "CD3D", 30L), (0L, "CD3E", 31L)
+    ).toDF("cluster", "gene", "rnk")
+    val sigs = Seq(
+      ("T_cells", "CD3D"), ("T_cells", "CD3E")).toDF("cell_type", "gene")
+    val out = SingleCell
+      .annotateClusters(markers, "cluster", "gene", "rnk", sigs,
+        listLen = 50, minScore = 0.1)
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(3) == 1L) // CD3D only
+    // weight (50-29)/50 = 0.42, x(1 + 0.2*1)
+    assert(math.abs(out.head.getDouble(2) - 0.42 * 1.2) < 1e-6)
+    assert(out.head.getString(1) == "T_cells")
   }
 
   test("annotateClusters: a cluster with zero signature overlap still annotates Unknown") {
