@@ -43,11 +43,16 @@ object Sessions {
 
   /** Local test/bench shape (what Bench/Verify use): one partition
     * per core — at local scale the shuffle constant matters more
-    * than headroom.
+    * than headroom. periodicGC drops from the 30-min default to 1
+    * min: single-JVM bench sessions run hundreds of tiny jobs whose
+    * shuffle/broadcast bookkeeping is reclaimed only after their weak
+    * refs are collected, and a multi-minute session otherwise never
+    * GCs — the backlog measurably inflates later queries' times.
     */
   def localBuilder(cores: Int): SparkSession.Builder =
     clusterBuilder(shufflePartitions = cores)
       .master(s"local[$cores]")
       .config("spark.ui.enabled", "false")
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 }

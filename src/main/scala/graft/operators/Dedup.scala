@@ -422,23 +422,33 @@ object Dedup {
     * pathological chain into a loud failure rather than a silently
     * wrong clustering.
     *
-    * Caches edges and each round's labels (previous round unpersisted
-    * eagerly); the final cached frame follows the [[graft.Caching]]
-    * caller-owned lifecycle.
+    * Lineage is TRUNCATED each round with an eager localCheckpoint
+    * (the standard iterative-algorithm pattern — GraphX/ALS do the
+    * same): without it, round n's logical plan contains round n−1's
+    * plan TWICE (once in the union, once under the join), so the
+    * analyzer re-walks 2ⁿ copies of the whole upstream pair-generator
+    * subtree by round n — tens of seconds of driver CPU on a
+    * millisecond-sized graph. After truncation every round analyzes a
+    * constant-size plan over the materialized blocks. Trade-off:
+    * localCheckpoint is non-reliable storage — an executor loss fails
+    * the job instead of recomputing lineage; a 100 TB run that wants
+    * mid-algorithm fault recovery should set a checkpoint dir and
+    * swap in reliable checkpoints at the same two call sites.
     * Output: (node, component, cluster_size) — component = min node
     * id reachable, engine-independent.
     */
   def connectedComponents(
       pairs: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 25): DataFrame = {
-    // both direction branches read the pair frame — cache it or the
-    // entire upstream pair generator runs once per branch (the same
-    // ReuseExchange defeat every pair generator guards against).
-    // `edges` stays a NARROW union over the cached pairs: duplicate
-    // or mirrored edges are harmless under an idempotent min, so the
-    // defensive distinct (a full shuffle + cache per round budget)
-    // buys nothing.
-    val p = pairs.select(col(aCol).as("src"), col(bCol).as("dst")).cache()
+    // materialize the pair frame ONCE — both direction branches and
+    // every round's join read it, and without a checkpoint/cache the
+    // entire upstream pair generator would re-plan AND re-run per
+    // branch. `edges` stays a NARROW union over the materialized
+    // pairs: duplicate or mirrored edges are harmless under an
+    // idempotent min, so the defensive distinct (a full shuffle per
+    // round budget) buys nothing.
+    val p = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .localCheckpoint()
     val edges = p
       .unionAll(p.select(col("dst").as("src"), col("src").as("dst")))
     def sumOf(labels: DataFrame): java.math.BigDecimal =
@@ -450,8 +460,8 @@ object Dedup {
     // actions for a state every graph leaves immediately
     var labels = edges.groupBy(col("src").as("node"))
       .agg(min(least(col("src"), col("dst"))).as("component"))
-      .cache()
-    var cert = sumOf(labels) // materializes the seed
+      .localCheckpoint() // eager: materializes the seed
+    var cert = sumOf(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -461,9 +471,11 @@ object Dedup {
           .select(col("src").as("node"), col("component")))
         .groupBy(col("node"))
         .agg(min(col("component")).as("component"))
-        .cache()
-      val nextCert = sumOf(next) // materializes `next`
-      labels.unpersist()
+        .localCheckpoint() // eager: materializes `next`, truncates lineage
+      val nextCert = sumOf(next)
+      // superseded rounds' checkpoint blocks are label-scale (node,
+      // component) rows — reclaimed by the ContextCleaner once the
+      // DataFrame goes out of scope; nothing matrix-scale lingers
       labels = next
       converged = (nextCert == null && cert == null) ||
         (nextCert != null && cert != null && nextCert.compareTo(cert) == 0)

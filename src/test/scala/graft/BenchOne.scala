@@ -23,7 +23,13 @@ object BenchOne {
         df.agg(sum(xxhash64(df.columns.map(col): _*).cast("decimal(38,0)")))
           .collect()
         val dt = (System.nanoTime() - t0) / 1e9
+        // parity with Bench: the explicit GC is load-bearing — the
+        // ContextCleaner reclaims finished shuffles/broadcasts only
+        // when their weak refs are collected, and without the nudge
+        // the backlog from earlier runs inflates later runs' times
+        // (observed monotonically GROWING repeats without it)
         spark.catalog.clearCache()
+        System.gc()
         dt
       }
       println(s"TIMES $name: ${times.map(t =>
