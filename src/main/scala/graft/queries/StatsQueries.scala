@@ -39,19 +39,20 @@ object StatsQueries {
       |       - 1.453152027 * tt*tt*tt*tt + 1.061405429 * tt*tt*tt*tt*tt)
       |      * exp(-x * x)""".stripMargin
 
-  // the full deg-stats pipeline as a reusable WITH body (deg_enrich
-  // builds its DEG list from the same CTEs)
-  private val degStatsCtes =
-    s"""sm AS (SELECT (l_partkey % $NGenes)::BIGINT AS gene,
-       |    l_returnflag AS cohort, l_quantity::DOUBLE AS v
-       |  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
-       |ag AS (SELECT gene,
-       |    count(CASE WHEN cohort = 'A' THEN v END)::BIGINT AS n_a,
-       |    count(CASE WHEN cohort = 'R' THEN v END)::BIGINT AS n_b,
-       |    avg(CASE WHEN cohort = 'A' THEN v END) AS raw_mean_a,
-       |    avg(CASE WHEN cohort = 'R' THEN v END) AS raw_mean_b,
-       |    var_samp(CASE WHEN cohort = 'A' THEN v END) AS var_a,
-       |    var_samp(CASE WHEN cohort = 'R' THEN v END) AS var_b
+  /** The diffStats replay chain (ag → … → bh) over a preceding CTE
+    * `sm(gene, cohort, v)` — shared verbatim by deg_stats (cohorts
+    * 'A'/'R' on lineitem) and sc_pseudobulk (cohorts 'even'/'odd' on
+    * the pseudobulk CPM profile), so both oracles run textually the
+    * same arithmetic as Stats.diffStats.
+    */
+  private def diffCtes(a: String, b: String): String =
+    s"""ag AS (SELECT gene,
+       |    count(CASE WHEN cohort = '$a' THEN v END)::BIGINT AS n_a,
+       |    count(CASE WHEN cohort = '$b' THEN v END)::BIGINT AS n_b,
+       |    avg(CASE WHEN cohort = '$a' THEN v END) AS raw_mean_a,
+       |    avg(CASE WHEN cohort = '$b' THEN v END) AS raw_mean_b,
+       |    var_samp(CASE WHEN cohort = '$a' THEN v END) AS var_a,
+       |    var_samp(CASE WHEN cohort = '$b' THEN v END) AS var_b
        |  FROM sm GROUP BY gene),
        |ts AS (SELECT gene, n_a, n_b, raw_mean_a, raw_mean_b,
        |    (raw_mean_a - raw_mean_b)
@@ -80,6 +81,14 @@ object StatsQueries {
        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
        |        1.0) + 0.000000001, 6) END AS p_adj
        |  FROM rk)""".stripMargin
+
+  // the full deg-stats pipeline as a reusable WITH body (deg_enrich
+  // builds its DEG list from the same CTEs)
+  private val degStatsCtes =
+    s"""sm AS (SELECT (l_partkey % $NGenes)::BIGINT AS gene,
+       |    l_returnflag AS cohort, l_quantity::DOUBLE AS v
+       |  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+       |${diffCtes("A", "R")}""".stripMargin
 
   private val degStatsSql =
     s"""WITH $degStatsCtes
@@ -386,19 +395,27 @@ object StatsQueries {
     * CTE block per assignment — like the IVF rows' restricted-exact
     * oracles.
     */
-  private def scMarkers(s: SparkSession, d: String): DataFrame = {
+  /** Shared sc_* front end: deterministic spherical k-means cluster
+    * assignment over the embedding cells, exploded to the long-form
+    * (cluster, gene, v) matrix — gene = embedding dimension. Every
+    * sc_* binding (markers, pseudobulk, annotate) chains off this so
+    * the oracles all replay the ONE kmeansCtes assignment.
+    */
+  private def scLongMatrix(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val cents = VectorSearch.lloydCentroids(
       emb, "vec_id", "embedding", ScClusters, ScIters)
     val assigned = VectorSearch.assignCells(
       emb, cents, "vec_id", "embedding", "cell")
-    val long = assigned
+    assigned
       .select(col("cell").cast("long").as("cluster"),
         posexplode(VectorFns.asDouble(col("embedding"))).as(Seq("gene", "v")))
       .select(col("cluster"), col("gene").cast("long").as("gene"), col("v"))
-    Stats.markerStats(long, "cluster", "gene", "v", ScTopN)
-      .orderBy(col("cluster"), col("rnk"))
   }
+
+  private def scMarkers(s: SparkSession, d: String): DataFrame =
+    Stats.markerStats(scLongMatrix(s, d), "cluster", "gene", "v", ScTopN)
+      .orderBy(col("cluster"), col("rnk"))
 
   /** One nearest-centroid assignment block over centroid CTE `cents`
     * (long form: cell, i, v): cosine against every centroid from the
@@ -445,9 +462,14 @@ object StatsQueries {
        |${meanSql(1)},
        |${assignSql(2, "c2")}""".stripMargin
 
-  private val scMarkersSql =
-    s"""WITH $kmeansCtes,
-       |lm AS (SELECT a.cell::BIGINT AS cluster, (evv.i - 1)::BIGINT AS gene,
+  /** The marker-stats replay chain (lm → … → fin) over the final
+    * assignment `as2` — ends at `fin(cluster, gene, score,
+    * logfoldchange, pval, pval_adj, rnk)`; shared by sc_markers and
+    * sc_annotate (which re-ranks the same top markers against a
+    * signature panel).
+    */
+  private val markerCtes =
+    s"""lm AS (SELECT a.cell::BIGINT AS cluster, (evv.i - 1)::BIGINT AS gene,
        |    evv.v AS v
        |  FROM as2 a JOIN evv USING (vec_id)),
        |g AS (SELECT cluster, gene, count(v)::DOUBLE AS n_in, sum(v) AS s_in,
@@ -496,7 +518,11 @@ object StatsQueries {
        |    p_adj AS pval_adj,
        |    row_number() OVER (PARTITION BY cluster
        |      ORDER BY score DESC NULLS LAST, gene)::BIGINT AS rnk
-       |  FROM bh3)
+       |  FROM bh3)""".stripMargin
+
+  private val scMarkersSql =
+    s"""WITH $kmeansCtes,
+       |$markerCtes
        |SELECT cluster, gene, score, logfoldchange, pval, pval_adj, rnk
        |FROM fin WHERE rnk <= $ScTopN ORDER BY cluster, rnk""".stripMargin
 
@@ -556,6 +582,113 @@ object StatsQueries {
        |       ELSE 'kept' END AS status
        |FROM pc ORDER BY cell_id""".stripMargin
 
+  /* ---------------- sc_pseudobulk ---------------- */
+
+  /** Pseudobulk DEG (agent_singlecell.py:1838 _generate_pseudobulk):
+    * the cluster assignment → per-cluster summed counts → CPM
+    * (TPM-like) profile → differential stats, chained in ONE plan.
+    * Synthetic molecule counts = embedding value + 1 (nonnegative —
+    * dims sit in (−1, 1) — so cluster library sizes are positive and
+    * the CPM ratio is well-defined); cohorts = even vs odd cluster
+    * ids over the CPM profile, the 2-samples-per-arm pseudobulk
+    * regime the reference's downstream DEG consumes. The oracle
+    * replays assignment (kmeansCtes), pseudobulk, and the shared
+    * diffCtes chain textually.
+    */
+  private def scPseudobulk(s: SparkSession, d: String): DataFrame = {
+    val long = scLongMatrix(s, d)
+      .select(col("cluster"), col("gene"), (col("v") + lit(1.0)).as("cnt"))
+    val pb = SingleCell.pseudobulk(long, "cluster", "gene", "cnt")
+    val cohorts = pb.withColumn("cohort",
+      when(pmod(col("cluster"), lit(2)) === 0, lit("even"))
+        .otherwise(lit("odd")))
+    Stats.diffStats(cohorts, "gene", "cohort", "cpm", "even", "odd")
+      .orderBy(col("gene"))
+  }
+
+  private val scPseudobulkSql =
+    s"""WITH $kmeansCtes,
+       |lm AS (SELECT a.cell::BIGINT AS cluster, (evv.i - 1)::BIGINT AS gene,
+       |    evv.v + 1.0 AS cnt
+       |  FROM as2 a JOIN evv USING (vec_id)),
+       |pb AS (SELECT cluster, gene, sum(cnt)::DOUBLE AS pb_count
+       |  FROM lm GROUP BY 1, 2),
+       |lib AS (SELECT cluster, sum(pb_count)::DOUBLE AS lib_size
+       |  FROM pb GROUP BY cluster),
+       |cp AS (SELECT pb.cluster, pb.gene,
+       |    coalesce(round(pb.pb_count / nullif(lib.lib_size, 0.0) * 1000000.0
+       |      + 0.000000001, 6), 0.0) AS cpm
+       |  FROM pb JOIN lib ON pb.cluster = lib.cluster),
+       |sm AS (SELECT gene,
+       |    CASE WHEN cluster % 2 = 0 THEN 'even' ELSE 'odd' END AS cohort,
+       |    cpm AS v
+       |  FROM cp),
+       |${diffCtes("even", "odd")}
+       |SELECT gene, n_a, n_b, mean_a, mean_b, log2_fc, t_stat, p_value, p_adj
+       |FROM bh ORDER BY gene""".stripMargin
+
+  /* ---------------- sc_annotate ---------------- */
+
+  private val SigTypes = 4
+
+  /** Marker-based cluster annotation (agent_singlecell.py:1181
+    * _annotate_clusters_by_markers, scoring at :1597-1643): the
+    * sc_markers top-$ScTopN ranked markers per cluster matched
+    * against a deterministic signature panel — cell type t ∈
+    * 0..${SigTypes − 1} owns the genes with gene % $SigTypes == t
+    * (the residue-class panel device deg_validate uses) — scored
+    * with the reference's position weights ((listLen − idx)/listLen),
+    * ×(1 + 0.2·overlap) bonus, min-score threshold with the
+    * Unknown_<cluster> fallback, and duplicate-name _2/_3 suffixes in
+    * cluster order. listLen = $ScTopN (the whole marker list is
+    * inside the reference's top-30 match window).
+    */
+  private def scAnnotate(s: SparkSession, d: String): DataFrame = {
+    val markers = Stats.markerStats(
+      scLongMatrix(s, d), "cluster", "gene", "v", ScTopN)
+    val sigs = s.range(0, 64).select(
+      concat(lit("type_"), pmod(col("id"), lit(SigTypes)).cast("string"))
+        .as("cell_type"),
+      col("id").as("gene"))
+    SingleCell.annotateClusters(markers, "cluster", "gene", "rnk", sigs,
+      listLen = ScTopN, minScore = 1.0)
+      .orderBy(col("cluster"))
+  }
+
+  private val scAnnotateSql =
+    s"""WITH $kmeansCtes,
+       |$markerCtes,
+       |mk AS (SELECT cluster, gene, rnk FROM fin WHERE rnk <= $ScTopN),
+       |sg AS (SELECT 'type_' || (g % $SigTypes)::VARCHAR AS cell_type,
+       |    g::BIGINT AS gene
+       |  FROM (SELECT unnest(generate_series(0, 63)) AS g)),
+       |ov AS (SELECT m.cluster, s.cell_type,
+       |    sum(($ScTopN - (m.rnk - 1)::DOUBLE) / $ScTopN.0) AS raw_w,
+       |    count(*)::BIGINT AS n_overlap
+       |  FROM mk m JOIN sg s ON m.gene = s.gene GROUP BY 1, 2),
+       |scx AS (SELECT cluster, cell_type, n_overlap,
+       |    round(raw_w * (1.0 + 0.2 * n_overlap) + 0.000000001, 6) AS score
+       |  FROM ov),
+       |best AS (SELECT cluster, cell_type, score, n_overlap FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY cluster
+       |      ORDER BY score DESC, cell_type) AS rn FROM scx)
+       |  WHERE rn = 1),
+       |allc AS (SELECT DISTINCT cluster FROM mk),
+       |lab AS (SELECT a.cluster,
+       |    CASE WHEN b.score > 1.0 THEN b.cell_type
+       |         ELSE 'Unknown_' || a.cluster::VARCHAR END AS base_type,
+       |    b.score, b.n_overlap
+       |  FROM allc a LEFT JOIN best b ON a.cluster = b.cluster),
+       |dup AS (SELECT *, row_number() OVER (PARTITION BY base_type
+       |    ORDER BY cluster) AS dup_rn
+       |  FROM lab)
+       |SELECT cluster,
+       |  CASE WHEN dup_rn = 1 THEN base_type
+       |       ELSE base_type || '_' || dup_rn::VARCHAR END AS cell_type,
+       |  CASE WHEN score > 1.0 THEN score ELSE 0.0 END AS score,
+       |  coalesce(n_overlap, 0)::BIGINT AS n_overlap
+       |FROM dup ORDER BY cluster""".stripMargin
+
   val defs: Seq[Qdef] = Seq(
     Qdef("deg_stats", degStats, Some(degStatsSql)),
     Qdef("deg_enrich", degEnrich, Some(degEnrichSql)),
@@ -565,5 +698,7 @@ object StatsQueries {
     Qdef("deg_network", degNetwork, Some(degNetworkSql)),
     Qdef("deg_hub", degHub, Some(degHubSql)),
     Qdef("sc_markers", scMarkers, Some(scMarkersSql)),
-    Qdef("sc_qc", scQc, Some(scQcSql)))
+    Qdef("sc_qc", scQc, Some(scQcSql)),
+    Qdef("sc_pseudobulk", scPseudobulk, Some(scPseudobulkSql)),
+    Qdef("sc_annotate", scAnnotate, Some(scAnnotateSql)))
 }

@@ -811,6 +811,100 @@ object VectorQueries {
        |FROM sc ORDER BY total_score DESC, doc_id LIMIT 50""".stripMargin
   }
 
+  /* ---------------- reco_paper ---------------- */
+
+  /** recommend_by_paper END TO END (reference recommender.py:155 +
+    * :474 _calculate_total_score): for a base paper, candidates are
+    * retrieved by embedding similarity at the reference's
+    * max_results×2 search width (:197), then each candidate scores
+    * similarity = cosine × 100 (:206), the recency (:431) and impact
+    * (:454) ladders, fused 0.4/0.3/0.3 (:474), and the top
+    * max_results by total win. Papers = label groups (centroid =
+    * mean chunk embedding, vector_store.py:508), base = label 0;
+    * year/citations are deterministic proxies like rerank_recency's
+    * (citations = rec_id²·9 spreads candidates over five impact
+    * buckets). Candidate retrieval goes through the bounded map-side
+    * TopKAgg (knnJoin), so the composition scales like
+    * vs_similar_papers; the rescoring frame is top-2N rows — driver
+    * scale at any corpus size.
+    *
+    * total_score carries the +1e-9 nudge (unlike Fusion.totalScore's
+    * plain round used by rerank_recency): similarity here is a
+    * rounded cosine × 100 — an arbitrary-mantissa double, not the
+    * tenth-precision ladder values — so the weighted sum can land on
+    * a decimal half boundary where Spark HALF_UP and DuckDB binary
+    * rounding disagree.
+    */
+  private val RecoN = 4
+
+  private def recoPaper(s: SparkSession, d: String): DataFrame = {
+    val cents = VectorSearch.centroidArrays(
+      Tables.embeddings(s, d), "label", "embedding")
+    val cands = cents.where(col("label") =!= 0)
+      .select(col("label").cast("long").as("rec_id"), col("centroid").as("ce"))
+    val q = cents.where(col("label") === 0)
+      .select(col("label").cast("long").as("paper"), col("centroid").as("qe"))
+    val scored = VectorSearch
+      .knnJoin(cands, q, "rec_id", "ce", "paper", "qe", RecoN * 2)
+      .drop("rnk") // retrieval rank; the recommendation re-ranks by total
+      .withColumn("similarity_score",
+        round(col("cos_sim") * 100.0 + lit(1e-9), 6))
+      .withColumn("year",
+        (lit(2016) + pmod(col("rec_id"), lit(10))).cast("long"))
+      .withColumn("citations",
+        (col("rec_id") * col("rec_id") * lit(9)).cast("long"))
+      .withColumn("recency_score", Fusion.recencyScore(col("year"), 2025))
+      .withColumn("impact_score", Fusion.impactScore(col("citations")))
+      .withColumn("total_score", round(
+        col("similarity_score") * 0.4 + col("recency_score") * 0.3 +
+          col("impact_score") * 0.3 + lit(1e-9), 6))
+    Fusion.ranked(scored, "rec_id", "total_score")
+      .where(col("rank") <= RecoN)
+      .select(col("rec_id"), col("year"), col("citations"),
+        col("similarity_score"), col("recency_score"), col("impact_score"),
+        col("total_score"), col("rank").as("rnk"))
+      .orderBy(col("rnk"))
+  }
+
+  private val recoPaperSql =
+    s"""WITH le AS (SELECT label, embedding,
+       |         unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
+       |c AS (SELECT label, i, avg(embedding[i]::DOUBLE) AS v FROM le GROUP BY label, i),
+       |n AS (SELECT label, sum(v * v) AS ns FROM c GROUP BY label),
+       |p AS (SELECT b.label AS rec_id, sum(a.v * b.v) AS dot
+       |      FROM c a JOIN c b ON a.i = b.i
+       |      WHERE a.label = 0 AND b.label <> 0 GROUP BY 1),
+       |s0 AS (SELECT rec_id,
+       |         round(dot / (sqrt(na.ns) * sqrt(nb.ns)), 6) AS cos_sim
+       |       FROM p JOIN n na ON na.label = 0 JOIN n nb ON p.rec_id = nb.label),
+       |cand AS (SELECT rec_id, cos_sim FROM (
+       |    SELECT rec_id, cos_sim,
+       |      row_number() OVER (ORDER BY cos_sim DESC, rec_id) AS rn
+       |    FROM s0) WHERE rn <= ${RecoN * 2}),
+       |scx AS (SELECT rec_id,
+       |    round(cos_sim * 100.0 + 0.000000001, 6) AS similarity_score,
+       |    (2016 + rec_id % 10)::BIGINT AS year,
+       |    (rec_id * rec_id * 9)::BIGINT AS citations
+       |  FROM cand),
+       |lad AS (SELECT *,
+       |    (CASE WHEN 2025 - year <= 1 THEN 100.0 WHEN 2025 - year <= 3 THEN 80.0
+       |          WHEN 2025 - year <= 5 THEN 60.0 WHEN 2025 - year <= 7 THEN 40.0
+       |          ELSE 20.0 END) AS recency_score,
+       |    (CASE WHEN citations <= 0 THEN 10.0 WHEN citations < 10 THEN 30.0
+       |          WHEN citations < 50 THEN 50.0 WHEN citations < 100 THEN 70.0
+       |          WHEN citations < 500 THEN 85.0 ELSE 100.0 END) AS impact_score
+       |  FROM scx),
+       |tot AS (SELECT *,
+       |    round(similarity_score * 0.4 + recency_score * 0.3 + impact_score * 0.3
+       |      + 0.000000001, 6) AS total_score
+       |  FROM lad),
+       |fin AS (SELECT *,
+       |    row_number() OVER (ORDER BY total_score DESC, rec_id)::BIGINT AS rnk
+       |  FROM tot)
+       |SELECT rec_id, year, citations, similarity_score, recency_score,
+       |  impact_score, total_score, rnk
+       |FROM fin WHERE rnk <= $RecoN ORDER BY rnk""".stripMargin
+
   val defs: Seq[Qdef] = Seq(
     Qdef("vs_dense_topk", denseTopK, Some(denseTopKSql)),
     Qdef("vs_filtered_topk", filteredTopK, Some(filteredTopKSql)),
@@ -830,5 +924,6 @@ object VectorQueries {
     Qdef("rerank_recency", rerankRecency, Some(rerankRecencySql)),
     Qdef("rerank_keyword", rerankKeyword, Some(rerankKeywordSql)),
     Qdef("rerank_cross", rerankCross, Some(rerankCrossSql)),
-    Qdef("rerank_fused", rerankFused, Some(rerankFusedSql)))
+    Qdef("rerank_fused", rerankFused, Some(rerankFusedSql)),
+    Qdef("reco_paper", recoPaper, Some(recoPaperSql)))
 }
