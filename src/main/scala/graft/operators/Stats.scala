@@ -136,7 +136,13 @@ object Stats {
     val a = cut.select(col("g").as("ga"), col("s"), col("v").as("va"))
     val b = cut.select(col("g").as("gb"), col("s"), col("v").as("vb"))
     def r6(c: Column) = round(c + lit(1e-9), 6)
-    val m = a.join(b, Seq("s"))
+    // the self-join is matrix-scale × matrix-scale (panel × samples
+    // BOTH sides): pin the shuffle join explicitly — at test sizes
+    // the optimizer would happily broadcast one side (a raw-scan
+    // subtree under a BroadcastExchange, the exact shape the
+    // no-fact-broadcast audit forbids), and that plan inverts the
+    // moment it meets production sample counts
+    val m = a.hint("merge").join(b, Seq("s"))
       .where(col("ga") < col("gb"))
       .groupBy(col("ga"), col("gb"))
       .agg(count(lit(1)).cast("double").as("n"),

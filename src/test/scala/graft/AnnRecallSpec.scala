@@ -5,15 +5,34 @@ import org.apache.spark.sql.functions._
 import graft.functions.VectorFns
 import graft.operators.VectorSearch
 
-/** Measured recall@k of the IVF ANN surface against exact brute force
-  * — the nprobe recall/cost trade as a NUMBER rather than an article
-  * of faith (SURVEY §5: IVF scores ~nprobe/K of the corpus; this spec
-  * supplies the recall half of that trade). Each test mirrors its
-  * oracle binding's exact parameters (vs_ann_ivf / vs_ann_ivf_srp /
-  * vs_ann_ivf_batch at sf0.01) and asserts a regression floor BELOW
-  * the currently measured value, so a codebook or assignment change
-  * that silently craters recall fails loudly while benign ulp drift
-  * does not.
+/** Measured recall-vs-nprobe CURVES for the IVF ANN surface against
+  * exact brute force — the nprobe recall/cost trade as numbers rather
+  * than an article of faith (SURVEY §5: probing nprobe of K cells
+  * scores ~nprobe/K of the corpus; this spec supplies the recall half
+  * of that trade, the analog of the reference's serving-path tuning
+  * at vector_store.py:272).
+  *
+  * Everything here is DETERMINISTIC (fixed corpus, fixed codebooks,
+  * rounded cosines with id tiebreaks), so the measured points are
+  * exact, the floors are measurement-minus-a-small-margin (not
+  * arbitrary), and two structural properties are asserted besides the
+  * operating-point floors:
+  *  - recall is monotonically non-decreasing in nprobe (probing more
+  *    cells only ever grows the candidate set, and a true-top-k item
+  *    can only be displaced by another true-top-k item);
+  *  - probing ALL cells reproduces the exact top-k EXACTLY (the
+  *    candidate set is the corpus, and both paths rank on the same
+  *    rounded cosine with the same id tiebreak).
+  *
+  * Measured curves at sf0.01 (near-uniform synthetic vectors — the
+  * WORST case for IVF; clustered real corpora concentrate the true
+  * top-k in few cells):
+  *   vs_ann_ivf   (10 label cells, recall@10 by nprobe 1..10):
+  *     0.30 0.40 0.50 0.70 0.80 0.90 0.90 0.90 1.00 1.00
+  *   vs_ann_ivf_srp (16 SRP cells, recall@10 by nprobe 1..16):
+  *     0.30 0.30 0.40 0.50 0.50 0.70 0.70 0.70 0.90 0.90 1.00 ... 1.00
+  * The oracle bindings' operating point nprobe=3 trades ~70% of the
+  * scan for ~half the exact recall on this adversarial corpus.
   */
 class AnnRecallSpec extends SparkSpec {
 
@@ -22,40 +41,58 @@ class AnnRecallSpec extends SparkSpec {
   private def recall(ann: Set[Long], exact: Set[Long]): Double =
     ann.intersect(exact).size.toDouble / exact.size
 
-  test("vs_ann_ivf (10 label cells, nprobe=3): measured recall@10 vs exact") {
-    val emb = Tables.embeddings(spark, d)
+  /** recall@10 for each nprobe in 1..K for the given cell column /
+    * codebook, against the exact brute-force top-10.
+    */
+  private def curve(groupCol: String, k: Int): Seq[Double] = {
+    val emb0 = Tables.embeddings(spark, d)
+    val emb =
+      if (groupCol == "label") emb0
+      else emb0.withColumn(groupCol,
+        VectorFns.signCode(col("embedding"), 4).cast("int"))
     val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qe"))
     val exact = VectorSearch
       .denseTopK(emb, q, "vec_id", "embedding", "qe", 10)
       .collect().map(_.getLong(0)).toSet
-    val centroids = VectorSearch.centroidArrays(emb, "label", "embedding")
-    val ann = VectorSearch
-      .annIvf(emb, q, centroids, "vec_id", "embedding", "qe", "label",
-        nprobe = 3, k = 10)
-      .collect().map(_.getLong(0)).toSet
-    val r = recall(ann, exact)
-    info(f"vs_ann_ivf recall@10 = $r%.2f (probing 3/10 cells)")
-    // measured 0.50 on the synthetic sf0.01 corpus (near-uniform
-    // vectors — the worst case for IVF; clustered real corpora place
-    // far more of the true top-k inside the probed cells)
-    assert(r >= 0.4, f"recall@10 regressed: $r%.2f")
+    val centroids = VectorSearch.centroidArrays(emb, groupCol, "embedding")
+    (1 to k).map { nprobe =>
+      val ann = VectorSearch
+        .annIvf(emb.select(col("vec_id"), col("embedding")), q, centroids,
+          "vec_id", "embedding", "qe", groupCol, nprobe = nprobe, k = 10)
+        .collect().map(_.getLong(0)).toSet
+      recall(ann, exact)
+    }
   }
 
-  test("vs_ann_ivf_srp (16 SRP cells, nprobe=3): measured recall@10 vs exact") {
-    val emb = Tables.embeddings(spark, d)
-      .withColumn("cell", VectorFns.signCode(col("embedding"), 4).cast("int"))
-    val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qe"))
-    val exact = VectorSearch
-      .denseTopK(emb, q, "vec_id", "embedding", "qe", 10)
-      .collect().map(_.getLong(0)).toSet
-    val centroids = VectorSearch.centroidArrays(emb, "cell", "embedding")
-    val ann = VectorSearch
-      .annIvf(emb.select(col("vec_id"), col("embedding")), q, centroids,
-        "vec_id", "embedding", "qe", "cell", nprobe = 3, k = 10)
-      .collect().map(_.getLong(0)).toSet
-    val r = recall(ann, exact)
-    info(f"vs_ann_ivf_srp recall@10 = $r%.2f (probing 3/16 cells)")
-    assert(r >= 0.3, f"recall@10 regressed: $r%.2f")
+  private def assertCurveShape(name: String, rs: Seq[Double]): Unit = {
+    info(s"$name recall@10 by nprobe: " +
+      rs.map(r => f"$r%.2f").mkString(", "))
+    rs.sliding(2).zipWithIndex.foreach { case (Seq(a, b), i) =>
+      assert(b >= a,
+        f"$name recall must not decrease with nprobe: " +
+          f"nprobe=${i + 1} -> $a%.2f, nprobe=${i + 2} -> $b%.2f")
+    }
+    assert(rs.last == 1.0,
+      f"$name probing all cells must reproduce the exact top-k, " +
+        f"got recall ${rs.last}%.2f")
+  }
+
+  test("vs_ann_ivf (10 label cells): recall@10 curve over nprobe=1..10") {
+    val rs = curve("label", 10)
+    assertCurveShape("vs_ann_ivf", rs)
+    // operating point (the vs_ann_ivf oracle binding): nprobe=3.
+    // Measured 0.50 on this corpus; floor = measured - 0.05 margin
+    // for benign ulp drift in centroid means
+    assert(rs(2) >= 0.45, f"recall@10 at nprobe=3 regressed: ${rs(2)}%.2f")
+  }
+
+  test("vs_ann_ivf_srp (16 SRP cells): recall@10 curve over nprobe=1..16") {
+    val rs = curve("cell", 16)
+    assertCurveShape("vs_ann_ivf_srp", rs)
+    // operating point (the vs_ann_ivf_srp oracle binding): nprobe=3
+    // of 16 cells — a ~19% scan fraction. Measured 0.40; floor with
+    // the same 0.05 margin
+    assert(rs(2) >= 0.35, f"recall@10 at nprobe=3 regressed: ${rs(2)}%.2f")
   }
 
   test("vs_ann_ivf_batch (nprobe=3, k=5): mean recall@5 over the query batch") {
@@ -80,9 +117,9 @@ class AnnRecallSpec extends SparkSpec {
     val mean = recalls.sum / recalls.size
     info(f"vs_ann_ivf_batch mean recall@5 = $mean%.2f over ${recalls.size} queries")
     assert(recalls.size == 10)
-    // measured 0.44 (same uniform-corpus caveat as above; probing
-    // 3/10 cells scores ~30% of the corpus, and mean recall sits
-    // well above that floor because assignment is similarity-driven)
-    assert(mean >= 0.35, f"mean recall@5 regressed: $mean%.2f")
+    // measured 0.44 mean over the 10-query batch; floor = measured -
+    // 0.05 (per-query recall is deterministic; the margin covers ulp
+    // drift only)
+    assert(mean >= 0.39, f"mean recall@5 regressed: $mean%.2f")
   }
 }
