@@ -159,6 +159,87 @@ object SingleCell {
           lit(0.0)).as("cpm"))
   }
 
+  /** Highly-variable gene selection (reference:
+    * agent_singlecell.py:835 _select_hvg —
+    * sc.pp.highly_variable_genes, seurat flavor: per-gene mean and
+    * dispersion (variance/mean) of log-normalized expression,
+    * dispersions z-normalized WITHIN equal-width mean-expression
+    * bins, top-N by normalized dispersion).
+    *
+    * Input: long-form (cell, gene, count) molecule rows. One
+    * matrix-scale aggregate builds the sparse entries; per-cell
+    * library sizes join back (one shuffle keyed by cell — the only
+    * second touch of matrix-scale data); per-gene moments then come
+    * off a single map-side-combinable aggregate EXPLOITING SPARSITY:
+    * a missing (cell, gene) entry contributes ln(1+0) = 0 to both
+    * moment sums, so dense-universe means/variances fall out of
+    * sparse sums plus the scalar cell count — no densification ever
+    * materializes. Everything after runs on the gene panel (windows
+    * over |genes| rows).
+    *
+    * Cross-engine protocol: expression = ln(1 + count·1e4/cell_total)
+    * (scanpy normalize_total + log1p), variances via explicit moment
+    * formulas, binning and ranking on ROUNDED values (6dp, +1e-9
+    * nudge) with gene tiebreaks. Genes with zero mean, and genes in
+    * singleton or zero-spread bins, have no defined normalized
+    * dispersion and are excluded — the analog of scanpy dropping NaN
+    * dispersions.
+    *
+    * Output: (geneCol, mu, disp, disp_norm, rnk), rnk 1..topN.
+    */
+  def hvg(
+      matrix: DataFrame, cellCol: String, geneCol: String,
+      countCol: String, nBins: Int = 10, topN: Int = 20): DataFrame = {
+    require(nBins > 0 && topN > 0, "nBins and topN must be positive")
+    val entry = matrix
+      .groupBy(col(cellCol), col(geneCol))
+      .agg(sum(col(countCol)).as("cnt"))
+    val totals = entry.groupBy(col(cellCol))
+      .agg(sum(col("cnt")).as("cell_total"))
+    val ncells = totals.agg(count(lit(1)).cast("double").as("n_cells"))
+    val ex = entry.join(totals, Seq(cellCol))
+      .select(col(geneCol),
+        log(lit(1.0) + col("cnt") * lit(1e4) / col("cell_total")).as("x"))
+    val g = ex.groupBy(col(geneCol))
+      .agg(sum(col("x")).as("s"), sum(col("x") * col("x")).as("ss"))
+      .crossJoin(broadcast(ncells))
+    val mu = col("s") / col("n_cells")
+    val vr = (col("ss") - col("s") * col("s") / col("n_cells")) /
+      nullif(col("n_cells") - 1.0, lit(0.0))
+    val stats = g
+      .select(col(geneCol), r6(mu).as("mu"),
+        r6(vr / nullif(mu, lit(0.0))).as("disp"))
+      .where(col("disp").isNotNull)
+    val all = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val ratio = (col("mu") - min(col("mu")).over(all)) /
+      nullif(max(col("mu")).over(all) - min(col("mu")).over(all), lit(0.0))
+    // least() skips nulls in BOTH engines, so a degenerate all-equal-mu
+    // panel (null ratio) lands every gene in the top bin consistently
+    val binned = stats.withColumn("bin",
+      coalesce(least(lit((nBins - 1).toLong), floor(ratio * nBins)), lit(0L)))
+    val byBin = Window.partitionBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val nb = count(lit(1)).over(byBin).cast("double")
+    val sb = sum(col("disp")).over(byBin)
+    val ssb = sum(col("disp") * col("disp")).over(byBin)
+    // greatest(·, 0) guards the sqrt against rounding-negative spread;
+    // a zero/undefined sd then nulls out via nullif, excluding the bin
+    val sd = sqrt(greatest(
+      (ssb - sb * sb / nb) / nullif(nb - 1.0, lit(0.0)), lit(0.0)))
+    val normed = binned
+      .withColumn("disp_norm",
+        r6((col("disp") - sb / nb) / nullif(sd, lit(0.0))))
+      .where(col("disp_norm").isNotNull)
+    normed
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("disp_norm").desc, col(geneCol))).cast("long"))
+      .where(col("rnk") <= topN)
+      .select(col(geneCol), col("mu"), col("disp"), col("disp_norm"),
+        col("rnk"))
+      .orderBy(col("rnk"))
+  }
+
   /** Marker-based cluster annotation (reference:
     * agent_singlecell.py:1181 _annotate_clusters_by_markers — match
     * each cluster's top-`matchLen` ranked markers (the reference's

@@ -543,30 +543,37 @@ object StatsQueries {
     * first-failing-filter status, the reference's qc_stats audit in
     * relational form.
     */
-  private def scQc(s: SparkSession, d: String): DataFrame = {
+  /** The synthetic molecule matrix shared by sc_qc and sc_hvg. */
+  private def qcMatrix(s: SparkSession, d: String): DataFrame = {
     val gid = pmod(col("l_partkey"), lit(QcGenes))
-    val m = Tables.lineitem(s, d).select(
+    Tables.lineitem(s, d).select(
       pmod(col("l_orderkey"), lit(QcCells)).cast("long").as("cell_id"),
       concat(
         when(gid < QcMitoGenes, lit("MT-")).otherwise(lit("G")),
         gid.cast("string")).as("gene"),
       col("l_quantity").cast("double").as("cnt"))
+  }
+
+  private def scQc(s: SparkSession, d: String): DataFrame =
     SingleCell.qcFilter(
-      SingleCell.qcMetrics(m, "cell_id", "gene", "cnt"),
+      SingleCell.qcMetrics(qcMatrix(s, d), "cell_id", "gene", "cnt"),
       SingleCell.QcThresholds(
         minCounts = 500.0, minGenes = 15L, maxGenes = 33L,
         maxMitoPct = 20.0))
       .orderBy(col("cell_id"))
-  }
 
-  private val scQcSql =
-    s"""WITH m AS (SELECT (l_orderkey % $QcCells)::BIGINT AS cell_id,
+  /** The matrix + sparse-entry CTEs shared by scQcSql and scHvgSql. */
+  private val scMatrixCtes =
+    s"""m AS (SELECT (l_orderkey % $QcCells)::BIGINT AS cell_id,
        |    (CASE WHEN l_partkey % $QcGenes < $QcMitoGenes THEN 'MT-'
        |          ELSE 'G' END) || (l_partkey % $QcGenes)::VARCHAR AS gene,
        |    l_quantity::DOUBLE AS cnt
        |  FROM lineitem),
        |e AS (SELECT cell_id, gene, sum(cnt)::DOUBLE AS cnt
-       |  FROM m GROUP BY cell_id, gene),
+       |  FROM m GROUP BY cell_id, gene)""".stripMargin
+
+  private val scQcSql =
+    s"""WITH $scMatrixCtes,
        |pc AS (SELECT cell_id,
        |    count(CASE WHEN cnt > 0 THEN 1 END)::BIGINT AS n_genes,
        |    sum(cnt)::DOUBLE AS total_counts,
@@ -689,6 +696,61 @@ object StatsQueries {
        |  coalesce(n_overlap, 0)::BIGINT AS n_overlap
        |FROM dup ORDER BY cluster""".stripMargin
 
+  /* ---------------- sc_hvg ---------------- */
+
+  private val HvgBins = 10
+  private val HvgTopN = 20
+
+  /** Highly-variable gene selection (agent_singlecell.py:835
+    * _select_hvg — sc.pp.highly_variable_genes, seurat flavor) over
+    * the sc_qc molecule matrix: log-normalized per-gene mean +
+    * dispersion, z-normalized within $HvgBins equal-width mean bins,
+    * top-$HvgTopN by normalized dispersion. The oracle replays the
+    * sparse-moment arithmetic textually (missing entries contribute
+    * ln(1+0)=0, so the dense-universe moments come from sparse sums
+    * plus the scalar cell count on both engines).
+    */
+  private def scHvg(s: SparkSession, d: String): DataFrame =
+    SingleCell.hvg(qcMatrix(s, d), "cell_id", "gene", "cnt",
+      nBins = HvgBins, topN = HvgTopN)
+
+  private val scHvgSql =
+    s"""WITH $scMatrixCtes,
+       |ct AS (SELECT cell_id, sum(cnt)::DOUBLE AS cell_total
+       |  FROM e GROUP BY cell_id),
+       |nc AS (SELECT count(*)::DOUBLE AS n_cells FROM ct),
+       |ex AS (SELECT e.gene, ln(1.0 + e.cnt * 10000.0 / ct.cell_total) AS x
+       |  FROM e JOIN ct ON e.cell_id = ct.cell_id),
+       |gs AS (SELECT gene, sum(x)::DOUBLE AS s, sum(x * x)::DOUBLE AS ss
+       |  FROM ex GROUP BY gene),
+       |st0 AS (SELECT gene,
+       |    round(s / n_cells + 0.000000001, 6) AS mu,
+       |    round(((ss - s * s / n_cells) / nullif(n_cells - 1.0, 0.0))
+       |      / nullif(s / n_cells, 0.0) + 0.000000001, 6) AS disp
+       |  FROM gs CROSS JOIN nc),
+       |st AS (SELECT * FROM st0 WHERE disp IS NOT NULL),
+       |bi AS (SELECT gene, mu, disp,
+       |    coalesce(least(${HvgBins - 1}::BIGINT,
+       |      floor((mu - min(mu) OVER ())
+       |        / nullif(max(mu) OVER () - min(mu) OVER (), 0.0)
+       |        * $HvgBins)::BIGINT), 0::BIGINT) AS bin
+       |  FROM st),
+       |bs AS (SELECT *,
+       |    (count(*) OVER (PARTITION BY bin))::DOUBLE AS nb,
+       |    sum(disp) OVER (PARTITION BY bin)::DOUBLE AS sb,
+       |    sum(disp * disp) OVER (PARTITION BY bin)::DOUBLE AS ssb
+       |  FROM bi),
+       |nd AS (SELECT gene, mu, disp,
+       |    round((disp - sb / nb) / nullif(sqrt(greatest(
+       |      (ssb - sb * sb / nb) / nullif(nb - 1.0, 0.0), 0.0)), 0.0)
+       |      + 0.000000001, 6) AS disp_norm
+       |  FROM bs),
+       |fin AS (SELECT gene, mu, disp, disp_norm,
+       |    row_number() OVER (ORDER BY disp_norm DESC, gene)::BIGINT AS rnk
+       |  FROM nd WHERE disp_norm IS NOT NULL)
+       |SELECT gene, mu, disp, disp_norm, rnk FROM fin
+       |WHERE rnk <= $HvgTopN ORDER BY rnk""".stripMargin
+
   val defs: Seq[Qdef] = Seq(
     Qdef("deg_stats", degStats, Some(degStatsSql)),
     Qdef("deg_enrich", degEnrich, Some(degEnrichSql)),
@@ -700,5 +762,6 @@ object StatsQueries {
     Qdef("sc_markers", scMarkers, Some(scMarkersSql)),
     Qdef("sc_qc", scQc, Some(scQcSql)),
     Qdef("sc_pseudobulk", scPseudobulk, Some(scPseudobulkSql)),
-    Qdef("sc_annotate", scAnnotate, Some(scAnnotateSql)))
+    Qdef("sc_annotate", scAnnotate, Some(scAnnotateSql)),
+    Qdef("sc_hvg", scHvg, Some(scHvgSql)))
 }

@@ -117,6 +117,32 @@ class SingleCellSpec extends SparkSpec {
     assert(out.head.getString(1) == "T_cells")
   }
 
+  test("hvg ranks high-dispersion genes first and exploits sparsity for zeros") {
+    // 4 cells; gHi swings 10..400 (high variance/mean), gLo constant,
+    // gSparse appears in ONLY two cells — its missing entries must
+    // count as expression 0 in the dense-universe moments
+    val m = Seq(
+      ("c1", "gHi", 10.0), ("c2", "gHi", 400.0), ("c3", "gHi", 10.0),
+      ("c4", "gHi", 400.0),
+      ("c1", "gLo", 100.0), ("c2", "gLo", 100.0), ("c3", "gLo", 100.0),
+      ("c4", "gLo", 100.0),
+      ("c1", "gSparse", 300.0), ("c3", "gSparse", 300.0)
+    ).toDF("cell", "gene", "cnt")
+    val out = SingleCell.hvg(m, "cell", "gene", "cnt", nBins = 1, topN = 3)
+      .collect()
+    val byGene = out.map(r => r.getString(0) -> r).toMap
+    // single bin -> plain z-score of dispersion. The on/off sparse
+    // gene leads: its dense-universe expression is {hi, 0, hi, 0} —
+    // the two IMPLICIT zeros give it the largest variance/mean, which
+    // is exactly the sparsity-exploiting moment arithmetic under test
+    // (per-present-row moments would score it near-constant instead)
+    assert(out.head.getString(0) == "gSparse" && out.head.getLong(4) == 1L)
+    assert(byGene("gSparse").getDouble(2) > byGene("gHi").getDouble(2))
+    // the swinging dense gene beats the constant one
+    assert(byGene("gHi").getDouble(3) > byGene("gLo").getDouble(3))
+    assert(out.last.getString(0) == "gLo")
+  }
+
   test("annotateClusters: a cluster with zero signature overlap still annotates Unknown") {
     val markers = Seq((7L, "ZZZ", 1L)).toDF("cluster", "gene", "rnk")
     val sigs = Seq(("T_cells", "CD3D")).toDF("cell_type", "gene")
