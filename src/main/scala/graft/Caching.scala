@@ -31,6 +31,18 @@ import org.apache.spark.sql.graftshim.SessionShim
   * Unreferenced cached plans are NOT garbage-collected — Spark's
   * CacheManager holds them strongly until `clearCache`/`unpersist` —
   * which is why the lifecycle must be explicit rather than left to GC.
+  *
+  * One deliberate exception: ITERATIVE operators
+  * (Dedup.connectedComponents) materialize per-round state via eager
+  * `localCheckpoint` instead of `cache()` — checkpointing is what
+  * truncates the otherwise exponentially-growing round lineage, and
+  * those blocks live OUTSIDE the CacheManager: `clearOperatorCaches`
+  * does not drop them; the ContextCleaner reclaims them once the
+  * superseded round's DataFrame is unreachable and a GC runs (the
+  * bench harnesses System.gc() between runs; local sessions also set
+  * spark.cleaner.periodicGC.interval=1min). The blocks are
+  * label-scale (node, component) rows — bookkeeping, not data
+  * volume.
   */
 object Caching {
 
