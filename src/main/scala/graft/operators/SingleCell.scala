@@ -269,6 +269,18 @@ object SingleCell {
     * argmax/threshold run on the ROUNDED score with a cell-type-name
     * tiebreak.
     *
+    * `subtypes` (optional, columns cell_type/subtype/geneCol): the
+    * reference's subtype refinement (:1613-1618) — when the WINNING
+    * cell type has a subtype whose markers overlap the match window
+    * in ≥2 genes, the subtype name replaces the cell-type name
+    * before thresholding and duplicate numbering. Deviations from
+    * the Python, both deliberate: qualifying subtypes resolve by
+    * NAME order (the reference takes dict-insertion order — not a
+    * relational concept), and a losing candidate's subtype can never
+    * leak onto a later winner (the reference never resets
+    * subtype_match between candidates, a latent-state artifact, not
+    * semantics worth reproducing).
+    *
     * Output: one row per cluster — (clusterCol, cell_type, score,
     * n_overlap), where cell_type carries the reference's Unknown
     * fallback and duplicate suffixes.
@@ -276,7 +288,8 @@ object SingleCell {
   def annotateClusters(
       markers: DataFrame, clusterCol: String, geneCol: String,
       rankCol: String, signatures: DataFrame, listLen: Int = 50,
-      minScore: Double = 1.0, matchLen: Int = 30): DataFrame = {
+      minScore: Double = 1.0, matchLen: Int = 30,
+      subtypes: Option[DataFrame] = None): DataFrame = {
     val sig = signatures
       .select(col("cell_type"), col(geneCol))
       .distinct()
@@ -299,12 +312,36 @@ object SingleCell {
     val best = scored
       .withColumn("rn", row_number().over(byScore))
       .where(col("rn") === 1)
+      .select(col(clusterCol), col("cell_type"), col("score"),
+        col("n_overlap"))
+    // subtype refinement: the winner's first qualifying subtype
+    // (>= 2 match-window overlaps, name order) replaces its name.
+    // Panel-scale throughout — subtype hits group clusters × subtypes
+    val refined = subtypes.fold(best) { st =>
+      val subSig = st
+        .select(col("cell_type"), col("subtype"), col(geneCol))
+        .distinct()
+      val firstSub = matched
+        .join(broadcast(subSig), Seq(geneCol))
+        .groupBy(col(clusterCol), col("cell_type"), col("subtype"))
+        .agg(count(lit(1)).as("sub_overlap"))
+        .where(col("sub_overlap") >= 2)
+        .withColumn("srn", row_number().over(
+          Window.partitionBy(col(clusterCol), col("cell_type"))
+            .orderBy(col("subtype"))))
+        .where(col("srn") === 1)
+        .select(col(clusterCol), col("cell_type"), col("subtype"))
+      best.join(firstSub, Seq(clusterCol, "cell_type"), "left")
+        .select(col(clusterCol),
+          coalesce(col("subtype"), col("cell_type")).as("cell_type"),
+          col("score"), col("n_overlap"))
+    }
     // clusters with NO signature overlap at all drop out of the join —
     // restore them from the markers frame so they still annotate as
     // Unknown_<cluster>, like the reference's else branch
     val allClusters = markers.select(col(clusterCol)).distinct()
     val labeled = allClusters
-      .join(best, Seq(clusterCol), "left")
+      .join(refined, Seq(clusterCol), "left")
       .withColumn("base_type",
         when(col("score") > minScore, col("cell_type"))
           .otherwise(concat(lit("Unknown_"), col(clusterCol).cast("string"))))

@@ -143,6 +143,30 @@ class SingleCellSpec extends SparkSpec {
     assert(out.last.getString(0) == "gLo")
   }
 
+  test("annotateClusters: >=2 subtype-marker overlaps refine the winning type") {
+    // cluster 0: T_cells wins AND hits both CD8 subtype markers ->
+    // relabeled CD8_T; cluster 1: T_cells wins but only ONE subtype
+    // marker -> keeps the parent name; the B_cells subtype panel must
+    // never fire (its parent type did not win)
+    val markers = Seq(
+      (0L, "CD3D", 1L), (0L, "CD8A", 2L), (0L, "CD8B", 3L),
+      (1L, "CD3D", 1L), (1L, "CD3E", 2L), (1L, "CD8A", 3L)
+    ).toDF("cluster", "gene", "rnk")
+    val sigs = Seq(
+      ("T_cells", "CD3D"), ("T_cells", "CD3E"), ("T_cells", "CD8A"),
+      ("B_cells", "CD79A")).toDF("cell_type", "gene")
+    val subs = Seq(
+      ("T_cells", "CD8_T", "CD8A"), ("T_cells", "CD8_T", "CD8B"),
+      ("B_cells", "Plasma", "CD3D"), ("B_cells", "Plasma", "CD8A")
+    ).toDF("cell_type", "subtype", "gene")
+    val out = SingleCell
+      .annotateClusters(markers, "cluster", "gene", "rnk", sigs,
+        listLen = 50, minScore = 1.0, subtypes = Some(subs))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(0L) == "CD8_T")
+    assert(out(1L) == "T_cells")
+  }
+
   test("annotateClusters: a cluster with zero signature overlap still annotates Unknown") {
     val markers = Seq((7L, "ZZZ", 1L)).toDF("cluster", "gene", "rnk")
     val sigs = Seq(("T_cells", "CD3D")).toDF("cell_type", "gene")
