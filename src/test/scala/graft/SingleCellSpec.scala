@@ -143,6 +143,33 @@ class SingleCellSpec extends SparkSpec {
     assert(out.last.getString(0) == "gLo")
   }
 
+  test("pseudobulk conserves mass and CPM-normalizes each cluster to 1e6") {
+    val rnd = new scala.util.Random(7)
+    val m = Seq.tabulate(200) { i =>
+      (rnd.nextInt(3).toLong, s"g${rnd.nextInt(12)}", (rnd.nextInt(50) + 1).toDouble)
+    }.toDF("cluster", "gene", "cnt")
+    val inTotal = m.agg(sum(col("cnt"))).head().getDouble(0)
+    val pb = SingleCell.pseudobulk(m, "cluster", "gene", "cnt")
+    val outTotal = pb.agg(sum(col("pb_count"))).head().getDouble(0)
+    assert(math.abs(inTotal - outTotal) < 1e-6) // densified zeros add nothing
+    pb.groupBy(col("cluster")).agg(sum(col("cpm")).as("s"))
+      .collect().foreach(r =>
+        assert(math.abs(r.getDouble(1) - 1e6) < 1e-2,
+          s"cluster ${r.getLong(0)} cpm sums to ${r.getDouble(1)}"))
+  }
+
+  test("hvg is invariant to input partitioning (map-side moment contract)") {
+    val rnd = new scala.util.Random(11)
+    val m = Seq.tabulate(300) { i =>
+      (s"c${rnd.nextInt(20)}", s"g${rnd.nextInt(15)}", (rnd.nextInt(40) + 1).toDouble)
+    }.toDF("cell", "gene", "cnt")
+    def run(parts: Int) = SingleCell
+      .hvg(m.repartition(parts), "cell", "gene", "cnt", nBins = 3, topN = 15)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4))).toSeq
+    assert(run(1) == run(7))
+  }
+
   test("annotateClusters: >=2 subtype-marker overlaps refine the winning type") {
     // cluster 0: T_cells wins AND hits both CD8 subtype markers ->
     // relabeled CD8_T; cluster 1: T_cells wins but only ONE subtype
