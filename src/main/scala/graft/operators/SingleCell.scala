@@ -149,7 +149,11 @@ object SingleCell {
     val dense = clusters.crossJoin(genes)
       .join(pb, Seq(clusterCol, geneCol), "left")
       .withColumn("pb_count", coalesce(col("pb_count"), lit(0.0)))
-    val lib = dense.groupBy(col(clusterCol))
+    // library sizes from the SPARSE aggregate, not the densified
+    // frame — identical totals (densified zeros add nothing), and it
+    // keeps `dense` single-use so the cross-join branch is never
+    // duplicated in the plan (the oracle computes lib from pb too)
+    val lib = pb.groupBy(col(clusterCol))
       .agg(sum(col("pb_count")).as("lib_size"))
     dense
       .join(broadcast(lib), Seq(clusterCol))
