@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
@@ -50,5 +51,42 @@ object Sampling {
     }
     df.withColumn("bucket", bucketOf(col(idCol), salt))
       .where(col("bucket") < cutoff)
+  }
+
+  /** Deterministic training-order shuffle + sharding — the global
+    * interleave every pre-training pipeline runs before writing
+    * training shards: rows get a hash key (md5(id|salt), the same
+    * engine-stable 32-bit decode the sampler uses), shard =
+    * key mod numShards, position = rank of the key within the shard.
+    * Hash-ordering instead of RNG makes the "shuffle" reproducible
+    * across runs/engines/partitionings, stable under corpus growth
+    * (appended rows interleave without moving existing ones within
+    * their shard order), and re-drawable via `salt` (a new salt is a
+    * fresh epoch permutation).
+    *
+    * Scale: key/shard are narrow codegen'd projections; the position
+    * is a per-shard window — ONE shuffle keyed by shard, then a sort
+    * within each shard partition, which is exactly the
+    * repartition + sortWithinPartitions work a shard writer performs
+    * anyway. Shard cardinality is the parallelism knob: at 100 TB,
+    * numShards is sized so a shard fits a writer task (~1 GB), and
+    * the window never sees more than corpus/numShards rows per
+    * partition. No global sort, no driver state.
+    *
+    * Output: input columns + (shard, pos); pos is 1-based within
+    * shard, ties on the 32-bit key broken by id.
+    */
+  def shuffleShards(
+      df: DataFrame, idCol: String, salt: String,
+      numShards: Int): DataFrame = {
+    require(numShards > 0, s"numShards must be positive: $numShards")
+    val key = TextFns.hexHash32(
+      concat(col(idCol).cast("string"), lit("|" + salt)))
+    df.withColumn("skey", key)
+      .withColumn("shard", pmod(col("skey"), lit(numShards)).cast("long"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard"))
+          .orderBy(col("skey"), col(idCol))).cast("long"))
+      .drop("skey")
   }
 }

@@ -90,7 +90,39 @@ object CorpusQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /* ---------------- corpus_shuffle ---------------- */
+
+  private val ShufShards = 8
+  private val ShufSalt = "shuf-v1"
+
+  /** Deterministic training-order shuffle: every doc gets a
+    * reproducible (shard, pos) from the md5 hash order — the global
+    * interleave a pre-training pipeline runs before writing training
+    * shards (salt = epoch; a new salt is a fresh permutation). The
+    * oracle replays the same 32-bit hex decode the sampler family
+    * shares.
+    */
+  private def corpusShuffle(s: SparkSession, d: String): DataFrame =
+    Sampling.shuffleShards(
+      Tables.documents(s, d).select(col("doc_id")),
+      "doc_id", ShufSalt, ShufShards)
+      .orderBy(col("shard"), col("pos"))
+
+  private val corpusShuffleSql = {
+    val dec = SqlSnippets.hexPrefixDecode(
+      s"md5(doc_id::VARCHAR || '|$ShufSalt')")
+    s"""WITH b AS (SELECT doc_id, ($dec) AS skey FROM documents),
+       |sh AS (SELECT doc_id, skey, (skey % $ShufShards)::BIGINT AS shard
+       |  FROM b),
+       |fin AS (SELECT doc_id, shard,
+       |    row_number() OVER (PARTITION BY shard
+       |      ORDER BY skey, doc_id)::BIGINT AS pos
+       |  FROM sh)
+       |SELECT doc_id, shard, pos FROM fin ORDER BY shard, pos""".stripMargin
+  }
+
   val defs: Seq[Qdef] = Seq(
     Qdef("corpus_latest", corpusLatest, Some(corpusLatestSql)),
-    Qdef("sample_stratified", sampleStratified, Some(sampleStratifiedSql)))
+    Qdef("sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
+    Qdef("corpus_shuffle", corpusShuffle, Some(corpusShuffleSql)))
 }

@@ -69,4 +69,26 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("Exchange"),
       "stratified sampling must not shuffle")
   }
+
+  test("shuffleShards: complete, contiguous per-shard positions, partition-invariant") {
+    val df = ids(500)
+    def run(parts: Int) = Sampling
+      .shuffleShards(df.repartition(parts), "id", "ep1", 4)
+      .select(col("id"), col("shard"), col("pos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val out = run(1)
+    assert(out.size == 500) // every row exactly once
+    assert(out.map(_._2).forall(s => s >= 0 && s < 4))
+    // positions are 1..|shard| contiguous within each shard
+    out.groupBy(_._2).foreach { case (s, rows) =>
+      assert(rows.map(_._3).toSeq.sorted == (1L to rows.size).toSeq,
+        s"shard $s positions not contiguous")
+    }
+    assert(out == run(7)) // hash order, not partition order
+    // a different salt draws a different epoch permutation
+    val other = Sampling.shuffleShards(df, "id", "ep2", 4)
+      .select(col("id"), col("shard"), col("pos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(other != out)
+  }
 }
