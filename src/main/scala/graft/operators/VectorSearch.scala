@@ -202,6 +202,15 @@ object VectorSearch {
     * sizing nprobe against K should read the returned frame's actual
     * cell count, not the requested k — annIvf's probe fraction is
     * nprobe / |codebook|.
+    *
+    * Each iteration's codebook (k tiny rows) is MATERIALIZED with an
+    * eager localCheckpoint — the iterative-lineage rule from
+    * connectedComponents: left lazy, iteration n's plan nests
+    * iteration n−1's whole assignment subtree, so a 2-iteration
+    * chain re-plans (and re-scans) the corpus ~2ⁿ times downstream
+    * (observed: 16 corpus scans in one sc_* query plan, vs ~3 after
+    * truncation). Materializing k×d doubles per round costs nothing
+    * at any scale.
     */
   def lloydCentroids(
       vectors: DataFrame, idCol: String, vecCol: String,
@@ -212,10 +221,12 @@ object VectorSearch {
     var cents = vectors.orderBy(col(idCol)).limit(k)
       .withColumn("cell", (row_number().over(w) - 1).cast("int"))
       .select(col("cell"), VectorFns.asDouble(col(vecCol)).as("centroid"))
+      .localCheckpoint()
     for (_ <- 1 to iters) {
       val assigned = assignCells(vectors, cents, idCol, vecCol, "cell")
       cents = centroidArrays(assigned, "cell", vecCol)
         .select(col("cell"), col("centroid"))
+        .localCheckpoint()
     }
     cents
   }
