@@ -366,4 +366,183 @@ object SingleCell {
           .as("score"),
         coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
   }
+
+  /** Cell-cycle phase scoring (reference: agent_singlecell.py:768
+    * _score_cell_cycle — sc.tl.score_genes_cell_cycle over the Tirosh
+    * et al. 2016 S / G2M gene sets, enabled by default at :247).
+    *
+    * scanpy's score_genes: per-cell score = mean expression of the
+    * signature genes − mean expression of a CONTROL set drawn from
+    * genes with similar average expression (genes ranked by their
+    * all-cells mean, cut into `rank // n_items` bins with n_items ≈
+    * |genes|/(nBins−1); controls come from the bins the signature
+    * genes land in). Two deliberate deterministic deviations, both
+    * documented here because random state is not a relational
+    * concept: the control set is ALL non-signature genes of the
+    * matched bins (scanpy samples ctrl_size=50 of them at random —
+    * the full bin is that estimator's deterministic limit), and
+    * n_items uses floor instead of Python's banker-rounding round().
+    *
+    * Phase call (scanpy's rule, in override order): 'S' by default,
+    * 'G2M' when g2m_score > s_score, 'G1' when both scores < 0.
+    * Comparisons run on the ROUNDED 6dp scores so both engines cut
+    * identically; a cell with a null score (possible only when a
+    * signature set or its control set is empty in the panel) gets a
+    * null phase rather than a silent 'S'.
+    *
+    * Scale: the matrix is aggregated TWICE (once for the gene-mean
+    * panel, once for the per-cell conditional sums — same contract as
+    * hvg's second touch); expression is ln(1 + count·1e4/cell_total)
+    * (scanpy normalize_total + log1p), sparsity-exploiting because a
+    * missing entry contributes ln(1) = 0 to every sum. All binning /
+    * flagging windows run on the GENE PANEL (≤2×10⁴ rows); the panel
+    * and the 4 set-size scalars broadcast back to matrix scale.
+    *
+    * Output: (cellCol, s_score, g2m_score, phase).
+    */
+  def cellCycleScores(
+      matrix: DataFrame, cellCol: String, geneCol: String,
+      countCol: String, sGenes: Seq[String], g2mGenes: Seq[String],
+      nBins: Int = 25): DataFrame = {
+    require(nBins >= 2, "nBins must be >= 2")
+    val entry = matrix
+      .groupBy(col(cellCol), col(geneCol))
+      .agg(sum(col(countCol)).as("cnt"))
+    val totals = entry.groupBy(col(cellCol))
+      .agg(sum(col("cnt")).as("cell_total"))
+    val ncells = totals.agg(count(lit(1)).cast("double").as("n_cells"))
+    val ex = entry.join(totals, Seq(cellCol))
+      .select(col(cellCol), col(geneCol),
+        log(lit(1.0) + col("cnt") * lit(1e4) / col("cell_total")).as("x"))
+    val mu = ex.groupBy(col(geneCol))
+      .agg(sum(col("x")).as("sx"))
+      .crossJoin(broadcast(ncells))
+      .select(col(geneCol), r6(col("sx") / col("n_cells")).as("mu"))
+    // rank-based expression bins (scanpy: obs_avg.rank(method='min')
+    // // n_items): competition rank over the ROUNDED mean only — ties
+    // share a rank in both engines, no tiebreak needed
+    val whole = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val binned = mu
+      .withColumn("npanel", count(lit(1)).over(whole).cast("double"))
+      .withColumn("g_rank",
+        rank().over(Window.orderBy(col("mu"))).cast("double"))
+      .withColumn("bin", floor(col("g_rank") / greatest(lit(1.0),
+        floor(col("npanel") / lit((nBins - 1).toDouble)))))
+      .withColumn("in_s", col(geneCol).isin(sGenes: _*))
+      .withColumn("in_g2m", col(geneCol).isin(g2mGenes: _*))
+    val byBin = Window.partitionBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val flags = binned
+      .withColumn("ctrl_s",
+        max(when(col("in_s"), lit(1)).otherwise(lit(0))).over(byBin) === 1
+          && !col("in_s"))
+      .withColumn("ctrl_g2m",
+        max(when(col("in_g2m"), lit(1)).otherwise(lit(0))).over(byBin) === 1
+          && !col("in_g2m"))
+      .select(col(geneCol), col("in_s"), col("in_g2m"),
+        col("ctrl_s"), col("ctrl_g2m"))
+    val sizes = flags.agg(
+      sum(when(col("in_s"), lit(1.0)).otherwise(lit(0.0))).as("n_s"),
+      sum(when(col("ctrl_s"), lit(1.0)).otherwise(lit(0.0))).as("n_cs"),
+      sum(when(col("in_g2m"), lit(1.0)).otherwise(lit(0.0))).as("n_g2m"),
+      sum(when(col("ctrl_g2m"), lit(1.0)).otherwise(lit(0.0))).as("n_cg"))
+    val cellSums = ex.join(broadcast(flags), Seq(geneCol))
+      .groupBy(col(cellCol))
+      .agg(
+        sum(when(col("in_s"), col("x")).otherwise(lit(0.0))).as("xs"),
+        sum(when(col("ctrl_s"), col("x")).otherwise(lit(0.0))).as("xcs"),
+        sum(when(col("in_g2m"), col("x")).otherwise(lit(0.0))).as("xg"),
+        sum(when(col("ctrl_g2m"), col("x")).otherwise(lit(0.0))).as("xcg"))
+    cellSums.crossJoin(broadcast(sizes))
+      .select(col(cellCol),
+        r6(col("xs") / nullif(col("n_s"), lit(0.0)) -
+          col("xcs") / nullif(col("n_cs"), lit(0.0))).as("s_score"),
+        r6(col("xg") / nullif(col("n_g2m"), lit(0.0)) -
+          col("xcg") / nullif(col("n_cg"), lit(0.0))).as("g2m_score"))
+      .withColumn("phase",
+        when(col("s_score").isNull || col("g2m_score").isNull,
+          lit(null).cast("string"))
+          .when(col("s_score") < 0 && col("g2m_score") < 0, lit("G1"))
+          .when(col("g2m_score") > col("s_score"), lit("G2M"))
+          .otherwise(lit("S")))
+  }
+
+  /** Ligand-receptor interaction scoring (reference:
+    * agent_singlecell.py:2311 _run_simple_lr_analysis — CellChat-style
+    * scoring over a curated L-R pair database: per-cell-type mean
+    * expression; for each (pair, source type, target type) with
+    * ligand and receptor means both ≥ minExpr,
+    * score = √(ligand_expr × receptor_expr) and
+    * specificity = score / (√(all_ligand × all_receptor) + 0.01)
+    * where all_* is the mean of the per-type means, :2495-2516).
+    *
+    * Inputs: `expr` = long-form (cluster, cell, gene, value) rows of
+    * the expression the caller wants means over (the reference scores
+    * adata.X post log-normalization); `pairs` = the L-R panel with
+    * columns ligand/receptor/pair_name/category/lr_function — a
+    * curated database (the reference inlines ~100 pairs), broadcast
+    * by construction.
+    *
+    * Scale: ONE matrix-scale hash aggregate builds the (type, gene)
+    * mean frame — per-type cell counts come from a (type, cell)
+    * distinct projection, types-cardinality output — and it is
+    * CACHED (lifecycle: caller-owned, see graft.Caching) because the
+    * ligand side, receptor side, and all-type background all read it;
+    * everything downstream is panel × types scale. A missing
+    * (type, gene) mean is an exact zero in the reference's dense
+    * matrix and contributes zero to the background sum — sparse sums
+    * over present entries divided by the scalar type count replay it
+    * without densifying.
+    *
+    * Cross-engine protocol: means round to 6dp (+1e-9) and the
+    * minExpr cut compares the ROUNDED mean; score and specificity
+    * derive from rounded inputs only (√ is IEEE-exact), so both
+    * engines rank identically.
+    *
+    * Output: one row per admissible (source, target, ligand,
+    * receptor) — pair metadata + both means + score + specificity.
+    */
+  def ligandReceptor(
+      expr: DataFrame, clusterCol: String, cellCol: String,
+      geneCol: String, valueCol: String, pairs: DataFrame,
+      minExpr: Double = 0.1): DataFrame = {
+    val nc = expr.select(col(clusterCol), col(cellCol)).distinct()
+      .groupBy(col(clusterCol))
+      .agg(count(lit(1)).cast("double").as("n_cells"))
+    val ntypes = nc.agg(count(lit(1)).cast("double").as("n_types"))
+    // cached: the ligand cut, receptor cut, and background all read it
+    // (lifecycle: caller-owned, see graft.Caching)
+    val ctMean = expr.groupBy(col(clusterCol), col(geneCol))
+      .agg(sum(col(valueCol)).as("sv"))
+      .join(broadcast(nc), Seq(clusterCol))
+      .select(col(clusterCol), col(geneCol),
+        r6(col("sv") / col("n_cells")).as("mean_expr"))
+      .cache()
+    val allMean = ctMean.groupBy(col(geneCol))
+      .agg(sum(col("mean_expr")).as("sm"))
+      .crossJoin(broadcast(ntypes))
+      .select(col(geneCol), (col("sm") / col("n_types")).as("all_mean"))
+    val lig = ctMean.where(col("mean_expr") >= minExpr)
+      .select(col(clusterCol).as("source"), col(geneCol).as("ligand"),
+        col("mean_expr").as("ligand_expr"))
+    val rec = ctMean.where(col("mean_expr") >= minExpr)
+      .select(col(clusterCol).as("target"), col(geneCol).as("receptor"),
+        col("mean_expr").as("receptor_expr"))
+    val al = allMean
+      .select(col(geneCol).as("ligand"), col("all_mean").as("al"))
+    val ar = allMean
+      .select(col(geneCol).as("receptor"), col("all_mean").as("ar"))
+    val score = sqrt(col("ligand_expr") * col("receptor_expr"))
+    lig.join(broadcast(pairs), Seq("ligand"))
+      .join(rec, Seq("receptor"))
+      .join(broadcast(al), Seq("ligand"))
+      .join(broadcast(ar), Seq("receptor"))
+      .select(col("source"), col("target"), col("ligand"),
+        col("receptor"), col("pair_name"), col("category"),
+        col("lr_function"), col("ligand_expr"), col("receptor_expr"),
+        r6(score).as("score"),
+        r6(score / (sqrt(col("al") * col("ar")) + lit(0.01)))
+          .as("specificity"))
+  }
 }

@@ -751,6 +751,167 @@ object StatsQueries {
        |SELECT gene, mu, disp, disp_norm, rnk FROM fin
        |WHERE rnk <= $HvgTopN ORDER BY rnk""".stripMargin
 
+  /* ---------------- sc_cellcycle ---------------- */
+
+  private val CcSGenes = (10 to 19).map(i => s"G$i")
+  private val CcG2mGenes = (20 to 29).map(i => s"G$i")
+
+  /** Cell-cycle phase scoring (agent_singlecell.py:768
+    * _score_cell_cycle, enabled by default at :247): the shared QC
+    * molecule matrix scored against deterministic stand-ins for the
+    * Tirosh S / G2M gene sets — S = G10..G19, G2M = G20..G29 — with
+    * scanpy's rank-binned background controls (deterministic full-bin
+    * variant, see SingleCell.cellCycleScores) and the S/G2M/G1 phase
+    * call on the rounded scores.
+    */
+  private def scCellcycle(s: SparkSession, d: String): DataFrame =
+    SingleCell.cellCycleScores(qcMatrix(s, d), "cell_id", "gene", "cnt",
+      CcSGenes, CcG2mGenes)
+      .orderBy(col("cell_id"))
+
+  private def sqlInList(gs: Seq[String]): String =
+    gs.map(g => s"'$g'").mkString("(", ", ", ")")
+
+  private val scCellcycleSql =
+    s"""WITH $scMatrixCtes,
+       |ct AS (SELECT cell_id, sum(cnt)::DOUBLE AS cell_total
+       |  FROM e GROUP BY cell_id),
+       |ncc AS (SELECT count(*)::DOUBLE AS n_cells FROM ct),
+       |ex AS (SELECT e.cell_id, e.gene,
+       |    ln(1.0 + e.cnt * 10000.0 / ct.cell_total) AS x
+       |  FROM e JOIN ct ON e.cell_id = ct.cell_id),
+       |gm AS (SELECT gene, round(sum(x)::DOUBLE / n_cells
+       |      + 0.000000001, 6) AS mu
+       |  FROM ex, ncc GROUP BY gene, n_cells),
+       |bi AS (SELECT gene,
+       |    floor(rank() OVER (ORDER BY mu)::DOUBLE / greatest(1.0,
+       |      floor((count(*) OVER ())::DOUBLE / 24.0))) AS bin,
+       |    gene IN ${sqlInList(CcSGenes)} AS in_s,
+       |    gene IN ${sqlInList(CcG2mGenes)} AS in_g2m
+       |  FROM gm),
+       |fl AS (SELECT gene, in_s, in_g2m,
+       |    (max(CASE WHEN in_s THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY bin) = 1) AND NOT in_s AS ctrl_s,
+       |    (max(CASE WHEN in_g2m THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY bin) = 1) AND NOT in_g2m AS ctrl_g2m
+       |  FROM bi),
+       |sz AS (SELECT sum(CASE WHEN in_s THEN 1.0 ELSE 0.0 END) AS n_s,
+       |    sum(CASE WHEN ctrl_s THEN 1.0 ELSE 0.0 END) AS n_cs,
+       |    sum(CASE WHEN in_g2m THEN 1.0 ELSE 0.0 END) AS n_g2m,
+       |    sum(CASE WHEN ctrl_g2m THEN 1.0 ELSE 0.0 END) AS n_cg
+       |  FROM fl),
+       |cs AS (SELECT ex.cell_id,
+       |    sum(CASE WHEN fl.in_s THEN ex.x ELSE 0.0 END)::DOUBLE AS xs,
+       |    sum(CASE WHEN fl.ctrl_s THEN ex.x ELSE 0.0 END)::DOUBLE AS xcs,
+       |    sum(CASE WHEN fl.in_g2m THEN ex.x ELSE 0.0 END)::DOUBLE AS xg,
+       |    sum(CASE WHEN fl.ctrl_g2m THEN ex.x ELSE 0.0 END)::DOUBLE AS xcg
+       |  FROM ex JOIN fl ON ex.gene = fl.gene GROUP BY ex.cell_id),
+       |scc AS (SELECT cell_id,
+       |    round(xs / nullif(n_s, 0.0) - xcs / nullif(n_cs, 0.0)
+       |      + 0.000000001, 6) AS s_score,
+       |    round(xg / nullif(n_g2m, 0.0) - xcg / nullif(n_cg, 0.0)
+       |      + 0.000000001, 6) AS g2m_score
+       |  FROM cs, sz)
+       |SELECT cell_id, s_score, g2m_score,
+       |  CASE WHEN s_score IS NULL OR g2m_score IS NULL THEN NULL
+       |       WHEN s_score < 0 AND g2m_score < 0 THEN 'G1'
+       |       WHEN g2m_score > s_score THEN 'G2M'
+       |       ELSE 'S' END AS phase
+       |FROM scc ORDER BY cell_id""".stripMargin
+
+  /* ---------------- sc_interactions ---------------- */
+
+  private val LrPairs = 12
+  private val LrClusters = 6
+
+  /** Ligand-receptor interaction scoring (agent_singlecell.py:2311
+    * _run_simple_lr_analysis): cell types = cell_id mod $LrClusters
+    * over the log-normalized QC matrix; the curated L-R database
+    * stands in as $LrPairs deterministic pairs (ligand G(5+2i) →
+    * receptor G(6+2i)) with cycled category/function metadata.
+    * score = √(ligand·receptor mean), specificity against the
+    * all-type background mean, both sides ≥ the reference's 0.1
+    * mean-expression floor (:2504,2509).
+    */
+  private def scInteractions(s: SparkSession, d: String): DataFrame = {
+    val entry = qcMatrix(s, d)
+      .groupBy(col("cell_id"), col("gene"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val totals = entry.groupBy(col("cell_id"))
+      .agg(sum(col("cnt")).as("cell_total"))
+    val ex = entry.join(totals, Seq("cell_id"))
+      .select(pmod(col("cell_id"), lit(LrClusters)).cast("long")
+        .as("cluster"),
+        col("cell_id"), col("gene"),
+        log(lit(1.0) + col("cnt") * lit(1e4) / col("cell_total")).as("x"))
+    val cat = pmod(col("id"), lit(3))
+    val pairs = s.range(0, LrPairs).select(
+      concat(lit("G"), (lit(5) + col("id") * 2).cast("string"))
+        .as("ligand"),
+      concat(lit("G"), (lit(6) + col("id") * 2).cast("string"))
+        .as("receptor"),
+      concat(lit("G"), (lit(5) + col("id") * 2).cast("string"), lit("_G"),
+        (lit(6) + col("id") * 2).cast("string")).as("pair_name"),
+      when(cat === 0, lit("checkpoint"))
+        .when(cat === 1, lit("growth_factor"))
+        .otherwise(lit("chemokine")).as("category"),
+      when(cat === 0, lit("inhibitory"))
+        .when(cat === 1, lit("proliferation"))
+        .otherwise(lit("homing")).as("lr_function"))
+    SingleCell.ligandReceptor(ex, "cluster", "cell_id", "gene", "x",
+      pairs, minExpr = 0.1)
+      .orderBy(col("score").desc, col("source"), col("target"),
+        col("ligand"), col("receptor"))
+  }
+
+  private val scInteractionsSql =
+    s"""WITH $scMatrixCtes,
+       |ct AS (SELECT cell_id, sum(cnt)::DOUBLE AS cell_total
+       |  FROM e GROUP BY cell_id),
+       |ex AS (SELECT (e.cell_id % $LrClusters)::BIGINT AS cluster,
+       |    e.cell_id, e.gene,
+       |    ln(1.0 + e.cnt * 10000.0 / ct.cell_total) AS x
+       |  FROM e JOIN ct ON e.cell_id = ct.cell_id),
+       |ncl AS (SELECT cluster, count(DISTINCT cell_id)::DOUBLE AS n_cells
+       |  FROM ex GROUP BY cluster),
+       |nt AS (SELECT count(*)::DOUBLE AS n_types FROM ncl),
+       |cm AS (SELECT x.cluster, x.gene,
+       |    round(sum(x.x)::DOUBLE / ncl.n_cells + 0.000000001, 6)
+       |      AS mean_expr
+       |  FROM ex x JOIN ncl USING (cluster)
+       |  GROUP BY x.cluster, x.gene, ncl.n_cells),
+       |am AS (SELECT gene, sum(mean_expr)::DOUBLE / n_types AS all_mean
+       |  FROM cm, nt GROUP BY gene, n_types),
+       |lg AS (SELECT cluster AS source, gene AS ligand,
+       |    mean_expr AS ligand_expr FROM cm WHERE mean_expr >= 0.1),
+       |rc AS (SELECT cluster AS target, gene AS receptor,
+       |    mean_expr AS receptor_expr FROM cm WHERE mean_expr >= 0.1),
+       |pr AS (SELECT 'G' || (5 + i * 2)::VARCHAR AS ligand,
+       |    'G' || (6 + i * 2)::VARCHAR AS receptor,
+       |    'G' || (5 + i * 2)::VARCHAR || '_G' || (6 + i * 2)::VARCHAR
+       |      AS pair_name,
+       |    CASE WHEN i % 3 = 0 THEN 'checkpoint'
+       |         WHEN i % 3 = 1 THEN 'growth_factor'
+       |         ELSE 'chemokine' END AS category,
+       |    CASE WHEN i % 3 = 0 THEN 'inhibitory'
+       |         WHEN i % 3 = 1 THEN 'proliferation'
+       |         ELSE 'homing' END AS lr_function
+       |  FROM (SELECT unnest(generate_series(0, ${LrPairs - 1})) AS i))
+       |SELECT lg.source, rc.target, pr.ligand, pr.receptor, pr.pair_name,
+       |  pr.category, pr.lr_function, lg.ligand_expr, rc.receptor_expr,
+       |  round(sqrt(lg.ligand_expr * rc.receptor_expr)
+       |    + 0.000000001, 6) AS score,
+       |  round(sqrt(lg.ligand_expr * rc.receptor_expr)
+       |    / (sqrt(al.all_mean * ar.all_mean) + 0.01)
+       |    + 0.000000001, 6) AS specificity
+       |FROM pr
+       |JOIN lg ON lg.ligand = pr.ligand
+       |JOIN rc ON rc.receptor = pr.receptor
+       |JOIN am al ON al.gene = pr.ligand
+       |JOIN am ar ON ar.gene = pr.receptor
+       |ORDER BY score DESC, lg.source, rc.target, pr.ligand,
+       |  pr.receptor""".stripMargin
+
   val defs: Seq[Qdef] = Seq(
     Qdef("deg_stats", degStats, Some(degStatsSql)),
     Qdef("deg_enrich", degEnrich, Some(degEnrichSql)),
@@ -763,5 +924,7 @@ object StatsQueries {
     Qdef("sc_qc", scQc, Some(scQcSql)),
     Qdef("sc_pseudobulk", scPseudobulk, Some(scPseudobulkSql)),
     Qdef("sc_annotate", scAnnotate, Some(scAnnotateSql)),
-    Qdef("sc_hvg", scHvg, Some(scHvgSql)))
+    Qdef("sc_hvg", scHvg, Some(scHvgSql)),
+    Qdef("sc_cellcycle", scCellcycle, Some(scCellcycleSql)),
+    Qdef("sc_interactions", scInteractions, Some(scInteractionsSql)))
 }

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
 import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
 
 /** Shared AQE-aware physical-plan traversal for plan audits (used by
@@ -32,7 +33,13 @@ object PlanWalk {
   def broadcastsRawScan(plan: SparkPlan, table: String): Boolean = {
     def rawScan(p: SparkPlan): Boolean = p match {
       case _: BaseAggregateExec => false
+      case a: AdaptiveSparkPlanExec => rawScan(a.executedPlan)
       case q: QueryStageExec => rawScan(q.plan)
+      // a cache read is as raw as its BUILD plan: descend and apply
+      // the same aggregate-blocks-raw rule (the leaf's toString prints
+      // the whole InMemoryRelation, so string-matching it would flag a
+      // cached aggregate output as a raw scan)
+      case c: InMemoryTableScanExec => rawScan(c.relation.cachedPlan)
       case s if s.children.isEmpty => s.toString.contains(table)
       case s => s.children.exists(rawScan)
     }

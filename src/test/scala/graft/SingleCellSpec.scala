@@ -204,4 +204,78 @@ class SingleCellSpec extends SparkSpec {
     assert(out.head.getString(1) == "Unknown_7")
     assert(out.head.getDouble(2) == 0.0 && out.head.getLong(3) == 0L)
   }
+
+  // 6 genes: S1 (S set), M1 (G2M set), B1..B4 background, engineered
+  // so each phase branch fires. With nBins=2 the bin split is
+  // rank//6 — every gene but the top-mean one shares bin 0, so each
+  // set's control is bin 0 minus that set (the OTHER set's gene is a
+  // legitimate control, as in scanpy).
+  private def ccMatrix = Seq(
+    // cs: S-dominant
+    ("cs", "S1", 500.0), ("cs", "M1", 1.0), ("cs", "B1", 10.0),
+    ("cs", "B2", 10.0),
+    // cm: G2M-dominant
+    ("cm", "M1", 500.0), ("cm", "S1", 1.0), ("cm", "B1", 10.0),
+    ("cm", "B2", 10.0),
+    // cb: background only — both scores negative
+    ("cb", "B1", 200.0), ("cb", "B2", 200.0), ("cb", "B3", 200.0),
+    ("cb", "B4", 600.0)
+  ).toDF("cell", "gene", "cnt")
+
+  test("cellCycleScores calls S / G2M / G1 phases from signature-vs-control scores") {
+    val out = SingleCell.cellCycleScores(ccMatrix, "cell", "gene", "cnt",
+      sGenes = Seq("S1"), g2mGenes = Seq("M1"), nBins = 2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("cs").getString(3) == "S")
+    assert(out("cs").getDouble(1) > 0.0)
+    assert(out("cm").getString(3) == "G2M")
+    assert(out("cm").getDouble(2) > out("cm").getDouble(1))
+    assert(out("cb").getString(3) == "G1")
+    assert(out("cb").getDouble(1) < 0.0 && out("cb").getDouble(2) < 0.0)
+  }
+
+  test("cellCycleScores: an empty control set yields null scores and null phase, not a silent S") {
+    // 2 genes, default nBins=25 -> n_items=1 -> singleton bins: each
+    // set's bin holds only the set gene itself, so controls are empty
+    val tiny = Seq(("c1", "S1", 5.0), ("c1", "M1", 3.0))
+      .toDF("cell", "gene", "cnt")
+    val r = SingleCell.cellCycleScores(tiny, "cell", "gene", "cnt",
+      sGenes = Seq("S1"), g2mGenes = Seq("M1")).collect().head
+    assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
+  }
+
+  test("cellCycleScores is invariant to input partitioning") {
+    val a = SingleCell.cellCycleScores(ccMatrix, "cell", "gene", "cnt",
+      Seq("S1"), Seq("M1"), nBins = 2).collect().toSet
+    val b = SingleCell.cellCycleScores(ccMatrix.repartition(7), "cell",
+      "gene", "cnt", Seq("S1"), Seq("M1"), nBins = 2).collect().toSet
+    assert(a == b)
+  }
+
+  test("ligandReceptor scores admissible type pairs and floors sub-minExpr means") {
+    // cluster A: cells a1,a2; cluster B: cell b1. Means over ALL
+    // cells of the type (missing entry = 0): L@A=3, L@B=0.05 (cut),
+    // R@A=0.5, R@B=2. Background: all-type mean of type means.
+    val expr = Seq(
+      ("A", "a1", "L", 2.0), ("A", "a2", "L", 4.0), ("A", "a1", "R", 1.0),
+      ("B", "b1", "L", 0.05), ("B", "b1", "R", 2.0)
+    ).toDF("cluster", "cell", "gene", "v")
+    val pairs = Seq(("L", "R", "L_R", "checkpoint", "inhibitory"))
+      .toDF("ligand", "receptor", "pair_name", "category", "lr_function")
+    val out = SingleCell
+      .ligandReceptor(expr, "cluster", "cell", "gene", "v", pairs)
+      .collect()
+      .map(r => (r.getString(r.fieldIndex("source")),
+        r.getString(r.fieldIndex("target"))) -> r).toMap
+    // B's ligand mean 0.05 < 0.1: B never a source
+    assert(out.keySet == Set("A" -> "A", "A" -> "B"))
+    val aa = out("A" -> "A")
+    // score = sqrt(3 * 0.5); allL = (3+0.05)/2, allR = (0.5+2)/2
+    assert(math.abs(aa.getDouble(aa.fieldIndex("score")) - 1.224745) < 1e-6)
+    assert(math.abs(aa.getDouble(aa.fieldIndex("specificity")) -
+      1.224745 / (math.sqrt(1.525 * 1.25) + 0.01)) < 1e-5)
+    val ab = out("A" -> "B")
+    assert(math.abs(ab.getDouble(ab.fieldIndex("score")) -
+      math.sqrt(3.0 * 2.0)) < 1e-6)
+  }
 }
