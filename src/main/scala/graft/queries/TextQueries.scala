@@ -1,11 +1,11 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFns
-import graft.operators.{Chunker, Pack, TextAnalysis, Trends}
+import graft.operators.{Chunker, Insights, Pack, TextAnalysis, Trends}
 
 /** Text-analysis queries over `documents` (plus `part` for entity
   * codes). All derived integers are BIGINT on both sides.
@@ -533,6 +533,142 @@ object TextQueries {
        |       ELSE 'stable' END AS trend
        |FROM g ORDER BY lens""".stripMargin
 
+  /* ---------------- paper_quality ---------------- */
+
+  /** Study-quality insight extraction (paper_insights.py:274
+    * extract_quality): the synthetic corpus has no clinical phrasing,
+    * so — the lens_classify/deg_validate binding device — each doc
+    * gets deterministic doc_id-residue markers appended (design by
+    * mod 11 covering every ladder rung incl. the Unknown gap, sample
+    * size by mod 7 incl. an out-of-range fall-through, strengths by
+    * mod 3, bias vocabulary by mod 5), and the OPERATOR runs the
+    * reference's real pattern ladder over the augmented text. The
+    * oracle replays markers + ladder + caps textually.
+    */
+  private val pqDesign = Seq(
+    "meta-analysis of pooled data", "systematic review",
+    "randomized placebo-controlled", "cohort study", "case-control",
+    "cross-sectional", "case series of consecutive patients",
+    "case report", "in vitro cell line", "",
+    "double-blind phase ii trial")
+  private val pqSample = Seq(
+    "", "n = 12", "n = 45", "n = 150", "n = 2500", "enrolled 80",
+    "n = 2000000 with 450 patients")
+  private val pqStrength = Seq("", "multicenter", "double-blind")
+  private val pqBias = Seq(
+    "", "selection bias", "confounders adjusted", "bias", "")
+
+  private def pqMarker(opts: Seq[String], m: Int): Column =
+    opts.zipWithIndex.foldRight(lit("")) { case ((s0, i), rest) =>
+      when(pmod(col("doc_id"), lit(m)) === i, lit(s0)).otherwise(rest)
+    }
+
+  private def paperQuality(s: SparkSession, d: String): DataFrame = {
+    val aug = Tables.documents(s, d).select(col("doc_id"),
+      concat_ws(" ", col("text"),
+        pqMarker(pqDesign, 11), pqMarker(pqSample, 7),
+        pqMarker(pqStrength, 3), pqMarker(pqBias, 5)).as("text"))
+    Insights.paperQuality(aug, "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  private def pqMarkerSql(opts: Seq[String], m: Int): String =
+    opts.zipWithIndex.map { case (s0, i) =>
+      s"WHEN doc_id % $m = $i THEN '$s0'"
+    }.mkString("CASE ", " ", " ELSE '' END")
+
+  private val paperQualitySql =
+    s"""WITH a AS (SELECT doc_id, lower(text || ' ' ||
+       |    ${pqMarkerSql(pqDesign, 11)} || ' ' ||
+       |    ${pqMarkerSql(pqSample, 7)} || ' ' ||
+       |    ${pqMarkerSql(pqStrength, 3)} || ' ' ||
+       |    ${pqMarkerSql(pqBias, 5)}) AS t
+       |  FROM documents),
+       |d AS (SELECT doc_id, t,
+       |    CASE WHEN regexp_matches(t, 'meta-analysis|meta analysis|pooled analysis')
+       |        THEN 'Meta-Analysis'
+       |      WHEN regexp_matches(t, 'systematic review|systematic literature review')
+       |        THEN 'Systematic Review'
+       |      WHEN regexp_matches(t, 'randomized|randomised|rct|phase [iv123]+|double-blind|placebo-controlled|clinical trial')
+       |        THEN 'Randomized Controlled Trial'
+       |      WHEN regexp_matches(t, 'cohort study|prospective study|retrospective study|longitudinal|follow-up study')
+       |        THEN 'Cohort Study'
+       |      WHEN regexp_matches(t, 'case-control|case control') THEN 'Case-Control'
+       |      WHEN regexp_matches(t, 'cross-sectional|cross sectional|prevalence study')
+       |        THEN 'Cross-Sectional'
+       |      WHEN regexp_matches(t, 'case series|consecutive patients|patient series')
+       |        THEN 'Case Series'
+       |      WHEN regexp_matches(t, 'case report|case presentation') THEN 'Case Report'
+       |      WHEN regexp_matches(t, 'in vitro|cell line|mouse model|animal model|xenograft|preclinical')
+       |        THEN 'In Vitro/Animal'
+       |      ELSE 'Unknown' END AS design,
+       |    CASE WHEN regexp_matches(t, 'meta-analysis|meta analysis|pooled analysis') THEN 10
+       |      WHEN regexp_matches(t, 'systematic review|systematic literature review') THEN 9
+       |      WHEN regexp_matches(t, 'randomized|randomised|rct|phase [iv123]+|double-blind|placebo-controlled|clinical trial') THEN 8
+       |      WHEN regexp_matches(t, 'cohort study|prospective study|retrospective study|longitudinal|follow-up study') THEN 6
+       |      WHEN regexp_matches(t, 'case-control|case control') THEN 5
+       |      WHEN regexp_matches(t, 'cross-sectional|cross sectional|prevalence study') THEN 4
+       |      WHEN regexp_matches(t, 'case series|consecutive patients|patient series') THEN 3
+       |      WHEN regexp_matches(t, 'case report|case presentation') THEN 2
+       |      WHEN regexp_matches(t, 'in vitro|cell line|mouse model|animal model|xenograft|preclinical') THEN 0
+       |      ELSE 0 END::BIGINT AS design_score,
+       |    coalesce(
+       |      CASE WHEN nullif(regexp_extract(t, 'n\\s*=\\s*(\\d+)', 1), '')::BIGINT
+       |        BETWEEN 1 AND 1000000
+       |        THEN nullif(regexp_extract(t, 'n\\s*=\\s*(\\d+)', 1), '')::BIGINT END,
+       |      CASE WHEN nullif(regexp_extract(t, '(\\d+)\\s*patients', 1), '')::BIGINT
+       |        BETWEEN 1 AND 1000000
+       |        THEN nullif(regexp_extract(t, '(\\d+)\\s*patients', 1), '')::BIGINT END,
+       |      CASE WHEN nullif(regexp_extract(t, '(\\d+)\\s*participants', 1), '')::BIGINT
+       |        BETWEEN 1 AND 1000000
+       |        THEN nullif(regexp_extract(t, '(\\d+)\\s*participants', 1), '')::BIGINT END,
+       |      CASE WHEN nullif(regexp_extract(t, '(\\d+)\\s*subjects', 1), '')::BIGINT
+       |        BETWEEN 1 AND 1000000
+       |        THEN nullif(regexp_extract(t, '(\\d+)\\s*subjects', 1), '')::BIGINT END,
+       |      CASE WHEN nullif(regexp_extract(t, 'sample size of\\s*(\\d+)', 1), '')::BIGINT
+       |        BETWEEN 1 AND 1000000
+       |        THEN nullif(regexp_extract(t, 'sample size of\\s*(\\d+)', 1), '')::BIGINT END,
+       |      CASE WHEN nullif(regexp_extract(t, 'enrolled\\s*(\\d+)', 1), '')::BIGINT
+       |        BETWEEN 1 AND 1000000
+       |        THEN nullif(regexp_extract(t, 'enrolled\\s*(\\d+)', 1), '')::BIGINT END,
+       |      CASE WHEN nullif(regexp_extract(t, 'included\\s*(\\d+)', 1), '')::BIGINT
+       |        BETWEEN 1 AND 1000000
+       |        THEN nullif(regexp_extract(t, 'included\\s*(\\d+)', 1), '')::BIGINT END,
+       |      CASE WHEN nullif(regexp_extract(t, '(\\d+)\\s*individuals', 1), '')::BIGINT
+       |        BETWEEN 1 AND 1000000
+       |        THEN nullif(regexp_extract(t, '(\\d+)\\s*individuals', 1), '')::BIGINT END
+       |    ) AS sample_size,
+       |    (t LIKE '%multicenter%' OR t LIKE '%multi-center%') AS multicenter,
+       |    t LIKE '%double-blind%' AS double_blind
+       |  FROM a),
+       |q AS (SELECT *,
+       |    CASE WHEN sample_size >= 1000 THEN least(10.0, design_score + 1.0)
+       |         WHEN sample_size >= 100 THEN least(10.0, design_score + 0.5)
+       |         WHEN sample_size < 30 THEN greatest(0.0, design_score - 1.0)
+       |         ELSE design_score::DOUBLE END AS q1
+       |  FROM d),
+       |q2 AS (SELECT *,
+       |    CASE WHEN multicenter THEN least(10.0, q1 + 0.5) ELSE q1 END AS qq
+       |  FROM q),
+       |f AS (SELECT doc_id, design, design_score, sample_size,
+       |    multicenter, double_blind,
+       |    round(CASE WHEN double_blind THEN least(10.0, qq + 0.5)
+       |      ELSE qq END, 1) AS quality_score,
+       |    CASE WHEN (design = 'Randomized Controlled Trial'
+       |          OR design = 'Meta-Analysis') AND double_blind THEN 'Low'
+       |         WHEN design IN ('Case Report', 'Case Series') THEN 'High'
+       |         WHEN t LIKE '%bias%' OR t LIKE '%confound%' THEN
+       |           CASE WHEN t LIKE '%adjusted%' THEN 'Medium' ELSE 'High' END
+       |         ELSE 'Medium' END AS bias_risk
+       |  FROM q2)
+       |SELECT doc_id, design, design_score, sample_size, multicenter,
+       |  double_blind, quality_score,
+       |  CASE WHEN quality_score >= 8.0 THEN 'High'
+       |       WHEN quality_score >= 5.0 THEN 'Medium'
+       |       ELSE 'Low' END AS quality_label,
+       |  bias_risk
+       |FROM f ORDER BY doc_id""".stripMargin
+
   val defs: Seq[Qdef] = Seq(
     Qdef("txt_stats", txtStats, Some(txtStatsSql)),
     Qdef("txt_quality", txtQuality, Some(txtQualitySql)),
@@ -550,5 +686,6 @@ object TextQueries {
     Qdef("pack_shards", packShards, Some(packShardsSql)),
     Qdef("corpus_stats", corpusStats, Some(corpusStatsSql)),
     Qdef("trend_gaps", trendGaps, Some(trendGapsSql)),
-    Qdef("topic_trends", topicTrends, Some(topicTrendsSql)))
+    Qdef("topic_trends", topicTrends, Some(topicTrendsSql)),
+    Qdef("paper_quality", paperQuality, Some(paperQualitySql)))
 }
