@@ -468,6 +468,123 @@ object SingleCell {
           .otherwise(lit("S")))
   }
 
+  /** Ploidy inference / malignant-cell detection (reference:
+    * agent_singlecell.py:2908 _infer_ploidy — per-chromosome
+    * expression z-scores against a diploid reference population,
+    * chromosome score = mean |z|, per-cell ploidy = mean over
+    * chromosomes and CIN = population std over chromosomes,
+    * adaptive 75th/90th-percentile malignancy thresholds, and the
+    * per-cell-type summary the reference saves as
+    * ploidy_by_celltype.csv at :3052).
+    *
+    * Inputs: `expr` = long-form (cell, gene, x) expression rows
+    * (the reference scores adata.X post-normalization); `cellTypes` =
+    * (cell, cell_type); `chromPanel` = the (chrom, gene) assignment
+    * (reference :2931 — a curated subset, broadcast by construction);
+    * `refCells` = the diploid reference population (:2957 — immune
+    * cells; the reference's <50-immune median fallback is the
+    * caller's branch to take, not replicated here).
+    *
+    * DENSE-SEMANTICS RECOVERY: the reference z-scores a dense matrix,
+    * so a missing (cell, gene) entry still contributes
+    * |0 − μ_g|/σ_g = μ_g/σ_g (x ≥ 0 post-lognorm ⇒ μ ≥ 0). That
+    * per-gene constant makes the dense Σ|z| sparse-computable:
+    * Σ_dense |z| = Σ_present (|z(x)| − μ/σ) + Σ_panel μ/σ, where the
+    * second term is a per-chromosome constant. No densification ever
+    * materializes — the same device as hvg's sparse moments.
+    *
+    * Scale: two aggregates over the PANEL-RESTRICTED matrix (the
+    * broadcast panel join prunes everything else): reference moments
+    * per gene, then per-(cell, chrom) partial sums; everything after
+    * runs on cells × |chroms| and smaller. The percentile thresholds
+    * are EXACT (cross-engine oracle parity, linear interpolation in
+    * both engines) over the cell-cardinality score frame — at true
+    * atlas scale swap in percentile_approx at the marked spot, the
+    * one deliberate exactness/scale trade in this operator.
+    *
+    * Cross-engine protocol: every aggregate output (moments, sums,
+    * scores, thresholds) rounds to 6dp (+1e-9) before reuse, so
+    * fold-order drift can never propagate; threshold compares run on
+    * rounded score vs rounded threshold.
+    *
+    * Output: one row per cell type — (cell_type, ploidy_score,
+    * ploidy_std, cin_score, n_malignant, n_total, pct_malignant).
+    */
+  def inferPloidy(
+      expr: DataFrame, cellCol: String, geneCol: String, valueCol: String,
+      cellTypes: DataFrame, chromPanel: DataFrame,
+      refCells: DataFrame): DataFrame = {
+    val exP = expr.select(col(cellCol), col(geneCol), col(valueCol).as("x"))
+      .join(broadcast(chromPanel.select(col("chrom"), col(geneCol))),
+        Seq(geneCol))
+    val nRef = refCells.select(col(cellCol)).distinct()
+      .agg(count(lit(1)).cast("double").as("n_ref"))
+    // per-gene diploid reference moments, dense via sparse sums
+    // (missing entries add 0 to both) over the reference population
+    val gstats = exP
+      .join(refCells.select(col(cellCol)).distinct(), Seq(cellCol),
+        "left_semi")
+      .groupBy(col("chrom"), col(geneCol))
+      .agg(sum(col("x")).as("s"), sum(col("x") * col("x")).as("ss"))
+      .crossJoin(broadcast(nRef))
+      .select(col("chrom"), col(geneCol),
+        r6(col("s") / col("n_ref")).as("mu"),
+        r6(sqrt(greatest(col("ss") / col("n_ref") -
+          pow(col("s") / col("n_ref"), 2), lit(0.0))) + lit(1e-6))
+          .as("sd"))
+      .withColumn("z0", col("mu") / col("sd"))
+    // per-chromosome constants: the all-absent baseline sum and size
+    val chromConst = gstats.groupBy(col("chrom"))
+      .agg(r6(sum(col("z0"))).as("z0_sum"),
+        count(lit(1)).cast("double").as("n_genes"))
+    // sparse correction per (cell, chrom): present entries replace
+    // their zero-z term with the actual |z|
+    val corr = exP
+      .join(broadcast(gstats.select(col(geneCol), col("mu"), col("sd"),
+        col("z0"))), Seq(geneCol))
+      .groupBy(col(cellCol), col("chrom"))
+      .agg(r6(sum(abs((col("x") - col("mu")) / col("sd")) - col("z0")))
+        .as("dsum"))
+    val cells = expr.select(col(cellCol)).distinct()
+    val chromScores = cells.crossJoin(broadcast(chromConst))
+      .join(corr, Seq(cellCol, "chrom"), "left")
+      .select(col(cellCol), col("chrom"),
+        r6((coalesce(col("dsum"), lit(0.0)) + col("z0_sum")) /
+          col("n_genes")).as("chr_score"))
+    // cached: the threshold aggregate and the labeling pass both read
+    // it (lifecycle: caller-owned, see graft.Caching)
+    val perCell = chromScores.groupBy(col(cellCol))
+      .agg(r6(avg(col("chr_score"))).as("ploidy_score"),
+        r6(stddev_pop(col("chr_score"))).as("cin_score"))
+      .cache()
+    // adaptive thresholds — EXACT percentiles for oracle parity; at
+    // atlas scale substitute percentile_approx here
+    val thresholds = perCell.agg(
+      r6(expr_fn("percentile(ploidy_score, 0.75)")).as("q75"),
+      r6(expr_fn("percentile(ploidy_score, 0.90)")).as("q90"))
+    val labeled = perCell.crossJoin(broadcast(thresholds))
+      .withColumn("malignancy",
+        when(col("ploidy_score") > col("q90"),
+          lit("High_Confidence_Malignant"))
+          .when(col("ploidy_score") > col("q75"), lit("Likely_Malignant"))
+          .otherwise(lit("Likely_Normal")))
+    labeled
+      .join(cellTypes.select(col(cellCol), col("cell_type")),
+        Seq(cellCol))
+      .groupBy(col("cell_type"))
+      .agg(r6(avg(col("ploidy_score"))).as("ploidy_score"),
+        r6(stddev_samp(col("ploidy_score"))).as("ploidy_std"),
+        r6(avg(col("cin_score"))).as("cin_score"),
+        sum(when(col("malignancy") =!= "Likely_Normal", 1L)
+          .otherwise(0L)).as("n_malignant"),
+        count(lit(1)).as("n_total"))
+      .withColumn("pct_malignant",
+        r6(col("n_malignant").cast("double") / col("n_total") * 100.0))
+  }
+
+  private def expr_fn(s: String): Column =
+    org.apache.spark.sql.functions.expr(s)
+
   /** Ligand-receptor interaction scoring (reference:
     * agent_singlecell.py:2311 _run_simple_lr_analysis — CellChat-style
     * scoring over a curated L-R pair database: per-cell-type mean

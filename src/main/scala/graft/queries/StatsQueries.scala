@@ -833,17 +833,27 @@ object StatsQueries {
     * all-type background mean, both sides ≥ the reference's 0.1
     * mean-expression floor (:2504,2509).
     */
-  private def scInteractions(s: SparkSession, d: String): DataFrame = {
+  /** The log-normalized (cell_id, gene, x) expression frame shared by
+    * sc_interactions and sc_ploidy — scanpy normalize_total + log1p
+    * over the QC molecule matrix (same transform sc_hvg and
+    * sc_cellcycle apply internally).
+    */
+  private def scLogEx(s: SparkSession, d: String): DataFrame = {
     val entry = qcMatrix(s, d)
       .groupBy(col("cell_id"), col("gene"))
       .agg(sum(col("cnt")).as("cnt"))
     val totals = entry.groupBy(col("cell_id"))
       .agg(sum(col("cnt")).as("cell_total"))
-    val ex = entry.join(totals, Seq("cell_id"))
+    entry.join(totals, Seq("cell_id"))
+      .select(col("cell_id"), col("gene"),
+        log(lit(1.0) + col("cnt") * lit(1e4) / col("cell_total")).as("x"))
+  }
+
+  private def scInteractions(s: SparkSession, d: String): DataFrame = {
+    val ex = scLogEx(s, d)
       .select(pmod(col("cell_id"), lit(LrClusters)).cast("long")
         .as("cluster"),
-        col("cell_id"), col("gene"),
-        log(lit(1.0) + col("cnt") * lit(1e4) / col("cell_total")).as("x"))
+        col("cell_id"), col("gene"), col("x"))
     val cat = pmod(col("id"), lit(3))
     val pairs = s.range(0, LrPairs).select(
       concat(lit("G"), (lit(5) + col("id") * 2).cast("string"))
@@ -912,6 +922,101 @@ object StatsQueries {
        |ORDER BY score DESC, lg.source, rc.target, pr.ligand,
        |  pr.receptor""".stripMargin
 
+  /* ---------------- sc_ploidy ---------------- */
+
+  private val PloidyChroms = 8
+  private val PloidyTypes = 5
+
+  /** Ploidy inference (agent_singlecell.py:2908 _infer_ploidy): the
+    * chromosome panel stands in as genes G5..G44 assigned round-robin
+    * to $PloidyChroms chroms ($PloidyChroms × 5 genes, each ≥ the
+    * reference's 2-gene minimum at :2975); the diploid reference
+    * population = cells with cell_id % 4 == 0 (the reference's
+    * ≥50-immune-cells branch at :2961 — 500 cells at sf0.01); cell
+    * types = cell_id mod $PloidyTypes. Output = the reference's
+    * ploidy_by_celltype.csv shape.
+    */
+  private def scPloidy(s: SparkSession, d: String): DataFrame = {
+    val ex = scLogEx(s, d)
+    val panel = s.range(5, 45).select(
+      concat(lit("chr"), pmod(col("id") - 5, lit(PloidyChroms))
+        .cast("string")).as("chrom"),
+      concat(lit("G"), col("id").cast("string")).as("gene"))
+    val types = ex.select(col("cell_id")).distinct()
+      .select(col("cell_id"),
+        concat(lit("ct"), pmod(col("cell_id"), lit(PloidyTypes))
+          .cast("string")).as("cell_type"))
+    val refs = ex.where(pmod(col("cell_id"), lit(4)) === 0)
+      .select(col("cell_id")).distinct()
+    SingleCell.inferPloidy(ex, "cell_id", "gene", "x", types, panel, refs)
+      .orderBy(col("cell_type"))
+  }
+
+  /** The lognorm CTEs shared by sc_ploidy and sc_interactions. */
+  private val scLogExCtes =
+    s"""ct AS (SELECT cell_id, sum(cnt)::DOUBLE AS cell_total
+       |  FROM e GROUP BY cell_id),
+       |ex AS (SELECT e.cell_id, e.gene,
+       |    ln(1.0 + e.cnt * 10000.0 / ct.cell_total) AS x
+       |  FROM e JOIN ct ON e.cell_id = ct.cell_id)""".stripMargin
+
+  private val scPloidySql =
+    s"""WITH $scMatrixCtes,
+       |$scLogExCtes,
+       |pan AS (SELECT 'chr' || ((g - 5) % $PloidyChroms)::VARCHAR AS chrom,
+       |    'G' || g::VARCHAR AS gene
+       |  FROM (SELECT unnest(generate_series(5, 44)) AS g)),
+       |exp2 AS (SELECT ex.cell_id, p.chrom, ex.gene, ex.x
+       |  FROM ex JOIN pan p USING (gene)),
+       |nr AS (SELECT count(DISTINCT cell_id)::DOUBLE AS n_ref
+       |  FROM ex WHERE cell_id % 4 = 0),
+       |gs AS (SELECT x2.chrom, x2.gene,
+       |    round(sum(x2.x)::DOUBLE / n_ref + 0.000000001, 6) AS mu,
+       |    round(sqrt(greatest(sum(x2.x * x2.x)::DOUBLE / n_ref
+       |        - (sum(x2.x)::DOUBLE / n_ref) ^ 2, 0.0)) + 0.000001
+       |      + 0.000000001, 6) AS sd
+       |  FROM exp2 x2, nr WHERE x2.cell_id % 4 = 0
+       |  GROUP BY x2.chrom, x2.gene, n_ref),
+       |cc AS (SELECT chrom, round(sum(mu / sd) + 0.000000001, 6) AS z0_sum,
+       |    count(*)::DOUBLE AS n_genes
+       |  FROM gs GROUP BY chrom),
+       |co AS (SELECT x2.cell_id, x2.chrom,
+       |    round(sum(abs((x2.x - g.mu) / g.sd) - g.mu / g.sd)
+       |      + 0.000000001, 6) AS dsum
+       |  FROM exp2 x2 JOIN gs g ON x2.gene = g.gene
+       |  GROUP BY x2.cell_id, x2.chrom),
+       |cl AS (SELECT DISTINCT cell_id FROM ex),
+       |cs2 AS (SELECT c.cell_id, k.chrom,
+       |    round((coalesce(co.dsum, 0.0) + k.z0_sum) / k.n_genes
+       |      + 0.000000001, 6) AS chr_score
+       |  FROM cl c CROSS JOIN cc k
+       |  LEFT JOIN co ON co.cell_id = c.cell_id AND co.chrom = k.chrom),
+       |pc AS (SELECT cell_id,
+       |    round(avg(chr_score) + 0.000000001, 6) AS ploidy_score,
+       |    round(stddev_pop(chr_score) + 0.000000001, 6) AS cin_score
+       |  FROM cs2 GROUP BY cell_id),
+       |th AS (SELECT
+       |    round(quantile_cont(ploidy_score, 0.75) + 0.000000001, 6) AS q75,
+       |    round(quantile_cont(ploidy_score, 0.90) + 0.000000001, 6) AS q90
+       |  FROM pc),
+       |lb AS (SELECT pc.cell_id, pc.ploidy_score, pc.cin_score,
+       |    CASE WHEN pc.ploidy_score > th.q90 THEN 'High_Confidence_Malignant'
+       |         WHEN pc.ploidy_score > th.q75 THEN 'Likely_Malignant'
+       |         ELSE 'Likely_Normal' END AS malignancy
+       |  FROM pc, th)
+       |SELECT 'ct' || (cell_id % $PloidyTypes)::VARCHAR AS cell_type,
+       |  round(avg(ploidy_score) + 0.000000001, 6) AS ploidy_score,
+       |  round(stddev_samp(ploidy_score) + 0.000000001, 6) AS ploidy_std,
+       |  round(avg(cin_score) + 0.000000001, 6) AS cin_score,
+       |  sum(CASE WHEN malignancy <> 'Likely_Normal' THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_malignant,
+       |  count(*)::BIGINT AS n_total,
+       |  round(sum(CASE WHEN malignancy <> 'Likely_Normal' THEN 1.0
+       |      ELSE 0.0 END) / count(*) * 100.0 + 0.000000001, 6)
+       |    AS pct_malignant
+       |FROM lb GROUP BY cell_id % $PloidyTypes
+       |ORDER BY cell_type""".stripMargin
+
   val defs: Seq[Qdef] = Seq(
     Qdef("deg_stats", degStats, Some(degStatsSql)),
     Qdef("deg_enrich", degEnrich, Some(degEnrichSql)),
@@ -926,5 +1031,6 @@ object StatsQueries {
     Qdef("sc_annotate", scAnnotate, Some(scAnnotateSql)),
     Qdef("sc_hvg", scHvg, Some(scHvgSql)),
     Qdef("sc_cellcycle", scCellcycle, Some(scCellcycleSql)),
-    Qdef("sc_interactions", scInteractions, Some(scInteractionsSql)))
+    Qdef("sc_interactions", scInteractions, Some(scInteractionsSql)),
+    Qdef("sc_ploidy", scPloidy, Some(scPloidySql)))
 }

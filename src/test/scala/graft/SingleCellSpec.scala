@@ -252,6 +252,50 @@ class SingleCellSpec extends SparkSpec {
     assert(a == b)
   }
 
+  // inferPloidy fixture, dense math by hand: 2 genes on one chrom,
+  // reference = {r1, r2}. Dense semantics: a missing entry is x = 0,
+  // so g1: mu=2, sd=1+1e-6 (r1 has 1, r2 has 3); g2: mu=1, sd=1+1e-6
+  // (r1 MISSING -> 0, r2 has 2). Cell t1 only carries g2=4, but its
+  // chrom score must still include g1's zero-z term |0-2|/sd.
+  private def ploidyExpr = Seq(
+    ("r1", "g1", 1.0),
+    ("r2", "g1", 3.0), ("r2", "g2", 2.0),
+    ("t1", "g2", 4.0)
+  ).toDF("cell", "gene", "x")
+
+  test("inferPloidy recovers dense z-scores from sparse entries and labels by percentile") {
+    val types = Seq(("r1", "immune"), ("r2", "immune"), ("t1", "tumor"))
+      .toDF("cell", "cell_type")
+    val panel = Seq(("c1", "g1"), ("c1", "g2")).toDF("chrom", "gene")
+    val refs = Seq("r1", "r2").toDF("cell")
+    val out = SingleCell
+      .inferPloidy(ploidyExpr, "cell", "gene", "x", types, panel, refs)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // hand-computed: r1/r2 chrom score = (|1-2| + |0-1|)/2 / (1+1e-6)
+    // = 0.999999; t1 = (|0-2| + |4-1|)/2 / (1+1e-6) = 2.499998 (6dp).
+    // q75 = 1.749999, q90 = 2.199998 -> only t1 exceeds both.
+    assert(math.abs(out("immune").getDouble(1) - 0.999999) < 1e-6)
+    assert(math.abs(out("tumor").getDouble(1) - 2.499998) < 1e-6)
+    assert(out("immune").getLong(4) == 0L && out("tumor").getLong(4) == 1L)
+    assert(out("tumor").getDouble(6) == 100.0)
+    assert(out("immune").getLong(5) == 2L)
+  }
+
+  test("inferPloidy is invariant to input partitioning") {
+    val types = Seq(("r1", "a"), ("r2", "a"), ("t1", "b"))
+      .toDF("cell", "cell_type")
+    val panel = Seq(("c1", "g1"), ("c1", "g2")).toDF("chrom", "gene")
+    val refs = Seq("r1", "r2").toDF("cell")
+    val one = SingleCell
+      .inferPloidy(ploidyExpr, "cell", "gene", "x", types, panel, refs)
+      .collect().toSet
+    val many = SingleCell
+      .inferPloidy(ploidyExpr.repartition(5), "cell", "gene", "x",
+        types, panel, refs)
+      .collect().toSet
+    assert(one == many)
+  }
+
   test("ligandReceptor scores admissible type pairs and floors sub-minExpr means") {
     // cluster A: cells a1,a2; cluster B: cell b1. Means over ALL
     // cells of the type (missing entry = 0): L@A=3, L@B=0.05 (cut),
