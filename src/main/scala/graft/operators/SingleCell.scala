@@ -400,10 +400,17 @@ object SingleCell {
     *
     * Output: (cellCol, s_score, g2m_score, phase).
     */
-  def cellCycleScores(
+  /** Shared score_genes core: per-cell signature-minus-control score
+    * columns for N gene sets in ONE pass over the matrix (the set
+    * flags widen the panel, not the scan count). Output columns
+    * `score_0..score_{n-1}` in `sets` order; a set whose present-gene
+    * count is below `minGenes`, or whose control set is empty, scores
+    * null. See cellCycleScores for the algorithm contract.
+    */
+  private def scoreSetsWide(
       matrix: DataFrame, cellCol: String, geneCol: String,
-      countCol: String, sGenes: Seq[String], g2mGenes: Seq[String],
-      nBins: Int = 25): DataFrame = {
+      countCol: String, sets: Seq[Seq[String]], nBins: Int,
+      minGenes: Int): DataFrame = {
     require(nBins >= 2, "nBins must be >= 2")
     val entry = matrix
       .groupBy(col(cellCol), col(geneCol))
@@ -429,43 +436,146 @@ object SingleCell {
         rank().over(Window.orderBy(col("mu"))).cast("double"))
       .withColumn("bin", floor(col("g_rank") / greatest(lit(1.0),
         floor(col("npanel") / lit((nBins - 1).toDouble)))))
-      .withColumn("in_s", col(geneCol).isin(sGenes: _*))
-      .withColumn("in_g2m", col(geneCol).isin(g2mGenes: _*))
+    val withIn = sets.zipWithIndex.foldLeft(binned) {
+      case (df, (genes, i)) =>
+        df.withColumn(s"in_$i", col(geneCol).isin(genes: _*))
+    }
     val byBin = Window.partitionBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val flags = binned
-      .withColumn("ctrl_s",
-        max(when(col("in_s"), lit(1)).otherwise(lit(0))).over(byBin) === 1
-          && !col("in_s"))
-      .withColumn("ctrl_g2m",
-        max(when(col("in_g2m"), lit(1)).otherwise(lit(0))).over(byBin) === 1
-          && !col("in_g2m"))
-      .select(col(geneCol), col("in_s"), col("in_g2m"),
-        col("ctrl_s"), col("ctrl_g2m"))
+    val flags = sets.indices.foldLeft(withIn) { (df, i) =>
+      df.withColumn(s"ctrl_$i",
+        max(when(col(s"in_$i"), lit(1)).otherwise(lit(0))).over(byBin) === 1
+          && !col(s"in_$i"))
+    }.select(col(geneCol) +:
+      sets.indices.flatMap(i => Seq(col(s"in_$i"), col(s"ctrl_$i"))): _*)
     val sizes = flags.agg(
-      sum(when(col("in_s"), lit(1.0)).otherwise(lit(0.0))).as("n_s"),
-      sum(when(col("ctrl_s"), lit(1.0)).otherwise(lit(0.0))).as("n_cs"),
-      sum(when(col("in_g2m"), lit(1.0)).otherwise(lit(0.0))).as("n_g2m"),
-      sum(when(col("ctrl_g2m"), lit(1.0)).otherwise(lit(0.0))).as("n_cg"))
+      sets.indices.flatMap(i => Seq(
+        sum(when(col(s"in_$i"), lit(1.0)).otherwise(lit(0.0)))
+          .as(s"n_in_$i"),
+        sum(when(col(s"ctrl_$i"), lit(1.0)).otherwise(lit(0.0)))
+          .as(s"n_ctrl_$i"))).head,
+      sets.indices.flatMap(i => Seq(
+        sum(when(col(s"in_$i"), lit(1.0)).otherwise(lit(0.0)))
+          .as(s"n_in_$i"),
+        sum(when(col(s"ctrl_$i"), lit(1.0)).otherwise(lit(0.0)))
+          .as(s"n_ctrl_$i"))).tail: _*)
     val cellSums = ex.join(broadcast(flags), Seq(geneCol))
       .groupBy(col(cellCol))
       .agg(
-        sum(when(col("in_s"), col("x")).otherwise(lit(0.0))).as("xs"),
-        sum(when(col("ctrl_s"), col("x")).otherwise(lit(0.0))).as("xcs"),
-        sum(when(col("in_g2m"), col("x")).otherwise(lit(0.0))).as("xg"),
-        sum(when(col("ctrl_g2m"), col("x")).otherwise(lit(0.0))).as("xcg"))
+        sets.indices.flatMap(i => Seq(
+          sum(when(col(s"in_$i"), col("x")).otherwise(lit(0.0)))
+            .as(s"x_in_$i"),
+          sum(when(col(s"ctrl_$i"), col("x")).otherwise(lit(0.0)))
+            .as(s"x_ctrl_$i"))).head,
+        sets.indices.flatMap(i => Seq(
+          sum(when(col(s"in_$i"), col("x")).otherwise(lit(0.0)))
+            .as(s"x_in_$i"),
+          sum(when(col(s"ctrl_$i"), col("x")).otherwise(lit(0.0)))
+            .as(s"x_ctrl_$i"))).tail: _*)
     cellSums.crossJoin(broadcast(sizes))
-      .select(col(cellCol),
-        r6(col("xs") / nullif(col("n_s"), lit(0.0)) -
-          col("xcs") / nullif(col("n_cs"), lit(0.0))).as("s_score"),
-        r6(col("xg") / nullif(col("n_g2m"), lit(0.0)) -
-          col("xcg") / nullif(col("n_cg"), lit(0.0))).as("g2m_score"))
+      .select(col(cellCol) +: sets.indices.map { i =>
+        when(col(s"n_in_$i") < minGenes.toDouble,
+          lit(null).cast("double"))
+          .otherwise(r6(
+            col(s"x_in_$i") / nullif(col(s"n_in_$i"), lit(0.0)) -
+              col(s"x_ctrl_$i") / nullif(col(s"n_ctrl_$i"), lit(0.0))))
+          .as(s"score_$i")
+      }: _*)
+  }
+
+  def cellCycleScores(
+      matrix: DataFrame, cellCol: String, geneCol: String,
+      countCol: String, sGenes: Seq[String], g2mGenes: Seq[String],
+      nBins: Int = 25): DataFrame =
+    scoreSetsWide(matrix, cellCol, geneCol, countCol,
+      Seq(sGenes, g2mGenes), nBins, minGenes = 1)
+      .select(col(cellCol), col("score_0").as("s_score"),
+        col("score_1").as("g2m_score"))
       .withColumn("phase",
         when(col("s_score").isNull || col("g2m_score").isNull,
           lit(null).cast("string"))
           .when(col("s_score") < 0 && col("g2m_score") < 0, lit("G1"))
           .when(col("g2m_score") > col("s_score"), lit("G2M"))
           .otherwise(lit("S")))
+
+  /** Multi-set signature scoring in long form (reference:
+    * agent_singlecell.py:2640-2656 — sc.tl.score_genes per immune
+    * signature, skipping sets with fewer than 2 genes present in the
+    * panel): the scanpy score_genes re-expression of cellCycleScores
+    * generalized to N sets, ONE matrix pass for all of them (the set
+    * flags are extra panel columns, not extra scans). A set below
+    * `minGenes` present genes scores null for every cell — the
+    * relational analog of the reference skipping the signature;
+    * callers filter nulls.
+    *
+    * Output: (cellCol, signature, score), one row per cell × set.
+    */
+  def signatureScores(
+      matrix: DataFrame, cellCol: String, geneCol: String,
+      countCol: String, sets: Seq[(String, Seq[String])],
+      nBins: Int = 25, minGenes: Int = 2): DataFrame = {
+    val wide = scoreSetsWide(matrix, cellCol, geneCol, countCol,
+      sets.map(_._2), nBins, minGenes)
+    val stackArgs = sets.zipWithIndex
+      .map { case ((name, _), i) => s"'${name}', score_$i" }
+      .mkString(", ")
+    wide.selectExpr(cellCol,
+      s"stack(${sets.size}, $stackArgs) AS (signature, score)")
+  }
+
+  /** TME composition and phenotype call (reference:
+    * agent_singlecell.py:2615-2629 tme_composition — per-category
+    * cell counts by cell-type PREFIX match, summed per prefix exactly
+    * as the Python sums str.startswith counts (a type matching two
+    * prefixes of one category counts twice, faithfully); :2660-2680
+    * immune/stromal totals, tumor purity, and the Hot/Altered/Cold
+    * phenotype ladder (immune% > 30 with cytotoxic types present →
+    * 'Hot (Inflamed)', > 15 → 'Immune-Altered', else
+    * 'Cold (Desert)'; cytotoxic presence = any cell type matching
+    * CD8|NK|cytotoxic case-insensitively).
+    *
+    * ONE conditional aggregate over the cell-cardinality type frame
+    * computes every per-prefix count and the cytotoxic flag; the
+    * single row then unstacks to category rows. Output: (category,
+    * n_cells, pct, tumor_phenotype) — categories in caller order plus
+    * 'immune_total', 'stromal_total', 'tumor_purity' summary rows,
+    * pct rounded 6dp.
+    */
+  def tmeComposition(
+      cellTypes: DataFrame, typeCol: String,
+      categories: Seq[(String, Seq[String])],
+      immunePrefixes: Seq[String], stromalPrefixes: Seq[String])
+      : DataFrame = {
+    def prefixCount(ps: Seq[String]): Column = ps.map(p =>
+      sum(when(col(typeCol).startsWith(p), lit(1L)).otherwise(lit(0L))))
+      .reduce(_ + _)
+    val aggs =
+      categories.map { case (name, ps) => prefixCount(ps).as(s"c_$name") } ++
+        Seq(prefixCount(immunePrefixes).as("c_imm_total"),
+          prefixCount(stromalPrefixes).as("c_str_total"),
+          count(lit(1)).as("c_total"),
+          max(when(lower(col(typeCol)).rlike("cd8|nk|cytotoxic"), lit(1))
+            .otherwise(lit(0))).as("cytotoxic_present"))
+    val row = cellTypes.agg(aggs.head, aggs.tail: _*)
+      .withColumn("immune_pct",
+        col("c_imm_total").cast("double") / col("c_total") * 100.0)
+      .withColumn("tumor_phenotype",
+        when(col("immune_pct") > 30.0 && col("cytotoxic_present") === 1,
+          lit("Hot (Inflamed)"))
+          .when(col("immune_pct") > 15.0, lit("Immune-Altered"))
+          .otherwise(lit("Cold (Desert)")))
+    val catArgs = (categories.map { case (name, _) =>
+      s"'$name', c_$name"
+    } ++ Seq("'immune_total', c_imm_total", "'stromal_total', c_str_total",
+      "'tumor_purity', c_total - c_imm_total - c_str_total"))
+      .mkString(", ")
+    row.selectExpr(
+      s"stack(${categories.size + 3}, $catArgs) AS (category, n_cells)",
+      "c_total", "tumor_phenotype")
+      .select(col("category"), col("n_cells"),
+        r6(col("n_cells").cast("double") / col("c_total") * 100.0)
+          .as("pct"),
+        col("tumor_phenotype"))
   }
 
   /** Ploidy inference / malignant-cell detection (reference:

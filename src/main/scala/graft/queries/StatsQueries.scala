@@ -1017,6 +1017,213 @@ object StatsQueries {
        |FROM lb GROUP BY cell_id % $PloidyTypes
        |ORDER BY cell_type""".stripMargin
 
+  /* ---------------- sc_tme / sc_tme_comp ---------------- */
+
+  /** Realistic cell-type names keyed by cell_id residue so the TME
+    * prefix/regex machinery (immune lists, CD8|NK cytotoxic match)
+    * exercises for real — 4 immune types (50% → the 'Hot' branch),
+    * 2 stromal, 1 epithelial, 1 immunosuppressive.
+    */
+  private val TmeTypeNames = Seq(
+    "T_cells", "NK_cells", "B_cells", "Macrophages",
+    "Fibroblasts", "Endothelial", "Epithelial", "Treg")
+
+  private def tmeTypes(s: SparkSession, d: String): DataFrame = {
+    val name = TmeTypeNames.zipWithIndex.foldRight(lit("")) {
+      case ((n, i), rest) =>
+        when(pmod(col("cell_id"), lit(TmeTypeNames.size)) === i, lit(n))
+          .otherwise(rest)
+    }
+    qcMatrix(s, d).select(col("cell_id")).distinct()
+      .select(col("cell_id"), name.as("cell_type"))
+  }
+
+  private val TmeSets: Seq[(String, Seq[String])] = Seq(
+    "T_cell_activation" -> (5 to 10).map(i => s"G$i"),
+    "Cytotoxic_activity" -> (12 to 17).map(i => s"G$i"),
+    "Hypoxia" -> Seq("G20", "G22", "G24", "G26"),
+    // one present gene — below the reference's 2-gene minimum, so
+    // this signature must drop out entirely
+    "Rare_sig" -> Seq("G58", "G61"))
+
+  /** TME immune-signature scores by cell type
+    * (agent_singlecell.py:2640-2656: sc.tl.score_genes per signature,
+    * ≥2 present genes, then the per-cell-type score means the
+    * reference reports as signature_scores): deterministic stand-in
+    * signatures over the QC matrix; Rare_sig (1 present gene) must
+    * vanish like the reference's skipped signatures.
+    */
+  private def scTme(s: SparkSession, d: String): DataFrame =
+    SingleCell.signatureScores(qcMatrix(s, d), "cell_id", "gene", "cnt",
+      TmeSets)
+      .where(col("score").isNotNull)
+      .join(tmeTypes(s, d), Seq("cell_id"))
+      .groupBy(col("cell_type"), col("signature"))
+      .agg(round(avg(col("score")) + lit(1e-9), 6).as("mean_score"),
+        count(lit(1)).as("n_cells"))
+      .orderBy(col("cell_type"), col("signature"))
+
+  /** TME composition + phenotype (agent_singlecell.py:2615 — the
+    * reference's real category prefix lists, verbatim, over the
+    * realistic type names; immune 50% + NK present → 'Hot
+    * (Inflamed)').
+    */
+  private def scTmeComp(s: SparkSession, d: String): DataFrame =
+    SingleCell.tmeComposition(tmeTypes(s, d), "cell_type",
+      categories = Seq(
+        "cytotoxic" -> Seq("CD8_T", "CD8A", "NK_cells", "NKT"),
+        "helper" -> Seq("CD4_T", "T_cells", "Th1", "Th2"),
+        "antigen_presenting" -> Seq("Dendritic_cells", "cDC1", "cDC2",
+          "pDC", "B_cells"),
+        "immunosuppressive" -> Seq("Treg", "MDSC", "M2_Macro"),
+        "myeloid" -> Seq("Monocytes", "Macrophages", "Classical_Mono",
+          "Non_classical_Mono", "Kupffer_cells"),
+        "stromal" -> Seq("Fibroblasts", "CAF", "Myofibroblast",
+          "Stellate_cells", "Pericytes"),
+        "endothelial" -> Seq("Endothelial", "Vascular_EC",
+          "Lymphatic_EC", "LSECs"),
+        "epithelial" -> Seq("Epithelial", "Hepatocytes", "Colonocytes",
+          "Alveolar_type2", "Luminal_epithelial", "Ductal_cells",
+          "Acinar_cells")),
+      immunePrefixes = Seq("T_cells", "NK_cells", "B_cells", "Monocytes",
+        "Macrophages", "Dendritic_cells", "Plasma_cells", "Mast_cells",
+        "Neutrophils"),
+      stromalPrefixes = Seq("Fibroblasts", "CAF", "Endothelial",
+        "Pericytes", "Stellate"))
+      .orderBy(col("category"))
+
+  private val tmeTypeCaseSql = TmeTypeNames.zipWithIndex.map {
+    case (n, i) => s"WHEN cell_id % ${TmeTypeNames.size} = $i THEN '$n'"
+  }.mkString("CASE ", " ", " ELSE '' END")
+
+  private val tmeTypesCtes =
+    s"""cl AS (SELECT DISTINCT cell_id FROM e),
+       |tp AS (SELECT cell_id, $tmeTypeCaseSql AS cell_type FROM cl)""".stripMargin
+
+  private def tmeSetFlagsSql(i: Int, genes: Seq[String]): String =
+    s"""gene IN ${sqlInList(genes)} AS in_$i"""
+
+  private val scTmeSql = {
+    val setIdx = TmeSets.zipWithIndex
+    val inFlags = setIdx.map { case ((_, gs), i) =>
+      tmeSetFlagsSql(i, gs)
+    }.mkString(",\n    ")
+    val ctrlFlags = setIdx.map { case (_, i) =>
+      s"""(max(CASE WHEN in_$i THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY bin) = 1) AND NOT in_$i AS ctrl_$i"""
+        .stripMargin
+    }.mkString(",\n    ")
+    val sizeSums = setIdx.map { case (_, i) =>
+      s"""sum(CASE WHEN in_$i THEN 1.0 ELSE 0.0 END) AS n_in_$i,
+         |    sum(CASE WHEN ctrl_$i THEN 1.0 ELSE 0.0 END) AS n_ctrl_$i"""
+        .stripMargin
+    }.mkString(",\n    ")
+    val cellSums = setIdx.map { case (_, i) =>
+      s"""sum(CASE WHEN fl.in_$i THEN ex.x ELSE 0.0 END)::DOUBLE AS x_in_$i,
+         |    sum(CASE WHEN fl.ctrl_$i THEN ex.x ELSE 0.0 END)::DOUBLE AS x_ctrl_$i"""
+        .stripMargin
+    }.mkString(",\n    ")
+    val scores = setIdx.map { case (_, i) =>
+      s"""CASE WHEN n_in_$i < 2.0 THEN NULL ELSE
+         |      round(x_in_$i / nullif(n_in_$i, 0.0)
+         |        - x_ctrl_$i / nullif(n_ctrl_$i, 0.0) + 0.000000001, 6)
+         |      END AS score_$i""".stripMargin
+    }.mkString(",\n    ")
+    val longRows = setIdx.map { case ((name, _), i) =>
+      s"SELECT cell_id, '$name' AS signature, score_$i AS score FROM scw"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $scMatrixCtes,
+       |$scLogExCtes,
+       |$tmeTypesCtes,
+       |gm AS (SELECT gene, round(sum(x)::DOUBLE / n_cells
+       |      + 0.000000001, 6) AS mu
+       |  FROM ex, (SELECT count(*)::DOUBLE AS n_cells FROM cl)
+       |  GROUP BY gene, n_cells),
+       |bi AS (SELECT gene,
+       |    floor(rank() OVER (ORDER BY mu)::DOUBLE / greatest(1.0,
+       |      floor((count(*) OVER ())::DOUBLE / 24.0))) AS bin,
+       |    $inFlags
+       |  FROM gm),
+       |fl AS (SELECT gene,
+       |    ${setIdx.map { case (_, i) => s"in_$i" }.mkString(", ")},
+       |    $ctrlFlags
+       |  FROM bi),
+       |sz AS (SELECT $sizeSums FROM fl),
+       |cs AS (SELECT ex.cell_id,
+       |    $cellSums
+       |  FROM ex JOIN fl ON ex.gene = fl.gene GROUP BY ex.cell_id),
+       |scw AS (SELECT cell_id,
+       |    $scores
+       |  FROM cs, sz),
+       |lng AS ($longRows)
+       |SELECT tp.cell_type, l.signature,
+       |  round(avg(l.score) + 0.000000001, 6) AS mean_score,
+       |  count(*)::BIGINT AS n_cells
+       |FROM lng l JOIN tp ON l.cell_id = tp.cell_id
+       |WHERE l.score IS NOT NULL
+       |GROUP BY tp.cell_type, l.signature
+       |ORDER BY cell_type, signature""".stripMargin
+  }
+
+  private val scTmeCompSql = {
+    val cats = Seq(
+      "cytotoxic" -> Seq("CD8_T", "CD8A", "NK_cells", "NKT"),
+      "helper" -> Seq("CD4_T", "T_cells", "Th1", "Th2"),
+      "antigen_presenting" -> Seq("Dendritic_cells", "cDC1", "cDC2",
+        "pDC", "B_cells"),
+      "immunosuppressive" -> Seq("Treg", "MDSC", "M2_Macro"),
+      "myeloid" -> Seq("Monocytes", "Macrophages", "Classical_Mono",
+        "Non_classical_Mono", "Kupffer_cells"),
+      "stromal" -> Seq("Fibroblasts", "CAF", "Myofibroblast",
+        "Stellate_cells", "Pericytes"),
+      "endothelial" -> Seq("Endothelial", "Vascular_EC", "Lymphatic_EC",
+        "LSECs"),
+      "epithelial" -> Seq("Epithelial", "Hepatocytes", "Colonocytes",
+        "Alveolar_type2", "Luminal_epithelial", "Ductal_cells",
+        "Acinar_cells"))
+    val immune = Seq("T_cells", "NK_cells", "B_cells", "Monocytes",
+      "Macrophages", "Dendritic_cells", "Plasma_cells", "Mast_cells",
+      "Neutrophils")
+    val stromal = Seq("Fibroblasts", "CAF", "Endothelial", "Pericytes",
+      "Stellate")
+    def pc(ps: Seq[String]): String = ps.map(p =>
+      s"sum(CASE WHEN cell_type LIKE '$p%' THEN 1 ELSE 0 END)::BIGINT")
+      .mkString("(", " + ", ")")
+    val catSums = cats.map { case (n, ps) => s"${pc(ps)}::BIGINT AS c_$n" }
+      .mkString(",\n    ")
+    val unions = (cats.map { case (n, _) =>
+      s"SELECT '$n' AS category, c_$n AS n_cells FROM ag"
+    } ++ Seq(
+      "SELECT 'immune_total' AS category, c_imm_total AS n_cells FROM ag",
+      "SELECT 'stromal_total' AS category, c_str_total AS n_cells FROM ag",
+      "SELECT 'tumor_purity' AS category, c_total - c_imm_total - c_str_total AS n_cells FROM ag"))
+      .mkString("\n  UNION ALL ")
+    s"""WITH $scMatrixCtes,
+       |$tmeTypesCtes,
+       |ag AS (SELECT
+       |    $catSums,
+       |    ${pc(immune)}::BIGINT AS c_imm_total,
+       |    ${pc(stromal)}::BIGINT AS c_str_total,
+       |    count(*)::BIGINT AS c_total,
+       |    max(CASE WHEN regexp_matches(lower(cell_type), 'cd8|nk|cytotoxic')
+       |      THEN 1 ELSE 0 END) AS cyto
+       |  FROM tp),
+       |ph AS (SELECT *,
+       |    CASE WHEN c_imm_total::DOUBLE / c_total * 100.0 > 30.0 AND cyto = 1
+       |        THEN 'Hot (Inflamed)'
+       |      WHEN c_imm_total::DOUBLE / c_total * 100.0 > 15.0
+       |        THEN 'Immune-Altered'
+       |      ELSE 'Cold (Desert)' END AS tumor_phenotype
+       |  FROM ag),
+       |lng AS ($unions)
+       |SELECT l.category, l.n_cells,
+       |  round(l.n_cells::DOUBLE / ph.c_total * 100.0 + 0.000000001, 6)
+       |    AS pct,
+       |  ph.tumor_phenotype
+       |FROM lng l, ph
+       |ORDER BY category""".stripMargin
+  }
+
   val defs: Seq[Qdef] = Seq(
     Qdef("deg_stats", degStats, Some(degStatsSql)),
     Qdef("deg_enrich", degEnrich, Some(degEnrichSql)),
@@ -1032,5 +1239,7 @@ object StatsQueries {
     Qdef("sc_hvg", scHvg, Some(scHvgSql)),
     Qdef("sc_cellcycle", scCellcycle, Some(scCellcycleSql)),
     Qdef("sc_interactions", scInteractions, Some(scInteractionsSql)),
-    Qdef("sc_ploidy", scPloidy, Some(scPloidySql)))
+    Qdef("sc_ploidy", scPloidy, Some(scPloidySql)),
+    Qdef("sc_tme", scTme, Some(scTmeSql)),
+    Qdef("sc_tme_comp", scTmeComp, Some(scTmeCompSql)))
 }

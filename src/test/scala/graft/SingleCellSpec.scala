@@ -296,6 +296,67 @@ class SingleCellSpec extends SparkSpec {
     assert(one == many)
   }
 
+  test("signatureScores scores N sets in one pass and nulls sets below minGenes") {
+    val out = SingleCell.signatureScores(ccMatrix, "cell", "gene", "cnt",
+      Seq("sigS" -> Seq("S1"), "sigM" -> Seq("M1"),
+        "ghost" -> Seq("NOPE1", "NOPE2")),
+      nBins = 2, minGenes = 1)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    // same fixture as cellCycleScores: sigS/sigM must reproduce its
+    // s_score/g2m_score exactly
+    val cc = SingleCell.cellCycleScores(ccMatrix, "cell", "gene", "cnt",
+      Seq("S1"), Seq("M1"), nBins = 2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    for (c <- Seq("cs", "cm", "cb")) {
+      assert(out((c, "sigS")).getDouble(2) == cc(c).getDouble(1))
+      assert(out((c, "sigM")).getDouble(2) == cc(c).getDouble(2))
+      // no gene of 'ghost' exists in the panel -> null, every cell
+      assert(out((c, "ghost")).isNullAt(2))
+    }
+  }
+
+  test("tmeComposition: per-prefix sums, summary rows, and the phenotype ladder") {
+    val types = Seq(
+      "T_cells_CD4", "T_cells_CD8", "NK_cells", "B_cells",
+      "Fibroblasts", "Epithelial", "Epithelial", "Epithelial"
+    ).zipWithIndex.map { case (t, i) => (s"c$i", t) }
+      .toDF("cell", "cell_type")
+    val out = SingleCell.tmeComposition(types, "cell_type",
+      categories = Seq(
+        // 'T_cells' twice: a type matching both prefixes counts twice,
+        // exactly like the reference's summed startswith counts
+        "helper" -> Seq("T_cells", "T_cells_CD4"),
+        "cytotoxic" -> Seq("NK_cells")),
+      immunePrefixes = Seq("T_cells", "NK_cells", "B_cells"),
+      stromalPrefixes = Seq("Fibroblasts"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("helper").getLong(1) == 3L) // 2 T_cells + 1 double-count
+    assert(out("cytotoxic").getLong(1) == 1L)
+    assert(out("immune_total").getLong(1) == 4L)
+    assert(out("stromal_total").getLong(1) == 1L)
+    assert(out("tumor_purity").getLong(1) == 3L)
+    // immune 50% > 30 and NK present -> Hot on every row
+    assert(out.values.forall(_.getString(3) == "Hot (Inflamed)"))
+    assert(out("immune_total").getDouble(2) == 50.0)
+  }
+
+  test("tmeComposition phenotype: no cytotoxic type and low immune share go Altered/Cold") {
+    def phenotype(types: Seq[String]): String = {
+      val df = types.zipWithIndex.map { case (t, i) => (s"c$i", t) }
+        .toDF("cell", "cell_type")
+      SingleCell.tmeComposition(df, "cell_type", Seq("x" -> Seq("T_cells")),
+        immunePrefixes = Seq("T_cells"), stromalPrefixes = Seq("Fib"))
+        .collect().head.getString(3)
+    }
+    // 40% immune but no CD8/NK/cytotoxic type -> Immune-Altered
+    assert(phenotype(Seq("T_cells", "T_cells", "Epi", "Epi", "Epi"))
+      == "Immune-Altered")
+    // 10% immune -> Cold
+    assert(phenotype(Seq("T_cells", "Epi", "Epi", "Epi", "Epi",
+      "Epi", "Epi", "Epi", "Epi", "Epi")) == "Cold (Desert)")
+  }
+
   test("ligandReceptor scores admissible type pairs and floors sub-minExpr means") {
     // cluster A: cells a1,a2; cluster B: cell b1. Means over ALL
     // cells of the type (missing entry = 0): L@A=3, L@B=0.05 (cut),
