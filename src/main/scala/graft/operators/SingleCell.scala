@@ -695,6 +695,153 @@ object SingleCell {
   private def expr_fn(s: String): Column =
     org.apache.spark.sql.functions.expr(s)
 
+  /** SCENIC-style gene-regulatory-network edges per cell type
+    * (reference: agent_singlecell.py:2726 _analyze_grn — per cell
+    * type with ≥20 cells, Spearman correlation between each curated
+    * TF's expression and each of the first `maxTargets` non-TF
+    * genes, both sides requiring expression std ≥ 0.1; edges kept at
+    * |ρ| > 0.3 and p < 0.05, labeled activation/repression, top 50
+    * per type by |ρ|).
+    *
+    * DENSE-RANK RECOVERY (the ploidy device, rank edition): Spearman
+    * is Pearson on dense ranks, and a cell missing a gene has x = 0 —
+    * the minimum — so all absent cells TIE at average rank
+    * z0 = (n_zero+1)/2, a per-(type, gene) constant, and a present
+    * cell ranks n_zero + its average rank among present entries.
+    * Closed forms do the rest: Σr over the dense universe is always
+    * n(n+1)/2, Σr² = sparse Σr² + n_zero·z0², and the cross sum
+    * decomposes as Σ_co-present + z0-weighted corrections from the
+    * per-gene sparse totals. Nothing densifies.
+    *
+    * Scale contract: the rank windows shuffle the panel-restricted
+    * matrix once, keyed (type, gene), with partitions bounded by
+    * cells-per-type; the TF-side × target-side join is keyed
+    * (type, cell) with fan-out bounded by the CURATED TF panel
+    * (reference: ~45 TFs) × maxTargets — the SCENIC-style contract
+    * that keeps the pair space panel-bounded, like correlationEdges'
+    * maxFeatures cap. Everything after the pair aggregate is
+    * types × TFs × targets panel scale.
+    *
+    * Deliberate deviations, both cross-engine-replayed in the oracle:
+    * the p-value uses the module's normal-tail approximation of the
+    * Spearman t statistic (scipy uses the t distribution — at the
+    * reference's ≥20-cell floor the approximation is the standard
+    * large-sample simplification used by diffStats, and |ρ| = 1
+    * pins p = 0 exactly as scipy returns); top-50 ties break on
+    * (tf, target) names (pandas keeps insertion order). Std filters
+    * and cuts compare ROUNDED values.
+    *
+    * Output: (typeCol, tf, target, correlation, p_value, regulation,
+    * rnk).
+    */
+  def grnEdges(
+      expr: DataFrame, typeCol: String, cellCol: String,
+      geneCol: String, valueCol: String, tfs: Seq[String],
+      maxTargets: Int = 100, minCells: Long = 20L,
+      minStd: Double = 0.1, minAbsCorr: Double = 0.3,
+      maxP: Double = 0.05, topPerType: Int = 50): DataFrame = {
+    val nType = expr.select(col(typeCol), col(cellCol)).distinct()
+      .groupBy(col(typeCol))
+      .agg(count(lit(1)).cast("double").as("n_cells"))
+      .where(col("n_cells") >= minCells.toDouble)
+    // roles: curated TFs + the first maxTargets non-TF genes in gene
+    // order (the reference's var_names[:500][:100] cap)
+    val roles = expr.select(col(geneCol)).distinct()
+      .withColumn("is_tf", col(geneCol).isin(tfs: _*))
+      .withColumn("tgt_rank", row_number().over(
+        Window.partitionBy(col("is_tf")).orderBy(col(geneCol))))
+      .withColumn("is_target", !col("is_tf") &&
+        col("tgt_rank") <= maxTargets)
+      .where(col("is_tf") || col("is_target"))
+      .select(col(geneCol), col("is_tf"), col("is_target"))
+    val sub = expr
+      .select(col(typeCol), col(cellCol), col(geneCol),
+        r6(col(valueCol)).as("xr"))
+      .join(broadcast(nType), Seq(typeCol))
+      .join(broadcast(roles), Seq(geneCol))
+    // dense ranks from sparse entries: zeros tie below every present
+    // value (expression is strictly positive where present)
+    val byGene = Window.partitionBy(col(typeCol), col(geneCol))
+    val ranked = sub
+      .withColumn("rank_min",
+        rank().over(byGene.orderBy(col("xr"))).cast("double"))
+      .withColumn("cnt_eq", count(lit(1)).over(
+        Window.partitionBy(col(typeCol), col(geneCol), col("xr")))
+        .cast("double"))
+      .withColumn("n_present",
+        count(lit(1)).over(byGene).cast("double"))
+      .withColumn("n_zero", col("n_cells") - col("n_present"))
+      .withColumn("r_abs", col("n_zero") + col("rank_min") +
+        (col("cnt_eq") - 1.0) / 2.0)
+      .withColumn("z0", (col("n_zero") + 1.0) / 2.0)
+    val gagg = ranked
+      .groupBy(col(typeCol), col(geneCol), col("n_cells"),
+        col("is_tf"), col("is_target"))
+      .agg(count(lit(1)).cast("double").as("np"),
+        sum(col("xr")).as("sx"), sum(col("xr") * col("xr")).as("sx2"),
+        sum(col("r_abs")).as("srp"),
+        sum(col("r_abs") * col("r_abs")).as("sr2p"))
+      .withColumn("n_zero", col("n_cells") - col("np"))
+      .withColumn("z0", (col("n_zero") + 1.0) / 2.0)
+      // dense SAMPLE std over n cells (missing x = 0 adds nothing to
+      // either moment); reference skips std < 0.1
+      .withColumn("xstd", r6(sqrt(greatest(
+        (col("sx2") - col("sx") * col("sx") / col("n_cells")) /
+          nullif(col("n_cells") - 1.0, lit(0.0)), lit(0.0)))))
+      .where(col("xstd") >= minStd)
+      .withColumn("sr2", col("sr2p") + col("n_zero") * col("z0") * col("z0"))
+    val tfG = gagg.where(col("is_tf")).select(col(typeCol),
+      col(geneCol).as("tf"), col("n_cells"), col("srp").as("srp_a"),
+      col("sr2").as("sr2_a"), col("z0").as("z0_a"), col("np").as("np_a"))
+    val tgG = gagg.where(col("is_target")).select(col(typeCol),
+      col(geneCol).as("target"), col("srp").as("srp_b"),
+      col("sr2").as("sr2_b"), col("z0").as("z0_b"), col("np").as("np_b"))
+    // co-present cross sums; a pair with NO co-present cell still has
+    // a defined dense correlation — hence the left join + coalesce
+    val tfSide = ranked.where(col("is_tf")).select(col(typeCol),
+      col(cellCol), col(geneCol).as("tf"), col("r_abs").as("rta"))
+    val tgSide = ranked.where(col("is_target")).select(col(typeCol),
+      col(cellCol), col(geneCol).as("target"), col("r_abs").as("rtb"))
+    val co = tfSide.hint("merge").join(tgSide, Seq(typeCol, cellCol))
+      .groupBy(col(typeCol), col("tf"), col("target"))
+      .agg(count(lit(1)).cast("double").as("n_ab"),
+        sum(col("rta")).as("sa_ab"), sum(col("rtb")).as("sb_ab"),
+        sum(col("rta") * col("rtb")).as("sab"))
+    val n = col("n_cells")
+    val sr = n * (n + 1.0) / 2.0 // dense rank sum, both genes
+    val sxy = coalesce(col("sab"), lit(0.0)) +
+      col("z0_b") * (col("srp_a") - coalesce(col("sa_ab"), lit(0.0))) +
+      col("z0_a") * (col("srp_b") - coalesce(col("sb_ab"), lit(0.0))) +
+      (n - col("np_a") - col("np_b") + coalesce(col("n_ab"), lit(0.0))) *
+        col("z0_a") * col("z0_b")
+    val corr = (n * sxy - sr * sr) /
+      nullif(sqrt((n * col("sr2_a") - sr * sr) *
+        (n * col("sr2_b") - sr * sr)), lit(0.0))
+    val scored = tfG.join(tgG, Seq(typeCol))
+      .join(co, Seq(typeCol, "tf", "target"), "left")
+      .withColumn("correlation", r6(corr))
+      .where(col("correlation").isNotNull &&
+        abs(col("correlation")) > minAbsCorr)
+      .withColumn("p_value",
+        when(col("correlation") * col("correlation") >= 1.0, lit(0.0))
+          .otherwise(r6(Stats.normalTwoSidedP(
+            col("correlation") * sqrt((n - 2.0) /
+              (lit(1.0) - col("correlation") * col("correlation")))))))
+      .where(col("p_value") < maxP)
+      .withColumn("regulation",
+        when(col("correlation") > 0, lit("activation"))
+          .otherwise(lit("repression")))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col(typeCol))
+          .orderBy(abs(col("correlation")).desc, col("tf"),
+            col("target"))).cast("long"))
+      .where(col("rnk") <= topPerType)
+      .select(col(typeCol), col("tf"), col("target"),
+        col("correlation"), col("p_value"), col("regulation"),
+        col("rnk"))
+  }
+
   /** Ligand-receptor interaction scoring (reference:
     * agent_singlecell.py:2311 _run_simple_lr_analysis — CellChat-style
     * scoring over a curated L-R pair database: per-cell-type mean

@@ -429,6 +429,79 @@ object Stats {
         col("odds_ratio"), col("p_value"), col("p_adj"))
   }
 
+  /** Grouped hypergeometric enrichment — one BH family per gene LIST
+    * (reference: agent_singlecell.py:2062 _analyze_cluster_pathways —
+    * per-cluster Enrichr calls over each cluster's top markers, each
+    * call its own adjusted-p family; clusters with fewer than 5 genes
+    * are skipped at :2082). The Enrichr service's math is the
+    * hypergeometric tail this module already implements — this is
+    * hypergeomEnrich generalized with a list dimension.
+    *
+    * Scale: `lists` is clusters × topN rows and membership is a
+    * curated panel — everything is panel-scale; overlap counting is
+    * one broadcast join + aggregate keyed (list, pathway), BH windows
+    * partition by list over ≤|pathways| rows.
+    *
+    * Output: (listCol, pathway, gene_count, pathway_size, list_size,
+    * universe, overlap, odds_ratio, p_value, p_adj).
+    */
+  def hypergeomEnrichBy(
+      membership: DataFrame, pathwayCol: String, geneCol: String,
+      lists: DataFrame, listCol: String, listGeneCol: String,
+      universe: Int, minList: Int = 5): DataFrame = {
+    val spark = membership.sparkSession
+    def r6(c: Column) = round(c + lit(1e-9), 6)
+    val mem = membership
+      .select(col(pathwayCol).as("pathway"), col(geneCol).as("gene"))
+      .distinct()
+    val gl = lists
+      .select(col(listCol).as("lst"), col(listGeneCol).as("gene"))
+      .distinct()
+    val sizes = mem.groupBy(col("pathway"))
+      .agg(count(lit(1)).as("pathway_size"))
+    val listSizes = gl.groupBy(col("lst"))
+      .agg(count(lit(1)).as("list_size"))
+      .where(col("list_size") >= minList.toLong)
+    val overlap = mem.join(broadcast(gl), Seq("gene"))
+      .groupBy(col("lst"), col("pathway"))
+      .agg(count(lit(1)).as("gene_count"))
+    val cum = Window.orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lfArr = spark.range(0L, universe + 1L)
+      .withColumn("lf", sum(when(col("id") === 0L, lit(0.0))
+        .otherwise(log(col("id")))).over(cum))
+      .groupBy()
+      .agg(transform(
+        array_sort(collect_list(struct(col("id"), col("lf")))),
+        p => p.getField("lf")).as("lfa"))
+    def lf(x: Column) = element_at(col("lfa"), (x + lit(1)).cast("int"))
+    val bigN = lit(universe.toLong)
+    val k = col("gene_count")
+    val bigK = col("pathway_size")
+    val n = col("list_size")
+    val lnChooseN = lf(bigN) - lf(n) - lf(bigN - n)
+    val tailP = aggregate(
+      sequence(k, least(bigK, n)), lit(0.0),
+      (acc, i) => acc + exp(
+        lf(bigK) - lf(i) - lf(bigK - i) +
+          lf(bigN - bigK) - lf(n - i) - lf(bigN - bigK - n + i) -
+          lnChooseN))
+    val odds = (k * (bigN - bigK - n + k)).cast("double") /
+      nullif(((bigK - k) * (n - k)).cast("double"), lit(0.0))
+    val scored = overlap
+      .join(broadcast(sizes), Seq("pathway"))
+      .join(broadcast(listSizes), Seq("lst"))
+      .crossJoin(broadcast(lfArr))
+      .withColumn("p_value", r6(least(tailP, lit(1.0))))
+      .withColumn("odds_ratio", r6(odds))
+    withBhAdjust(scored, "pathway", partitionCols = Seq(col("lst")))
+      .select(col("lst").as(listCol), col("pathway"), k, bigK, n,
+        bigN.as("universe"),
+        concat(k.cast("string"), lit("/"), bigK.cast("string"))
+          .as("overlap"),
+        col("odds_ratio"), col("p_value"), col("p_adj"))
+  }
+
   /** Score weights and confidence thresholds for `validationScore`,
     * defaulting to the reference's config (agent4_validation.py:140
     * score_weights, :148 confidence_thresholds).

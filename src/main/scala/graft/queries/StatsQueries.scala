@@ -1,6 +1,7 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -1224,6 +1225,101 @@ object StatsQueries {
        |ORDER BY category""".stripMargin
   }
 
+  /* ---------------- sc_pathways ---------------- */
+
+  private val ScPathUniverse = 64
+  private val ScPathTop = 5
+
+  /** Per-cluster pathway enrichment (agent_singlecell.py:2062
+    * _analyze_cluster_pathways): each cluster's top-$ScTopN markers
+    * (the sc_markers chain) enriched against the residue-class
+    * pathway panel via the grouped hypergeometric operator — one BH
+    * family per cluster, exactly one Enrichr call's adjusted-p family
+    * — keeping the reference's top-5-by-adjusted-p cut (:2097
+    * nsmallest(5, 'Adjusted P-value')) and its <5-gene cluster skip.
+    */
+  private def scPathways(s: SparkSession, d: String): DataFrame = {
+    val markers = Stats.markerStats(
+      scLongMatrix(s, d), "cluster", "gene", "v", ScTopN)
+    val mem = Tables.part(s, d).where(col("p_size") < 4)
+      .select(col("p_brand").as("pathway"),
+        pmod(col("p_partkey"), lit(ScPathUniverse)).cast("long")
+          .as("gene"))
+    val enr = Stats.hypergeomEnrichBy(mem, "pathway", "gene",
+      markers, "cluster", "gene", universe = ScPathUniverse)
+    val byCluster = Window.partitionBy(col("cluster"))
+      .orderBy(col("p_adj").asc_nulls_last, col("p_value").asc_nulls_last,
+        col("pathway"))
+    enr.withColumn("rnk", row_number().over(byCluster).cast("long"))
+      .where(col("rnk") <= ScPathTop)
+      .orderBy(col("cluster"), col("rnk"))
+  }
+
+  private val scPathwaysSql =
+    s"""WITH $kmeansCtes,
+       |$markerCtes,
+       |mk AS (SELECT DISTINCT cluster, gene FROM fin
+       |  WHERE rnk <= $ScTopN),
+       |mem2 AS (SELECT DISTINCT p_brand AS pathway,
+       |    (p_partkey % $ScPathUniverse)::BIGINT AS gene
+       |  FROM part WHERE p_size < 4),
+       |szs AS (SELECT pathway, count(*)::BIGINT AS pathway_size
+       |  FROM mem2 GROUP BY 1),
+       |lsz AS (SELECT cluster, count(*)::BIGINT AS list_size
+       |  FROM mk GROUP BY 1 HAVING count(*) >= 5),
+       |ov AS (SELECT mk.cluster, mem2.pathway, count(*)::BIGINT AS gene_count
+       |  FROM mk JOIN mem2 USING (gene) GROUP BY 1, 2),
+       |lfs AS (SELECT i, sum(ln(i)) OVER (ORDER BY i
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+       |  FROM generate_series(1, $ScPathUniverse) t(i)),
+       |lfv AS (SELECT list_prepend(0.0, list(s ORDER BY i)) AS arr
+       |  FROM lfs),
+       |en4 AS (SELECT ov.cluster, ov.pathway, gene_count, pathway_size,
+       |    list_size, $ScPathUniverse::BIGINT AS universe, arr
+       |  FROM ov JOIN szs USING (pathway) JOIN lsz USING (cluster)
+       |  CROSS JOIN lfv),
+       |sc4 AS (SELECT cluster, pathway, gene_count, pathway_size,
+       |    list_size, universe,
+       |    round(least(list_sum(list_transform(
+       |      generate_series(gene_count, least(pathway_size, list_size)),
+       |      i -> exp(arr[pathway_size+1] - arr[i+1] - arr[pathway_size-i+1]
+       |        + arr[universe-pathway_size+1] - arr[list_size-i+1]
+       |        - arr[universe-pathway_size-list_size+i+1]
+       |        - (arr[universe+1] - arr[list_size+1]
+       |           - arr[universe-list_size+1])))),
+       |      1.0) + 0.000000001, 6) AS p_value,
+       |    round((gene_count * (universe - pathway_size - list_size
+       |        + gene_count))::DOUBLE
+       |      / nullif(((pathway_size - gene_count)
+       |        * (list_size - gene_count))::DOUBLE, 0.0)
+       |      + 0.000000001, 6) AS odds_ratio
+       |  FROM en4),
+       |rk4 AS (SELECT sc4.*,
+       |    count(p_value) OVER (PARTITION BY cluster)::BIGINT AS n_feat,
+       |    row_number() OVER (PARTITION BY cluster
+       |      ORDER BY p_value ASC NULLS LAST, pathway)::BIGINT AS p_rank
+       |  FROM sc4),
+       |bh4 AS (SELECT *,
+       |    CASE WHEN p_value IS NULL THEN NULL ELSE
+       |      round(least(
+       |        min(p_value * n_feat / p_rank) OVER (PARTITION BY cluster
+       |          ORDER BY p_value DESC NULLS FIRST, pathway DESC
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       |        1.0) + 0.000000001, 6) END AS p_adj
+       |  FROM rk4),
+       |top5 AS (SELECT cluster, pathway, gene_count, pathway_size,
+       |    list_size, universe,
+       |    gene_count::VARCHAR || '/' || pathway_size::VARCHAR AS overlap,
+       |    odds_ratio, p_value, p_adj,
+       |    row_number() OVER (PARTITION BY cluster
+       |      ORDER BY p_adj ASC NULLS LAST, p_value ASC NULLS LAST,
+       |        pathway)::BIGINT AS rnk
+       |  FROM bh4)
+       |SELECT cluster, pathway, gene_count, pathway_size, list_size,
+       |  universe, overlap, odds_ratio, p_value, p_adj, rnk
+       |FROM top5 WHERE rnk <= $ScPathTop
+       |ORDER BY cluster, rnk""".stripMargin
+
   val defs: Seq[Qdef] = Seq(
     Qdef("deg_stats", degStats, Some(degStatsSql)),
     Qdef("deg_enrich", degEnrich, Some(degEnrichSql)),
@@ -1241,5 +1337,6 @@ object StatsQueries {
     Qdef("sc_interactions", scInteractions, Some(scInteractionsSql)),
     Qdef("sc_ploidy", scPloidy, Some(scPloidySql)),
     Qdef("sc_tme", scTme, Some(scTmeSql)),
-    Qdef("sc_tme_comp", scTmeComp, Some(scTmeCompSql)))
+    Qdef("sc_tme_comp", scTmeComp, Some(scTmeCompSql)),
+    Qdef("sc_pathways", scPathways, Some(scPathwaysSql)))
 }

@@ -357,6 +357,64 @@ class SingleCellSpec extends SparkSpec {
       "Epi", "Epi", "Epi", "Epi", "Epi")) == "Cold (Desert)")
   }
 
+  // grnEdges fixture: 4 cells, TF1 + targets A/B with missing entries
+  // exercising every zero-tie shape (one zero, two zeros, three zeros)
+  private def grnExpr = Seq(
+    ("t", "c1", "TF1", 1.0), ("t", "c2", "TF1", 2.0), ("t", "c3", "TF1", 3.0),
+    ("t", "c1", "A", 2.0), ("t", "c2", "A", 1.0),
+    ("t", "c4", "B", 5.0)
+  ).toDF("ct", "cell", "gene", "x")
+
+  /** Brute-force dense Spearman: average-tie ranks then Pearson. */
+  private def denseSpearman(a: Seq[Double], b: Seq[Double]): Double = {
+    def ranks(v: Seq[Double]): Seq[Double] = v.map { x =>
+      val less = v.count(_ < x); val eq = v.count(_ == x)
+      less + (eq + 1.0) / 2.0
+    }
+    val (ra, rb) = (ranks(a), ranks(b))
+    val n = a.size.toDouble
+    val (ma, mb) = (ra.sum / n, rb.sum / n)
+    val cov = ra.zip(rb).map { case (x, y) => (x - ma) * (y - mb) }.sum
+    val va = ra.map(x => (x - ma) * (x - ma)).sum
+    val vb = rb.map(y => (y - mb) * (y - mb)).sum
+    cov / math.sqrt(va * vb)
+  }
+
+  test("grnEdges reproduces brute-force dense Spearman from sparse entries") {
+    val out = SingleCell.grnEdges(grnExpr, "ct", "cell", "gene", "x",
+      tfs = Seq("TF1"), minCells = 1L, minStd = 0.0,
+      minAbsCorr = -1.0, maxP = 1.1)
+      .collect().map(r => r.getString(2) -> r.getDouble(3)).toMap
+    // dense vectors over cells c1..c4 (missing = 0)
+    val tf = Seq(1.0, 2.0, 3.0, 0.0)
+    val a = Seq(2.0, 1.0, 0.0, 0.0)
+    val b = Seq(0.0, 0.0, 0.0, 5.0)
+    assert(math.abs(out("A") - denseSpearman(tf, a)) < 1e-5)
+    assert(math.abs(out("B") - denseSpearman(tf, b)) < 1e-5)
+  }
+
+  test("grnEdges: minCells skips small types, zero-variance genes drop, cuts apply") {
+    val expr2 = grnExpr.union(Seq(
+      // type 'u': one cell -> below minCells
+      ("u", "d1", "TF1", 1.0), ("u", "d1", "A", 1.0),
+      // constant gene in 't': every cell carries 7.0 -> std 0 -> drops
+      ("t", "c1", "C", 7.0), ("t", "c2", "C", 7.0),
+      ("t", "c3", "C", 7.0), ("t", "c4", "C", 7.0)
+    ).toDF("ct", "cell", "gene", "x"))
+    val out = SingleCell.grnEdges(expr2, "ct", "cell", "gene", "x",
+      tfs = Seq("TF1"), minCells = 2L, minStd = 0.1,
+      minAbsCorr = -1.0, maxP = 1.1)
+      .collect()
+    assert(out.forall(_.getString(0) == "t"))
+    assert(!out.exists(_.getString(2) == "C"))
+    // default cuts: |corr| > 0.3 keeps only the strong TF1-B edge
+    val cut = SingleCell.grnEdges(grnExpr, "ct", "cell", "gene", "x",
+      tfs = Seq("TF1"), minCells = 1L, minStd = 0.0, maxP = 1.1)
+      .collect()
+    assert(cut.map(_.getString(2)).toSeq == Seq("B"))
+    assert(cut.head.getString(5) == "repression")
+  }
+
   test("ligandReceptor scores admissible type pairs and floors sub-minExpr means") {
     // cluster A: cells a1,a2; cluster B: cell b1. Means over ALL
     // cells of the type (missing entry = 0): L@A=3, L@B=0.05 (cut),

@@ -176,6 +176,30 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(b.getDouble(8) - 66.0 / 252) < 1e-5)
   }
 
+  test("hypergeomEnrichBy: per-list BH families, sub-minList lists skipped") {
+    val mem = Seq(
+      ("pw_a", 0L), ("pw_a", 1L), ("pw_a", 2L), ("pw_a", 7L),
+      ("pw_b", 0L), ("pw_b", 1L),
+      ("pw_c", 8L), ("pw_c", 9L)).toDF("pathway", "gene")
+    // L1 = the hypergeomEnrich fixture's list; L2 has 3 genes (< 5:
+    // skipped, the reference's too-few-genes cluster branch)
+    val lists = Seq(
+      ("L1", 0L), ("L1", 1L), ("L1", 2L), ("L1", 3L), ("L1", 4L),
+      ("L2", 0L), ("L2", 1L), ("L2", 2L)).toDF("lst", "gene")
+    val out = Stats.hypergeomEnrichBy(mem, "pathway", "gene",
+      lists, "lst", "gene", universe = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out.keySet.map(_._1) == Set("L1"))
+    // L1's family must reproduce hypergeomEnrich on the same list
+    val single = Stats.hypergeomEnrich(mem, "pathway", "gene",
+      Seq(0L, 1L, 2L, 3L, 4L).toDF("gene"), "gene", 10)
+      .collect().map(r => r.getString(0) -> r).toMap
+    for (pw <- Seq("pw_a", "pw_b")) {
+      assert(out(("L1", pw)).getDouble(8) == single(pw).getDouble(7))
+      assert(out(("L1", pw)).getDouble(9) == single(pw).getDouble(8))
+    }
+  }
+
   test("validationScore: weights, null cancer-match, and every confidence branch") {
     val deg = Seq(1L, 2L, 3L, 4L, 5L).toDF("gene")
     val hubs = Seq(1L, 3L, 4L, 99L).toDF("gene") // 99 not in DEG list
