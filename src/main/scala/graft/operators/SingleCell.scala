@@ -762,6 +762,10 @@ object SingleCell {
     // dense ranks from sparse entries: zeros tie below every present
     // value (expression is strictly positive where present)
     val byGene = Window.partitionBy(col(typeCol), col(geneCol))
+    // cached: the per-gene aggregate, TF side, and target side all
+    // read the ranked frame — without the cache each consumer replays
+    // the scan + rank windows (lifecycle: caller-owned, see
+    // graft.Caching)
     val ranked = sub
       .withColumn("rank_min",
         rank().over(byGene.orderBy(col("xr"))).cast("double"))
@@ -774,6 +778,7 @@ object SingleCell {
       .withColumn("r_abs", col("n_zero") + col("rank_min") +
         (col("cnt_eq") - 1.0) / 2.0)
       .withColumn("z0", (col("n_zero") + 1.0) / 2.0)
+      .cache()
     val gagg = ranked
       .groupBy(col(typeCol), col(geneCol), col("n_cells"),
         col("is_tf"), col("is_target"))

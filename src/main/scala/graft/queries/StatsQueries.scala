@@ -1320,6 +1320,142 @@ object StatsQueries {
        |FROM top5 WHERE rnk <= $ScPathTop
        |ORDER BY cluster, rnk""".stripMargin
 
+  /* ---------------- sc_grn ---------------- */
+
+  private val GrnGenes = 20
+  private val GrnTfs = (10 to 14).map(i => s"G$i")
+
+  /** SCENIC-style GRN edges (agent_singlecell.py:2726 _analyze_grn):
+    * the curated TF panel stands in as genes G10..G14 over a matrix
+    * with DETERMINISTIC REGULON STRUCTURE — the QC cell universe over a
+    * denser 20-gene panel, with expression (cell·(1+gid mod 5)) mod 101 + 1, so
+    * genes sharing a residue group follow the same per-cell latent
+    * rank order (within-group TF→target Spearman is high; cross-group
+    * pairs decorrelate). Realistic cell-type names; the reference's
+    * ≥20-cell floor, std ≥ 0.1 filters, |ρ| > 0.3 / p < 0.05 cuts,
+    * activation/repression labels, top-50-by-|ρ| per type. The
+    * oracle replays the dense-rank recovery and the normal-tail p
+    * textually.
+    */
+  private def scGrn(s: SparkSession, d: String): DataFrame = {
+    val gid = pmod(col("l_partkey"), lit(GrnGenes))
+    val sparsity = Tables.lineitem(s, d).select(
+      pmod(col("l_orderkey"), lit(QcCells)).cast("long").as("cell_id"),
+      gid.cast("long").as("gid")).distinct()
+    val ex = sparsity.select(col("cell_id"),
+      concat(when(col("gid") < QcMitoGenes, lit("MT-")).otherwise(lit("G")),
+        col("gid").cast("string")).as("gene"),
+      (pmod(col("cell_id") * (lit(1) + pmod(col("gid"), lit(5))), lit(101))
+        + lit(1.0)).cast("double").as("x"))
+      .join(tmeTypes(s, d), Seq("cell_id"))
+      .select(col("cell_type").as("ct"), col("cell_id"), col("gene"),
+        col("x"))
+    SingleCell.grnEdges(ex, "ct", "cell_id", "gene", "x", GrnTfs)
+      .orderBy(col("ct"), col("rnk"))
+  }
+
+  private val scGrnSql =
+    s"""WITH $scMatrixCtes,
+       |$tmeTypesCtes,
+       |gm0 AS (SELECT DISTINCT (l_orderkey % $QcCells)::BIGINT AS cell_id,
+       |    (l_partkey % $GrnGenes)::BIGINT AS gid FROM lineitem),
+       |gx AS (SELECT cell_id,
+       |    (CASE WHEN gid < $QcMitoGenes THEN 'MT-' ELSE 'G' END)
+       |      || gid::VARCHAR AS gene,
+       |    ((cell_id * (1 + gid % 5)) % 101 + 1.0)::DOUBLE AS x
+       |  FROM gm0),
+       |exr AS (SELECT tp.cell_type AS ct, gx.cell_id, gx.gene,
+       |    round(gx.x + 0.000000001, 6) AS xr
+       |  FROM gx JOIN tp USING (cell_id)),
+       |nty AS (SELECT ct, count(DISTINCT cell_id)::DOUBLE AS n_cells
+       |  FROM exr GROUP BY ct HAVING count(DISTINCT cell_id) >= 20),
+       |rl AS (SELECT gene, gene IN ${sqlInList(GrnTfs)} AS is_tf,
+       |    row_number() OVER (PARTITION BY gene IN ${sqlInList(GrnTfs)}
+       |      ORDER BY gene) AS tgt_rank
+       |  FROM (SELECT DISTINCT gene FROM gx)),
+       |rl2 AS (SELECT gene, is_tf, (NOT is_tf AND tgt_rank <= 100)
+       |    AS is_target
+       |  FROM rl WHERE is_tf OR (NOT is_tf AND tgt_rank <= 100)),
+       |sub AS (SELECT exr.ct, exr.cell_id, exr.gene, exr.xr,
+       |    nty.n_cells, rl2.is_tf, rl2.is_target
+       |  FROM exr JOIN nty USING (ct) JOIN rl2 USING (gene)),
+       |rk5 AS (SELECT sub.*,
+       |    rank() OVER (PARTITION BY ct, gene ORDER BY xr)::DOUBLE
+       |      AS rank_min,
+       |    count(*) OVER (PARTITION BY ct, gene, xr)::DOUBLE AS cnt_eq,
+       |    count(*) OVER (PARTITION BY ct, gene)::DOUBLE AS n_present
+       |  FROM sub),
+       |rk6 AS (SELECT *,
+       |    (n_cells - n_present) + rank_min + (cnt_eq - 1.0) / 2.0
+       |      AS r_abs
+       |  FROM rk5),
+       |gg AS (SELECT ct, gene, is_tf, is_target, n_cells,
+       |    count(*)::DOUBLE AS np, sum(xr)::DOUBLE AS sx,
+       |    sum(xr * xr)::DOUBLE AS sx2, sum(r_abs)::DOUBLE AS srp,
+       |    sum(r_abs * r_abs)::DOUBLE AS sr2p
+       |  FROM rk6 GROUP BY ct, gene, is_tf, is_target, n_cells),
+       |gg2 AS (SELECT *,
+       |    (n_cells - np + 1.0) / 2.0 AS z0,
+       |    round(sqrt(greatest((sx2 - sx * sx / n_cells)
+       |      / nullif(n_cells - 1.0, 0.0), 0.0)) + 0.000000001, 6)
+       |      AS xstd,
+       |    sr2p + (n_cells - np) * ((n_cells - np + 1.0) / 2.0)
+       |      * ((n_cells - np + 1.0) / 2.0) AS sr2
+       |  FROM gg),
+       |gg3 AS (SELECT * FROM gg2 WHERE xstd >= 0.1),
+       |tfg AS (SELECT ct, gene AS tf, n_cells, srp AS srp_a,
+       |    sr2 AS sr2_a, z0 AS z0_a, np AS np_a FROM gg3 WHERE is_tf),
+       |tgg AS (SELECT ct, gene AS target, srp AS srp_b, sr2 AS sr2_b,
+       |    z0 AS z0_b, np AS np_b FROM gg3 WHERE is_target),
+       |co5 AS (SELECT a.ct, a.gene AS tf, b.gene AS target,
+       |    count(*)::DOUBLE AS n_ab, sum(a.r_abs)::DOUBLE AS sa_ab,
+       |    sum(b.r_abs)::DOUBLE AS sb_ab,
+       |    sum(a.r_abs * b.r_abs)::DOUBLE AS sab
+       |  FROM rk6 a JOIN rk6 b ON a.ct = b.ct AND a.cell_id = b.cell_id
+       |  WHERE a.is_tf AND b.is_target GROUP BY 1, 2, 3),
+       |pr5 AS (SELECT t.ct, t.tf, g.target, t.n_cells,
+       |    t.srp_a, t.sr2_a, t.z0_a, t.np_a,
+       |    g.srp_b, g.sr2_b, g.z0_b, g.np_b,
+       |    co5.n_ab, co5.sa_ab, co5.sb_ab, co5.sab
+       |  FROM tfg t JOIN tgg g USING (ct)
+       |  LEFT JOIN co5 ON co5.ct = t.ct AND co5.tf = t.tf
+       |    AND co5.target = g.target),
+       |cr5 AS (SELECT *,
+       |    coalesce(sab, 0.0)
+       |      + z0_b * (srp_a - coalesce(sa_ab, 0.0))
+       |      + z0_a * (srp_b - coalesce(sb_ab, 0.0))
+       |      + (n_cells - np_a - np_b + coalesce(n_ab, 0.0)) * z0_a * z0_b
+       |      AS sxy,
+       |    n_cells * (n_cells + 1.0) / 2.0 AS srr
+       |  FROM pr5),
+       |cor5 AS (SELECT ct, tf, target, n_cells,
+       |    round((n_cells * sxy - srr * srr)
+       |      / nullif(sqrt((n_cells * sr2_a - srr * srr)
+       |        * (n_cells * sr2_b - srr * srr)), 0.0)
+       |      + 0.000000001, 6) AS correlation
+       |  FROM cr5),
+       |fil5 AS (SELECT * FROM cor5
+       |  WHERE correlation IS NOT NULL AND abs(correlation) > 0.3),
+       |px5 AS (SELECT *, abs(correlation * sqrt((n_cells - 2.0)
+       |      / (1.0 - correlation * correlation))) / sqrt(2.0) AS x
+       |  FROM fil5 WHERE correlation * correlation < 1.0),
+       |pt5 AS (SELECT *, 1.0 / (1.0 + 0.3275911 * x) AS tt FROM px5),
+       |pv5 AS (SELECT ct, tf, target,
+       |    correlation, round($pSql + 0.000000001, 6) AS p_value
+       |  FROM pt5
+       |  UNION ALL
+       |  SELECT ct, tf, target, correlation, 0.0 AS p_value
+       |  FROM fil5 WHERE correlation * correlation >= 1.0),
+       |fin5 AS (SELECT *,
+       |    CASE WHEN correlation > 0 THEN 'activation'
+       |         ELSE 'repression' END AS regulation,
+       |    row_number() OVER (PARTITION BY ct
+       |      ORDER BY abs(correlation) DESC, tf, target)::BIGINT AS rnk
+       |  FROM pv5 WHERE p_value < 0.05)
+       |SELECT ct, tf, target, correlation, p_value, regulation, rnk
+       |FROM fin5 WHERE rnk <= 50
+       |ORDER BY ct, rnk""".stripMargin
+
   val defs: Seq[Qdef] = Seq(
     Qdef("deg_stats", degStats, Some(degStatsSql)),
     Qdef("deg_enrich", degEnrich, Some(degEnrichSql)),
@@ -1338,5 +1474,6 @@ object StatsQueries {
     Qdef("sc_ploidy", scPloidy, Some(scPloidySql)),
     Qdef("sc_tme", scTme, Some(scTmeSql)),
     Qdef("sc_tme_comp", scTmeComp, Some(scTmeCompSql)),
-    Qdef("sc_pathways", scPathways, Some(scPathwaysSql)))
+    Qdef("sc_pathways", scPathways, Some(scPathwaysSql)),
+    Qdef("sc_grn", scGrn, Some(scGrnSql)))
 }
