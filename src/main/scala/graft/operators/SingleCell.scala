@@ -924,4 +924,108 @@ object SingleCell {
         r6(score / (sqrt(col("al") * col("ar")) + lit(0.01)))
           .as("specificity"))
   }
+
+  /** Gene dynamics along a trajectory (reference:
+    * rnaseq_pipeline/agents/singlecell/agent4_trajectory.py:362
+    * _compute_gene_dynamics): Spearman correlation of every gene's
+    * expression against a per-cell pseudotime, split into the top
+    * nTopGenes/2 increasing (ρ > 0) and decreasing (ρ < 0) genes by
+    * |ρ|. Pseudotime computation itself (DPT, :241) is spectral
+    * graph machinery — model-based and out of scope like doublet
+    * detection; this operator takes any pseudotime column (DPT,
+    * a marker gradient, sampling time).
+    *
+    * Spearman uses scipy's average ranks on BOTH sides (:393
+    * spearmanr). Pseudotime is dense (every cell has one): its
+    * average ranks come from a two-phase prefix sum over DISTINCT
+    * values (the pack_shards device — the only global window runs at
+    * distinct-value cardinality, not cell cardinality). Expression is
+    * sparse: dense ranks are recovered from present entries alone —
+    * zeros tie at (n_zero+1)/2, present ranks shift by n_zero, and
+    * the gene-level moments (Σb, Σb², Σab) collapse to closed forms
+    * plus present-entry sums. Nothing densifies; per-gene math is one
+    * hash aggregate over present entries.
+    *
+    * Mirrors the reference's guards: < minCells valid cells → empty
+    * result (:376), non-finite ρ dropped (:395 — constant genes),
+    * ρ = 0 belongs to neither direction (:407-408 strict
+    * inequalities). p_value is the same normal-tail approximation the
+    * GRN family documents (deviation from scipy's t CDF; exact 0 at
+    * ρ² ≥ 1).
+    *
+    * Expects every expr cell to appear in pt (the sparse entries of
+    * the same matrix the pseudotime was computed on).
+    */
+  def trajectoryDynamics(
+      expr: DataFrame, pt: DataFrame, cellCol: String,
+      geneCol: String, valueCol: String, ptCol: String,
+      nTopGenes: Int = 50, minCells: Long = 100L): DataFrame = {
+    val ptr = pt.select(col(cellCol), r6(col(ptCol)).as("ptv"))
+    val vals = ptr.groupBy(col("ptv"))
+      .agg(count(lit(1)).cast("double").as("cnt"))
+    val wv = Window.orderBy(col("ptv"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val valRanks = vals
+      .withColumn("cum", coalesce(sum(col("cnt")).over(wv), lit(0.0)))
+      .withColumn("a_rank", col("cum") + (col("cnt") + 1.0) / 2.0)
+    // scalar frame: n cells + Σa² (tie-adjusted); empty when the
+    // reference would skip — the crossJoin then empties everything
+    val scal = valRanks
+      .agg(sum(col("cnt")).as("n_cells"),
+        sum(col("cnt") * col("a_rank") * col("a_rank")).as("sa2"))
+      .where(col("n_cells") >= minCells.toDouble)
+    val ptRanked = ptr
+      .join(valRanks.select(col("ptv"), col("a_rank")), Seq("ptv"))
+      .select(col(cellCol), col("a_rank"))
+    // present-entry ranks among present rows only; the n_zero shift
+    // and zero-tie mass enter at the gene level in closed form
+    val byGene = Window.partitionBy(col(geneCol))
+    val ranked = expr
+      .select(col(cellCol), col(geneCol), r6(col(valueCol)).as("xr"))
+      .join(ptRanked, Seq(cellCol))
+      .withColumn("rank_min",
+        rank().over(byGene.orderBy(col("xr"))).cast("double"))
+      .withColumn("cnt_eq", count(lit(1)).over(
+        Window.partitionBy(col(geneCol), col("xr"))).cast("double"))
+      .withColumn("rp", col("rank_min") + (col("cnt_eq") - 1.0) / 2.0)
+    val gagg = ranked.groupBy(col(geneCol))
+      .agg(count(lit(1)).cast("double").as("np"),
+        sum(col("a_rank")).as("sa_p"),
+        sum(col("rp")).as("srp"),
+        sum(col("rp") * col("rp")).as("srp2"),
+        sum(col("a_rank") * col("rp")).as("sarp"))
+      .crossJoin(broadcast(scal))
+    val n = col("n_cells")
+    val nz = n - col("np")
+    val z0 = (nz + 1.0) / 2.0
+    val sr = n * (n + 1.0) / 2.0
+    // Σb² over all cells: present (n_zero+rp)² expanded + zero ties
+    val sb2 = col("np") * nz * nz + lit(2.0) * nz * col("srp") +
+      col("srp2") + nz * z0 * z0
+    // Σab: present a·(n_zero+rp) expanded + zero cells at rank z0
+    val sab = nz * col("sa_p") + col("sarp") +
+      z0 * (sr - col("sa_p"))
+    val corr = (n * sab - sr * sr) /
+      nullif(sqrt((n * col("sa2") - sr * sr) * (n * sb2 - sr * sr)),
+        lit(0.0))
+    gagg
+      .withColumn("correlation", r6(corr))
+      .where(col("correlation").isNotNull &&
+        col("correlation") =!= 0.0)
+      .withColumn("p_value",
+        when(col("correlation") * col("correlation") >= 1.0, lit(0.0))
+          .otherwise(r6(Stats.normalTwoSidedP(
+            col("correlation") * sqrt((n - 2.0) /
+              (lit(1.0) - col("correlation") * col("correlation")))))))
+      .withColumn("direction",
+        when(col("correlation") > 0, lit("increasing"))
+          .otherwise(lit("decreasing")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("direction"))
+          .orderBy(abs(col("correlation")).desc, col(geneCol)))
+        .cast("long"))
+      .where(col("rnk") <= nTopGenes / 2)
+      .select(col("direction"), col(geneCol), col("correlation"),
+        col("p_value"), col("rnk"))
+  }
 }

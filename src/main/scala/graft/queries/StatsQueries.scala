@@ -1456,6 +1456,116 @@ object StatsQueries {
        |FROM fin5 WHERE rnk <= 50
        |ORDER BY ct, rnk""".stripMargin
 
+  /* ---------------- sc_traj_dynamics ---------------- */
+
+  private val TrajGenes = 20
+  private val TrajTop = 10
+
+  /** Gene dynamics along pseudotime (agent4_trajectory.py:362
+    * _compute_gene_dynamics): the QC cell universe with a
+    * deterministic pseudotime (cell·29 mod 101 — 101 distinct values
+    * over 2000 cells, so the average-rank TIE path is exercised hard)
+    * over a 20-gene panel where gid%4==1 genes track pseudotime,
+    * gid%4==2 genes anti-track it (zeros from the sparsity pattern
+    * keep |ρ| honest), and the rest follow unrelated residue latents.
+    * Top 5 per direction (nTopGenes=10). The oracle replays the
+    * two-phase distinct-value prefix sum, the sparse dense-rank
+    * recovery and the normal-tail p textually.
+    */
+  private def scTrajDyn(s: SparkSession, d: String): DataFrame = {
+    val gid = pmod(col("l_partkey"), lit(TrajGenes))
+    val sparsity = Tables.lineitem(s, d).select(
+      pmod(col("l_orderkey"), lit(QcCells)).cast("long").as("cell_id"),
+      gid.cast("long").as("gid")).distinct()
+    val ptRaw = pmod(col("cell_id") * 29, lit(101)).cast("double")
+    val pt = sparsity.select(col("cell_id")).distinct()
+      .select(col("cell_id"), ptRaw.as("pseudotime"))
+    val ex = sparsity.select(col("cell_id"),
+      concat(lit("G"), col("gid").cast("string")).as("gene"),
+      when(pmod(col("gid"), lit(4)) === 1, ptRaw + 1.0)
+        .when(pmod(col("gid"), lit(4)) === 2, lit(102.0) - ptRaw)
+        .otherwise((pmod(col("cell_id") * (lit(1) + pmod(col("gid"),
+          lit(5))), lit(101)) + lit(1.0)).cast("double")).as("x"))
+    SingleCell.trajectoryDynamics(ex, pt, "cell_id", "gene", "x",
+      "pseudotime", nTopGenes = TrajTop)
+      .orderBy(col("direction"), col("rnk"))
+  }
+
+  private val scTrajDynSql =
+    s"""WITH tm0 AS (SELECT DISTINCT
+       |    (l_orderkey % $QcCells)::BIGINT AS cell_id,
+       |    (l_partkey % $TrajGenes)::BIGINT AS gid FROM lineitem),
+       |tpt AS (SELECT cell_id,
+       |    round(((cell_id * 29) % 101)::DOUBLE + 0.000000001, 6)
+       |      AS ptv
+       |  FROM (SELECT DISTINCT cell_id FROM tm0)),
+       |tex AS (SELECT cell_id, 'G' || gid::VARCHAR AS gene,
+       |    round((CASE
+       |        WHEN gid % 4 = 1 THEN ((cell_id * 29) % 101)::DOUBLE + 1.0
+       |        WHEN gid % 4 = 2 THEN 102.0 - ((cell_id * 29) % 101)::DOUBLE
+       |        ELSE ((cell_id * (1 + gid % 5)) % 101 + 1.0)::DOUBLE
+       |      END) + 0.000000001, 6) AS xr
+       |  FROM tm0),
+       |tvals AS (SELECT ptv, count(*)::DOUBLE AS cnt FROM tpt
+       |  GROUP BY ptv),
+       |trk AS (SELECT ptv, cnt,
+       |    coalesce(sum(cnt::DOUBLE) OVER (ORDER BY ptv
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+       |      + (cnt + 1.0) / 2.0 AS a_rank
+       |  FROM tvals),
+       |tsc AS (SELECT sum(cnt)::DOUBLE AS n_cells,
+       |    sum(cnt * a_rank * a_rank)::DOUBLE AS sa2
+       |  FROM trk HAVING sum(cnt::DOUBLE) >= 100),
+       |tpr AS (SELECT tpt.cell_id, trk.a_rank FROM tpt
+       |  JOIN trk USING (ptv)),
+       |trn AS (SELECT tex.gene, tex.xr, tpr.a_rank,
+       |    rank() OVER (PARTITION BY gene ORDER BY xr)::DOUBLE
+       |      AS rank_min,
+       |    count(*) OVER (PARTITION BY gene, xr)::DOUBLE AS cnt_eq
+       |  FROM tex JOIN tpr USING (cell_id)),
+       |trn2 AS (SELECT gene, a_rank,
+       |    rank_min + (cnt_eq - 1.0) / 2.0 AS rp FROM trn),
+       |tga AS (SELECT gene, count(*)::DOUBLE AS np,
+       |    sum(a_rank)::DOUBLE AS sa_p, sum(rp)::DOUBLE AS srp,
+       |    sum(rp * rp)::DOUBLE AS srp2,
+       |    sum(a_rank * rp)::DOUBLE AS sarp
+       |  FROM trn2 GROUP BY gene),
+       |tcj AS (SELECT * FROM tga CROSS JOIN tsc),
+       |tz AS (SELECT *, n_cells - np AS nz,
+       |    (n_cells - np + 1.0) / 2.0 AS z0,
+       |    n_cells * (n_cells + 1.0) / 2.0 AS sr FROM tcj),
+       |tmm AS (SELECT *,
+       |    np * nz * nz + 2.0 * nz * srp + srp2 + nz * z0 * z0 AS sb2,
+       |    nz * sa_p + sarp + z0 * (sr - sa_p) AS sab FROM tz),
+       |tco AS (SELECT gene, n_cells,
+       |    round((n_cells * sab - sr * sr)
+       |      / nullif(sqrt((n_cells * sa2 - sr * sr)
+       |        * (n_cells * sb2 - sr * sr)), 0.0)
+       |      + 0.000000001, 6) AS correlation
+       |  FROM tmm),
+       |tfl AS (SELECT * FROM tco
+       |  WHERE correlation IS NOT NULL AND correlation <> 0.0),
+       |tpx AS (SELECT *, abs(correlation * sqrt((n_cells - 2.0)
+       |      / (1.0 - correlation * correlation))) / sqrt(2.0) AS x
+       |  FROM tfl WHERE correlation * correlation < 1.0),
+       |tpt2 AS (SELECT *, 1.0 / (1.0 + 0.3275911 * x) AS tt FROM tpx),
+       |tpv AS (SELECT gene, correlation,
+       |    round($pSql + 0.000000001, 6) AS p_value
+       |  FROM tpt2
+       |  UNION ALL
+       |  SELECT gene, correlation, 0.0 AS p_value
+       |  FROM tfl WHERE correlation * correlation >= 1.0),
+       |tfin AS (SELECT
+       |    CASE WHEN correlation > 0 THEN 'increasing'
+       |         ELSE 'decreasing' END AS direction,
+       |    gene, correlation, p_value,
+       |    row_number() OVER (PARTITION BY correlation > 0
+       |      ORDER BY abs(correlation) DESC, gene)::BIGINT AS rnk
+       |  FROM tpv)
+       |SELECT direction, gene, correlation, p_value, rnk
+       |FROM tfin WHERE rnk <= ${TrajTop / 2}
+       |ORDER BY direction, rnk""".stripMargin
+
   val defs: Seq[Qdef] = Seq(
     Qdef("deg_stats", degStats, Some(degStatsSql)),
     Qdef("deg_enrich", degEnrich, Some(degEnrichSql)),
@@ -1475,5 +1585,6 @@ object StatsQueries {
     Qdef("sc_tme", scTme, Some(scTmeSql)),
     Qdef("sc_tme_comp", scTmeComp, Some(scTmeCompSql)),
     Qdef("sc_pathways", scPathways, Some(scPathwaysSql)),
-    Qdef("sc_grn", scGrn, Some(scGrnSql)))
+    Qdef("sc_grn", scGrn, Some(scGrnSql)),
+    Qdef("sc_traj_dynamics", scTrajDyn, Some(scTrajDynSql)))
 }
