@@ -1028,4 +1028,75 @@ object SingleCell {
       .select(col("direction"), col(geneCol), col("correlation"),
         col("p_value"), col("rnk"))
   }
+
+  /** Root-cluster detection for trajectory analysis (reference:
+    * agent4_trajectory.py:286 _detect_root_cluster + :312
+    * _find_centroid_cell): each cluster scores the DENSE mean of the
+    * stem/progenitor marker panel over its cells — sum of present
+    * (cell, marker) entries divided by n_cells × n_markers_present,
+    * zeros contributing nothing to the numerator, exactly the
+    * reference's np.mean over the dense slice. The panel restricts to
+    * markers present in the gene universe (:298 — absent markers
+    * shrink the denominator, they don't zero-pad it). The best
+    * cluster's root cell is the one nearest the cluster's 2D-embedding
+    * centroid (:312 — UMAP or PCA[:, :2]; the embedding is an input
+    * here, like pseudotime in trajectoryDynamics).
+    *
+    * DEVIATIONS (documented): score ties rank by cluster name and
+    * centroid-distance ties by cell id — the reference keeps
+    * first-in-iteration-order, undefined for a distributed table.
+    * Squared distance replaces the norm (same argmin); centroid and
+    * distances round to 6dp before comparison so both engines pick
+    * the same cell.
+    *
+    * Scale: marker scoring is one hash aggregate over the
+    * marker-filtered scan (the panel filter prunes the scan to
+    * |markers| genes); the centroid path touches ONE cluster's
+    * coordinate rows. Output is cluster-cardinality.
+    */
+  def trajectoryRoot(
+      expr: DataFrame, clusters: DataFrame, coords: DataFrame,
+      cellCol: String, geneCol: String, valueCol: String,
+      clusterCol: String, xCol: String, yCol: String,
+      stemMarkers: Seq[String]): DataFrame = {
+    // markers present in the universe — a scalar count every cluster
+    // shares (the reference recomputes it per cluster, same value)
+    val present = expr.select(col(geneCol)).distinct()
+      .where(col(geneCol).isin(stemMarkers: _*))
+    val m = present.agg(count(lit(1)).cast("double").as("n_markers"))
+      .where(col("n_markers") > 0.0)
+    val nByCluster = clusters.groupBy(col(clusterCol))
+      .agg(count(lit(1)).cast("double").as("n_cells"))
+    val markerSums = expr
+      .join(broadcast(present), Seq(geneCol))
+      .join(clusters, Seq(cellCol))
+      .groupBy(col(clusterCol))
+      .agg(sum(col(valueCol)).as("sv"))
+    val scored = nByCluster
+      .join(markerSums, Seq(clusterCol), "left")
+      .crossJoin(broadcast(m))
+      .withColumn("stem_score", r6(coalesce(col("sv"), lit(0.0)) /
+        (col("n_cells") * col("n_markers"))))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("stem_score").desc, col(clusterCol)))
+        .cast("long"))
+    val best = scored.where(col("rnk") === 1L)
+      .select(col(clusterCol))
+    val bestCells = clusters.join(broadcast(best), Seq(clusterCol))
+      .join(coords, Seq(cellCol))
+    val centroid = bestCells.groupBy(col(clusterCol))
+      .agg(r6(avg(col(xCol))).as("_cx"), r6(avg(col(yCol))).as("_cy"))
+    val root = bestCells.join(broadcast(centroid), Seq(clusterCol))
+      .withColumn("_d2", r6((col(xCol) - col("_cx")) *
+        (col(xCol) - col("_cx")) +
+        (col(yCol) - col("_cy")) * (col(yCol) - col("_cy"))))
+      .withColumn("_drnk", row_number().over(
+        Window.partitionBy(col(clusterCol))
+          .orderBy(col("_d2"), col(cellCol))))
+      .where(col("_drnk") === 1)
+      .select(col(clusterCol), col(cellCol).as("root_cell"))
+    scored.join(root, Seq(clusterCol), "left")
+      .select(col(clusterCol), col("stem_score"), col("rnk"),
+        col("root_cell"))
+  }
 }

@@ -1566,6 +1566,108 @@ object StatsQueries {
        |FROM tfin WHERE rnk <= ${TrajTop / 2}
        |ORDER BY direction, rnk""".stripMargin
 
+  /* ---------------- sc_traj_root ---------------- */
+
+  private val RootGenes = 30
+  private val RootClusters = 6
+
+  /** The reference's stem/progenitor panel (agent4_trajectory.py:288)
+    * — the binding's gene universe carries the first five, so the
+    * present-marker subset (M=5, not 8) is exercised like the
+    * reference's `m in var_names` filter.
+    */
+  private val StemMarkers = Seq("CD34", "KIT", "PROM1", "THY1",
+    "ALDH1A1", "SOX2", "NANOG", "POU5F1")
+
+  /** Root-cluster detection (agent4_trajectory.py:286 + :312): six
+    * clusters over the QC cell universe; cluster c2's marker entries
+    * carry a +40 shift so it wins the stem score for real; 2D
+    * embedding coords are residue lattices. Oracle replays the dense
+    * marker mean (sum present / n_cells·M), the rank, and the
+    * centroid-nearest root cell of the winning cluster.
+    */
+  private def scTrajRoot(s: SparkSession, d: String): DataFrame = {
+    val gid = pmod(col("l_partkey"), lit(RootGenes))
+    val sparsity = Tables.lineitem(s, d).select(
+      pmod(col("l_orderkey"), lit(QcCells)).cast("long").as("cell_id"),
+      gid.cast("long").as("gid")).distinct()
+    val cells = sparsity.select(col("cell_id")).distinct()
+    val gname = StemMarkers.take(5).zipWithIndex
+      .foldRight(concat(lit("G"), col("gid").cast("string")): Column) {
+        case ((n, i), rest) =>
+          when(col("gid") === i, lit(n)).otherwise(rest)
+      }
+    val base = (pmod(col("cell_id") * (lit(1) + pmod(col("gid"),
+      lit(5))), lit(101)) + lit(1.0)).cast("double")
+    val ex = sparsity.select(col("cell_id"), gname.as("gene"),
+      (base + when(pmod(col("cell_id"), lit(RootClusters)) === 2 &&
+        col("gid") < 5, lit(40.0)).otherwise(lit(0.0))).as("x"))
+    val cl = cells.select(col("cell_id"),
+      concat(lit("c"), pmod(col("cell_id"), lit(RootClusters))
+        .cast("string")).as("cluster"))
+    val co = cells.select(col("cell_id"),
+      pmod(col("cell_id") * 13, lit(199)).cast("double").as("ex"),
+      pmod(col("cell_id") * 37, lit(211)).cast("double").as("ey"))
+    SingleCell.trajectoryRoot(ex, cl, co, "cell_id", "gene", "x",
+      "cluster", "ex", "ey", StemMarkers)
+      .orderBy(col("rnk"))
+  }
+
+  private val scTrajRootSql = {
+    val markerCase = StemMarkers.take(5).zipWithIndex.map {
+      case (n, i) => s"WHEN gid = $i THEN '$n'"
+    }.mkString("CASE ", " ", " ELSE 'G' || gid::VARCHAR END")
+    val markerList = StemMarkers.map(m => s"'$m'").mkString("(", ", ", ")")
+    s"""WITH rt0 AS (SELECT DISTINCT
+       |    (l_orderkey % $QcCells)::BIGINT AS cell_id,
+       |    (l_partkey % $RootGenes)::BIGINT AS gid FROM lineitem),
+       |rtc AS (SELECT DISTINCT cell_id FROM rt0),
+       |rcl AS (SELECT cell_id,
+       |    'c' || (cell_id % $RootClusters)::VARCHAR AS cluster
+       |  FROM rtc),
+       |rco AS (SELECT cell_id, ((cell_id * 13) % 199)::DOUBLE AS ex,
+       |    ((cell_id * 37) % 211)::DOUBLE AS ey FROM rtc),
+       |rex AS (SELECT cell_id, $markerCase AS gene,
+       |    ((cell_id * (1 + gid % 5)) % 101 + 1.0)::DOUBLE
+       |      + (CASE WHEN cell_id % $RootClusters = 2 AND gid < 5
+       |          THEN 40.0 ELSE 0.0 END) AS x
+       |  FROM rt0),
+       |rpm AS (SELECT count(DISTINCT gene)::DOUBLE AS n_markers
+       |  FROM rex WHERE gene IN $markerList
+       |  HAVING count(DISTINCT gene) > 0),
+       |rn AS (SELECT cluster, count(*)::DOUBLE AS n_cells FROM rcl
+       |  GROUP BY cluster),
+       |rms AS (SELECT rcl.cluster, sum(rex.x)::DOUBLE AS sv
+       |  FROM rex JOIN rcl USING (cell_id)
+       |  WHERE rex.gene IN $markerList GROUP BY rcl.cluster),
+       |rsc AS (SELECT rn.cluster,
+       |    round(coalesce(rms.sv, 0.0) / (rn.n_cells * rpm.n_markers)
+       |      + 0.000000001, 6) AS stem_score
+       |  FROM rn LEFT JOIN rms USING (cluster) CROSS JOIN rpm),
+       |rsr AS (SELECT *, row_number() OVER
+       |    (ORDER BY stem_score DESC, cluster)::BIGINT AS rnk
+       |  FROM rsc),
+       |rbc AS (SELECT rcl.cell_id, rcl.cluster, rco.ex, rco.ey
+       |  FROM rcl JOIN rco USING (cell_id)
+       |  JOIN (SELECT cluster FROM rsr WHERE rnk = 1) b
+       |    USING (cluster)),
+       |rcent AS (SELECT cluster,
+       |    round(avg(ex) + 0.000000001, 6) AS cx,
+       |    round(avg(ey) + 0.000000001, 6) AS cy
+       |  FROM rbc GROUP BY cluster),
+       |rroot AS (SELECT cluster, cell_id AS root_cell FROM (
+       |    SELECT rbc.cluster, rbc.cell_id,
+       |      row_number() OVER (PARTITION BY rbc.cluster
+       |        ORDER BY round((ex - cx) * (ex - cx)
+       |          + (ey - cy) * (ey - cy) + 0.000000001, 6), cell_id)
+       |        AS drnk
+       |    FROM rbc JOIN rcent USING (cluster)) dd
+       |  WHERE drnk = 1)
+       |SELECT rsr.cluster, stem_score, rnk, root_cell
+       |FROM rsr LEFT JOIN rroot USING (cluster)
+       |ORDER BY rnk""".stripMargin
+  }
+
   val defs: Seq[Qdef] = Seq(
     Qdef("deg_stats", degStats, Some(degStatsSql)),
     Qdef("deg_enrich", degEnrich, Some(degEnrichSql)),
@@ -1586,5 +1688,6 @@ object StatsQueries {
     Qdef("sc_tme_comp", scTmeComp, Some(scTmeCompSql)),
     Qdef("sc_pathways", scPathways, Some(scPathwaysSql)),
     Qdef("sc_grn", scGrn, Some(scGrnSql)),
-    Qdef("sc_traj_dynamics", scTrajDyn, Some(scTrajDynSql)))
+    Qdef("sc_traj_dynamics", scTrajDyn, Some(scTrajDynSql)),
+    Qdef("sc_traj_root", scTrajRoot, Some(scTrajRootSql)))
 }

@@ -94,4 +94,47 @@ class TrajectorySpec extends SparkSpec {
       "gene", "x", "pseudotime", nTopGenes = 50, minCells = 100L)
     assert(out.count() == 0L)
   }
+
+  // --- trajectoryRoot ---
+
+  private val clusters = Seq(
+    ("c0", "A"), ("c1", "A"), ("c2", "A"),
+    ("c3", "B"), ("c4", "B"), ("c5", "B"), ("c6", "B")
+  ).toDF("cell", "cluster")
+
+  // CD34/KIT present in the universe, SOX2 absent → M = 2. Cluster A:
+  // marker mass 12 over 3 cells × 2 markers = 2.0; B: 4 over 4×2 = 0.5
+  private val stemExpr = Seq(
+    ("c0", "CD34", 6.0), ("c1", "KIT", 6.0),
+    ("c3", "CD34", 4.0),
+    ("c0", "G9", 99.0), ("c5", "G9", 99.0) // non-marker noise
+  ).toDF("cell", "gene", "x")
+
+  private val coords = Seq(
+    ("c0", 0.0, 0.0), ("c1", 4.0, 0.0), ("c2", 2.1, 0.0),
+    ("c3", 0.0, 1.0), ("c4", 0.0, 2.0), ("c5", 0.0, 3.0),
+    ("c6", 0.0, 4.0)
+  ).toDF("cell", "cx", "cy")
+
+  test("trajectoryRoot: dense marker mean, present-marker subset, " +
+    "centroid root cell") {
+    val out = SingleCell.trajectoryRoot(stemExpr, clusters, coords,
+      "cell", "gene", "x", "cluster", "cx", "cy",
+      Seq("CD34", "KIT", "SOX2"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    // A: (6+6) / (3 cells × 2 present markers) = 2.0
+    assert(math.abs(out("A").getDouble(1) - 2.0) < 1e-9)
+    // B: 4 / (4 × 2) = 0.5
+    assert(math.abs(out("B").getDouble(1) - 0.5) < 1e-9)
+    assert(out("A").getLong(2) == 1L && out("B").getLong(2) == 2L)
+    // A's centroid is (2.0333.., 0): c2 at x=2.1 is nearest
+    assert(out("A").getString(3) == "c2")
+    assert(out("B").isNullAt(3))
+  }
+
+  test("trajectoryRoot: no present markers yields an empty result") {
+    val out = SingleCell.trajectoryRoot(stemExpr, clusters, coords,
+      "cell", "gene", "x", "cluster", "cx", "cy", Seq("SOX2"))
+    assert(out.count() == 0L)
+  }
 }
