@@ -1099,4 +1099,116 @@ object SingleCell {
       .select(col(clusterCol), col("stem_score"), col("rnk"),
         col("root_cell"))
   }
+
+  /** Simplified per-cell CNV scoring (reference:
+    * rnaseq_pipeline/agents/singlecell/agent5_cnv_ml.py:453
+    * _simplified_cnv_inference): for each chromosome, the deviation
+    * |mean over the chromosome's genes of the cell's expression −
+    * mean of those genes' global means|; the cell's cnv_score is the
+    * mean deviation across chromosomes. Genes mapping to 'unknown'
+    * are excluded (:467); fewer than minMapped mapped genes → empty
+    * result (:470 skip).
+    *
+    * Sparse recovery: every mean is dense (zeros count) — cell×chrom
+    * means are present-entry sums over G_chr, gene means are
+    * present-entry sums over n_cells. A cell with NO entry on a
+    * chromosome still deviates by |0 − chrom mean|, so the per-cell ×
+    * per-chrom frame densifies over cells × chromosomes — chromosome
+    * cardinality is ~24, so that cross join is a broadcast of a tiny
+    * dim, not a blowup. All other steps are hash aggregates on the
+    * sparse entries.
+    *
+    * Cross-engine: means and deviations round to 6dp (+1e-9) at each
+    * named stage so both engines sum identical 6dp terms.
+    */
+  def cnvScores(
+      expr: DataFrame, chromMap: DataFrame, cellCol: String,
+      geneCol: String, valueCol: String, chromCol: String,
+      minMapped: Int = 10): DataFrame = {
+    val mapped = chromMap.where(col(chromCol) =!= "unknown")
+    val genes = expr.select(col(geneCol)).distinct()
+      .join(broadcast(mapped), Seq(geneCol))
+    val guard = genes.agg(count(lit(1)).as("n_mapped"))
+      .where(col("n_mapped") >= minMapped.toLong)
+    val cells = expr.select(col(cellCol)).distinct()
+    val nCells = cells.agg(count(lit(1)).cast("double").as("n_cells"))
+    // dense global mean per mapped gene
+    val geneMeans = expr.join(broadcast(genes), Seq(geneCol))
+      .groupBy(col(geneCol), col(chromCol))
+      .agg(sum(col(valueCol)).as("sx"))
+      .crossJoin(broadcast(nCells))
+      .withColumn("gm", r6(col("sx") / col("n_cells")))
+    // per-chromosome gene count + mean of gene means
+    val chromStats = geneMeans.groupBy(col(chromCol))
+      .agg(count(lit(1)).cast("double").as("g_chr"),
+        sum(col("gm")).as("sgm"))
+      .withColumn("chrm", r6(col("sgm") / col("g_chr")))
+      .select(col(chromCol), col("g_chr"), col("chrm"))
+    val nChrom = chromStats
+      .agg(count(lit(1)).cast("double").as("n_chrom"))
+    // sparse per (cell, chrom) sums, densified over cells × chroms
+    val cellChrom = expr.join(broadcast(genes), Seq(geneCol))
+      .groupBy(col(cellCol), col(chromCol))
+      .agg(sum(col(valueCol)).as("scx"))
+    val dense = cells.crossJoin(broadcast(chromStats))
+      .join(cellChrom, Seq(cellCol, chromCol), "left")
+      .withColumn("cm", r6(coalesce(col("scx"), lit(0.0)) /
+        col("g_chr")))
+      .withColumn("dev", r6(abs(col("cm") - col("chrm"))))
+    dense.groupBy(col(cellCol))
+      .agg(sum(col("dev")).as("sdev"))
+      .crossJoin(broadcast(nChrom))
+      .crossJoin(broadcast(guard))
+      .select(col(cellCol),
+        r6(col("sdev") / col("n_chrom")).as("cnv_score"))
+  }
+
+  /** Malignant-cell detection (agent5_cnv_ml.py:621
+    * _detect_malignant_cells): malignant_score = 0.5 × min-max
+    * normalized cnv_score + 0.3 × min-max normalized cancer-marker
+    * mean + 0.2 if the cell type matches none of the immune-type
+    * substrings (case-insensitive contains, :655 — so 'Treg' counts
+    * NON-immune, faithfully). Classification threshold 0.5 (:668).
+    * The min-max denominators carry the reference's +1e-10 guard.
+    * No present markers → the marker component contributes 0 for
+    * every cell (the reference skips the block).
+    *
+    * Scale: two scalar min/max aggregates (broadcast), one
+    * marker-pruned per-cell aggregate, then a narrow projection.
+    */
+  def malignantScores(
+      cnv: DataFrame, expr: DataFrame, types: DataFrame,
+      cellCol: String, geneCol: String, valueCol: String,
+      typeCol: String, cancerMarkers: Seq[String],
+      immuneTypes: Seq[String]): DataFrame = {
+    val present = expr.select(col(geneCol)).distinct()
+      .where(col(geneCol).isin(cancerMarkers: _*))
+    val m = present.agg(count(lit(1)).cast("double").as("n_markers"))
+    val markerSums = expr.join(broadcast(present), Seq(geneCol))
+      .groupBy(col(cellCol)).agg(sum(col(valueCol)).as("smk"))
+    val withMk = cnv.join(markerSums, Seq(cellCol), "left")
+      .crossJoin(broadcast(m))
+      .withColumn("mk", when(col("n_markers") > 0.0,
+        r6(coalesce(col("smk"), lit(0.0)) / col("n_markers")))
+        .otherwise(lit(0.0)))
+    val ranges = withMk.agg(
+      min(col("cnv_score")).as("cmin"), max(col("cnv_score")).as("cmax"),
+      min(col("mk")).as("mmin"), max(col("mk")).as("mmax"))
+    val isImmune = immuneTypes
+      .map(t => instr(lower(col(typeCol)), t.toLowerCase) > 0)
+      .reduce(_ || _)
+    withMk.crossJoin(broadcast(ranges))
+      .join(types, Seq(cellCol))
+      .withColumn("cnvn", r6((col("cnv_score") - col("cmin")) /
+        (col("cmax") - col("cmin") + 1e-10)))
+      .withColumn("mkn", when(col("n_markers") > 0.0,
+        r6((col("mk") - col("mmin")) /
+          (col("mmax") - col("mmin") + 1e-10))).otherwise(lit(0.0)))
+      .withColumn("malignant_score", r6(lit(0.5) * col("cnvn") +
+        lit(0.3) * col("mkn") +
+        when(isImmune, lit(0.0)).otherwise(lit(0.2))))
+      .withColumn("is_malignant", col("malignant_score") > 0.5)
+      .select(col(cellCol), col(typeCol), col("malignant_score"),
+        col("is_malignant"))
+  }
 }

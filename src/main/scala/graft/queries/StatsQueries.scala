@@ -1668,6 +1668,170 @@ object StatsQueries {
        |ORDER BY rnk""".stripMargin
   }
 
+  /* ---------------- sc_cnv_score / sc_malignant ---------------- */
+
+  private val CnvGenes = 40
+  private val CnvChroms = 6
+
+  /** Reference rosters (agent5_cnv_ml.py:643 cancer_markers, :655
+    * immune_types). The binding's universe carries MKI67/EPCAM/CD44,
+    * so the present-marker subset (M=3 of 11) is exercised.
+    */
+  private val CancerMarkers = Seq("MKI67", "TOP2A", "PCNA", "MCM2",
+    "CCNB1", "EPCAM", "KRT18", "KRT19", "CD44", "ALDH1A1", "PROM1")
+  private val ImmuneTypes = Seq("T_cells", "B_cells", "NK_cells",
+    "Monocyte", "Macrophage", "Dendritic", "Mast", "Neutrophil")
+
+  private def cnvGeneName(gid: Int): String = gid match {
+    case 0 => "MKI67"
+    case 1 => "EPCAM"
+    case 2 => "CD44"
+    case g => s"G$g"
+  }
+  private def cnvChrom(gid: Int): String =
+    if (gid < 36) s"chr${gid % 6 + 1}" else "unknown"
+
+  /** CNV-score binding (agent5_cnv_ml.py:453): 40 genes, 36 mapped
+    * over 6 chromosomes + 4 'unknown' (exercising the mapped-gene
+    * filter); chr3 genes carry +30 for cells ≡ 0 mod 5 so those
+    * cells' chr3 deviation is a real amplification signal.
+    */
+  private def cnvExpr(s: SparkSession, d: String): DataFrame = {
+    val gid = pmod(col("l_partkey"), lit(CnvGenes))
+    val sparsity = Tables.lineitem(s, d).select(
+      pmod(col("l_orderkey"), lit(QcCells)).cast("long").as("cell_id"),
+      gid.cast("long").as("gid")).distinct()
+    val gname = (0 until CnvGenes).foldRight(lit(""): Column) {
+      case (i, rest) =>
+        when(col("gid") === i, lit(cnvGeneName(i))).otherwise(rest)
+    }
+    val base = (pmod(col("cell_id") * (lit(1) + pmod(col("gid"),
+      lit(7))), lit(101)) + lit(1.0)).cast("double")
+    sparsity.select(col("cell_id"), gname.as("gene"),
+      (base + when(col("gid") < 36 && pmod(col("gid"), lit(6)) === 2 &&
+        pmod(col("cell_id"), lit(5)) === 0, lit(30.0))
+        .otherwise(lit(0.0))).as("x"))
+  }
+
+  private def cnvChromMap(s: SparkSession): DataFrame = {
+    import s.implicits._
+    (0 until CnvGenes).map(g => (cnvGeneName(g), cnvChrom(g)))
+      .toDF("gene", "chromosome")
+  }
+
+  private def scCnvScore(s: SparkSession, d: String): DataFrame =
+    SingleCell.cnvScores(cnvExpr(s, d), cnvChromMap(s), "cell_id",
+      "gene", "x", "chromosome")
+      .orderBy(col("cell_id"))
+
+  private def scMalignant(s: SparkSession, d: String): DataFrame = {
+    val cnv = SingleCell.cnvScores(cnvExpr(s, d), cnvChromMap(s),
+      "cell_id", "gene", "x", "chromosome")
+    SingleCell.malignantScores(cnv, cnvExpr(s, d), tmeTypes(s, d),
+      "cell_id", "gene", "x", "cell_type", CancerMarkers, ImmuneTypes)
+      .orderBy(col("cell_id"))
+  }
+
+  /** The cnvScores replay chain ending in CTE `cnv(cell_id,
+    * cnv_score)` — shared by both oracles. Every sum carries a no-op
+    * ::DOUBLE on its (already DOUBLE) argument for the lint.
+    */
+  private val cnvCtes: String = {
+    val nameCase = (0 until CnvGenes).map(i =>
+      s"WHEN gid = $i THEN '${cnvGeneName(i)}'")
+      .mkString("CASE ", " ", " ELSE '' END")
+    val mapValues = (0 until CnvGenes).map(g =>
+      s"('${cnvGeneName(g)}', '${cnvChrom(g)}')").mkString(", ")
+    s"""cm0 AS (SELECT DISTINCT
+       |    (l_orderkey % $QcCells)::BIGINT AS cell_id,
+       |    (l_partkey % $CnvGenes)::BIGINT AS gid FROM lineitem),
+       |cmg AS (SELECT * FROM (VALUES $mapValues) t(gene, chromosome)),
+       |cex AS (SELECT cell_id, $nameCase AS gene,
+       |    ((cell_id * (1 + gid % 7)) % 101 + 1.0)::DOUBLE
+       |      + (CASE WHEN gid < 36 AND gid % 6 = 2 AND cell_id % 5 = 0
+       |          THEN 30.0 ELSE 0.0 END) AS x
+       |  FROM cm0),
+       |cmap AS (SELECT gene, chromosome FROM cmg
+       |  WHERE chromosome <> 'unknown'),
+       |cgen AS (SELECT DISTINCT cex.gene, cmap.chromosome
+       |  FROM cex JOIN cmap USING (gene)),
+       |cgu AS (SELECT count(*)::BIGINT AS n_mapped FROM cgen
+       |  HAVING count(*) >= 10),
+       |ccl AS (SELECT DISTINCT cell_id FROM cex),
+       |cnc AS (SELECT count(*)::DOUBLE AS n_cells FROM ccl),
+       |cgm AS (SELECT cex.gene, cgen.chromosome,
+       |    sum(cex.x::DOUBLE)::DOUBLE AS sx
+       |  FROM cex JOIN cgen USING (gene) GROUP BY 1, 2),
+       |cgm2 AS (SELECT gene, chromosome,
+       |    round(sx / cnc.n_cells + 0.000000001, 6) AS gm
+       |  FROM cgm CROSS JOIN cnc),
+       |ccs AS (SELECT chromosome, count(*)::DOUBLE AS g_chr,
+       |    sum(gm::DOUBLE)::DOUBLE AS sgm
+       |  FROM cgm2 GROUP BY chromosome),
+       |ccs2 AS (SELECT chromosome, g_chr,
+       |    round(sgm / g_chr + 0.000000001, 6) AS chrm FROM ccs),
+       |ccc AS (SELECT cex.cell_id, cgen.chromosome,
+       |    sum(cex.x::DOUBLE)::DOUBLE AS scx
+       |  FROM cex JOIN cgen USING (gene) GROUP BY 1, 2),
+       |cde AS (SELECT ccl.cell_id, ccs2.chromosome,
+       |    round(coalesce(ccc.scx, 0.0) / ccs2.g_chr
+       |      + 0.000000001, 6) AS cm,
+       |    ccs2.chrm
+       |  FROM ccl CROSS JOIN ccs2
+       |  LEFT JOIN ccc ON ccc.cell_id = ccl.cell_id
+       |    AND ccc.chromosome = ccs2.chromosome),
+       |cdv AS (SELECT cell_id,
+       |    round(abs(cm - chrm) + 0.000000001, 6) AS dev FROM cde),
+       |cnh AS (SELECT count(*)::DOUBLE AS n_chrom FROM ccs2),
+       |cnv AS (SELECT cell_id,
+       |    round(sum(dev::DOUBLE) / cnh.n_chrom + 0.000000001, 6)
+       |      AS cnv_score
+       |  FROM cdv CROSS JOIN cnh CROSS JOIN cgu
+       |  GROUP BY cell_id, cnh.n_chrom)""".stripMargin
+  }
+
+  private val scCnvScoreSql =
+    s"""WITH $cnvCtes
+       |SELECT cell_id, cnv_score FROM cnv ORDER BY cell_id""".stripMargin
+
+  private val scMalignantSql = {
+    val markerList = CancerMarkers.map(m => s"'$m'")
+      .mkString("(", ", ", ")")
+    val immuneCond = ImmuneTypes
+      .map(t => s"strpos(lower(cell_type), '${t.toLowerCase}') > 0")
+      .mkString(" OR ")
+    s"""WITH $scMatrixCtes,
+       |$tmeTypesCtes,
+       |$cnvCtes,
+       |mpr AS (SELECT DISTINCT gene FROM cex
+       |  WHERE gene IN $markerList),
+       |mm AS (SELECT count(*)::DOUBLE AS n_markers FROM mpr),
+       |msum AS (SELECT cex.cell_id, sum(cex.x::DOUBLE)::DOUBLE AS smk
+       |  FROM cex JOIN mpr USING (gene) GROUP BY cex.cell_id),
+       |mk0 AS (SELECT cnv.cell_id, cnv.cnv_score, mm.n_markers,
+       |    CASE WHEN mm.n_markers > 0
+       |      THEN round(coalesce(msum.smk, 0.0) / mm.n_markers
+       |        + 0.000000001, 6)
+       |      ELSE 0.0 END AS mk
+       |  FROM cnv LEFT JOIN msum USING (cell_id) CROSS JOIN mm),
+       |mrg AS (SELECT min(cnv_score) AS cmin, max(cnv_score) AS cmax,
+       |    min(mk) AS mmin, max(mk) AS mmax FROM mk0),
+       |mal AS (SELECT mk0.cell_id, tp.cell_type,
+       |    round(0.5 * round((cnv_score - cmin)
+       |        / (cmax - cmin + 1e-10) + 0.000000001, 6)
+       |      + 0.3 * (CASE WHEN n_markers > 0
+       |          THEN round((mk - mmin) / (mmax - mmin + 1e-10)
+       |            + 0.000000001, 6)
+       |          ELSE 0.0 END)
+       |      + CASE WHEN $immuneCond THEN 0.0 ELSE 0.2 END
+       |      + 0.000000001, 6) AS malignant_score
+       |  FROM mk0 CROSS JOIN mrg
+       |  JOIN tp ON tp.cell_id = mk0.cell_id)
+       |SELECT cell_id, cell_type, malignant_score,
+       |  malignant_score > 0.5 AS is_malignant
+       |FROM mal ORDER BY cell_id""".stripMargin
+  }
+
   val defs: Seq[Qdef] = Seq(
     Qdef("deg_stats", degStats, Some(degStatsSql)),
     Qdef("deg_enrich", degEnrich, Some(degEnrichSql)),
@@ -1689,5 +1853,7 @@ object StatsQueries {
     Qdef("sc_pathways", scPathways, Some(scPathwaysSql)),
     Qdef("sc_grn", scGrn, Some(scGrnSql)),
     Qdef("sc_traj_dynamics", scTrajDyn, Some(scTrajDynSql)),
-    Qdef("sc_traj_root", scTrajRoot, Some(scTrajRootSql)))
+    Qdef("sc_traj_root", scTrajRoot, Some(scTrajRootSql)),
+    Qdef("sc_cnv_score", scCnvScore, Some(scCnvScoreSql)),
+    Qdef("sc_malignant", scMalignant, Some(scMalignantSql)))
 }
