@@ -89,4 +89,101 @@ object Trends {
           .when(col("growth_ratio") < 0.9, "declining")
           .otherwise("stable"))
   }
+
+  /** The trend analyzer's biomedical stopword list
+    * (trend_analyzer.py:109 STOPWORDS) — shared constant so the
+    * oracle's NOT IN list is generated from the same source.
+    */
+  val trendStopwords: Seq[String] = Seq(
+    "study", "studies", "patient", "patients", "case", "cases",
+    "result", "results", "method", "methods", "conclusion",
+    "conclusions", "background", "introduction", "discussion",
+    "figure", "table", "data", "analysis", "group", "groups",
+    "treatment", "therapy", "level", "levels", "value", "values",
+    "significant", "significantly", "however", "therefore",
+    "although", "moreover", "furthermore", "using", "used", "based",
+    "associated", "related", "compared", "showed", "found",
+    "observed", "reported", "demonstrated", "increased", "decreased",
+    "higher", "lower", "present", "presence", "abstract", "keywords",
+    "author", "authors", "doi", "published", "journal", "volume",
+    "issue", "page", "pages", "year", "month", "university",
+    "department", "institute", "hospital", "center", "email",
+    "corresponding", "received", "accepted", "available")
+
+  /** Emerging / declining / stable topic detection (reference:
+    * trend_analyzer.py:232 _detect_trends over :216
+    * _extract_keywords): tokens are maximal lowercase runs ≥ 3 chars
+    * (the \\b[a-z]{3,}\\b scan), filtered to length > 3 and past the
+    * stopword list; each year keeps its top perYearTop keywords by
+    * count; years split into older/recent halves (mid = n//2, recent
+    * gets the odd year); per-keyword half-sums classify by the
+    * reference's ladder — older=0 & recent>5 → emerging, recent >
+    * 2·older & recent>5 → emerging, older > 2·recent & older>5 →
+    * declining, both >5 with ratio in [0.5, 2] → stable — and each
+    * class keeps topPerClass rows.
+    *
+    * DEVIATIONS (documented): count ties rank by keyword (Counter
+    * .most_common and the class lists keep Python insertion order,
+    * undefined here); class output orders by older+recent desc then
+    * keyword instead of set-iteration order. Fewer than 2 distinct
+    * years → empty result (:244).
+    *
+    * Scale: one hash aggregate over the token explosion (map-side
+    * combinable on (year, keyword)), a per-year top-k window at
+    * year-cardinality partitions, then keyword-level rollups on
+    * top-k-pruned data (≤ years × perYearTop rows). The year index
+    * window runs at year cardinality.
+    */
+  def keywordTrends(
+      docs: DataFrame, yearCol: String, textCol: String,
+      perYearTop: Int = 20, minCount: Int = 5,
+      topPerClass: Int = 10): DataFrame = {
+    val counts = docs
+      .where(col(yearCol) > 0)
+      .select(col(yearCol).as("year"),
+        explode(regexp_extract_all(lower(col(textCol)),
+          lit("[a-z]{3,}"), lit(0))).as("keyword"))
+      .where(length(col("keyword")) > 3 &&
+        !col("keyword").isInCollection(trendStopwords))
+      .groupBy(col("year"), col("keyword"))
+      .agg(count(lit(1)).as("c"))
+    val top = counts.withColumn("r", row_number().over(
+        Window.partitionBy(col("year"))
+          .orderBy(col("c").desc, col("keyword"))))
+      .where(col("r") <= perYearTop)
+    val years = top.select(col("year")).distinct()
+      .withColumn("idx", row_number().over(
+        Window.orderBy(col("year"))) - 1)
+      .withColumn("ny", count(lit(1)).over(Window.partitionBy()))
+      .where(col("ny") >= 2)
+    // mid = n//2 (Python floor division — Spark's / is fractional)
+    val mid = floor(col("ny") / lit(2))
+    val halves = top.join(broadcast(years), Seq("year"))
+      .groupBy(col("keyword"))
+      .agg(
+        sum(when(col("idx") < mid, col("c"))
+          .otherwise(0L)).as("older_count"),
+        sum(when(col("idx") >= mid, col("c"))
+          .otherwise(0L)).as("recent_count"))
+    val mc = lit(minCount.toLong)
+    halves
+      .withColumn("trend",
+        when(col("older_count") === 0L && col("recent_count") > mc,
+          "emerging")
+          .when(col("recent_count") > col("older_count") * 2 &&
+            col("recent_count") > mc, "emerging")
+          .when(col("older_count") > col("recent_count") * 2 &&
+            col("older_count") > mc, "declining")
+          .when(col("recent_count") > mc && col("older_count") > mc &&
+            col("recent_count") / col("older_count") >= 0.5 &&
+            col("recent_count") / col("older_count") <= 2.0, "stable"))
+      .where(col("trend").isNotNull)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("trend"))
+          .orderBy((col("older_count") + col("recent_count")).desc,
+            col("keyword"))).cast("long"))
+      .where(col("rnk") <= topPerClass)
+      .select(col("trend"), col("keyword"), col("older_count"),
+        col("recent_count"), col("rnk"))
+  }
 }

@@ -533,6 +533,79 @@ object TextQueries {
        |       ELSE 'stable' END AS trend
        |FROM g ORDER BY lens""".stripMargin
 
+  /* ---------------- trend_topics ---------------- */
+
+  /** Emerging/declining/stable keyword detection
+    * (trend_analyzer.py:232 _detect_trends): years 2016-2023 from
+    * doc_id residues; the recent half's docs carry a tripled
+    * 'trendmarker' token and the older half a tripled 'fadingmarker'
+    * (ranked #1 per year at sf0.01), so the emerging and declining
+    * ladders both fire on signal that's real within the synthetic
+    * corpus; the common corpus vocabulary lands stable.
+    */
+  private def trendTopics2(s: SparkSession, d: String): DataFrame =
+    Trends.keywordTrends(
+      Tables.documents(s, d).select(
+        (lit(2016) + pmod(col("doc_id"), lit(8))).cast("long")
+          .as("year"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(8)) >= 4,
+            lit(" trendmarker trendmarker trendmarker"))
+            .otherwise(lit(" fadingmarker fadingmarker fadingmarker")))
+          .as("text")),
+      "year", "text")
+      .orderBy(col("trend"), col("rnk"))
+
+  private val trendTopicsSql = {
+    val trendStop = Trends.trendStopwords
+      .map(w => s"'$w'").mkString(", ")
+    s"""WITH td AS (SELECT 2016 + doc_id % 8 AS year,
+       |    text || (CASE WHEN doc_id % 8 >= 4
+       |      THEN ' trendmarker trendmarker trendmarker'
+       |      ELSE ' fadingmarker fadingmarker fadingmarker' END)
+       |      AS text
+       |  FROM documents),
+       |ttk AS (SELECT year,
+       |    unnest(regexp_extract_all(lower(text), '[a-z]{3,}'))
+       |      AS keyword
+       |  FROM td WHERE year > 0),
+       |tcn AS (SELECT year, keyword, count(*)::BIGINT AS c FROM ttk
+       |  WHERE length(keyword) > 3 AND keyword NOT IN ($trendStop)
+       |  GROUP BY 1, 2),
+       |ttp AS (SELECT *, row_number() OVER (PARTITION BY year
+       |    ORDER BY c DESC, keyword) AS r FROM tcn),
+       |tt2 AS (SELECT * FROM ttp WHERE r <= 20),
+       |tyr AS (SELECT year, row_number() OVER (ORDER BY year) - 1
+       |      AS idx, count(*) OVER () AS ny
+       |  FROM (SELECT DISTINCT year FROM tt2)),
+       |tyr2 AS (SELECT * FROM tyr WHERE ny >= 2),
+       |thl AS (SELECT keyword,
+       |    sum(CASE WHEN idx < ny // 2 THEN c ELSE 0 END)::BIGINT
+       |      AS older_count,
+       |    sum(CASE WHEN idx >= ny // 2 THEN c ELSE 0 END)::BIGINT
+       |      AS recent_count
+       |  FROM tt2 JOIN tyr2 USING (year) GROUP BY keyword),
+       |tcl AS (SELECT keyword, older_count, recent_count,
+       |    CASE WHEN older_count = 0 AND recent_count > 5
+       |           THEN 'emerging'
+       |         WHEN recent_count > older_count * 2
+       |           AND recent_count > 5 THEN 'emerging'
+       |         WHEN older_count > recent_count * 2
+       |           AND older_count > 5 THEN 'declining'
+       |         WHEN recent_count > 5 AND older_count > 5
+       |           AND recent_count / older_count >= 0.5
+       |           AND recent_count / older_count <= 2.0 THEN 'stable'
+       |         END AS trend
+       |  FROM thl),
+       |tfn AS (SELECT *, row_number() OVER (PARTITION BY trend
+       |      ORDER BY (older_count + recent_count) DESC,
+       |        keyword)::BIGINT AS rnk
+       |  FROM tcl WHERE trend IS NOT NULL)
+       |SELECT trend, keyword, older_count, recent_count, rnk
+       |FROM tfn WHERE rnk <= 10
+       |ORDER BY trend, rnk""".stripMargin
+  }
+
   /* ---------------- paper_quality ---------------- */
 
   /** Study-quality insight extraction (paper_insights.py:274
@@ -687,5 +760,6 @@ object TextQueries {
     Qdef("corpus_stats", corpusStats, Some(corpusStatsSql)),
     Qdef("trend_gaps", trendGaps, Some(trendGapsSql)),
     Qdef("topic_trends", topicTrends, Some(topicTrendsSql)),
+    Qdef("trend_topics", trendTopics2, Some(trendTopicsSql)),
     Qdef("paper_quality", paperQuality, Some(paperQualitySql)))
 }
