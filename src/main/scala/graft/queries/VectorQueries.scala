@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFns
-import graft.operators.{Bm25, Fusion, Precision, RankEval, VectorSearch}
+import graft.operators.{Bm25, Fusion, Precision, RankEval, Validate, VectorSearch}
 
 /** Vector + sparse + hybrid search queries (the reference's retrieval
   * surface re-expressed on Spark). All scores double-precision,
@@ -905,6 +905,108 @@ object VectorQueries {
        |  impact_score, total_score, rnk
        |FROM fin WHERE rnk <= $RecoN ORDER BY rnk""".stripMargin
 
+  /* ---------------- summary_validate ---------------- */
+
+  private val ValPapers = 50
+
+  /** Summary validation (validator.py:102 validate_summary): 50
+    * "papers" — embeddings grouped by vec_id residue (10 chunk
+    * vectors each, the min-vec_id chunk standing in as the summary
+    * embedding) and documents grouped by doc_id residue (chunk texts,
+    * min-doc_id chunk as the summary text). Both legs join only on
+    * the paper key; the oracle replays cosine dims, the word-set
+    * coverage and the weighted rollup.
+    */
+  private def summaryValidateQ(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select(
+      col("vec_id"),
+      pmod(col("vec_id"), lit(ValPapers)).cast("long").as("paper"),
+      col("embedding"))
+    val svid = emb.groupBy(col("paper"))
+      .agg(min(col("vec_id")).as("svid"))
+    val sums = emb.join(svid, Seq("paper"))
+      .where(col("vec_id") === col("svid"))
+      .select(col("paper"), col("embedding"))
+    val docs = Tables.documents(s, d).select(
+      col("doc_id"),
+      pmod(col("doc_id"), lit(ValPapers)).cast("long").as("paper"),
+      col("text"))
+    val sdid = docs.groupBy(col("paper"))
+      .agg(min(col("doc_id")).as("sdid"))
+    val sumTexts = docs.join(sdid, Seq("paper"))
+      .where(col("doc_id") === col("sdid"))
+      .select(col("paper"), col("text"))
+    Validate.summaryValidate(
+      emb.select(col("paper"), col("embedding")), sums,
+      docs.select(col("paper"), col("text")), sumTexts,
+      "paper", "embedding", "text")
+      .orderBy(col("paper"))
+  }
+
+  private val summaryValidateSql = {
+    val stopList = Validate.coverageStopwords
+      .map(w => s"'$w'").mkString(", ")
+    s"""WITH vp AS (SELECT vec_id, (vec_id % $ValPapers)::BIGINT
+       |      AS paper, embedding FROM embeddings),
+       |vsm AS (SELECT paper, min(vec_id) AS svid FROM vp
+       |  GROUP BY paper),
+       |vsv AS (SELECT vp.paper, vp.embedding FROM vp
+       |  JOIN vsm ON vp.paper = vsm.paper AND vp.vec_id = vsm.svid),
+       |vce AS (SELECT paper, vec_id, embedding,
+       |    unnest(generate_series(1, len(embedding))) AS i FROM vp),
+       |vsn AS (SELECT paper,
+       |    sum(embedding[i]::DOUBLE * embedding[i]::DOUBLE) AS sns
+       |  FROM (SELECT paper, embedding,
+       |      unnest(generate_series(1, len(embedding))) AS i
+       |    FROM vsv) sq
+       |  GROUP BY paper),
+       |vcd AS (SELECT c.paper, c.vec_id,
+       |    sum(c.embedding[i]::DOUBLE * s.embedding[i]::DOUBLE)
+       |      AS dot,
+       |    sum(c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)
+       |      AS cns
+       |  FROM vce c JOIN vsv s ON s.paper = c.paper GROUP BY 1, 2),
+       |vco AS (SELECT vcd.paper, vec_id,
+       |    round(dot / nullif(sqrt(cns) * sqrt(sns), 0.0), 6) AS cs
+       |  FROM vcd JOIN vsn USING (paper)),
+       |vag AS (SELECT paper, round(avg(cs) + 0.000000001, 6)
+       |      AS avg_sim, max(cs) AS max_sim
+       |  FROM vco GROUP BY paper),
+       |wd AS (SELECT (doc_id % $ValPapers)::BIGINT AS paper, doc_id,
+       |    text FROM documents),
+       |wsd AS (SELECT paper, min(doc_id) AS sdid FROM wd
+       |  GROUP BY paper),
+       |wo AS (SELECT DISTINCT paper, w FROM (SELECT paper,
+       |      unnest(regexp_extract_all(lower(text), '[a-z]{4,}')) AS w
+       |    FROM wd) sq
+       |  WHERE w NOT IN ($stopList)),
+       |ws AS (SELECT DISTINCT paper, w FROM (SELECT wd.paper,
+       |      unnest(regexp_extract_all(lower(text), '[a-z]{4,}')) AS w
+       |    FROM wd JOIN wsd USING (paper) WHERE doc_id = sdid) sq
+       |  WHERE w NOT IN ($stopList)),
+       |wno AS (SELECT paper, count(*)::DOUBLE AS no_ FROM wo
+       |  GROUP BY paper),
+       |wov AS (SELECT wo.paper, count(*)::DOUBLE AS ov FROM wo
+       |  JOIN ws ON wo.paper = ws.paper AND wo.w = ws.w
+       |  GROUP BY wo.paper),
+       |wcv AS (SELECT wno.paper,
+       |    coalesce(wov.ov, 0.0) / wno.no_ AS cov
+       |  FROM wno LEFT JOIN wov USING (paper)),
+       |vs3 AS (SELECT vag.paper,
+       |    round(avg_sim * 100.0 + 0.000000001, 6)
+       |      AS similarity_score,
+       |    round(cov * 100.0 + 0.000000001, 6) AS coverage_score,
+       |    round((max_sim * 0.6 + avg_sim * 0.4) * 100.0
+       |      + 0.000000001, 6) AS consistency_score
+       |  FROM vag JOIN wcv USING (paper))
+       |SELECT paper, similarity_score, coverage_score,
+       |  consistency_score,
+       |  round(similarity_score * 0.4 + coverage_score * 0.3
+       |    + consistency_score * 0.3 + 0.000000001, 6)
+       |    AS overall_confidence
+       |FROM vs3 ORDER BY paper""".stripMargin
+  }
+
   val defs: Seq[Qdef] = Seq(
     Qdef("vs_dense_topk", denseTopK, Some(denseTopKSql)),
     Qdef("vs_filtered_topk", filteredTopK, Some(filteredTopKSql)),
@@ -925,5 +1027,6 @@ object VectorQueries {
     Qdef("rerank_keyword", rerankKeyword, Some(rerankKeywordSql)),
     Qdef("rerank_cross", rerankCross, Some(rerankCrossSql)),
     Qdef("rerank_fused", rerankFused, Some(rerankFusedSql)),
-    Qdef("reco_paper", recoPaper, Some(recoPaperSql)))
+    Qdef("reco_paper", recoPaper, Some(recoPaperSql)),
+    Qdef("summary_validate", summaryValidateQ, Some(summaryValidateSql)))
 }
