@@ -1007,6 +1007,137 @@ object VectorQueries {
        |FROM vs3 ORDER BY paper""".stripMargin
   }
 
+  /* ---------------- claim_validate ---------------- */
+
+  /** Claim validation (validator.py:167 validate_claim): 5 claims
+    * (vec_id < 5) against the 500-chunk corpus grouped into 50
+    * papers; top-10 per claim, support > 0.6 / conflict < 0.3,
+    * coverage normalized by corpus_chunks/50.
+    */
+  private def claimValidateQ(s: SparkSession, d: String): DataFrame = {
+    val chunks = Tables.embeddings(s, d).select(
+      col("vec_id"),
+      pmod(col("vec_id"), lit(ValPapers)).cast("long").as("paper"),
+      col("embedding"))
+    val claims = Tables.embeddings(s, d).where(col("vec_id") < 5)
+      .select(col("vec_id").as("claim_id"), col("embedding").as("qe"))
+    Validate.claimValidate(chunks, claims, "vec_id", "embedding",
+      "paper", "claim_id", "qe")
+      .orderBy(col("claim_id"))
+  }
+
+  private val claimValidateSql =
+    s"""WITH cvp AS (SELECT vec_id, (vec_id % $ValPapers)::BIGINT
+       |      AS paper, embedding AS ce FROM embeddings),
+       |cvq AS (SELECT vec_id AS claim_id, embedding AS qe
+       |  FROM embeddings WHERE vec_id < 5),
+       |cvx AS (SELECT claim_id, vec_id, paper, ce, qe,
+       |    unnest(generate_series(1, len(ce))) AS i
+       |  FROM cvq CROSS JOIN cvp),
+       |cvd AS (SELECT claim_id, vec_id, paper,
+       |    sum(ce[i]::DOUBLE * qe[i]::DOUBLE) AS dot,
+       |    sum(ce[i]::DOUBLE * ce[i]::DOUBLE) AS na,
+       |    sum(qe[i]::DOUBLE * qe[i]::DOUBLE) AS nb
+       |  FROM cvx GROUP BY 1, 2, 3),
+       |cvs AS (SELECT claim_id, vec_id, paper,
+       |    round(dot / nullif(sqrt(na) * sqrt(nb), 0.0), 6) AS cs
+       |  FROM cvd),
+       |cvr AS (SELECT *, row_number() OVER (PARTITION BY claim_id
+       |      ORDER BY cs DESC, vec_id)::BIGINT AS rnk
+       |  FROM cvs WHERE cs IS NOT NULL),
+       |cvt AS (SELECT * FROM cvr WHERE rnk <= 10),
+       |cvn AS (SELECT count(*)::DOUBLE AS nch FROM cvp),
+       |cva AS (SELECT claim_id, count(*)::DOUBLE AS nres,
+       |    (sum(CASE WHEN cs > 0.6 THEN 1 ELSE 0 END))::BIGINT
+       |      AS n_supporting,
+       |    (sum(CASE WHEN cs < 0.3 THEN 1 ELSE 0 END))::BIGINT
+       |      AS n_conflicting,
+       |    count(DISTINCT paper)::BIGINT AS n_unique_papers,
+       |    round(avg(cs) + 0.000000001, 6) AS avg_, max(cs) AS max_
+       |  FROM cvt GROUP BY claim_id),
+       |cvf AS (SELECT claim_id, n_supporting, n_conflicting,
+       |    n_unique_papers,
+       |    round(avg_ * 100.0 + 0.000000001, 6) AS similarity_score,
+       |    round(least(100.0, n_unique_papers::DOUBLE
+       |        / greatest(nch / 50.0, 1.0) * 100.0)
+       |      + 0.000000001, 6) AS coverage_score,
+       |    round(n_supporting::DOUBLE / nres * 100.0
+       |      + 0.000000001, 6) AS consistency_score
+       |  FROM cva CROSS JOIN cvn)
+       |SELECT claim_id, n_supporting, n_conflicting, n_unique_papers,
+       |  similarity_score, coverage_score, consistency_score,
+       |  round(similarity_score * 0.4 + coverage_score * 0.3
+       |    + consistency_score * 0.3 + 0.000000001, 6)
+       |    AS overall_confidence
+       |FROM cvf ORDER BY claim_id""".stripMargin
+
+  /* ---------------- cross_validate ---------------- */
+
+  /** Paper cross-validation (validator.py:321 cross_validate_papers):
+    * each paper's representative = mean of its first 3 chunk
+    * embeddings (vec_id < 150 covers exactly chunks p, p+50, p+100 —
+    * the reference embeds the concatenated first-3-chunk TEXT, a
+    * documented stand-in), top-20 corpus search, self-chunks
+    * filtered, the fixed /5 top-sum, >0.5 supporters over 50 papers.
+    */
+  private def crossValidateQ(s: SparkSession, d: String): DataFrame = {
+    val chunks = Tables.embeddings(s, d).select(
+      col("vec_id"),
+      pmod(col("vec_id"), lit(ValPapers)).cast("long").as("paper"),
+      col("embedding"))
+    val reps = VectorSearch.centroidArrays(
+      Tables.embeddings(s, d).where(col("vec_id") < 3 * ValPapers)
+        .select(pmod(col("vec_id"), lit(ValPapers)).cast("long")
+          .as("paper"), col("embedding")),
+      "paper", "embedding")
+    Validate.crossValidate(chunks, reps, "vec_id", "embedding",
+      "paper", "paper", "centroid")
+      .orderBy(col("paper"))
+  }
+
+  private val crossValidateSql =
+    s"""WITH xr0 AS (SELECT (vec_id % $ValPapers)::BIGINT AS paper,
+       |    embedding, unnest(generate_series(1, len(embedding))) AS i
+       |  FROM embeddings WHERE vec_id < ${3 * ValPapers}),
+       |xrc AS (SELECT paper, i, avg(embedding[i]::DOUBLE) AS v
+       |  FROM xr0 GROUP BY 1, 2),
+       |xrn AS (SELECT paper, sum(v * v) AS nb FROM xrc
+       |  GROUP BY paper),
+       |xce AS (SELECT vec_id, (vec_id % $ValPapers)::BIGINT
+       |      AS cpaper, embedding,
+       |    unnest(generate_series(1, len(embedding))) AS i
+       |  FROM embeddings),
+       |xcd AS (SELECT r.paper, c.vec_id, c.cpaper,
+       |    sum(c.embedding[c.i]::DOUBLE * r.v) AS dot,
+       |    sum(c.embedding[c.i]::DOUBLE * c.embedding[c.i]::DOUBLE)
+       |      AS na
+       |  FROM xce c JOIN xrc r ON c.i = r.i GROUP BY 1, 2, 3),
+       |xcs AS (SELECT xcd.paper, vec_id, cpaper,
+       |    round(dot / nullif(sqrt(na) * sqrt(xrn.nb), 0.0), 6) AS cs
+       |  FROM xcd JOIN xrn USING (paper)),
+       |xrk AS (SELECT *, row_number() OVER (PARTITION BY paper
+       |      ORDER BY cs DESC, vec_id)::BIGINT AS rnk
+       |  FROM xcs WHERE cs IS NOT NULL),
+       |xtp AS (SELECT * FROM xrk WHERE rnk <= 20),
+       |xfl AS (SELECT *, row_number() OVER (PARTITION BY paper
+       |      ORDER BY rnk) AS r2
+       |  FROM xtp WHERE cpaper <> paper),
+       |xnp AS (SELECT count(*)::DOUBLE AS npapers FROM xrn),
+       |xag AS (SELECT paper,
+       |    sum(CASE WHEN r2 <= 5 THEN cs ELSE 0.0 END) AS stop_,
+       |    max(cs) AS max_, round(avg(cs) + 0.000000001, 6) AS avg_,
+       |    count(DISTINCT CASE WHEN cs > 0.5 THEN cpaper END)::BIGINT
+       |      AS nsup
+       |  FROM xfl GROUP BY paper)
+       |SELECT paper,
+       |  round(max_ * 100.0 + 0.000000001, 6) AS similarity_score,
+       |  round(nsup::DOUBLE / npapers * 100.0 + 0.000000001, 6)
+       |    AS coverage_score,
+       |  round(avg_ * 100.0 + 0.000000001, 6) AS consistency_score,
+       |  round(stop_ / 5.0 * 100.0 + 0.000000001, 6)
+       |    AS overall_confidence
+       |FROM xag CROSS JOIN xnp ORDER BY paper""".stripMargin
+
   val defs: Seq[Qdef] = Seq(
     Qdef("vs_dense_topk", denseTopK, Some(denseTopKSql)),
     Qdef("vs_filtered_topk", filteredTopK, Some(filteredTopKSql)),
@@ -1028,5 +1159,7 @@ object VectorQueries {
     Qdef("rerank_cross", rerankCross, Some(rerankCrossSql)),
     Qdef("rerank_fused", rerankFused, Some(rerankFusedSql)),
     Qdef("reco_paper", recoPaper, Some(recoPaperSql)),
-    Qdef("summary_validate", summaryValidateQ, Some(summaryValidateSql)))
+    Qdef("summary_validate", summaryValidateQ, Some(summaryValidateSql)),
+    Qdef("claim_validate", claimValidateQ, Some(claimValidateSql)),
+    Qdef("cross_validate", crossValidateQ, Some(crossValidateSql)))
 }
