@@ -90,6 +90,60 @@ object TextAnalysis {
   /** Corpus-level top-k keywords: BM25 tokens, len > 3, stopwords
     * removed, global count (map-side combine), top-k.
     */
+  /** A domain vocabulary entry (reference:
+    * backend/app/core/medical_vocabulary.py:13 MeSHTerm — primary
+    * term, synonyms, abbreviations, related terms, exclusions).
+    */
+  case class VocabPanel(
+      primary: String, synonyms: Seq[String],
+      abbreviations: Seq[String], related: Seq[String],
+      exclusions: Seq[String]) {
+    /** The reference's normalization denominator
+      * (medical_vocabulary.py:386): primary + weighted synonym and
+      * abbreviation capacity (related/exclusions don't count).
+      */
+    def maxPossible: Double =
+      1.0 + synonyms.size * 0.9 + abbreviations.size * 0.85
+  }
+
+  /** Vocabulary match scoring (medical_vocabulary.py:339
+    * match_score): weighted term-class hits — primary 1.0, synonyms
+    * 0.9, abbreviations 0.85 (WORD-BOUNDARY regex, case-insensitive,
+    * unlike the plain substring match of the other classes —
+    * faithfully), related 0.5, exclusions −0.5 — summed raw, then
+    * normalized by maxPossible and clamped to [0, 1]. One narrow
+    * codegen'd projection; the panel rides as literal predicates.
+    */
+  def vocabMatch(
+      docs: DataFrame, idCol: String, textCol: String,
+      panel: VocabPanel): DataFrame = {
+    val tl = lower(col(textCol))
+    def sub(t: String): Column = instr(tl, t.toLowerCase) > 0
+    def abbr(t: String): Column =
+      col(textCol).rlike("(?i)\\b" + t + "\\b")
+    val terms: Seq[(Column, Double)] =
+      Seq(sub(panel.primary) -> 1.0) ++
+        panel.synonyms.map(s => sub(s) -> 0.9) ++
+        panel.abbreviations.map(a => abbr(a) -> 0.85) ++
+        panel.related.map(r => sub(r) -> 0.5) ++
+        panel.exclusions.map(e => sub(e) -> -0.5)
+    val raw = terms.map { case (c, w) =>
+      when(c, lit(w)).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    val nMatches = terms.map { case (c, _) =>
+      when(c, lit(1L)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val hasExcl = panel.exclusions.map(sub).reduceOption(_ || _)
+      .getOrElse(lit(false))
+    docs.select(col(idCol),
+      nMatches.as("n_matches"),
+      round(raw + lit(1e-9), 6).as("raw_score"),
+      round(greatest(lit(0.0), least(lit(1.0),
+        raw / panel.maxPossible)) + lit(1e-9), 6).as("score"),
+      sub(panel.primary).as("has_primary"),
+      hasExcl.as("has_exclusion"))
+  }
+
   def topKeywords(
       docs: DataFrame, textCol: String, k: Int): DataFrame =
     docs.select(explode(TextFns.bm25Tokens(col(textCol))).as("token"))

@@ -606,6 +606,62 @@ object TextQueries {
        |ORDER BY trend, rnk""".stripMargin
   }
 
+  /* ---------------- vocab_match ---------------- */
+
+  /** Vocabulary match scoring (medical_vocabulary.py:339
+    * match_score): the corpus vocabulary stands in for the MeSH
+    * entry — every class is live at sf0.01 (primary 'spark',
+    * synonyms stream/window, abbreviations agg/dup with the
+    * word-boundary regex, related join/scan, exclusion 'slow').
+    * max_possible = 1 + 2·0.9 + 2·0.85 = 4.5.
+    */
+  private val VocabDemo = TextAnalysis.VocabPanel(
+    primary = "spark",
+    synonyms = Seq("stream", "window"),
+    abbreviations = Seq("agg", "dup"),
+    related = Seq("join", "scan"),
+    exclusions = Seq("slow"))
+
+  private def vocabMatch(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.vocabMatch(Tables.documents(s, d), "doc_id", "text",
+      VocabDemo)
+      .orderBy(col("doc_id"))
+
+  private val vocabMatchSql = {
+    val p = VocabDemo
+    def sub(t: String, w: Double) =
+      s"CASE WHEN strpos(lower(text), '${t.toLowerCase}') > 0 THEN $w ELSE 0.0 END"
+    def abbr(t: String, w: Double) =
+      s"CASE WHEN regexp_matches(text, '(?i)\\b$t\\b') THEN $w ELSE 0.0 END"
+    val rawParts =
+      (Seq(sub(p.primary, 1.0)) ++
+        p.synonyms.map(sub(_, 0.9)) ++
+        p.abbreviations.map(abbr(_, 0.85)) ++
+        p.related.map(sub(_, 0.5)) ++
+        p.exclusions.map(sub(_, -0.5))).mkString("\n      + ")
+    val nParts =
+      (Seq(s"CASE WHEN strpos(lower(text), '${p.primary}') > 0 THEN 1 ELSE 0 END") ++
+        p.synonyms.map(t => s"CASE WHEN strpos(lower(text), '$t') > 0 THEN 1 ELSE 0 END") ++
+        p.abbreviations.map(t => s"CASE WHEN regexp_matches(text, '(?i)\\b$t\\b') THEN 1 ELSE 0 END") ++
+        p.related.map(t => s"CASE WHEN strpos(lower(text), '$t') > 0 THEN 1 ELSE 0 END") ++
+        p.exclusions.map(t => s"CASE WHEN strpos(lower(text), '$t') > 0 THEN 1 ELSE 0 END"))
+        .mkString("\n      + ")
+    val exclCond = p.exclusions
+      .map(t => s"strpos(lower(text), '$t') > 0").mkString(" OR ")
+    s"""WITH vm AS (SELECT doc_id,
+       |    ($rawParts) AS raw,
+       |    ($nParts)::BIGINT AS n_matches,
+       |    strpos(lower(text), '${p.primary}') > 0 AS has_primary,
+       |    ($exclCond) AS has_exclusion
+       |  FROM documents)
+       |SELECT doc_id, n_matches,
+       |  round(raw + 0.000000001, 6) AS raw_score,
+       |  round(greatest(0.0, least(1.0, raw / ${p.maxPossible}))
+       |    + 0.000000001, 6) AS score,
+       |  has_primary, has_exclusion
+       |FROM vm ORDER BY doc_id""".stripMargin
+  }
+
   /* ---------------- paper_quality ---------------- */
 
   /** Study-quality insight extraction (paper_insights.py:274
@@ -761,5 +817,6 @@ object TextQueries {
     Qdef("trend_gaps", trendGaps, Some(trendGapsSql)),
     Qdef("topic_trends", topicTrends, Some(topicTrendsSql)),
     Qdef("trend_topics", trendTopics2, Some(trendTopicsSql)),
-    Qdef("paper_quality", paperQuality, Some(paperQualitySql)))
+    Qdef("paper_quality", paperQuality, Some(paperQualitySql)),
+    Qdef("vocab_match", vocabMatch, Some(vocabMatchSql)))
 }

@@ -99,4 +99,32 @@ class ValidateSpec extends SparkSpec {
     assert(math.abs(p20.getAs[Double]("similarity_score") - 0.0) < 1e-6)
     assert(math.abs(p20.getAs[Double]("coverage_score") - 0.0) < 1e-6)
   }
+
+  // --- vocabMatch ---
+
+  test("vocabMatch: class weights, boundary abbreviations, clamping") {
+    import graft.operators.TextAnalysis
+    val panel = TextAnalysis.VocabPanel("glioma", Seq("brain tumor"),
+      Seq("GBM"), Seq("temozolomide"), Seq("meningioma"))
+    // max_possible = 1 + 0.9 + 0.85 = 2.75
+    val docs = Seq(
+      // all positives: 1 + .9 + .85 + .5 = 3.25 → clamps to 1.0
+      (1L, "Glioma and brain tumor GBM treated with temozolomide"),
+      // abbreviation INSIDE a word must not match (\b); 'gbmx' ≠ GBM
+      (2L, "gbmx study"),
+      // exclusion only: raw −0.5 → score clamps to 0
+      (3L, "meningioma cohort"),
+      (4L, "unrelated")
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.vocabMatch(docs, "doc_id", "text", panel)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(math.abs(m(1L).getAs[Double]("raw_score") - 3.25) < 1e-6)
+    assert(math.abs(m(1L).getAs[Double]("score") - 1.0) < 1e-6)
+    assert(m(1L).getAs[Boolean]("has_primary"))
+    assert(m(2L).getAs[Long]("n_matches") == 0L)
+    assert(math.abs(m(3L).getAs[Double]("raw_score") + 0.5) < 1e-6)
+    assert(math.abs(m(3L).getAs[Double]("score") - 0.0) < 1e-6)
+    assert(m(3L).getAs[Boolean]("has_exclusion"))
+    assert(m(4L).getAs[Long]("n_matches") == 0L)
+  }
 }
