@@ -56,4 +56,12 @@ class KeywordTrendsSpec extends SparkSpec {
       docs.filter($"year" === 2020L), "year", "text")
     assert(out.count() == 0L)
   }
+
+  test("keywordTrends is invariant to input partitioning") {
+    def run(parts: Int) = Trends
+      .keywordTrends(docs.repartition(parts), "year", "text")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))).toSeq.sorted
+    assert(run(1) == run(5))
+  }
 }

@@ -137,4 +137,21 @@ class TrajectorySpec extends SparkSpec {
       "cell", "gene", "x", "cluster", "cx", "cy", Seq("SOX2"))
     assert(out.count() == 0L)
   }
+
+  test("trajectoryDynamics is invariant to input partitioning") {
+    val rnd = new scala.util.Random(23)
+    val cells2 = (0 until 40).map(i => s"c$i")
+    val pt2 = cells2.map(c => (c, rnd.nextInt(12).toDouble))
+      .toDF("cell", "pseudotime")
+    val ex2 = Seq.tabulate(300) { _ =>
+      (cells2(rnd.nextInt(40)), s"g${rnd.nextInt(8)}",
+        (rnd.nextInt(30) + 1).toDouble)
+    }.toDF("cell", "gene", "x").distinct()
+    def run(parts: Int) = SingleCell.trajectoryDynamics(
+      ex2.repartition(parts), pt2.repartition(parts), "cell", "gene",
+      "x", "pseudotime", nTopGenes = 8, minCells = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getDouble(2), r.getDouble(3), r.getLong(4))).toSeq.sorted
+    assert(run(1) == run(7))
+  }
 }
