@@ -39,6 +39,14 @@ object Sessions {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.sql.session.timeZone", "UTC")
+      // iterative operators (connectedComponents, lloydCentroids)
+      // leave each superseded round's localCheckpoint blocks to the
+      // ContextCleaner, which only reclaims after a driver GC — the
+      // 30-min default would let ~25 rounds of label-scale blocks
+      // accumulate on executors mid-algorithm; 5 min bounds that
+      // backlog on long-lived cluster sessions (local sessions pin
+      // 1 min below for the same reason)
+      .config("spark.cleaner.periodicGC.interval", "5min")
       .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
 
   /** Local test/bench shape (what Bench/Verify use): one partition

@@ -448,30 +448,20 @@ object SingleCell {
           && !col(s"in_$i"))
     }.select(col(geneCol) +:
       sets.indices.flatMap(i => Seq(col(s"in_$i"), col(s"ctrl_$i"))): _*)
-    val sizes = flags.agg(
-      sets.indices.flatMap(i => Seq(
-        sum(when(col(s"in_$i"), lit(1.0)).otherwise(lit(0.0)))
-          .as(s"n_in_$i"),
-        sum(when(col(s"ctrl_$i"), lit(1.0)).otherwise(lit(0.0)))
-          .as(s"n_ctrl_$i"))).head,
-      sets.indices.flatMap(i => Seq(
-        sum(when(col(s"in_$i"), lit(1.0)).otherwise(lit(0.0)))
-          .as(s"n_in_$i"),
-        sum(when(col(s"ctrl_$i"), lit(1.0)).otherwise(lit(0.0)))
-          .as(s"n_ctrl_$i"))).tail: _*)
+    val sizeAggs = sets.indices.flatMap(i => Seq(
+      sum(when(col(s"in_$i"), lit(1.0)).otherwise(lit(0.0)))
+        .as(s"n_in_$i"),
+      sum(when(col(s"ctrl_$i"), lit(1.0)).otherwise(lit(0.0)))
+        .as(s"n_ctrl_$i")))
+    val sizes = flags.agg(sizeAggs.head, sizeAggs.tail: _*)
+    val sumAggs = sets.indices.flatMap(i => Seq(
+      sum(when(col(s"in_$i"), col("x")).otherwise(lit(0.0)))
+        .as(s"x_in_$i"),
+      sum(when(col(s"ctrl_$i"), col("x")).otherwise(lit(0.0)))
+        .as(s"x_ctrl_$i")))
     val cellSums = ex.join(broadcast(flags), Seq(geneCol))
       .groupBy(col(cellCol))
-      .agg(
-        sets.indices.flatMap(i => Seq(
-          sum(when(col(s"in_$i"), col("x")).otherwise(lit(0.0)))
-            .as(s"x_in_$i"),
-          sum(when(col(s"ctrl_$i"), col("x")).otherwise(lit(0.0)))
-            .as(s"x_ctrl_$i"))).head,
-        sets.indices.flatMap(i => Seq(
-          sum(when(col(s"in_$i"), col("x")).otherwise(lit(0.0)))
-            .as(s"x_in_$i"),
-          sum(when(col(s"ctrl_$i"), col("x")).otherwise(lit(0.0)))
-            .as(s"x_ctrl_$i"))).tail: _*)
+      .agg(sumAggs.head, sumAggs.tail: _*)
     cellSums.crossJoin(broadcast(sizes))
       .select(col(cellCol) +: sets.indices.map { i =>
         when(col(s"n_in_$i") < minGenes.toDouble,
@@ -630,17 +620,29 @@ object SingleCell {
     val nRef = refCells.select(col(cellCol)).distinct()
       .agg(count(lit(1)).cast("double").as("n_ref"))
     // per-gene diploid reference moments, dense via sparse sums
-    // (missing entries add 0 to both) over the reference population
-    val gstats = exP
+    // (missing entries add 0 to both) over the reference population.
+    // The gene universe is the PANEL ∩ matrix genes, NOT the genes
+    // with reference-cell entries: a tumor-only panel gene (zero in
+    // every reference cell) must keep its dense mu=0 / sd=1e-6 row —
+    // a tumor cell expressing it then scores |x|/1e-6, the strongest
+    // amplification evidence the reference's dense z-scoring flags —
+    // rather than silently vanishing from the chromosome.
+    val panelGenes = chromPanel.select(col("chrom"), col(geneCol))
+      .join(expr.select(col(geneCol)).distinct(), Seq(geneCol),
+        "left_semi")
+    val refSums = exP
       .join(refCells.select(col(cellCol)).distinct(), Seq(cellCol),
         "left_semi")
       .groupBy(col("chrom"), col(geneCol))
       .agg(sum(col("x")).as("s"), sum(col("x") * col("x")).as("ss"))
+    val gstats = broadcast(panelGenes)
+      .join(refSums, Seq("chrom", geneCol), "left")
       .crossJoin(broadcast(nRef))
       .select(col("chrom"), col(geneCol),
-        r6(col("s") / col("n_ref")).as("mu"),
-        r6(sqrt(greatest(col("ss") / col("n_ref") -
-          pow(col("s") / col("n_ref"), 2), lit(0.0))) + lit(1e-6))
+        r6(coalesce(col("s"), lit(0.0)) / col("n_ref")).as("mu"),
+        r6(sqrt(greatest(coalesce(col("ss"), lit(0.0)) / col("n_ref") -
+          pow(coalesce(col("s"), lit(0.0)) / col("n_ref"), 2),
+          lit(0.0))) + lit(1e-6))
           .as("sd"))
       .withColumn("z0", col("mu") / col("sd"))
     // per-chromosome constants: the all-absent baseline sum and size

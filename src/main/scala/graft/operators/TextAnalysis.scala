@@ -106,6 +106,19 @@ object TextAnalysis {
       1.0 + synonyms.size * 0.9 + abbreviations.size * 0.85
   }
 
+  /** The abbreviation word-boundary pattern (medical_vocabulary.py:
+    * 368 `re.escape(abbr)` + `\b` + IGNORECASE) — ONE builder shared
+    * with the oracle SQL so both engines run the same pattern text.
+    * Metacharacters are backslash-escaped (re.escape's job): 'IL-2(R)'
+    * must match literally, not as a capture group, and 'C++' must not
+    * throw. Only non-alphanumerics are escaped — escaping letters
+    * would CHANGE semantics (\b, \d...). Valid Java regex and RE2.
+    */
+  def abbrPattern(t: String): String =
+    "(?i)\\b" + t.flatMap(c =>
+      if (c.isLetterOrDigit || c == '_') c.toString else s"\\$c") +
+      "\\b"
+
   /** Vocabulary match scoring (medical_vocabulary.py:339
     * match_score): weighted term-class hits — primary 1.0, synonyms
     * 0.9, abbreviations 0.85 (WORD-BOUNDARY regex, case-insensitive,
@@ -119,8 +132,7 @@ object TextAnalysis {
       panel: VocabPanel): DataFrame = {
     val tl = lower(col(textCol))
     def sub(t: String): Column = instr(tl, t.toLowerCase) > 0
-    def abbr(t: String): Column =
-      col(textCol).rlike("(?i)\\b" + t + "\\b")
+    def abbr(t: String): Column = col(textCol).rlike(abbrPattern(t))
     val terms: Seq[(Column, Double)] =
       Seq(sub(panel.primary) -> 1.0) ++
         panel.synonyms.map(s => sub(s) -> 0.9) ++

@@ -971,13 +971,19 @@ object StatsQueries {
        |  FROM ex JOIN pan p USING (gene)),
        |nr AS (SELECT count(DISTINCT cell_id)::DOUBLE AS n_ref
        |  FROM ex WHERE cell_id % 4 = 0),
-       |gs AS (SELECT x2.chrom, x2.gene,
-       |    round(sum(x2.x)::DOUBLE / n_ref + 0.000000001, 6) AS mu,
-       |    round(sqrt(greatest(sum(x2.x * x2.x)::DOUBLE / n_ref
-       |        - (sum(x2.x)::DOUBLE / n_ref) ^ 2, 0.0)) + 0.000001
+       |pang AS (SELECT p.chrom, p.gene FROM pan p
+       |  JOIN (SELECT DISTINCT gene FROM ex) u USING (gene)),
+       |gs0 AS (SELECT x2.chrom, x2.gene, sum(x2.x)::DOUBLE AS s,
+       |    sum(x2.x * x2.x)::DOUBLE AS ss
+       |  FROM exp2 x2 WHERE x2.cell_id % 4 = 0
+       |  GROUP BY x2.chrom, x2.gene),
+       |gs AS (SELECT pg.chrom, pg.gene,
+       |    round(coalesce(gs0.s, 0.0) / n_ref + 0.000000001, 6) AS mu,
+       |    round(sqrt(greatest(coalesce(gs0.ss, 0.0) / n_ref
+       |        - (coalesce(gs0.s, 0.0) / n_ref) ^ 2, 0.0)) + 0.000001
        |      + 0.000000001, 6) AS sd
-       |  FROM exp2 x2, nr WHERE x2.cell_id % 4 = 0
-       |  GROUP BY x2.chrom, x2.gene, n_ref),
+       |  FROM pang pg LEFT JOIN gs0 ON gs0.chrom = pg.chrom
+       |    AND gs0.gene = pg.gene CROSS JOIN nr),
        |cc AS (SELECT chrom, round(sum(mu / sd) + 0.000000001, 6) AS z0_sum,
        |    count(*)::DOUBLE AS n_genes
        |  FROM gs GROUP BY chrom),
@@ -1064,6 +1070,32 @@ object StatsQueries {
         count(lit(1)).as("n_cells"))
       .orderBy(col("cell_type"), col("signature"))
 
+  /** The reference's TME category / immune / stromal prefix panels
+    * (agent_singlecell.py:2615) — declared ONCE and interpolated into
+    * both the Spark binding and the SQL oracle, like every other
+    * shared panel, so the two sides cannot drift.
+    */
+  private val TmeCats: Seq[(String, Seq[String])] = Seq(
+    "cytotoxic" -> Seq("CD8_T", "CD8A", "NK_cells", "NKT"),
+    "helper" -> Seq("CD4_T", "T_cells", "Th1", "Th2"),
+    "antigen_presenting" -> Seq("Dendritic_cells", "cDC1", "cDC2",
+      "pDC", "B_cells"),
+    "immunosuppressive" -> Seq("Treg", "MDSC", "M2_Macro"),
+    "myeloid" -> Seq("Monocytes", "Macrophages", "Classical_Mono",
+      "Non_classical_Mono", "Kupffer_cells"),
+    "stromal" -> Seq("Fibroblasts", "CAF", "Myofibroblast",
+      "Stellate_cells", "Pericytes"),
+    "endothelial" -> Seq("Endothelial", "Vascular_EC",
+      "Lymphatic_EC", "LSECs"),
+    "epithelial" -> Seq("Epithelial", "Hepatocytes", "Colonocytes",
+      "Alveolar_type2", "Luminal_epithelial", "Ductal_cells",
+      "Acinar_cells"))
+  private val TmeImmunePrefixes = Seq("T_cells", "NK_cells",
+    "B_cells", "Monocytes", "Macrophages", "Dendritic_cells",
+    "Plasma_cells", "Mast_cells", "Neutrophils")
+  private val TmeStromalPrefixes = Seq("Fibroblasts", "CAF",
+    "Endothelial", "Pericytes", "Stellate")
+
   /** TME composition + phenotype (agent_singlecell.py:2615 — the
     * reference's real category prefix lists, verbatim, over the
     * realistic type names; immune 50% + NK present → 'Hot
@@ -1071,26 +1103,9 @@ object StatsQueries {
     */
   private def scTmeComp(s: SparkSession, d: String): DataFrame =
     SingleCell.tmeComposition(tmeTypes(s, d), "cell_type",
-      categories = Seq(
-        "cytotoxic" -> Seq("CD8_T", "CD8A", "NK_cells", "NKT"),
-        "helper" -> Seq("CD4_T", "T_cells", "Th1", "Th2"),
-        "antigen_presenting" -> Seq("Dendritic_cells", "cDC1", "cDC2",
-          "pDC", "B_cells"),
-        "immunosuppressive" -> Seq("Treg", "MDSC", "M2_Macro"),
-        "myeloid" -> Seq("Monocytes", "Macrophages", "Classical_Mono",
-          "Non_classical_Mono", "Kupffer_cells"),
-        "stromal" -> Seq("Fibroblasts", "CAF", "Myofibroblast",
-          "Stellate_cells", "Pericytes"),
-        "endothelial" -> Seq("Endothelial", "Vascular_EC",
-          "Lymphatic_EC", "LSECs"),
-        "epithelial" -> Seq("Epithelial", "Hepatocytes", "Colonocytes",
-          "Alveolar_type2", "Luminal_epithelial", "Ductal_cells",
-          "Acinar_cells")),
-      immunePrefixes = Seq("T_cells", "NK_cells", "B_cells", "Monocytes",
-        "Macrophages", "Dendritic_cells", "Plasma_cells", "Mast_cells",
-        "Neutrophils"),
-      stromalPrefixes = Seq("Fibroblasts", "CAF", "Endothelial",
-        "Pericytes", "Stellate"))
+      categories = TmeCats,
+      immunePrefixes = TmeImmunePrefixes,
+      stromalPrefixes = TmeStromalPrefixes)
       .orderBy(col("category"))
 
   private val tmeTypeCaseSql = TmeTypeNames.zipWithIndex.map {
@@ -1167,26 +1182,9 @@ object StatsQueries {
   }
 
   private val scTmeCompSql = {
-    val cats = Seq(
-      "cytotoxic" -> Seq("CD8_T", "CD8A", "NK_cells", "NKT"),
-      "helper" -> Seq("CD4_T", "T_cells", "Th1", "Th2"),
-      "antigen_presenting" -> Seq("Dendritic_cells", "cDC1", "cDC2",
-        "pDC", "B_cells"),
-      "immunosuppressive" -> Seq("Treg", "MDSC", "M2_Macro"),
-      "myeloid" -> Seq("Monocytes", "Macrophages", "Classical_Mono",
-        "Non_classical_Mono", "Kupffer_cells"),
-      "stromal" -> Seq("Fibroblasts", "CAF", "Myofibroblast",
-        "Stellate_cells", "Pericytes"),
-      "endothelial" -> Seq("Endothelial", "Vascular_EC", "Lymphatic_EC",
-        "LSECs"),
-      "epithelial" -> Seq("Epithelial", "Hepatocytes", "Colonocytes",
-        "Alveolar_type2", "Luminal_epithelial", "Ductal_cells",
-        "Acinar_cells"))
-    val immune = Seq("T_cells", "NK_cells", "B_cells", "Monocytes",
-      "Macrophages", "Dendritic_cells", "Plasma_cells", "Mast_cells",
-      "Neutrophils")
-    val stromal = Seq("Fibroblasts", "CAF", "Endothelial", "Pericytes",
-      "Stellate")
+    val cats = TmeCats
+    val immune = TmeImmunePrefixes
+    val stromal = TmeStromalPrefixes
     def pc(ps: Seq[String]): String = ps.map(p =>
       s"sum(CASE WHEN cell_type LIKE '$p%' THEN 1 ELSE 0 END)::BIGINT")
       .mkString("(", " + ", ")")
@@ -1725,9 +1723,13 @@ object StatsQueries {
       .orderBy(col("cell_id"))
 
   private def scMalignant(s: SparkSession, d: String): DataFrame = {
-    val cnv = SingleCell.cnvScores(cnvExpr(s, d), cnvChromMap(s),
+    // ONE synth frame feeds both the CNV leg and the marker leg —
+    // two independently built frames would carry two identical
+    // scan+distinct subtrees Spark cannot dedupe
+    val ex = cnvExpr(s, d)
+    val cnv = SingleCell.cnvScores(ex, cnvChromMap(s),
       "cell_id", "gene", "x", "chromosome")
-    SingleCell.malignantScores(cnv, cnvExpr(s, d), tmeTypes(s, d),
+    SingleCell.malignantScores(cnv, ex, tmeTypes(s, d),
       "cell_id", "gene", "x", "cell_type", CancerMarkers, ImmuneTypes)
       .orderBy(col("cell_id"))
   }

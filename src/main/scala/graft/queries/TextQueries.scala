@@ -631,8 +631,10 @@ object TextQueries {
     val p = VocabDemo
     def sub(t: String, w: Double) =
       s"CASE WHEN strpos(lower(text), '${t.toLowerCase}') > 0 THEN $w ELSE 0.0 END"
-    def abbr(t: String, w: Double) =
-      s"CASE WHEN regexp_matches(text, '(?i)\\b$t\\b') THEN $w ELSE 0.0 END"
+    def abbr(t: String, w: Double) = {
+      val pat = TextAnalysis.abbrPattern(t).replace("'", "''")
+      s"CASE WHEN regexp_matches(text, '$pat') THEN $w ELSE 0.0 END"
+    }
     val rawParts =
       (Seq(sub(p.primary, 1.0)) ++
         p.synonyms.map(sub(_, 0.9)) ++
@@ -642,7 +644,7 @@ object TextQueries {
     val nParts =
       (Seq(s"CASE WHEN strpos(lower(text), '${p.primary}') > 0 THEN 1 ELSE 0 END") ++
         p.synonyms.map(t => s"CASE WHEN strpos(lower(text), '$t') > 0 THEN 1 ELSE 0 END") ++
-        p.abbreviations.map(t => s"CASE WHEN regexp_matches(text, '(?i)\\b$t\\b') THEN 1 ELSE 0 END") ++
+        p.abbreviations.map(t => s"CASE WHEN regexp_matches(text, '${TextAnalysis.abbrPattern(t).replace("'", "''")}') THEN 1 ELSE 0 END") ++
         p.related.map(t => s"CASE WHEN strpos(lower(text), '$t') > 0 THEN 1 ELSE 0 END") ++
         p.exclusions.map(t => s"CASE WHEN strpos(lower(text), '$t') > 0 THEN 1 ELSE 0 END"))
         .mkString("\n      + ")

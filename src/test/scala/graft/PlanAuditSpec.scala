@@ -87,15 +87,9 @@ class PlanAuditSpec extends SparkSpec {
       l.contains("PushedFilters") && l.contains("l_shipdate")))
   }
 
-  /** q18's HAVING-aggregate broadcast is allowed; a raw lineitem scan
-    * under a BroadcastExchange is the regression this pins out (see
-    * PlanWalk.broadcastsRawScan for the traversal rules).
-    */
-  private def broadcastsRawFact(name: String): Boolean = {
-    val df = SparkEntry.queries(name)(spark, d)
-    df.collect() // materialize so AQE finalizes the physical plan
-    PlanWalk.broadcastsRawScan(df.queryExecution.executedPlan, "lineitem.parquet")
-  }
+  // q18's HAVING-aggregate broadcast is allowed; a raw lineitem scan
+  // under a BroadcastExchange is the regression the audit below pins
+  // out (see PlanWalk.broadcastsRawScan for the traversal rules).
 
   test("NO oracle query broadcasts a raw lineitem scan (fact never builds)") {
     // every query that reads the fact table is audited — not just the
@@ -105,10 +99,19 @@ class PlanAuditSpec extends SparkSpec {
     // the shipped plan must already be the one you'd want at 100×.
     // Queries that never scan lineitem are skipped by plan inspection
     // (cheap), not by a hand-kept list that could rot.
+    // ONE DataFrame per query: sc_* bindings run eager localCheckpoint
+    // jobs at construction time, so building the frame twice (once for
+    // the touches-fact probe, once for the broadcast audit) doubles
+    // real Spark work across ~100 queries
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
-      val touchesFact = SparkEntry.queries(name)(spark, d)
-        .queryExecution.executedPlan.toString.contains("lineitem.parquet")
-      touchesFact && broadcastsRawFact(name)
+      val df = SparkEntry.queries(name)(spark, d)
+      val touchesFact = df.queryExecution.executedPlan.toString
+        .contains("lineitem.parquet")
+      if (touchesFact) {
+        df.collect() // materialize so AQE finalizes the physical plan
+        PlanWalk.broadcastsRawScan(df.queryExecution.executedPlan,
+          "lineitem.parquet")
+      } else false
     }
     assert(offenders.isEmpty,
       s"raw fact scan under BroadcastExchange: ${offenders.mkString(", ")}")

@@ -281,6 +281,29 @@ class SingleCellSpec extends SparkSpec {
     assert(out("immune").getLong(5) == 2L)
   }
 
+  test("inferPloidy keeps a panel gene with NO reference expression " +
+    "(tumor-only amplification must not vanish)") {
+    val types = Seq(("r1", "immune"), ("r2", "immune"), ("t1", "tumor"))
+      .toDF("cell", "cell_type")
+    // g3 is on the panel and in the matrix, but expressed ONLY in the
+    // tumor cell: dense reference stats are mu=0, sd=1e-6, and t1's
+    // |2-0|/1e-6 z dominates — exactly the signal a present-entries-
+    // only gene universe would silently erase
+    val panel = Seq(("c1", "g1"), ("c1", "g2"), ("c1", "g3"))
+      .toDF("chrom", "gene")
+    val refs = Seq("r1", "r2").toDF("cell")
+    val ex = ploidyExpr.union(Seq(("t1", "g3", 2.0))
+      .toDF("cell", "gene", "x"))
+    val out = SingleCell
+      .inferPloidy(ex, "cell", "gene", "x", types, panel, refs)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // tumor ploidy score now carries the 2/1e-6 z term (≈ 2e6 / 3
+    // genes); immune cells only gain g3's zero contribution
+    assert(out("tumor").getDouble(1) > 1e5)
+    assert(out("immune").getDouble(1) < 1.0)
+    assert(out("tumor").getLong(4) == 1L)
+  }
+
   test("inferPloidy is invariant to input partitioning") {
     val types = Seq(("r1", "a"), ("r2", "a"), ("t1", "b"))
       .toDF("cell", "cell_type")
