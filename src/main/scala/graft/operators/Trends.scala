@@ -110,6 +110,59 @@ object Trends {
     "department", "institute", "hospital", "center", "email",
     "corresponding", "received", "accepted", "available")
 
+  /** A curated trend definition (reference:
+    * backend/app/core/oncology_trends.py:32 TrendDefinition —
+    * keywords, gene symbols, MeSH terms per trend; the curated
+    * ONCOLOGY_TRENDS table at :104).
+    */
+  case class TrendDef(
+      id: String, category: String, keywords: Seq[String],
+      genes: Seq[String], mesh: Seq[String])
+
+  /** Primary-trend classification (oncology_trends.py:62
+    * matches_paper + :344 match_paper + :377 get_primary_trend):
+    * per (paper, trend) score = 15 per keyword substring hit on the
+    * lowered title+abstract, 10 per gene symbol WORD-BOUNDARY hit, 8
+    * per MeSH substring hit, +20 per top-3 keyword appearing in the
+    * title, capped at 100; trends under minScore drop, and the paper
+    * takes its best trend — ties resolve to definition order (the
+    * reference's stable sort). Papers matching no trend are omitted
+    * (the reference returns an empty match list).
+    *
+    * Scale: one narrow projection — the trend panel rides as literal
+    * predicate columns (|trends| score expressions per row), argmax
+    * is a struct max over a literal array. No join, no shuffle.
+    */
+  def trendMatch(
+      docs: DataFrame, idCol: String, titleCol: String,
+      absCol: String, trends: Seq[TrendDef],
+      minScore: Int = 30): DataFrame = {
+    val text = lower(concat(col(titleCol), lit(" "), col(absCol)))
+    val titleL = lower(col(titleCol))
+    def capped(t: TrendDef) = least(lit(100L),
+      (t.keywords.map(kw =>
+        when(instr(text, kw.toLowerCase) > 0, 15L).otherwise(0L)) ++
+        t.genes.map(g =>
+          when(text.rlike(TextAnalysis.abbrPattern(g)), 10L)
+            .otherwise(0L)) ++
+        t.mesh.map(m =>
+          when(instr(text, m.toLowerCase) > 0, 8L).otherwise(0L)) ++
+        t.keywords.take(3).map(kw =>
+          when(instr(titleL, kw.toLowerCase) > 0, 20L).otherwise(0L)))
+        .reduce(_ + _))
+    // argmax with first-definition-wins ties: max of (score, reverse
+    // definition index) structs — equal scores keep the earlier trend
+    val scored = array(trends.zipWithIndex.map { case (t, i) =>
+      struct(capped(t).as("s"), lit((trends.size - i).toLong).as("o"),
+        lit(t.id).as("tid"), lit(t.category).as("cat"))
+    }: _*)
+    docs
+      .withColumn("_best", array_max(scored))
+      .select(col(idCol), col("_best.tid").as("trend_id"),
+        col("_best.cat").as("category"), col("_best.s").as("score"))
+      .where(col("score") >= minScore.toLong)
+  }
+
   /** Emerging / declining / stable topic detection (reference:
     * trend_analyzer.py:232 _detect_trends over :216
     * _extract_keywords): tokens are maximal lowercase runs ≥ 3 chars

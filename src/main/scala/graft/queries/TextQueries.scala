@@ -664,6 +664,77 @@ object TextQueries {
        |FROM vm ORDER BY doc_id""".stripMargin
   }
 
+  /* ---------------- trend_match ---------------- */
+
+  /** Curated trend panel over the corpus vocabulary — every scoring
+    * leg (keyword 15, gene-boundary 10, MeSH 8, title-top-3 bonus 20)
+    * is live at sf0.01. The reference's panel is its ONCOLOGY_TRENDS
+    * table (oncology_trends.py:104); definitions are data here like
+    * every other panel.
+    */
+  private val TrendPanel = Seq(
+    Trends.TrendDef("exec_engine", "execution",
+      Seq("join", "merge", "hash"), Seq("scan", "sort"), Seq("table")),
+    Trends.TrendDef("streaming", "realtime",
+      Seq("stream", "window", "batch"), Seq("dup"), Seq("order")),
+    Trends.TrendDef("vector_search", "retrieval",
+      Seq("vector", "query", "fast"), Seq("key"), Seq("line")))
+
+  /** Primary-trend classification (oncology_trends.py:62,:344,:377):
+    * title = first 60 chars, abstract = the rest — the split
+    * exercises the title-bonus leg separately from the body.
+    */
+  private def trendMatchQ(s: SparkSession, d: String): DataFrame =
+    Trends.trendMatch(
+      Tables.documents(s, d).select(col("doc_id"),
+        substring(col("text"), 1, 60).as("title"),
+        substring(col("text"), 61, 1048576).as("abstract")),
+      "doc_id", "title", "abstract", TrendPanel)
+      .orderBy(col("doc_id"))
+
+  private val trendMatchSql = {
+    val n = TrendPanel.size
+    def scoreSql(t: Trends.TrendDef, i: Int): String = {
+      val parts =
+        t.keywords.map(kw =>
+          s"CASE WHEN strpos(txt, '${kw.toLowerCase}') > 0 THEN 15 ELSE 0 END") ++
+        t.genes.map(g =>
+          s"CASE WHEN regexp_matches(txt, '${TextAnalysis.abbrPattern(g)}') THEN 10 ELSE 0 END") ++
+        t.mesh.map(m =>
+          s"CASE WHEN strpos(txt, '${m.toLowerCase}') > 0 THEN 8 ELSE 0 END") ++
+        t.keywords.take(3).map(kw =>
+          s"CASE WHEN strpos(tl, '${kw.toLowerCase}') > 0 THEN 20 ELSE 0 END")
+      s"least(100, ${parts.mkString("\n      + ")})::BIGINT AS s_$i"
+    }
+    // first-definition-wins argmax ladder (the reference's stable
+    // sort): trend i wins when its score >= every later trend's
+    def ladder(pick: Trends.TrendDef => String): String =
+      TrendPanel.zipWithIndex.map { case (t, i) =>
+        if (i < n - 1) {
+          val conds = (i + 1 until n).map(j => s"s_$i >= s_$j")
+            .mkString(" AND ")
+          s"WHEN $conds THEN '${pick(t)}'"
+        } else s"ELSE '${pick(t)}'"
+      }.mkString("CASE ", " ", " END")
+    val scoreCols = TrendPanel.zipWithIndex
+      .map { case (t, i) => scoreSql(t, i) }.mkString(",\n    ")
+    val greatestAll = (0 until n).map(i => s"s_$i").mkString(", ")
+    s"""WITH tm9 AS (SELECT doc_id, substr(text, 1, 60) AS title,
+       |    substr(text, 61, 1048576) AS abstract FROM documents),
+       |tx9 AS (SELECT doc_id, lower(title || ' ' || abstract) AS txt,
+       |    lower(title) AS tl FROM tm9),
+       |sc9 AS (SELECT doc_id,
+       |    $scoreCols
+       |  FROM tx9),
+       |bf9 AS (SELECT doc_id,
+       |    ${ladder(_.id)} AS trend_id,
+       |    ${ladder(_.category)} AS category,
+       |    greatest($greatestAll)::BIGINT AS score
+       |  FROM sc9)
+       |SELECT doc_id, trend_id, category, score FROM bf9
+       |WHERE score >= 30 ORDER BY doc_id""".stripMargin
+  }
+
   /* ---------------- paper_quality ---------------- */
 
   /** Study-quality insight extraction (paper_insights.py:274
@@ -820,5 +891,6 @@ object TextQueries {
     Qdef("topic_trends", topicTrends, Some(topicTrendsSql)),
     Qdef("trend_topics", trendTopics2, Some(trendTopicsSql)),
     Qdef("paper_quality", paperQuality, Some(paperQualitySql)),
-    Qdef("vocab_match", vocabMatch, Some(vocabMatchSql)))
+    Qdef("vocab_match", vocabMatch, Some(vocabMatchSql)),
+    Qdef("trend_match", trendMatchQ, Some(trendMatchSql)))
 }

@@ -64,4 +64,47 @@ class KeywordTrendsSpec extends SparkSpec {
         r.getLong(2), r.getLong(3), r.getLong(4))).toSeq.sorted
     assert(run(1) == run(5))
   }
+
+  // --- trendMatch ---
+
+  private val panel = Seq(
+    Trends.TrendDef("immuno", "therapy",
+      Seq("checkpoint", "pdl1", "car-t"), Seq("PD1"), Seq("immune")),
+    Trends.TrendDef("genomics", "profiling",
+      Seq("sequencing", "mutation", "genome"), Seq("KRAS"), Seq("dna")))
+
+  test("trendMatch scores the reference's weighted legs and caps at 100") {
+    val papers = Seq(
+      // checkpoint(15, +20 title) + pdl1(15) + PD1 boundary(10) +
+      // immune(8) = 68 → immuno
+      (1L, "checkpoint blockade", "pdl1 and pd1 in immune cells"),
+      // all genomics legs + all three title bonuses → capped at 100
+      (2L, "sequencing mutation genome", "sequencing mutation genome" +
+        " kras dna profiles"),
+      // 'pd1x' must NOT hit the PD1 boundary regex; score 0 → dropped
+      (3L, "pd1x only", "nothing else"),
+      // below minScore (mutation 15 body-only) → dropped
+      (4L, "irrelevant title", "one mutation mention")
+    ).toDF("doc_id", "title", "abstract")
+    val out = Trends.trendMatch(papers, "doc_id", "title", "abstract",
+      panel)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) == "immuno")
+    assert(out(1L).getLong(3) == 68L)
+    assert(out(2L).getString(1) == "genomics")
+    assert(out(2L).getLong(3) == 100L)
+    assert(out(2L).getString(2) == "profiling")
+    assert(!out.contains(3L) && !out.contains(4L))
+  }
+
+  test("trendMatch breaks score ties by definition order") {
+    // 'checkpoint sequencing' scores 15+20 on BOTH trends → the
+    // first-defined trend (immuno) must win, like the reference's
+    // stable sort
+    val papers = Seq((9L, "checkpoint sequencing", ""))
+      .toDF("doc_id", "title", "abstract")
+    val out = Trends.trendMatch(papers, "doc_id", "title", "abstract",
+      panel).collect()
+    assert(out.head.getString(1) == "immuno")
+  }
 }
