@@ -163,6 +163,88 @@ object Trends {
       .where(col("score") >= minScore.toLong)
   }
 
+  /** Evidence-based trend validation scoring (reference:
+    * backend/app/core/trend_validator.py:561-733 — the five component
+    * ladders, the 0.25/0.20/0.20/0.20/0.15 weighted total at :834,
+    * and the high/medium/emerging/uncertain confidence cut at :723).
+    * Signal EXTRACTION in the reference is PubMed/ClinicalTrials HTTP
+    * (:207, :352) — serving I/O, out of scope; this operator scores a
+    * SIGNALS table (one row per keyword with the extracted metrics),
+    * which is the deterministic analytics the reference runs on top.
+    *
+    * Expected columns: keyword, growth_rate_5yr, growth_rate_yoy,
+    * total_papers_5yr, unique_journals, high_if_journals,
+    * systematic_reviews, meta_analyses, active_clinical_trials,
+    * phase3_trials, gap_ratio.
+    *
+    * Scale: one narrow projection — ladders are literal CASE chains,
+    * no shuffle. Validating a million keywords is one pass.
+    */
+  def validateTrends(signals: DataFrame): DataFrame = {
+    // publication (trend_validator.py:561): growth max 50, YoY
+    // momentum max 30, volume bonus max 20 — note the last growth
+    // branch is STRICTLY > 0
+    val pub = least(lit(100.0),
+      when(col("growth_rate_5yr") >= 100, 50.0)
+        .when(col("growth_rate_5yr") >= 50, 40.0)
+        .when(col("growth_rate_5yr") >= 25, 30.0)
+        .when(col("growth_rate_5yr") >= 10, 20.0)
+        .when(col("growth_rate_5yr") > 0, 10.0).otherwise(0.0) +
+        when(col("growth_rate_yoy") >= 30, 30.0)
+          .when(col("growth_rate_yoy") >= 15, 20.0)
+          .when(col("growth_rate_yoy") >= 5, 10.0).otherwise(0.0) +
+        when(col("total_papers_5yr") >= 10000, 20.0)
+          .when(col("total_papers_5yr") >= 5000, 15.0)
+          .when(col("total_papers_5yr") >= 1000, 10.0)
+          .when(col("total_papers_5yr") >= 100, 5.0).otherwise(0.0))
+    // diversity (:604): unique journals max 60, high-IF max 40
+    val div = least(lit(100.0),
+      when(col("unique_journals") >= 50, 60.0)
+        .when(col("unique_journals") >= 30, 45.0)
+        .when(col("unique_journals") >= 15, 30.0)
+        .when(col("unique_journals") >= 5, 15.0).otherwise(0.0) +
+        when(col("high_if_journals") >= 5, 40.0)
+          .when(col("high_if_journals") >= 3, 30.0)
+          .when(col("high_if_journals") >= 1, 15.0).otherwise(0.0))
+    // review coverage (:634): systematic reviews max 60, metas max 40
+    val rev = least(lit(100.0),
+      when(col("systematic_reviews") >= 50, 60.0)
+        .when(col("systematic_reviews") >= 20, 45.0)
+        .when(col("systematic_reviews") >= 10, 30.0)
+        .when(col("systematic_reviews") >= 5, 20.0)
+        .when(col("systematic_reviews") >= 1, 10.0).otherwise(0.0) +
+        when(col("meta_analyses") >= 20, 40.0)
+          .when(col("meta_analyses") >= 10, 30.0)
+          .when(col("meta_analyses") >= 5, 20.0)
+          .when(col("meta_analyses") >= 1, 10.0).otherwise(0.0))
+    // clinical activity (:668): trials max 70, phase-3 bonus max 30
+    val clin = least(lit(100.0),
+      when(col("active_clinical_trials") >= 100, 70.0)
+        .when(col("active_clinical_trials") >= 50, 55.0)
+        .when(col("active_clinical_trials") >= 20, 40.0)
+        .when(col("active_clinical_trials") >= 10, 25.0)
+        .when(col("active_clinical_trials") >= 1, 10.0).otherwise(0.0) +
+        when(col("phase3_trials") >= 10, 30.0)
+          .when(col("phase3_trials") >= 5, 20.0)
+          .when(col("phase3_trials") >= 1, 10.0).otherwise(0.0))
+    // research gap (:701): pure ratio ladder with a 10-point baseline
+    val gap = when(col("gap_ratio") >= 10, 100.0)
+      .when(col("gap_ratio") >= 7, 80.0)
+      .when(col("gap_ratio") >= 5, 60.0)
+      .when(col("gap_ratio") >= 3, 40.0)
+      .when(col("gap_ratio") >= 1, 20.0).otherwise(10.0)
+    val total = pub * 0.25 + div * 0.20 + rev * 0.20 + clin * 0.20 +
+      gap * 0.15
+    signals.select(col("keyword"),
+      pub.as("publication_score"), div.as("diversity_score"),
+      rev.as("review_score"), clin.as("clinical_score"),
+      gap.as("gap_score"),
+      round(total + lit(1e-9), 6).as("total_score"),
+      when(total >= 80, "high").when(total >= 50, "medium")
+        .when(total >= 30, "emerging").otherwise("uncertain")
+        .as("confidence"))
+  }
+
   /** Emerging / declining / stable topic detection (reference:
     * trend_analyzer.py:232 _detect_trends over :216
     * _extract_keywords): tokens are maximal lowercase runs ≥ 3 chars

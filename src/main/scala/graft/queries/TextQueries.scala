@@ -735,6 +735,106 @@ object TextQueries {
        |WHERE score >= 30 ORDER BY doc_id""".stripMargin
   }
 
+  /* ---------------- trend_validate ---------------- */
+
+  /** Trend validation scoring (trend_validator.py:561-733,:834): the
+    * signals table is synthesized from order-key residues with
+    * multipliers chosen so every branch of every ladder fires —
+    * growth rates cross negative..109, volumes cross all four
+    * thresholds, the gap ratio spans 0..11. The reference's signal
+    * extraction is PubMed/ClinicalTrials HTTP, out of scope; scoring
+    * a signals table is the deterministic analytics.
+    */
+  private val TvKeys = 40
+
+  private def trendValidateQ(s: SparkSession, d: String): DataFrame = {
+    val kid = col("kid")
+    val signals = Tables.lineitem(s, d)
+      .select(pmod(col("l_orderkey"), lit(TvKeys)).cast("long")
+        .as("kid"))
+      .distinct()
+      .select(
+        concat(lit("kw"), kid.cast("string")).as("keyword"),
+        (pmod(kid * 7, lit(120)) - 10).cast("double")
+          .as("growth_rate_5yr"),
+        (pmod(kid * 11, lit(40)) - 5).cast("double")
+          .as("growth_rate_yoy"),
+        (pmod(kid * 13, lit(15)) * 1000 + pmod(kid, lit(4)) * 50)
+          .as("total_papers_5yr"),
+        pmod(kid * 3, lit(60)).as("unique_journals"),
+        pmod(kid, lit(7)).as("high_if_journals"),
+        pmod(kid * 17, lit(55)).as("systematic_reviews"),
+        pmod(kid * 5, lit(25)).as("meta_analyses"),
+        pmod(kid * 23, lit(110)).as("active_clinical_trials"),
+        pmod(kid, lit(12)).as("phase3_trials"),
+        pmod(kid * 19, lit(12)).cast("double").as("gap_ratio"))
+    Trends.validateTrends(signals).orderBy(col("keyword"))
+  }
+
+  private val trendValidateSql =
+    s"""WITH tv0 AS (SELECT DISTINCT (l_orderkey % $TvKeys)::BIGINT
+       |      AS kid FROM lineitem),
+       |tvs AS (SELECT 'kw' || kid::VARCHAR AS keyword,
+       |    ((kid * 7) % 120 - 10)::DOUBLE AS g5,
+       |    ((kid * 11) % 40 - 5)::DOUBLE AS gy,
+       |    ((kid * 13) % 15 * 1000 + (kid % 4) * 50)::BIGINT AS tp,
+       |    ((kid * 3) % 60)::BIGINT AS uj,
+       |    (kid % 7)::BIGINT AS hj,
+       |    ((kid * 17) % 55)::BIGINT AS sr,
+       |    ((kid * 5) % 25)::BIGINT AS ma,
+       |    ((kid * 23) % 110)::BIGINT AS ct,
+       |    (kid % 12)::BIGINT AS p3,
+       |    ((kid * 19) % 12)::DOUBLE AS gr
+       |  FROM tv0),
+       |tvc AS (SELECT keyword,
+       |    least(100.0,
+       |      CASE WHEN g5 >= 100 THEN 50.0 WHEN g5 >= 50 THEN 40.0
+       |           WHEN g5 >= 25 THEN 30.0 WHEN g5 >= 10 THEN 20.0
+       |           WHEN g5 > 0 THEN 10.0 ELSE 0.0 END
+       |      + CASE WHEN gy >= 30 THEN 30.0 WHEN gy >= 15 THEN 20.0
+       |           WHEN gy >= 5 THEN 10.0 ELSE 0.0 END
+       |      + CASE WHEN tp >= 10000 THEN 20.0 WHEN tp >= 5000 THEN 15.0
+       |           WHEN tp >= 1000 THEN 10.0 WHEN tp >= 100 THEN 5.0
+       |           ELSE 0.0 END) AS publication_score,
+       |    least(100.0,
+       |      CASE WHEN uj >= 50 THEN 60.0 WHEN uj >= 30 THEN 45.0
+       |           WHEN uj >= 15 THEN 30.0 WHEN uj >= 5 THEN 15.0
+       |           ELSE 0.0 END
+       |      + CASE WHEN hj >= 5 THEN 40.0 WHEN hj >= 3 THEN 30.0
+       |           WHEN hj >= 1 THEN 15.0 ELSE 0.0 END)
+       |      AS diversity_score,
+       |    least(100.0,
+       |      CASE WHEN sr >= 50 THEN 60.0 WHEN sr >= 20 THEN 45.0
+       |           WHEN sr >= 10 THEN 30.0 WHEN sr >= 5 THEN 20.0
+       |           WHEN sr >= 1 THEN 10.0 ELSE 0.0 END
+       |      + CASE WHEN ma >= 20 THEN 40.0 WHEN ma >= 10 THEN 30.0
+       |           WHEN ma >= 5 THEN 20.0 WHEN ma >= 1 THEN 10.0
+       |           ELSE 0.0 END) AS review_score,
+       |    least(100.0,
+       |      CASE WHEN ct >= 100 THEN 70.0 WHEN ct >= 50 THEN 55.0
+       |           WHEN ct >= 20 THEN 40.0 WHEN ct >= 10 THEN 25.0
+       |           WHEN ct >= 1 THEN 10.0 ELSE 0.0 END
+       |      + CASE WHEN p3 >= 10 THEN 30.0 WHEN p3 >= 5 THEN 20.0
+       |           WHEN p3 >= 1 THEN 10.0 ELSE 0.0 END)
+       |      AS clinical_score,
+       |    CASE WHEN gr >= 10 THEN 100.0 WHEN gr >= 7 THEN 80.0
+       |         WHEN gr >= 5 THEN 60.0 WHEN gr >= 3 THEN 40.0
+       |         WHEN gr >= 1 THEN 20.0 ELSE 10.0 END AS gap_score
+       |  FROM tvs),
+       |tvt AS (SELECT *,
+       |    publication_score * 0.25 + diversity_score * 0.20
+       |      + review_score * 0.20 + clinical_score * 0.20
+       |      + gap_score * 0.15 AS total
+       |  FROM tvc)
+       |SELECT keyword, publication_score, diversity_score,
+       |  review_score, clinical_score, gap_score,
+       |  round(total + 0.000000001, 6) AS total_score,
+       |  CASE WHEN total >= 80 THEN 'high'
+       |       WHEN total >= 50 THEN 'medium'
+       |       WHEN total >= 30 THEN 'emerging'
+       |       ELSE 'uncertain' END AS confidence
+       |FROM tvt ORDER BY keyword""".stripMargin
+
   /* ---------------- paper_quality ---------------- */
 
   /** Study-quality insight extraction (paper_insights.py:274
@@ -892,5 +992,6 @@ object TextQueries {
     Qdef("trend_topics", trendTopics2, Some(trendTopicsSql)),
     Qdef("paper_quality", paperQuality, Some(paperQualitySql)),
     Qdef("vocab_match", vocabMatch, Some(vocabMatchSql)),
-    Qdef("trend_match", trendMatchQ, Some(trendMatchSql)))
+    Qdef("trend_match", trendMatchQ, Some(trendMatchSql)),
+    Qdef("trend_validate", trendValidateQ, Some(trendValidateSql)))
 }

@@ -97,6 +97,51 @@ class KeywordTrendsSpec extends SparkSpec {
     assert(!out.contains(3L) && !out.contains(4L))
   }
 
+  // --- validateTrends ---
+
+  private def signal(
+      kw: String, g5: Double = 0.0, gy: Double = 0.0, tp: Long = 0L,
+      uj: Long = 0L, hj: Long = 0L, sr: Long = 0L, ma: Long = 0L,
+      ct: Long = 0L, p3: Long = 0L, gr: Double = 0.0) =
+    (kw, g5, gy, tp, uj, hj, sr, ma, ct, p3, gr)
+
+  private val sigCols = Seq("keyword", "growth_rate_5yr",
+    "growth_rate_yoy", "total_papers_5yr", "unique_journals",
+    "high_if_journals", "systematic_reviews", "meta_analyses",
+    "active_clinical_trials", "phase3_trials", "gap_ratio")
+
+  test("validateTrends: ladder boundaries, weights and confidence") {
+    val df = Seq(
+      // everything maxed: all components 100 → total 100 → high
+      signal("hot", g5 = 100, gy = 30, tp = 10000, uj = 50, hj = 5,
+        sr = 50, ma = 20, ct = 100, p3 = 10, gr = 10),
+      // growth exactly 0 scores NOTHING (strict > 0 branch); gap
+      // baseline 10 → total = 10·0.15 = 1.5 → uncertain
+      signal("cold"),
+      // growth 0.5 hits the >0 branch (10·0.25) + gap 20·0.15 = 5.5
+      signal("tiny", g5 = 0.5, gr = 1),
+      // boundary: exactly 25 growth → 30 points; exactly 5 journals
+      // → 15; total = 30·.25 + 15·.2 + 10·.15 = 12
+      signal("edge", g5 = 25, uj = 5)
+    ).toDF(sigCols: _*)
+    val out = Trends.validateTrends(df)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(math.abs(out("hot").getAs[Double]("total_score") - 100.0)
+      < 1e-6)
+    assert(out("hot").getAs[String]("confidence") == "high")
+    assert(math.abs(out("cold").getAs[Double]("total_score") - 1.5)
+      < 1e-6)
+    assert(out("cold").getAs[String]("confidence") == "uncertain")
+    assert(math.abs(out("cold").getAs[Double]("publication_score"))
+      < 1e-6)
+    assert(math.abs(out("tiny").getAs[Double]("total_score") - 5.5)
+      < 1e-6)
+    assert(math.abs(out("edge").getAs[Double]("publication_score")
+      - 30.0) < 1e-6)
+    assert(math.abs(out("edge").getAs[Double]("diversity_score")
+      - 15.0) < 1e-6)
+  }
+
   test("trendMatch breaks score ties by definition order") {
     // 'checkpoint sequencing' scores 15+20 on BOTH trends → the
     // first-defined trend (immuno) must win, like the reference's
