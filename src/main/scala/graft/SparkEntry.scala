@@ -14,7 +14,8 @@ object SparkEntry {
   val allDefs: Seq[Qdef] =
     OlapQueries.defs ++ VectorQueries.defs ++ TextQueries.defs ++
       DedupQueries.defs ++ EventQueries.defs ++ EmbedQueries.defs ++
-      CorpusQueries.defs ++ StatsQueries.defs ++ VariantQueries.defs
+      CorpusQueries.defs ++ StatsQueries.defs ++ VariantQueries.defs ++
+      NewsQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Dense top-20 cosine search — the reference's core capability.
