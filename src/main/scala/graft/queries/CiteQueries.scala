@@ -1,0 +1,128 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Citations
+
+/** Citation analytics bound to the synthetic corpus (reference:
+  * backend/app/api/routes/citations.py). The Semantic Scholar
+  * attributes are synthesized deterministically from doc_id (year
+  * 2005-2024, citation counts 0-8483, influential share by residue
+  * class, 1-5 fields, alternating open access) so every ladder rung
+  * and reason fires at sf0.01; the citing graph for trends is the
+  * fixed map j → (j·31) mod 500.
+  */
+object CiteQueries {
+
+  private val CurrentYear = 2025
+
+  private def citedDocs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      (lit(2005) + pmod(col("doc_id"), lit(20))).cast("long").as("year"),
+      pmod(col("doc_id") * 17, lit(12000)).cast("long")
+        .as("citation_count"),
+      (pmod(col("doc_id") * 17, lit(12000)) /
+        (lit(2) + pmod(col("doc_id"), lit(5)))).cast("long")
+        .as("influential"),
+      (lit(1) + pmod(col("doc_id"), lit(5))).cast("long").as("n_fields"),
+      (pmod(col("doc_id"), lit(2)) === 0).as("open_access"))
+
+  private val citedSqlCte =
+    """c AS (
+      |  SELECT doc_id, (2005 + doc_id % 20)::BIGINT AS year,
+      |    ((doc_id * 17) % 12000)::BIGINT AS citation_count,
+      |    (((doc_id * 17) % 12000) // (2 + doc_id % 5))::BIGINT
+      |      AS influential,
+      |    (1 + doc_id % 5)::BIGINT AS n_fields,
+      |    doc_id % 2 = 0 AS open_access
+      |  FROM documents)""".stripMargin
+
+  /* ---------------- cite_landmark ---------------- */
+
+  private def citeLandmark(s: SparkSession, d: String): DataFrame = {
+    val c = citedDocs(s, d)
+    c.select(col("doc_id"), col("year"), col("citation_count"),
+        Citations.landmarkScore(col("year"), col("citation_count"),
+          col("influential"), col("n_fields"), CurrentYear)
+          .as("landmark_score"),
+        Citations.landmarkReasons(col("year"), col("citation_count"),
+          col("influential"), col("n_fields"), col("open_access"),
+          CurrentYear).as("reasons"))
+      .orderBy(col("landmark_score").desc, col("doc_id"))
+  }
+
+  private val citeLandmarkSql =
+    s"""WITH $citedSqlCte,
+       |s AS (
+       |  SELECT *, greatest(1, $CurrentYear - year) AS age,
+       |    citation_count / greatest(1, $CurrentYear - year) AS cpy
+       |  FROM c),
+       |r AS (
+       |  SELECT *, list_slice(list_filter([
+       |      CASE WHEN citation_count >= 10000
+       |             THEN 'exceptional_citations'
+       |           WHEN citation_count >= 1000 THEN 'highly_cited' END,
+       |      CASE WHEN cpy >= 200 THEN 'high_velocity' END,
+       |      CASE WHEN influential >= 100
+       |             THEN 'influential_citations' END,
+       |      CASE WHEN n_fields >= 3 THEN 'cross_disciplinary' END,
+       |      CASE WHEN age >= 10 AND citation_count >= 1000
+       |             THEN 'foundational' END,
+       |      CASE WHEN open_access THEN 'open_access' END
+       |    ], x -> x IS NOT NULL), 1, 4) AS kept
+       |  FROM s)
+       |SELECT doc_id, year, citation_count,
+       |  round(least(100.0,
+       |      (CASE WHEN cpy >= 500 THEN 100.0 WHEN cpy >= 200 THEN 80.0
+       |        WHEN cpy >= 100 THEN 60.0 WHEN cpy >= 50 THEN 40.0
+       |        ELSE least(40.0, cpy * 0.8) END)
+       |    + influential / greatest(1, citation_count) * 20.0
+       |    + least(10.0, n_fields * 2.0)
+       |    + (CASE WHEN age >= 10 AND citation_count >= 1000 THEN 10.0
+       |        WHEN age >= 5 AND citation_count >= 500 THEN 5.0
+       |        ELSE 0.0 END)) + 1e-9, 1) AS landmark_score,
+       |  CASE WHEN len(kept) = 0 THEN 'significant_contribution'
+       |    ELSE array_to_string(kept, ';') END AS reasons
+       |FROM r
+       |ORDER BY landmark_score DESC, doc_id""".stripMargin
+
+  /* ---------------- cite_trends ---------------- */
+
+  private def citeTrends(s: SparkSession, d: String): DataFrame = {
+    val edges = Tables.documents(s, d).select(
+        pmod(col("doc_id") * 31, lit(500)).cast("long").as("target"),
+        (lit(2005) + pmod(col("doc_id"), lit(20))).cast("long")
+          .as("cyear"),
+        col("doc_id"))
+      .where(col("target") =!= col("doc_id"))
+      .drop("doc_id")
+    Citations.yearlyTrends(edges, "target", "cyear")
+      .orderBy(col("target"))
+  }
+
+  private val citeTrendsSql =
+    """WITH e AS (
+      |  SELECT ((doc_id * 31) % 500)::BIGINT AS target,
+      |    (2005 + doc_id % 20)::BIGINT AS cyear
+      |  FROM documents
+      |  WHERE (doc_id * 31) % 500 <> doc_id),
+      |y AS (
+      |  SELECT target, cyear, count(*)::BIGINT AS c
+      |  FROM e GROUP BY 1, 2),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY target
+      |    ORDER BY c DESC, cyear) AS rn FROM y)
+      |SELECT target, sum(c)::BIGINT AS total_sampled,
+      |  max(CASE WHEN rn = 1 THEN cyear END)::BIGINT AS peak_year,
+      |  max(CASE WHEN rn = 1 THEN c END)::BIGINT AS peak_count,
+      |  count(*)::BIGINT AS n_years
+      |FROM r GROUP BY target
+      |ORDER BY target""".stripMargin
+
+  val defs: Seq[Qdef] = Seq(
+    Qdef("cite_landmark", citeLandmark, Some(citeLandmarkSql)),
+    Qdef("cite_trends", citeTrends, Some(citeTrendsSql)))
+}

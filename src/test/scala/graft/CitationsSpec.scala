@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Citations
+
+/** Unit specs for the citation landmark ladder, reason selection and
+  * trend histogram summary.
+  */
+class CitationsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def score(year: Int, cites: Long, infl: Long, fields: Long) =
+    Seq((year, cites, infl, fields)).toDF("y", "c", "i", "f")
+      .select(Citations.landmarkScore(col("y"), col("c"), col("i"),
+        col("f"), 2025).as("s"))
+      .collect().head.getDouble(0)
+
+  test("landmarkScore walks every velocity rung") {
+    // age 5 (year 2020); influential 0, 1 field → +2 field bonus
+    assert(score(2020, 2500, 0, 1) == 100.0) // cpy 500 → 100, cap
+    assert(score(2020, 1000, 0, 1) == 87.0)  // cpy 200 → 80 + 2 + 5
+    assert(score(2020, 500, 0, 1) == 67.0)   // cpy 100 → 60 + 2 + 5
+    assert(score(2020, 250, 0, 1) == 42.0)   // cpy 50 → 40 + 2
+    assert(score(2020, 100, 0, 1) == 18.0)   // cpy 20 → 16 + 2
+  }
+
+  test("landmarkScore bonuses: influential ratio, fields cap, age tiers") {
+    // influential ratio: 50/100 → +10
+    assert(score(2020, 100, 50, 1) == 28.0)  // 16 + 10 + 2
+    // field bonus caps at 10 (6 fields would be 12)
+    assert(score(2020, 100, 0, 6) == 26.0)   // 16 + 10
+    // age ≥10 & ≥1000 cites → +10 (year 2010, cpy 1000/15=66.7→40)
+    assert(score(2010, 1000, 0, 1) == 52.0)  // 40 + 2 + 10
+    // age ≥5 & ≥500 (but not the 10/1000 tier) → +5
+    assert(score(2018, 500, 0, 1) == 47.0)   // cpy 71 → 40 + 2 + 5
+    // total caps at 100
+    assert(score(2010, 20000, 20000, 5) == 100.0)
+  }
+
+  test("landmarkReasons: order preserved, capped at 4, fallback fires") {
+    def reasons(year: Int, cites: Long, infl: Long, fields: Long,
+        oa: Boolean) =
+      Seq((year, cites, infl, fields, oa)).toDF("y", "c", "i", "f", "o")
+        .select(Citations.landmarkReasons(col("y"), col("c"), col("i"),
+          col("f"), col("o"), 2025).as("r"))
+        .collect().head.getString(0)
+    // everything fires → first 4 in reference order kept
+    assert(reasons(2010, 20000, 200, 5, oa = true) ==
+      "exceptional_citations;high_velocity;influential_citations;" +
+        "cross_disciplinary")
+    // 10000 rung downgrades to highly_cited below the cut
+    assert(reasons(2010, 5000, 0, 1, oa = false) ==
+      "highly_cited;high_velocity;foundational")
+    // nothing fires → fallback
+    assert(reasons(2024, 10, 0, 1, oa = false) ==
+      "significant_contribution")
+    // open access alone
+    assert(reasons(2024, 10, 0, 1, oa = true) == "open_access")
+  }
+
+  test("yearlyTrends: peak ties go to the earliest year") {
+    val edges = Seq(
+      (1L, 2020L), (1L, 2020L), (1L, 2022L), (1L, 2022L), (1L, 2021L),
+      (2L, 2019L)).toDF("target", "cyear")
+    val out = Citations.yearlyTrends(edges, "target", "cyear")
+      .collect().map(r => r.getAs[Long]("target") -> r).toMap
+    val t1 = out(1L)
+    assert(t1.getAs[Long]("total_sampled") == 5L)
+    assert(t1.getAs[Long]("peak_year") == 2020L) // tie 2020/2022 → 2020
+    assert(t1.getAs[Long]("peak_count") == 2L)
+    assert(t1.getAs[Long]("n_years") == 3L)
+    assert(out(2L).getAs[Long]("peak_year") == 2019L)
+  }
+
+  test("cite_landmark plan is a pure projection (no shuffle before sort)") {
+    val df = SparkEntry.queries("cite_landmark")(spark,
+      "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate") && !plan.contains("Join"))
+    assert(df.count() > 0)
+  }
+}
