@@ -321,4 +321,72 @@ object Trends {
       .select(col("trend"), col("keyword"), col("older_count"),
         col("recent_count"), col("rnk"))
   }
+
+  /** Predefined hot-topic track of the daily-briefing hybrid
+    * analyzer (reference: bio-daily-briefing/src/trend_analyzer
+    * .py:293 analyze_hybrid + the PredefinedTrend week_change /
+    * change_label ladders at :34-:64). `today` carries (name, count)
+    * from the current corpus, `weekAgo` (name, week_count) from the
+    * week-old history; topics below minPapers drop, week_change =
+    * (count − week)/week·100 with the week=0 → 100/0 special case,
+    * labels surge/up/down/steady at the ≥50 / ≥10 / ≤−10 cuts
+    * (ASCII stand-ins for the reference's emoji labels). The ladder
+    * reads the RAW change — both engines derive it from the same
+    * integer counts, so the cut is deterministic; only the published
+    * column is rounded. History frames are day-partition aggregates
+    * (topic-panel-sized), so the join broadcasts.
+    */
+  def predefinedTrends(
+      today: DataFrame, weekAgo: DataFrame, nameCol: String,
+      minPapers: Long = 5, topN: Int = 5): DataFrame = {
+    val j = today.join(broadcast(weekAgo), Seq(nameCol), "left")
+      .withColumn("week_ago_count",
+        coalesce(col("week_count"), lit(0L)))
+      .where(col("count") >= minPapers)
+    val change = when(col("week_ago_count") === 0,
+        when(col("count") > 0, 100.0).otherwise(0.0))
+      .otherwise((col("count") - col("week_ago_count"))
+        / col("week_ago_count") * 100.0)
+    j.withColumn("raw_change", change)
+      .withColumn("change_label",
+        when(col("raw_change") >= 50, "surge")
+          .when(col("raw_change") >= 10, "up")
+          .when(col("raw_change") <= -10, "down")
+          .otherwise("steady"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("count").desc, col(nameCol))).cast("long"))
+      .where(col("rnk") <= topN)
+      .select(col(nameCol), col("count"), col("week_ago_count"),
+        round(col("raw_change") + lit(1e-9), 1).as("week_change"),
+        col("change_label"), col("rnk"))
+  }
+
+  /** Emerging track of the hybrid analyzer (trend_analyzer.py:345):
+    * keywords outside the predefined panel (bidirectional substring
+    * test, hot_topics.py:191 is_in_predefined) with ≥ minPapers
+    * hits, flagged 'new' when the previous-day count is < 3, else
+    * 'rising' when count/prev ≥ 2 — the is_new test wins, like the
+    * reference's if/elif. Top-maxN by count is a
+    * TakeOrderedAndProject; the previous-day counts are a bounded
+    * vocabulary histogram, so the join broadcasts.
+    */
+  def emergingTrends(
+      today: DataFrame, prev: DataFrame, predefined: Seq[String],
+      minPapers: Long = 5, maxN: Int = 3): DataFrame = {
+    val inPredef = predefined.map(_.toLowerCase).map(p =>
+      col("keyword").contains(lit(p)) ||
+        lit(p).contains(col("keyword"))).reduce(_ || _)
+    today.join(broadcast(prev), Seq("keyword"), "left")
+      .withColumn("previous_count", coalesce(col("prev_count"), lit(0L)))
+      .where(col("count") >= minPapers && !inPredef)
+      .withColumn("is_new", col("previous_count") < 3)
+      .where(col("is_new") ||
+        col("count").cast("double") / col("previous_count") >= 2.0)
+      .withColumn("change_label",
+        when(col("is_new"), "new").otherwise("rising"))
+      .orderBy(col("count").desc, col("keyword"))
+      .limit(maxN)
+      .select(col("keyword"), col("count"), col("previous_count"),
+        col("is_new"), col("change_label"))
+  }
 }
