@@ -68,6 +68,31 @@ object Citations {
       .otherwise(array_join(kept, ";"))
   }
 
+  /** Related-paper ranking (citations.py:644 get_related_papers):
+    * candidates tagged cites_this / cited_by_this with relevance =
+    * the related paper's citation count, the center excluded,
+    * deduplicated keeping the highest-relevance entry, top-N by
+    * relevance (the reference's post-sort dedup; paper-id
+    * tie-break pinned — Python's stable sort order depends on fetch
+    * order).
+    */
+  def relatedPapers(
+      candidates: DataFrame, centerId: Long, topN: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dedup = Window.partitionBy(col("paper_id"))
+      .orderBy(col("relevance").desc, col("relation"))
+    candidates.where(col("paper_id") =!= centerId)
+      .withColumn("rn", row_number().over(dedup))
+      .where(col("rn") === 1)
+      .orderBy(col("relevance").desc, col("paper_id"))
+      .limit(topN)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("relevance").desc, col("paper_id")))
+        .cast("long"))
+      .select(col("paper_id"), col("relation"), col("relevance"),
+        col("rnk"))
+  }
+
   /** Per-target citation-year histogram summary (citations.py:609):
     * total sampled citations, the peak year (max yearly count, ties
     * to the EARLIEST year — the reference's Python max over an

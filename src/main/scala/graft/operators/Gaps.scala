@@ -115,6 +115,38 @@ object Gaps {
       .orderBy(col("opportunity_score").desc, col("topic_combination"))
   }
 
+  /** Emerging research questions (research_gaps.py:436
+    * find_emerging_questions): per question pattern, the FIRST match
+    * in each doc (the reference's matches[:1]), kept when longer
+    * than minLen, templated 'What {match}?', deduplicated on the
+    * lowercased question keeping the first occurrence in (doc,
+    * pattern-panel) order, first topN kept. One scan with per-row
+    * regexp_extract per pattern; dedup partitions on the question
+    * key.
+    */
+  def emergingQuestions(
+      docs: DataFrame, idCol: String, textCol: String,
+      patterns: Seq[(String, String)], minLen: Int = 20,
+      topN: Int = 10): DataFrame = {
+    val perPattern = patterns.zipWithIndex.map { case ((pat, qt), i) =>
+      docs.select(col(idCol),
+        lit(i.toLong).as("panel_idx"), lit(qt).as("question_type"),
+        regexp_extract(col(textCol), pat, 0).as("m"))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lower(col("question")))
+      .orderBy(col(idCol), col("panel_idx"))
+    perPattern.reduce(_ unionAll _)
+      .where(length(col("m")) > minLen)
+      .withColumn("question", concat(lit("What "), col("m"), lit("?")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .orderBy(col(idCol), col("panel_idx"))
+      .limit(topN)
+      .select(col(idCol), col("question_type"), col("question"),
+        lit(0.7).as("relevance"))
+  }
+
   /** Opportunity matrix (get_opportunity_matrix): per gap type the
     * count of docs matching the topic AND the type's FIRST pattern
     * (the reference queries `topic AND "patterns[0][:25]"`),

@@ -122,7 +122,58 @@ object CiteQueries {
       |FROM r GROUP BY target
       |ORDER BY target""".stripMargin
 
+  /* ---------------- cite_related ---------------- */
+
+  /** Related papers around center 42 (citations.py:644): the citing
+    * map uses mod 100 (5 citers at sf0.01) so the ranking has
+    * substance; the reference side is the center's single outgoing
+    * edge.
+    */
+  private def citeRelated(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.documents(s, d).select(col("doc_id"),
+      pmod(col("doc_id") * 31, lit(100)).cast("long").as("target"),
+      pmod(col("doc_id") * 17, lit(12000)).cast("long").as("cites"))
+    val citers = e
+      .where(col("target") === 42 && col("doc_id") =!= 42)
+      .select(col("doc_id").as("paper_id"),
+        lit("cites_this").as("relation"), col("cites").as("relevance"))
+    val refs = e
+      .where(col("doc_id") === 42 && col("target") =!= 42)
+      .select(col("target").as("paper_id"),
+        lit("cited_by_this").as("relation"),
+        pmod(col("target") * 17, lit(12000)).cast("long")
+          .as("relevance"))
+    Citations.relatedPapers(citers.unionAll(refs), centerId = 42)
+  }
+
+  private val citeRelatedSql =
+    """WITH e AS (
+      |  SELECT doc_id, ((doc_id * 31) % 100)::BIGINT AS target,
+      |    ((doc_id * 17) % 12000)::BIGINT AS cites
+      |  FROM documents),
+      |citers AS (
+      |  SELECT doc_id AS paper_id, 'cites_this' AS relation,
+      |    cites AS relevance
+      |  FROM e WHERE target = 42 AND doc_id <> 42),
+      |refs AS (
+      |  SELECT target AS paper_id, 'cited_by_this' AS relation,
+      |    ((target * 17) % 12000)::BIGINT AS relevance
+      |  FROM e WHERE doc_id = 42 AND target <> 42),
+      |u AS (
+      |  SELECT * FROM citers UNION ALL SELECT * FROM refs),
+      |d AS (
+      |  SELECT *, row_number() OVER (PARTITION BY paper_id
+      |    ORDER BY relevance DESC, relation) AS rn FROM u),
+      |f AS (SELECT paper_id, relation, relevance FROM d WHERE rn = 1),
+      |r AS (
+      |  SELECT *, row_number() OVER (ORDER BY relevance DESC,
+      |    paper_id)::BIGINT AS rnk FROM f)
+      |SELECT paper_id, relation, relevance, rnk
+      |FROM r WHERE rnk <= 10
+      |ORDER BY rnk""".stripMargin
+
   val defs: Seq[Qdef] = Seq(
     Qdef("cite_landmark", citeLandmark, Some(citeLandmarkSql)),
-    Qdef("cite_trends", citeTrends, Some(citeTrendsSql)))
+    Qdef("cite_trends", citeTrends, Some(citeTrendsSql)),
+    Qdef("cite_related", citeRelated, Some(citeRelatedSql)))
 }

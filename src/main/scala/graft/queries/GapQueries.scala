@@ -136,8 +136,49 @@ object GapQueries {
        |ORDER BY count DESC, gap_type""".stripMargin
   }
 
+  /* ---------------- gap_questions ---------------- */
+
+  /** Question-pattern panel (research_gaps.py:466 question_patterns
+    * stand-ins): bounded {6,30} middles so the >20-char cut bites —
+    * short matches drop, long ones template into questions.
+    */
+  private val QuestionPatterns = Seq(
+    ("slow [a-z ]{6,30} scan", "exploratory"),
+    ("hash [a-z ]{6,30} value", "mechanism"),
+    ("merge [a-z ]{6,30} sort", "functional"),
+    ("window [a-z ]{6,30} agg", "optimization"),
+    ("fast [a-z ]{6,30} query", "clinical"))
+
+  private def gapQuestions(s: SparkSession, d: String): DataFrame =
+    Gaps.emergingQuestions(Tables.documents(s, d), "doc_id", "text",
+      QuestionPatterns)
+
+  private val gapQuestionsSql = {
+    val unions = QuestionPatterns.zipWithIndex.map {
+      case ((pat, qt), i) =>
+        s"SELECT doc_id, $i AS panel_idx, '$qt' AS question_type, " +
+          s"regexp_extract(text, '$pat') AS m FROM documents"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH q AS (
+       |  $unions),
+       |f AS (
+       |  SELECT doc_id, panel_idx, question_type,
+       |    'What ' || m || '?' AS question
+       |  FROM q WHERE length(m) > 20),
+       |d AS (
+       |  SELECT *, row_number() OVER (PARTITION BY lower(question)
+       |    ORDER BY doc_id, panel_idx) AS rn FROM f),
+       |s AS (
+       |  SELECT doc_id, question_type, question FROM d
+       |  WHERE rn = 1 ORDER BY doc_id, panel_idx LIMIT 10)
+       |SELECT doc_id, question_type, question,
+       |  0.7::DOUBLE AS relevance
+       |FROM s""".stripMargin
+  }
+
   val defs: Seq[Qdef] = Seq(
     Qdef("gap_analyze", gapAnalyze, Some(gapAnalyzeSql)),
     Qdef("gap_understudied", gapUnderstudied, Some(gapUnderstudiedSql)),
-    Qdef("gap_matrix", gapMatrix, Some(gapMatrixSql)))
+    Qdef("gap_matrix", gapMatrix, Some(gapMatrixSql)),
+    Qdef("gap_questions", gapQuestions, Some(gapQuestionsSql)))
 }

@@ -73,6 +73,21 @@ class CitationsSpec extends SparkSpec {
     assert(out(2L).getAs[Long]("peak_year") == 2019L)
   }
 
+  test("relatedPapers: center excluded, dup keeps max relevance, top-N") {
+    val cands = Seq(
+      (42L, "cites_this", 999L),     // center → excluded
+      (7L, "cites_this", 100L),      // dup of 7 …
+      (7L, "cited_by_this", 300L),   // … higher relevance wins
+      (8L, "cites_this", 200L),
+      (9L, "cited_by_this", 50L))
+      .toDF("paper_id", "relation", "relevance")
+    val out = Citations.relatedPapers(cands, centerId = 42, topN = 2)
+      .collect()
+    assert(out.map(_.getAs[Long]("paper_id")).toSeq == Seq(7L, 8L))
+    assert(out.head.getAs[String]("relation") == "cited_by_this")
+    assert(out.map(_.getAs[Long]("rnk")).toSeq == Seq(1L, 2L))
+  }
+
   test("cite_landmark plan is a pure projection (no shuffle before sort)") {
     val df = SparkEntry.queries("cite_landmark")(spark,
       "/root/testdata/sf0.001")

@@ -89,6 +89,25 @@ class GapsSpec extends SparkSpec {
     assert(byType("t1").getAs[Double]("percentage") == 33.33)
   }
 
+  test("emergingQuestions: first match per pattern, length cut, dedup") {
+    val docs = Seq(
+      (1L, "whether this treatment works wonders. " +
+        "whether another thing entirely."), // 2 matches → first only
+      (2L, "whether short."),               // ≤20 chars → dropped
+      (3L, "whether this treatment works wonders again")
+    ).toDF("doc_id", "text")
+    val out = Gaps.emergingQuestions(docs, "doc_id", "text",
+      Seq(("whether [a-z ]{6,30} w", "exploratory")), minLen = 20)
+      .collect()
+    // doc 1 contributes ONE question; doc 3's match equals doc 1's
+    // ("whether this treatment works w") → deduped, first doc wins
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("doc_id") == 1L)
+    assert(out.head.getAs[String]("question")
+      .startsWith("What whether this treatment works w"))
+    assert(out.head.getAs[Double]("relevance") == 0.7)
+  }
+
   test("analyze plan: one scan, no join, map-side partial aggregate") {
     val df = SparkEntry.queries("gap_analyze")(
       spark, "/root/testdata/sf0.001")
