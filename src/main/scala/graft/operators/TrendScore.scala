@@ -149,6 +149,30 @@ object TrendScore {
         col("recommendation"))
   }
 
+  /** Emerging sub-topics (trends.py:751 find_emerging_topics):
+    * base×modifier counts for the current year vs TWO years ago;
+    * growth with the zero-prev special that calls a topic new only
+    * above newThreshold (unlike every other prev=0 branch in the
+    * reference, which tests > 0); topics below minCurrent drop;
+    * ranked by growth.
+    */
+  def emergingTopics(
+      metrics: DataFrame, minCurrent: Long = 5, newThreshold: Long = 10,
+      topN: Int = 10): DataFrame = {
+    val growth = when(col("two_years_ago_count") > 0,
+        (col("current_year_count") - col("two_years_ago_count"))
+          .cast("double") / col("two_years_ago_count") * 100)
+      .otherwise(when(col("current_year_count") > newThreshold, 100.0)
+        .otherwise(0.0))
+    metrics.where(col("current_year_count") >= minCurrent)
+      .withColumn("growth_rate", round(growth + lit(1e-9), 1))
+      .orderBy(col("growth_rate").desc, col("topic"))
+      .limit(topN)
+      .select(col("topic"), col("modifier"),
+        col("current_year_count"), col("two_years_ago_count"),
+        col("growth_rate"))
+  }
+
   /** Per-keyword yearly summary (trends.py:490): totals, the
     * first-half vs second-half ±20% direction call (:459), the
     * first-vs-last 5-yr growth (:475, null when the first year is

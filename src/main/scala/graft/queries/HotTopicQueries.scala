@@ -258,7 +258,82 @@ object HotTopicQueries {
        |ORDER BY keyword""".stripMargin
   }
 
+  /* ---------------- emerging_topics ---------------- */
+
+  /** Modifier panel for base 'batch'; 'brandterm' is a marker
+    * appended only to doc_id%10=7 docs (all odd → current slice,
+    * never the %5=0 two-years-ago slice), so the prev=0 ∧
+    * current>10 new-topic branch fires.
+    */
+  private val EmergingModifiers = Seq(
+    "slow query", "hash join", "merge sort", "window agg", "key value",
+    "part key", "big table", "vector scan", "fast query", "dup",
+    "brandterm")
+
+  private def emergingTopics(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+      concat(col("text"),
+        when(pmod(col("doc_id"), lit(10)) === 7, lit(" brandterm"))
+          .otherwise(lit(""))).as("t"))
+    val cur = pmod(col("doc_id"), lit(2)) === 1
+    val prev = pmod(col("doc_id"), lit(5)) === 0
+    val aggs = EmergingModifiers.zipWithIndex.flatMap { case (m, i) =>
+      val hit = col("t").contains("batch") && col("t").contains(m)
+      Seq(
+        sum(when(hit && cur, 1L).otherwise(0L)).as(s"c_$i"),
+        sum(when(hit && prev, 1L).otherwise(0L)).as(s"p_$i"))
+    }
+    val one = docs.agg(aggs.head, aggs.tail: _*)
+    val rows = EmergingModifiers.zipWithIndex.map { case (m, i) =>
+      struct(lit(s"batch $m").as("topic"), lit(m).as("modifier"),
+        col(s"c_$i").as("current_year_count"),
+        col(s"p_$i").as("two_years_ago_count"))
+    }
+    TrendScore.emergingTopics(
+      one.select(explode(array(rows: _*)).as("r")).select(col("r.*")))
+  }
+
+  private val emergingTopicsSql = {
+    val sums = EmergingModifiers.zipWithIndex.flatMap { case (m, i) =>
+      val hit = s"contains(t, 'batch') AND contains(t, '$m')"
+      Seq(
+        s"sum(CASE WHEN $hit AND doc_id % 2 = 1 THEN 1 ELSE 0 END)" +
+          s"::BIGINT AS c_$i",
+        s"sum(CASE WHEN $hit AND doc_id % 5 = 0 THEN 1 ELSE 0 END)" +
+          s"::BIGINT AS p_$i")
+    }.mkString(",\n    ")
+    val unions = EmergingModifiers.zipWithIndex.map { case (m, i) =>
+      s"SELECT 'batch $m' AS topic, '$m' AS modifier, " +
+        s"c_$i AS current_year_count, p_$i AS two_years_ago_count " +
+        s"FROM g"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH td AS (
+       |  SELECT doc_id, text ||
+       |    (CASE WHEN doc_id % 10 = 7 THEN ' brandterm' ELSE '' END)
+       |    AS t
+       |  FROM documents),
+       |g AS (
+       |  SELECT
+       |    $sums
+       |  FROM td),
+       |m AS (
+       |  $unions),
+       |f AS (
+       |  SELECT topic, modifier, current_year_count,
+       |    two_years_ago_count,
+       |    round(CASE WHEN two_years_ago_count > 0
+       |      THEN (current_year_count - two_years_ago_count)
+       |        / two_years_ago_count * 100.0
+       |      ELSE (CASE WHEN current_year_count > 10 THEN 100.0
+       |        ELSE 0.0 END) END + 1e-9, 1) AS growth_rate
+       |  FROM m WHERE current_year_count >= 5)
+       |SELECT * FROM f
+       |ORDER BY growth_rate DESC, topic
+       |LIMIT 10""".stripMargin
+  }
+
   val defs: Seq[Qdef] = Seq(
     Qdef("hot_enhanced", hotEnhanced, Some(hotEnhancedSql)),
-    Qdef("kw_yearly", kwYearly, Some(kwYearlySql)))
+    Qdef("kw_yearly", kwYearly, Some(kwYearlySql)),
+    Qdef("emerging_topics", emergingTopics, Some(emergingTopicsSql)))
 }

@@ -93,6 +93,21 @@ class TrendScoreSpec extends SparkSpec {
     assert(out("up").getAs[Long]("total_count") == 46L)
   }
 
+  test("emergingTopics: zero-prev needs current > 10, min-current cut") {
+    val m = Seq(
+      ("b new11", "new11", 11L, 0L),  // prev 0, cur 11 > 10 → 100
+      ("b new10", "new10", 10L, 0L),  // prev 0, cur 10 NOT > 10 → 0
+      ("b grown", "grown", 15L, 10L), // +50
+      ("b tiny", "tiny", 4L, 0L))     // < 5 current → dropped
+      .toDF("topic", "modifier", "current_year_count",
+        "two_years_ago_count")
+    val out = TrendScore.emergingTopics(m)
+      .collect().map(r => r.getAs[String]("modifier") ->
+        r.getAs[Double]("growth_rate")).toMap
+    assert(out == Map("new11" -> 100.0, "new10" -> 0.0,
+      "grown" -> 50.0))
+  }
+
   test("enhanced: label reads rounded scores, stage reads raw") {
     val m2 = Seq(("edge", 12996L, 10000L, 100L, 0L, 260.0))
       .toDF("keyword", "current_papers", "previous_papers",
