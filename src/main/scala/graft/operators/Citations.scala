@@ -114,4 +114,47 @@ object Citations {
         max(when(col("rn") === 1, col("c"))).as("peak_count"),
         count(lit(1)).as("n_years"))
   }
+
+  /** Composite paper-quality ranking (reference:
+    * scripts/paper_citation_ranker.py:184 calculate_quality_score +
+    * :271 rank_papers): citation score 0-40 on a piecewise-linear
+    * ladder (<=0 -> 0, <10 -> 2/citation, <100 -> 20+0.11/citation,
+    * <1000 -> 30+0.011/citation, else 40), recency score 0-30 by age
+    * bucket (unknown year -> neutral 15, then 30/27/24/20/15 down to
+    * max(5, 15-(age-10))), content score 0-30 (abstract-only 10;
+    * fulltext 20 + chunk-richness bonus 3/5/7/10 at >20/>50/>100
+    * chunks), ranked by the summed score.
+    *
+    * Input: one row per unique paper (the reference's
+    * get_unique_papers chunk-count aggregation happens upstream).
+    * Pure per-row projection + top-N — codegen'd, no shuffle beyond
+    * the TakeOrderedAndProject.
+    */
+  def paperQualityRank(
+      papers: DataFrame, currentYear: Int, topN: Int): DataFrame = {
+    val c = col("citation_count").cast("double")
+    val cs = when(c <= 0, 0.0)
+      .when(c < 10, c * 2)
+      .when(c < 100, lit(20.0) + (c - 10) * 0.11)
+      .when(c < 1000, lit(30.0) + (c - 100) * 0.011)
+      .otherwise(40.0)
+    val age = (lit(currentYear) - col("year")).cast("double")
+    val rs = when(col("year") === 0, 15.0)
+      .otherwise(when(age <= 1, 30.0).when(age <= 2, 27.0)
+        .when(age <= 3, 24.0).when(age <= 5, 20.0).when(age <= 10, 15.0)
+        .otherwise(greatest(lit(5.0), lit(15.0) - (age - 10))))
+    val ns = when(not(col("has_fulltext")), 10.0)
+      .otherwise(lit(20.0) + when(col("chunk_count") > 100, 10.0)
+        .when(col("chunk_count") > 50, 7.0)
+        .when(col("chunk_count") > 20, 5.0)
+        .otherwise(3.0))
+    papers.select(col("doc_id"), col("year"), col("citation_count"),
+        col("has_fulltext"), col("chunk_count"),
+        round(cs + lit(1e-9), 1).as("citation_score"),
+        round(rs + lit(1e-9), 1).as("recency_score"),
+        round(ns + lit(1e-9), 1).as("content_score"),
+        round(cs + rs + ns + lit(1e-9), 1).as("quality_score"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+      .limit(topN)
+  }
 }

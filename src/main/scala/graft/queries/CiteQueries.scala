@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.Citations
+import graft.operators.{Chunker, Citations}
 
 /** Citation analytics bound to the synthetic corpus (reference:
   * backend/app/api/routes/citations.py). The Semantic Scholar
@@ -172,8 +172,82 @@ object CiteQueries {
       |FROM r WHERE rnk <= 10
       |ORDER BY rnk""".stripMargin
 
+  /* ---------------- paper_rank ---------------- */
+
+  /** Unique-paper quality ranking (paper_citation_ranker.py:102
+    * get_unique_papers + :184): chunk counts come from the real
+    * fixed chunker (size 10 / overlap 5 — small on purpose, so the
+    * >20 / >50 / >100 chunk-richness branches all fire on the
+    * 48-553-char test docs); year/citations/fulltext synthesized
+    * from doc_id (doc_id%19=0 -> unknown year, exercising the
+    * neutral-15 branch; citations 0..1499 covering every ladder
+    * rung; every third paper abstract-only).
+    */
+  private def paperRank(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val chunkCounts = Chunker
+      .fixedChunks(docs, "doc_id", "text", chunkSize = 10, overlap = 5)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("chunk_count"))
+    val meta = docs.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(19)) === 0, lit(0L))
+        .otherwise(lit(2005) + pmod(col("doc_id"), lit(20)))
+        .cast("long").as("year"),
+      pmod(col("doc_id") * 37, lit(1500)).cast("long")
+        .as("citation_count"),
+      (pmod(col("doc_id"), lit(3)) =!= 0).as("has_fulltext"))
+    Citations.paperQualityRank(
+      meta.join(chunkCounts, "doc_id"), CurrentYear, topN = 1000)
+  }
+
+  private val paperRankSql =
+    s"""WITH ${SqlSnippets.chunkCtes(10, 5)},
+       |u AS (
+       |  SELECT doc_id, count(*)::BIGINT AS chunk_count
+       |  FROM ch GROUP BY doc_id),
+       |m AS (
+       |  SELECT d.doc_id,
+       |    (CASE WHEN d.doc_id % 19 = 0 THEN 0
+       |          ELSE 2005 + d.doc_id % 20 END)::BIGINT AS year,
+       |    ((d.doc_id * 37) % 1500)::BIGINT AS citation_count,
+       |    d.doc_id % 3 <> 0 AS has_fulltext,
+       |    u.chunk_count
+       |  FROM documents d JOIN u USING (doc_id)),
+       |sc AS (
+       |  SELECT *,
+       |    CASE WHEN citation_count <= 0 THEN 0.0
+       |         WHEN citation_count < 10 THEN citation_count * 2.0
+       |         WHEN citation_count < 100
+       |           THEN 20.0 + (citation_count - 10) * 0.11
+       |         WHEN citation_count < 1000
+       |           THEN 30.0 + (citation_count - 100) * 0.011
+       |         ELSE 40.0 END AS cs,
+       |    CASE WHEN year = 0 THEN 15.0 ELSE
+       |      CASE WHEN $CurrentYear - year <= 1 THEN 30.0
+       |           WHEN $CurrentYear - year <= 2 THEN 27.0
+       |           WHEN $CurrentYear - year <= 3 THEN 24.0
+       |           WHEN $CurrentYear - year <= 5 THEN 20.0
+       |           WHEN $CurrentYear - year <= 10 THEN 15.0
+       |           ELSE greatest(5.0,
+       |             15.0 - ($CurrentYear - year - 10)) END END AS rs,
+       |    CASE WHEN NOT has_fulltext THEN 10.0 ELSE
+       |      20.0 + CASE WHEN chunk_count > 100 THEN 10.0
+       |                  WHEN chunk_count > 50 THEN 7.0
+       |                  WHEN chunk_count > 20 THEN 5.0
+       |                  ELSE 3.0 END END AS ns
+       |  FROM m)
+       |SELECT doc_id, year, citation_count, has_fulltext, chunk_count,
+       |  round(cs + 1e-9, 1) AS citation_score,
+       |  round(rs + 1e-9, 1) AS recency_score,
+       |  round(ns + 1e-9, 1) AS content_score,
+       |  round(cs + rs + ns + 1e-9, 1) AS quality_score
+       |FROM sc
+       |ORDER BY quality_score DESC, doc_id
+       |LIMIT 1000""".stripMargin
+
   val defs: Seq[Qdef] = Seq(
     Qdef("cite_landmark", citeLandmark, Some(citeLandmarkSql)),
     Qdef("cite_trends", citeTrends, Some(citeTrendsSql)),
-    Qdef("cite_related", citeRelated, Some(citeRelatedSql)))
+    Qdef("cite_related", citeRelated, Some(citeRelatedSql)),
+    Qdef("paper_rank", paperRank, Some(paperRankSql)))
 }

@@ -95,4 +95,33 @@ class CitationsSpec extends SparkSpec {
     assert(!plan.contains("HashAggregate") && !plan.contains("Join"))
     assert(df.count() > 0)
   }
+
+  test("paperQualityRank: piecewise ladders hit every boundary") {
+    // (doc_id, year, citations, fulltext, chunks)
+    val papers = Seq(
+      (1L, 2024L, 0L, true, 10L),     // cite 0; age 1 → 30; ft 20+3
+      (2L, 2023L, 9L, true, 25L),     // 9*2=18; age 2 → 27; 20+5
+      (3L, 2022L, 10L, true, 60L),    // 20; age 3 → 24; 20+7
+      (4L, 2021L, 99L, true, 120L),   // 20+89*.11=29.79→29.8; age 4 → 20; 20+10
+      (5L, 2018L, 100L, false, 10L),  // 30; age 7 → 15; abstract 10
+      (6L, 2010L, 999L, true, 10L),   // 30+899*.011=39.889→39.9; age 15 → 10
+      (7L, 2000L, 1000L, true, 10L),  // 40; age 25 → floor 5
+      (8L, 0L, 50L, true, 10L))       // unknown year → neutral 15
+      .toDF("doc_id", "year", "citation_count", "has_fulltext",
+        "chunk_count")
+    val out = Citations.paperQualityRank(papers, 2025, 10)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("citation_score"),
+          r.getAs[Double]("recency_score"),
+          r.getAs[Double]("content_score"),
+          r.getAs[Double]("quality_score"))).toMap
+    assert(out(1L) == ((0.0, 30.0, 23.0, 53.0)))
+    assert(out(2L) == ((18.0, 27.0, 25.0, 70.0)))
+    assert(out(3L) == ((20.0, 24.0, 27.0, 71.0)))
+    assert(out(4L) == ((29.8, 20.0, 30.0, 79.8)))
+    assert(out(5L) == ((30.0, 15.0, 10.0, 55.0)))
+    assert(out(6L) == ((39.9, 10.0, 23.0, 72.9)))
+    assert(out(7L) == ((40.0, 5.0, 23.0, 68.0)))
+    assert(out(8L) == ((24.4, 15.0, 23.0, 62.4)))
+  }
 }
