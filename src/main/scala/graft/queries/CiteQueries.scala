@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Chunker, Citations}
+import graft.operators.{Chunker, Citations, Recommender}
 
 /** Citation analytics bound to the synthetic corpus (reference:
   * backend/app/api/routes/citations.py). The Semantic Scholar
@@ -245,9 +245,171 @@ object CiteQueries {
        |ORDER BY quality_score DESC, doc_id
        |LIMIT 1000""".stripMargin
 
+  /* ---------------- reco_enhanced ---------------- */
+
+  /** Citation-aware enhanced recommendation end to end
+    * (paper_recommender.py:778 recommend_papers_enhanced): velocity
+    * from citations/age, the 0-40/0-30/0-30 quality ladders, the
+    * classic/breakthrough precedence classification, per-type gates
+    * at the general_oncology baselines (classic 50, velocity 15),
+    * the estimated-quality fallback for papers without citation
+    * data, then the gate-or->=60 filter and the 50:50 balanced pick
+    * with best-available fill. Candidates are a bounded window
+    * (doc_id < 39 — the reference pools ~max_papers x 6 search
+    * hits; sized so the breakthrough bucket is UNDERFULL at sf0.01
+    * and the best-available fill path reaches the checked output);
+    * attributes are synthesized from doc_id with a split citation
+    * range (every third paper on the 0-399 scale, others 0-39) so
+    * classics, breakthroughs, gate failures, estimated keeps AND
+    * drops, and an estimated fill survivor all fire at sf0.01.
+    */
+  private def recoEnhanced(s: SparkSession, d: String): DataFrame = {
+    val cand = Tables.documents(s, d).where(col("doc_id") < 39).select(
+      col("doc_id"),
+      (lit(2005) + pmod(col("doc_id"), lit(21))).cast("long").as("year"),
+      (pmod(col("doc_id"), lit(11)) === 0).as("estimated"),
+      when(pmod(col("doc_id"), lit(11)) === 0, lit(0L))
+        .otherwise(when(pmod(col("doc_id"), lit(3)) === 0,
+          pmod(col("doc_id") * 23, lit(400)))
+          .otherwise(pmod(col("doc_id") * 23, lit(40))))
+        .cast("long").as("citation_count"),
+      when(pmod(col("doc_id"), lit(9)) === 0, lit(5L))
+        .otherwise(pmod(col("doc_id"), lit(3))).cast("long")
+        .as("influential"),
+      (pmod(col("doc_id"), lit(4)) === 0).as("high_impact"))
+    val typed = cand
+      .withColumn("vel", Recommender.citationVelocity(
+        col("citation_count"), col("year"), CurrentYear))
+      .withColumn("paper_type", Recommender.classifyPaperType(
+        col("citation_count"), col("vel"), col("influential"),
+        col("year"), CurrentYear))
+      .withColumn("quality_score",
+        when(col("estimated"), Recommender.estimatedQuality(
+          col("high_impact"), col("year"), CurrentYear))
+          .otherwise(round(
+            Recommender.citationScore(col("citation_count")) +
+              Recommender.velocityScore(col("vel")) +
+              Recommender.recencyScore(col("year"), CurrentYear) +
+              lit(1e-9), 1)))
+      .withColumn("passes_gate", Recommender.passesQualityGate(
+        col("paper_type"), col("citation_count"), col("vel"),
+        classicThreshold = 50, breakthroughVelocity = 15))
+    Recommender.balancedSelect(typed, "doc_id", maxPapers = 6)
+      .select(col("doc_id"), col("year"), col("citation_count"),
+        col("influential"), col("paper_type"),
+        round(col("vel") + lit(1e-9), 6).as("velocity"),
+        col("quality_score"), col("passes_gate"),
+        col("bucket").cast("long").as("bucket"),
+        col("brn").cast("long").as("brn"))
+      .orderBy(col("bucket"), col("brn"))
+  }
+
+  private val recoEnhancedSql =
+    s"""WITH cand AS (
+       |  SELECT doc_id,
+       |    (2005 + doc_id % 21)::BIGINT AS year,
+       |    doc_id % 11 = 0 AS estimated,
+       |    (CASE WHEN doc_id % 11 = 0 THEN 0
+       |          WHEN doc_id % 3 = 0 THEN (doc_id * 23) % 400
+       |          ELSE (doc_id * 23) % 40 END)::BIGINT
+       |      AS citation_count,
+       |    (CASE WHEN doc_id % 9 = 0 THEN 5
+       |          ELSE doc_id % 3 END)::BIGINT AS influential,
+       |    doc_id % 4 = 0 AS high_impact
+       |  FROM documents WHERE doc_id < 39),
+       |v AS (
+       |  SELECT *, CASE WHEN citation_count > 0
+       |      THEN citation_count / greatest(1, $CurrentYear - year)
+       |      ELSE 0.0 END AS vel
+       |  FROM cand),
+       |t AS (
+       |  SELECT *,
+       |    CASE WHEN citation_count <= 0 THEN 'unknown'
+       |         WHEN $CurrentYear - year >= 3 AND citation_count >= 50
+       |           THEN 'classic'
+       |         WHEN $CurrentYear - year >= 3 AND citation_count >= 30
+       |           THEN 'likely_classic'
+       |         WHEN $CurrentYear - year <= 2 AND
+       |              ((citation_count >= 10 AND vel >= 5)
+       |               OR influential >= 3) THEN 'breakthrough'
+       |         WHEN $CurrentYear - year BETWEEN 1 AND 3
+       |              AND citation_count >= 5 AND vel >= 3
+       |           THEN 'likely_breakthrough'
+       |         ELSE 'unknown' END AS paper_type,
+       |    CASE WHEN estimated THEN least(100.0,
+       |        50.0 + (CASE WHEN high_impact THEN 30.0 ELSE 0.0 END)
+       |        + (CASE WHEN $CurrentYear - year <= 2 THEN 5.0
+       |             WHEN $CurrentYear - year >= 5 AND
+       |               50.0 + (CASE WHEN high_impact THEN 30.0
+       |                 ELSE 0.0 END) >= 70 THEN 10.0
+       |             ELSE 0.0 END))
+       |      ELSE round(
+       |        (CASE WHEN citation_count <= 0 THEN 0.0
+       |          WHEN citation_count < 10 THEN citation_count * 2.0
+       |          WHEN citation_count < 100
+       |            THEN 20.0 + (citation_count - 10) * 0.11
+       |          WHEN citation_count < 1000
+       |            THEN 30.0 + (citation_count - 100) * 0.011
+       |          ELSE 40.0 END) +
+       |        (CASE WHEN vel <= 0 THEN 0.0
+       |          WHEN vel < 5 THEN vel * 2
+       |          WHEN vel < 20 THEN 10.0 + (vel - 5) * 0.67
+       |          WHEN vel < 50 THEN 20.0 + (vel - 20) * 0.33
+       |          ELSE 30.0 END) +
+       |        (CASE WHEN $CurrentYear - year <= 1 THEN 30.0
+       |          WHEN $CurrentYear - year <= 2 THEN 27.0
+       |          WHEN $CurrentYear - year <= 3 THEN 24.0
+       |          WHEN $CurrentYear - year <= 5 THEN 20.0
+       |          WHEN $CurrentYear - year <= 10 THEN 15.0
+       |          ELSE greatest(5.0,
+       |            15.0 - ($CurrentYear - year - 10)) END)
+       |        + 1e-9, 1) END AS quality_score
+       |  FROM v),
+       |g AS (
+       |  SELECT *,
+       |    CASE WHEN paper_type = 'classic' THEN citation_count >= 50
+       |         WHEN paper_type = 'likely_classic'
+       |           THEN citation_count >= 25.0
+       |         WHEN paper_type = 'breakthrough' THEN vel >= 15
+       |         WHEN paper_type = 'likely_breakthrough' THEN vel >= 7.5
+       |         ELSE citation_count >= 20 OR vel >= 10 END
+       |      AS passes_gate
+       |  FROM t),
+       |k AS (SELECT * FROM g WHERE passes_gate OR quality_score >= 60),
+       |b AS (
+       |  SELECT *, CASE
+       |      WHEN paper_type IN ('classic', 'likely_classic') THEN 0
+       |      WHEN paper_type IN ('breakthrough', 'likely_breakthrough')
+       |        THEN 1
+       |      ELSE 2 END AS bucket
+       |  FROM k),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY bucket
+       |    ORDER BY quality_score DESC, doc_id) AS brn
+       |  FROM b),
+       |sel AS (SELECT * FROM r WHERE bucket <> 2 AND brn <= 3),
+       |lo AS (
+       |  SELECT *, row_number() OVER (ORDER BY quality_score DESC,
+       |    doc_id) AS frn
+       |  FROM r WHERE bucket = 2 OR brn > 3),
+       |fill AS (
+       |  SELECT * EXCLUDE (bucket, brn, frn), 2 AS bucket,
+       |    frn AS brn
+       |  FROM lo WHERE frn <= 6 - (SELECT count(*) FROM sel)),
+       |res AS (
+       |  SELECT * EXCLUDE (estimated, high_impact) FROM sel
+       |  UNION ALL
+       |  SELECT * EXCLUDE (estimated, high_impact) FROM fill)
+       |SELECT doc_id, year, citation_count, influential, paper_type,
+       |  round(vel + 1e-9, 6) AS velocity, quality_score, passes_gate,
+       |  bucket::BIGINT AS bucket, brn::BIGINT AS brn
+       |FROM res
+       |ORDER BY bucket, brn""".stripMargin
+
   val defs: Seq[Qdef] = Seq(
     Qdef("cite_landmark", citeLandmark, Some(citeLandmarkSql)),
     Qdef("cite_trends", citeTrends, Some(citeTrendsSql)),
     Qdef("cite_related", citeRelated, Some(citeRelatedSql)),
-    Qdef("paper_rank", paperRank, Some(paperRankSql)))
+    Qdef("paper_rank", paperRank, Some(paperRankSql)),
+    Qdef("reco_enhanced", recoEnhanced, Some(recoEnhancedSql)))
 }
