@@ -9,9 +9,9 @@ import org.apache.spark.sql.functions._
   * under Structured Streaming (see graft.streaming) — these batch
   * variants are the oracle-checkable twins.
   *
-  * `ts` is a LONG of nanoseconds since epoch (Spark 4 cannot read
-  * parquet TIMESTAMP(NANOS); we read with
-  * spark.sql.legacy.parquet.nanosAsLong=true). All time arithmetic is
+  * `ts` is a LONG of nanoseconds since epoch — Tables.events
+  * normalizes whatever the parquet physically stores (NANOS long or
+  * MICROS timestamp) to that canonical form. All time arithmetic is
   * integer — `ts div 1e9` — so engines agree bit-for-bit.
   */
 object Events {
