@@ -39,6 +39,12 @@ object Sessions {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.sql.session.timeZone", "UTC")
+      // parquet TIMESTAMP(isAdjustedToUTC=false) reads as plain
+      // TimestampType (stored value verbatim, UTC session above), not
+      // TIMESTAMP_NTZ — pinned at build time so read schemas never
+      // depend on which table loaded first (Tables.events also sets
+      // it for sessions built elsewhere)
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // iterative operators (connectedComponents, lloydCentroids)
       // leave each superseded round's localCheckpoint blocks to the
       // ContextCleaner, which only reclaims after a driver GC — the

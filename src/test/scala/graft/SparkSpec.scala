@@ -18,6 +18,7 @@ object SparkSpec {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
