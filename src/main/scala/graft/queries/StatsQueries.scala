@@ -219,6 +219,59 @@ object StatsQueries {
        |$hubCtes
        |SELECT gene, degree FROM hubq ORDER BY degree DESC, gene""".stripMargin
 
+  /* ---------------- deg_centrality ---------------- */
+
+  private val EigIters = 8
+
+  /** Hub centrality metrics over the same thresholded co-expression
+    * edges as deg_network: degree + nx-normalized degree centrality,
+    * weighted-degree betweenness proxy (the reference's >1M-edge
+    * path, network_enhancer.py:495), and fixed-iteration power-
+    * iteration eigenvector centrality (agent2_network.py:222).
+    */
+  private def degCentrality(s: SparkSession, d: String): DataFrame =
+    Stats.centrality(
+      Stats.correlationEdges(normalized(s, d),
+        "gene", "sample_id", "log2_cpm", MinAbsCorr),
+      EigIters)
+
+  /** One power-iteration round: y = (I + A) x(n), then x(n+1) =
+    * round(y / ||y||₂ + 1e-9, 6) — the same per-round 6dp rounding
+    * the Spark loop applies, so both engines iterate identical state.
+    * MATERIALIZED is load-bearing: each x(n)/y(n) is referenced more
+    * than once, so inlined expansion would be exponential in the
+    * round count (observed: DuckDB re-opening the base parquet
+    * thousands of times → "Too many open files").
+    */
+  private def eigStepSql(n: Int): String =
+    s"""s${n + 1} AS MATERIALIZED (SELECT nd.gene, sum(x$n.x) AS sx FROM nd
+       |  JOIN x$n ON x$n.gene = nd.nbr GROUP BY nd.gene),
+       |y${n + 1} AS MATERIALIZED (
+       |  SELECT x$n.gene, x$n.x + coalesce(s${n + 1}.sx, 0.0) AS y
+       |  FROM x$n LEFT JOIN s${n + 1} USING (gene)),
+       |x${n + 1} AS MATERIALIZED (SELECT gene,
+       |    round(y / sqrt((SELECT sum(y * y) FROM y${n + 1})) + 0.000000001,
+       |      6) AS x
+       |  FROM y${n + 1})""".stripMargin
+
+  private val degCentralitySql =
+    s"""WITH $countMatrixSql,
+       |$corrCtes,
+       |nd AS MATERIALIZED (SELECT ga AS gene, gb AS nbr, abs_corr FROM ed
+       |  UNION ALL SELECT gb, ga, abs_corr FROM ed),
+       |dg AS MATERIALIZED (SELECT gene, count(*)::BIGINT AS degree,
+       |    sum(abs_corr) AS wdeg FROM nd GROUP BY gene),
+       |x0 AS MATERIALIZED (SELECT gene, 1.0 AS x FROM dg),
+       |${(0 until EigIters).map(eigStepSql).mkString(",\n")}
+       |SELECT dg.gene, dg.degree,
+       |  round(dg.degree / ((SELECT count(*)::DOUBLE FROM dg) - 1.0)
+       |    + 0.000000001, 6) AS degree_centrality,
+       |  round(dg.wdeg / (SELECT max(wdeg) FROM dg) + 0.000000001, 6)
+       |    AS betweenness_w,
+       |  x$EigIters.x AS eigenvector
+       |FROM dg JOIN x$EigIters USING (gene)
+       |ORDER BY eigenvector DESC, gene""".stripMargin
+
   /* ---------------- deg_enrich ---------------- */
 
   private val EnrichTopN = 10
@@ -1842,6 +1895,7 @@ object StatsQueries {
     Qdef("deg_top_var", degTopVar, Some(degTopVarSql)),
     Qdef("deg_network", degNetwork, Some(degNetworkSql)),
     Qdef("deg_hub", degHub, Some(degHubSql)),
+    Qdef("deg_centrality", degCentrality, Some(degCentralitySql)),
     Qdef("sc_markers", scMarkers, Some(scMarkersSql)),
     Qdef("sc_qc", scQc, Some(scQcSql)),
     Qdef("sc_pseudobulk", scPseudobulk, Some(scPseudobulkSql)),

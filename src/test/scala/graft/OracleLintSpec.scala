@@ -26,7 +26,10 @@ class OracleLintSpec extends AnyFunSuite {
     "raw_count", // raw_count = sum(l_quantity::DOUBLE), stays DOUBLE
     // sc_markers moment CTE: n_in = count(v)::DOUBLE, s_in/ss_in sum
     // the DOUBLE v — re-summing them for per-feature totals stays DOUBLE
-    "n_in", "s_in", "ss_in")
+    "n_in", "s_in", "ss_in",
+    // deg_centrality power iteration: abs_corr is round(...,6) DOUBLE,
+    // y = x + sx with x DOUBLE — sum(y*y) is the L2 norm accumulator
+    "abs_corr", "y")
 
   /** Reviewed intermediates: HUGEINT result is consumed by float
     * arithmetic or a comparison, never emitted. Key = query name,

@@ -233,4 +233,51 @@ class StatsSpec extends SparkSpec {
     assert(out(5L).isNullAt(3))
     assert(out(5L).getString(6) == "requires_validation")
   }
+
+  test("centrality: power iteration converges on the star graph") {
+    // K_{1,4}: center "c" joined to 4 leaves. Analytic principal
+    // eigenvector of A (and of I+A — same eigenvectors): x_c = 2 x_l;
+    // L2-normalized: x_c = sqrt(1/2) ≈ 0.707107, x_l ≈ 0.353553.
+    val edges = Seq(
+      ("c", "l1", 0.9), ("c", "l2", 0.8), ("c", "l3", 0.7),
+      ("c", "l4", 0.6))
+      .toDF("ga", "gb", "abs_corr")
+    val out = Stats.centrality(edges, iters = 8)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("c", "l1", "l2", "l3", "l4"))
+    // degree + nx normalization degree/(n-1)
+    assert(out("c").getLong(1) == 4L && out("l1").getLong(1) == 1L)
+    assert(math.abs(out("c").getDouble(2) - 1.0) < 1e-9)
+    assert(math.abs(out("l1").getDouble(2) - 0.25) < 1e-9)
+    // weighted-degree betweenness proxy: center = max -> 1.0; leaf
+    // l1 = 0.9 / (0.9+0.8+0.7+0.6) = 0.3
+    assert(math.abs(out("c").getDouble(3) - 1.0) < 1e-9)
+    assert(math.abs(out("l1").getDouble(3) - 0.3) < 1e-9)
+    // eigenvector within 1e-2 of the analytic fixed point after 8
+    // rounds, and the iterate stays L2-normalized
+    assert(math.abs(out("c").getDouble(4) - 0.707107) < 1e-2)
+    assert(math.abs(out("l1").getDouble(4) - 0.353553) < 1e-2)
+    val l2 = out.values.map(r => r.getDouble(4) * r.getDouble(4)).sum
+    assert(math.abs(l2 - 1.0) < 1e-3)
+    // ranking: center first, leaves tie-broken by gene name
+    val order = Stats.centrality(edges, iters = 8)
+      .collect().map(_.getString(0)).toSeq
+    assert(order == Seq("c", "l1", "l2", "l3", "l4"))
+  }
+
+  test("centrality: two components rank independently of each other") {
+    // triangle (a,b,c) + disjoint edge (d,e): triangle nodes carry
+    // the mass; the pair still gets a nonzero normalized value
+    val edges = Seq(
+      ("a", "b", 0.9), ("b", "c", 0.9), ("a", "c", 0.9), ("d", "e", 0.5))
+      .toDF("ga", "gb", "abs_corr")
+    val out = Stats.centrality(edges, iters = 8)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    // triangle is symmetric: equal eigenvector among a,b,c, and
+    // strictly above the d-e pair (higher spectral radius: 2 vs 1)
+    assert(math.abs(out("a") - out("b")) < 1e-6)
+    assert(math.abs(out("b") - out("c")) < 1e-6)
+    assert(out("a") > out("d"))
+    assert(math.abs(out("d") - out("e")) < 1e-6)
+  }
 }
