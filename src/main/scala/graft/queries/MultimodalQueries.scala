@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Multimodal
+
+/** Multimodal binary-column pipeline, oracle-checked leg.
+  *
+  * The decode itself is stubbed (no codec libraries in-container —
+  * see Multimodal.FakeDecoder), but the PLUMBING is real and this
+  * row drives every stage of it end-to-end: binary payload column →
+  * kind routing (repartition by kind + sort within partitions) →
+  * batched kind-homogeneous mapPartitions decode → frame sampling →
+  * per-kind metadata aggregation. The aggregated outputs (counts,
+  * byte sizes, frame counts) are decode-independent and therefore
+  * DuckDB-replayable: the oracle recomputes them from
+  * octet_length(encode(text)) without running the stub.
+  *
+  * Scale: payloads never shuffle except the ONE kind-routing
+  * repartition (which a production pipeline needs anyway to pin
+  * codecs to executor pools); only (media_id, kind, n_bytes,
+  * features) rows — no blobs — flow into the joins/aggregates.
+  */
+object MultimodalQueries {
+
+  private val FrameN = 4
+
+  /** Demo media table derived from the documents corpus: payload =
+    * UTF-8 bytes of the text (a deterministic stand-in for real
+    * image/audio/video payloads), kind round-robined by doc_id.
+    */
+  private def media(s: SparkSession, d: String): Dataset[Multimodal.MediaRow] = {
+    import s.implicits._
+    Tables.documents(s, d).select(
+      col("doc_id").as("media_id"),
+      when(pmod(col("doc_id"), lit(3)) === 0, "image")
+        .when(pmod(col("doc_id"), lit(3)) === 1, "audio")
+        .otherwise("video").as("kind"),
+      col("text").cast("binary").as("payload"),
+      lit(64).as("width"), lit(48).as("height"),
+      lit(16000).as("sample_rate"))
+      .as[Multimodal.MediaRow]
+  }
+
+  private def mmStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val m = media(s, d)
+    // the real pipeline: route by kind, then batch-decode — n_bytes
+    // comes out of the mapPartitions decode stage, so the aggregate
+    // below fails if the batching drops/duplicates/misroutes any row
+    val feats = Multimodal.extractFeatures(
+      Multimodal.partitionByKind(m.toDF, 32).as[Multimodal.MediaRow])
+    val frames = Multimodal.sampleFrames(m, FrameN)
+      .groupBy(col("media_id")).agg(count(lit(1)).as("nf"))
+    feats.toDF.join(frames, Seq("media_id"), "left")
+      .groupBy(col("kind"))
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum(col("n_bytes")).as("total_bytes"),
+        round(avg(col("n_bytes")) + lit(1e-9), 2).as("avg_bytes"),
+        max(col("n_bytes")).as("max_bytes"),
+        sum(coalesce(col("nf"), lit(0L))).as("n_frames"))
+      .orderBy(col("kind"))
+  }
+
+  /** The decode-independent replay: byte counts from
+    * octet_length(encode(text)); frames = min(FrameN, n_bytes) per
+    * non-empty video payload (sampleFrames' exact emission count).
+    */
+  private val mmStatsSql =
+    s"""WITH m AS (SELECT doc_id AS media_id,
+       |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+       |      ELSE 'video' END AS kind,
+       |    octet_length(encode(text))::BIGINT AS n_bytes FROM documents)
+       |SELECT kind, count(*)::BIGINT AS n_media,
+       |  sum(n_bytes)::BIGINT AS total_bytes,
+       |  round(avg(n_bytes) + 0.000000001, 2) AS avg_bytes,
+       |  max(n_bytes) AS max_bytes,
+       |  sum(CASE WHEN kind = 'video' THEN least($FrameN, n_bytes)
+       |    ELSE 0 END)::BIGINT AS n_frames
+       |FROM m GROUP BY kind ORDER BY kind""".stripMargin
+
+  val defs: Seq[Qdef] = Seq(
+    Qdef("mm_stats", mmStats, Some(mmStatsSql)))
+}
