@@ -336,27 +336,36 @@ object DedupQueries {
   /* ---------------- decontam_ngram ---------------- */
 
   private val DecontamN = 3
-  private val BenchMod = 50
 
-  /** Benchmark decontamination binding: every 50th doc stands in for
-    * the held-out eval set (a residue class so the oracle can rebuild
-    * it); the rest is the training corpus. n = 3 keeps the overlap
-    * non-trivial on the short synthetic docs — production pipelines
-    * use 8-13-grams, which is only the constant.
+  /** The held-out eval suite as a LITERAL doc_id list — 25 fixed ids
+    * that exist at every scale factor (doc_ids 0..499 are present
+    * from sf0.001 up). A fixed suite is the real production contract:
+    * the benchmark side stays 25 documents whatever the corpus grows
+    * to, so its distinct-gram broadcast is bounded by the SUITE size,
+    * not the corpus (the previous doc_id % 50 demo binding grew the
+    * broadcast linearly with the corpus — demo-only caveat, retired).
+    */
+  private val BenchIds: Seq[Long] = 0L until 500L by 20L
+  private val benchIdsSql = BenchIds.mkString("(", ", ", ")")
+
+  /** Benchmark decontamination binding: the literal eval suite vs the
+    * rest of the corpus. n = 3 keeps the overlap non-trivial on the
+    * short synthetic docs — production pipelines use 8-13-grams,
+    * which is only the constant.
     */
   private def decontamNgram(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     Decontam.contaminated(
-      docs.where(col("doc_id") % BenchMod =!= 0),
-      docs.where(col("doc_id") % BenchMod === 0),
+      docs.where(!col("doc_id").isin(BenchIds: _*)),
+      docs.where(col("doc_id").isin(BenchIds: _*)),
       "doc_id", "text", DecontamN)
       .orderBy(col("contamination").desc, col("doc_id"))
   }
 
   private val decontamNgramSql =
     s"""WITH ${shingleCtes(DecontamN)},
-       |cg AS (SELECT doc_id, shg FROM shs WHERE doc_id % $BenchMod <> 0),
-       |bg AS (SELECT DISTINCT shg FROM shs WHERE doc_id % $BenchMod = 0),
+       |cg AS (SELECT doc_id, shg FROM shs WHERE doc_id NOT IN $benchIdsSql),
+       |bg AS (SELECT DISTINCT shg FROM shs WHERE doc_id IN $benchIdsSql),
        |pd AS (SELECT doc_id, count(*)::BIGINT AS n_grams
        |  FROM cg GROUP BY doc_id),
        |ht AS (SELECT doc_id, count(*)::BIGINT AS hit_grams
