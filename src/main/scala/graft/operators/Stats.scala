@@ -209,30 +209,56 @@ object Stats {
     * driver.
     */
   def centrality(edges: DataFrame, iters: Int = 8): DataFrame = {
-    // undirected incidence list; read by the degree agg + every round
-    val nd = edges
-      .select(col("ga").as("gene"), col("gb").as("nbr"), col("abs_corr"))
-      .unionAll(edges
-        .select(col("gb").as("gene"), col("ga").as("nbr"), col("abs_corr")))
+    // materialize the (possibly expensive) edge generator ONCE — the
+    // two mirror branches below would otherwise each re-run it (the
+    // same single-materialization rule as connectedComponents' pairs)
+    val e = edges.select(col("ga"), col("gb"), col("abs_corr"))
       .localCheckpoint()
+    // undirected incidence list; read by the degree agg + every round
+    // (narrow union over the materialized edges — no second
+    // checkpoint needed)
+    val nd = e
+      .select(col("ga").as("gene"), col("gb").as("nbr"), col("abs_corr"))
+      .unionAll(e
+        .select(col("gb").as("gene"), col("ga").as("nbr"), col("abs_corr")))
     val deg = nd.groupBy(col("gene"))
       .agg(count(lit(1)).as("degree"), sum(col("abs_corr")).as("wdeg"))
       .cache()
-    var x = deg.select(col("gene"), lit(1.0).as("x"))
-    for (_ <- 1 to iters) {
-      val s = nd
-        .join(x.select(col("gene").as("nbr"), col("x").as("xn")), Seq("nbr"))
-        .groupBy(col("gene")).agg(sum(col("xn")).as("sx"))
-      // every node has >= 1 neighbor (edge-derived), but LEFT + 0.0
-      // keeps the algebra total if a caller feeds a padded node set
-      val y = x.join(s, Seq("gene"), "left")
-        .select(col("gene"),
-          (col("x") + coalesce(col("sx"), lit(0.0))).as("y"))
-      val norm = y.agg(sqrt(sum(col("y") * col("y"))).as("nrm"))
-      x = y.crossJoin(broadcast(norm))
+    // (I + A) as a plain adjacency sum: one self-loop per node makes
+    // each round's y = x + Σ_nbr x a SINGLE join-aggregate instead of
+    // a neighbor aggregate plus a separate x-side left join
+    val ndSelf = nd.select(col("gene"), col("nbr"))
+      .unionAll(deg.select(col("gene"), col("gene").as("nbr")))
+    // the iterate is panel-bounded (<= maxFeatures rows) — one
+    // partition is its correct physical layout at ANY corpus scale,
+    // and it keeps every per-round job at single-task size instead of
+    // dragging shuffle.partitions near-empty tasks through 8 rounds
+    var x = deg.select(col("gene"), lit(1.0).as("x")).coalesce(1)
+    for (k <- 1 to iters) {
+      // x is the panel-bounded iterate (<= maxFeatures rows) — it
+      // BROADCASTS to the incidence list, so the edge frame never
+      // re-shuffles across rounds; the only exchange per round is
+      // the map-side-combined partial-sum aggregate, whose payload
+      // is <= nodes rows per partition. The self-loop rows fold the
+      // +x term into the same aggregate (y = Σ over nbr∪{self}).
+      val y = ndSelf
+        .join(broadcast(
+          x.select(col("gene").as("nbr"), col("x").as("xn"))), Seq("nbr"))
+        .groupBy(col("gene")).agg(sum(col("xn")).as("y"))
+        .coalesce(1)
+      // L2 norm via a whole-frame window — the iterate is a single
+      // panel-bounded partition, so this is one in-partition pass
+      // instead of a separate aggregate + broadcast job per round.
+      // Eager per-round checkpoint: a lazy round would re-run the
+      // whole previous round per consumer — measured strictly worse
+      // than one checkpoint job per round.
+      x = y
+        .withColumn("nrm", sqrt(sum(col("y") * col("y"))
+          .over(Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing))))
         .select(col("gene"),
           round(col("y") / col("nrm") + lit(1e-9), 6).as("x"))
-        .localCheckpoint() // eager: truncates per-round lineage
+        .localCheckpoint()
     }
     val stats = deg.agg(count(lit(1)).cast("double").as("n_nodes"),
       max(col("wdeg")).as("max_wdeg"))
