@@ -268,6 +268,60 @@ object TextAnalysis {
     "data_model" -> Seq("table", "column", "row", "key", "value"),
     "streaming" -> Seq("stream", "window", "batch"))
 
+  /** Corpus-trained bigram language-model quality score — the
+    * CCNet/KenLM-style perplexity-proxy filter every pre-training
+    * data pipeline runs (documents scoring far below the corpus norm
+    * are boilerplate/gibberish candidates; far above, template spam).
+    * The reference has no LM scorer; this extends the engine's
+    * LLM-data-pipeline surface alongside txt_quality.
+    *
+    * Model: add-α smoothed bigram LM over whitespace tokens, trained
+    * on the corpus itself: P(w2|w1) = (c(w1 w2) + α)/(c(w1·) + α·V),
+    * V = distinct second-word vocabulary. Score = per-doc mean
+    * ln P over bigram OCCURRENCES (multiplicity-weighted). Docs with
+    * no bigram (≤ 1 token) are absent — the tfidf sparse contract.
+    *
+    * Scale shape: ONE tokenize+shingle pass (codegen'd TokenShingles)
+    * feeds a map-side-combined (doc, bigram) count, and every model
+    * statistic derives from THAT frame, not from re-scanning text:
+    * bigram totals (bigram-keyed agg), context totals (first-word
+    * agg of the bigram totals), vocabulary (a 1-row broadcast
+    * scalar). The scoring join is a bigram-keyed equi-join between
+    * the per-doc counts and the model — both sides shuffle once on
+    * the same key; nothing touches the driver.
+    */
+  def lmScore(
+      docs: DataFrame, idCol: String, textCol: String,
+      alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, "alpha must be positive")
+    val bg = docs.select(col(idCol),
+      explode(TextFns.shinglesOfTokens(
+        TextFns.wsTokens(col(textCol)), 2)).as("g"))
+    // cached: the model statistics AND the scoring join read it
+    val dbg = bg.groupBy(col(idCol), col("g"))
+      .agg(count(lit(1)).as("cnt")).cache()
+    // cached: context totals, vocabulary, and the prob table read it
+    val cg = dbg.groupBy(col("g")).agg(sum(col("cnt")).as("c2"))
+      .withColumn("w1", substring_index(col("g"), " ", 1))
+      .cache()
+    val cw = cg.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val vv = cg.agg(
+      countDistinct(substring_index(col("g"), " ", -1))
+        .cast("double").as("v"))
+    val lp = cg.join(cw, Seq("w1")).crossJoin(broadcast(vv))
+      .select(col("g"),
+        log((col("c2") + lit(alpha)) /
+          (col("c1") + lit(alpha) * col("v"))).as("logp"))
+    dbg.join(lp, Seq("g"))
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        (sum(col("cnt") * col("logp")) / sum(col("cnt")).cast("double"))
+          .as("alp"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("alp") + lit(1e-9), 6).as("avg_logprob"))
+      .orderBy(col("avg_logprob"), col(idCol))
+  }
+
   def lensClassify(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     def hits(kws: Seq[String]): Column = kws.map(w =>
       when(col(textCol).contains(w), 1).otherwise(0)).reduce(_ + _)

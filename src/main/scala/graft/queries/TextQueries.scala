@@ -356,6 +356,43 @@ object TextQueries {
       |    AS chars_per_token
       |FROM b ORDER BY doc_id""".stripMargin
 
+  /* ---------------- txt_lm_score ---------------- */
+
+  private val LmAlpha = 0.5
+
+  /** Corpus-trained add-α bigram LM quality score (see
+    * TextAnalysis.lmScore): per-doc mean bigram log-probability, the
+    * CCNet/KenLM-style perplexity-proxy filter.
+    */
+  private def txtLmScore(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.lmScore(Tables.documents(s, d), "doc_id", "text", LmAlpha)
+
+  /** Replays the same single-pass derivation: everything comes from
+    * the (doc, bigram, cnt) frame; contexts/vocab from the bigram
+    * totals; ln of the identical smoothed ratio.
+    */
+  private val txtLmScoreSql =
+    s"""WITH toks AS (SELECT doc_id,
+       |    string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents),
+       |ix AS (SELECT doc_id, t,
+       |    unnest(generate_series(1, len(t) - 1)) AS i FROM toks),
+       |bgr AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS g FROM ix),
+       |dbg AS (SELECT doc_id, g, count(*)::BIGINT AS cnt
+       |  FROM bgr GROUP BY 1, 2),
+       |cg AS (SELECT g, sum(cnt)::BIGINT AS c2,
+       |    split_part(g, ' ', 1) AS w1 FROM dbg GROUP BY g),
+       |cw AS (SELECT w1, sum(c2)::BIGINT AS c1 FROM cg GROUP BY w1),
+       |vv AS (SELECT count(DISTINCT split_part(g, ' ', 2))::DOUBLE AS v
+       |  FROM cg),
+       |lp AS (SELECT g,
+       |    ln((c2 + $LmAlpha) / (c1 + $LmAlpha * (SELECT v FROM vv))) AS logp
+       |  FROM cg JOIN cw USING (w1)),
+       |sc AS (SELECT doc_id, sum(cnt)::BIGINT AS n_bigrams,
+       |    sum(cnt * logp) / sum(cnt)::DOUBLE AS alp
+       |  FROM dbg JOIN lp USING (g) GROUP BY doc_id)
+       |SELECT doc_id, n_bigrams, round(alp + 0.000000001, 6) AS avg_logprob
+       |FROM sc ORDER BY avg_logprob, doc_id""".stripMargin
+
   /* ---------------- pack_shards ---------------- */
 
   private val ShardBudget = 10000L
@@ -983,6 +1020,7 @@ object TextQueries {
     Qdef("chunk_sections", chunkSections, Some(chunkSectionsSql)),
     Qdef("lens_classify", lensClassify, Some(lensClassifySql)),
     Qdef("txt_token_count", txtTokenCount, Some(txtTokenCountSql)),
+    Qdef("txt_lm_score", txtLmScore, Some(txtLmScoreSql)),
     Qdef("txt_scrub", txtScrub, Some(txtScrubSql)),
     Qdef("txt_repetition", txtRepetition, Some(txtRepetitionSql)),
     Qdef("pack_shards", packShards, Some(packShardsSql)),

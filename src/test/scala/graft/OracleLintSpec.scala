@@ -29,7 +29,9 @@ class OracleLintSpec extends AnyFunSuite {
     "n_in", "s_in", "ss_in",
     // deg_centrality power iteration: abs_corr is round(...,6) DOUBLE,
     // y = x + sx with x DOUBLE — sum(y*y) is the L2 norm accumulator
-    "abs_corr", "y")
+    "abs_corr", "y",
+    // txt_lm_score: logp = ln(...) DOUBLE; cnt*logp stays DOUBLE
+    "logp")
 
   /** Reviewed intermediates: HUGEINT result is consumed by float
     * arithmetic or a comparison, never emitted. Key = query name,

@@ -108,4 +108,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r2.getAs[Double]("top_token_frac") == 1.0)
     assert(r2.isNullAt(r2.fieldIndex("top_bigram_frac")))
   }
+
+  test("lmScore: hand-computed add-alpha bigram log-probs") {
+    import spark.implicits._
+    // corpus bigrams: "a b" x3 (docs 1,1,2), "b a" x1 (doc 1)
+    // contexts: c1(a)=3, c1(b)=1; vocab V = |{b, a}| = 2; alpha=0.5
+    // P(b|a) = 3.5/4 = 0.875; P(a|b) = 1.5/2 = 0.75
+    val docs = Seq(
+      (1L, "a b a b"), (2L, "a b"), (3L, "c")).toDF("doc_id", "text")
+    val out = TextAnalysis.lmScore(docs, "doc_id", "text", alpha = 0.5)
+      .collect()
+    // doc 3 has no bigram -> absent (sparse contract)
+    assert(out.map(_.getLong(0)).toSet == Set(1L, 2L))
+    val m = out.map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getLong(1) == 3L)
+    assert(m(2L).getLong(1) == 1L)
+    val lnPba = math.log(0.875); val lnPab = math.log(0.75)
+    assert(math.abs(
+      m(1L).getDouble(2) - (2 * lnPba + lnPab) / 3.0) < 1e-5)
+    assert(math.abs(m(2L).getDouble(2) - lnPba) < 1e-5)
+    // worst (most negative) first
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+  }
 }
