@@ -176,6 +176,32 @@ object Events {
         Window.orderBy(col("sum_value").desc, col("user_id"))))
   }
 
+  /** Semi-structured property extraction + rollup: parse the JSON
+    * `props` payload with a TYPED schema (`from_json` — codegen'd
+    * Jackson parse, no UDF, malformed rows → null like DuckDB's
+    * json_extract) and aggregate the extracted numeric per
+    * (event_type, k-bucket). The standard event-instrumentation
+    * pattern: properties stay a schemaless string at ingest, queries
+    * impose the schema they need at read time. ONE narrow projection
+    * + one map-side-combined aggregate; the JSON never shuffles —
+    * only the extracted long does.
+    */
+  def propsAgg(events: DataFrame, bucketWidth: Long = 25L): DataFrame =
+    events
+      .withColumn("k",
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+          .getField("k"))
+      .withColumn("k_bucket", expr(s"k div $bucketWidth"))
+      .groupBy(col("event_type"), col("k_bucket"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        round(avg(col("k")) + lit(1e-9), 4).as("avg_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"), col("k_bucket"))
+
   /** Daily-count anomaly detection per event_type: z-score of each
     * day's event count against that type's mean/stddev over the whole
     * range — the alerting primitive over an ingest stream ("did

@@ -70,6 +70,27 @@ object EventQueries {
       |SELECT user_id, n_events, sum_value, rank FROM r
       |WHERE rank <= 20 ORDER BY rank""".stripMargin
 
+  /* ---------------- ev_props_agg ---------------- */
+
+  private val PropsBucket = 25L
+
+  /** Typed JSON property rollup (see Events.propsAgg): extract k from
+    * the schemaless props payload, aggregate per (event_type,
+    * k div 25 bucket).
+    */
+  private def evPropsAgg(s: SparkSession, d: String): DataFrame =
+    Events.propsAgg(Tables.events(s, d), PropsBucket)
+
+  private val evPropsAggSql =
+    s"""WITH e AS (SELECT event_type,
+       |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+       |  FROM events)
+       |SELECT event_type, k // $PropsBucket AS k_bucket,
+       |  count(*)::BIGINT AS n_events, sum(k)::BIGINT AS sum_k,
+       |  round(avg(k) + 0.000000001, 4) AS avg_k,
+       |  min(k) AS min_k, max(k) AS max_k
+       |FROM e GROUP BY 1, 2 ORDER BY event_type, k_bucket""".stripMargin
+
   /* ---------------- ev_funnel ---------------- */
 
   private val FunnelStages = Seq("view", "click", "purchase")
@@ -242,6 +263,7 @@ object EventQueries {
     Qdef("ev_windowed_agg", evWindowedAgg, Some(evWindowedAggSql)),
     Qdef("ev_sessionize", evSessionize, Some(evSessionizeSql)),
     Qdef("ev_user_topk", evUserTopK, Some(evUserTopKSql)),
+    Qdef("ev_props_agg", evPropsAgg, Some(evPropsAggSql)),
     Qdef("ev_funnel", evFunnel, Some(evFunnelSql)),
     Qdef("ev_asof_view", evAsofView, Some(evAsofViewSql)),
     Qdef("ev_range_clicks", evRangeClicks, Some(evRangeClicksSql)),

@@ -98,4 +98,32 @@ class EventsSpec extends SparkSpec {
     assert(out(("1970-01-01", "A"))._2 == false)
     assert(out(("1970-01-01", "B")) == (1L, false)) // null z -> false
   }
+
+  test("propsAgg extracts typed k, buckets it, and nulls malformed JSON") {
+    val rows = Seq(
+      (1L, "click", """{"k": 10}"""),
+      (2L, "click", """{"k": 30}"""),
+      (3L, "click", """{"k": 49}"""),
+      (4L, "view", """{"k": 7}"""),
+      (5L, "view", "not json"), // malformed -> null k, null bucket
+      (6L, "view", """{"other": 1}""")) // missing key -> null k
+      .toDF("event_id", "event_type", "props")
+    val out = Events.propsAgg(rows, bucketWidth = 25L)
+      .collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) -1L else r.getLong(1))
+        -> r)
+      .toMap
+    // click: k=10 -> bucket 0; k=30,49 -> bucket 1
+    assert(out(("click", 0L)).getAs[Long]("n_events") == 1L)
+    assert(out(("click", 0L)).getAs[Long]("sum_k") == 10L)
+    val c1 = out(("click", 1L))
+    assert(c1.getAs[Long]("n_events") == 2L)
+    assert(c1.getAs[Long]("sum_k") == 79L)
+    assert(c1.getAs[Double]("avg_k") == 39.5)
+    assert(c1.getAs[Long]("min_k") == 30L && c1.getAs[Long]("max_k") == 49L)
+    // the two null-k view rows group together under the null bucket
+    val vNull = out(("view", -1L))
+    assert(vNull.getAs[Long]("n_events") == 2L)
+    assert(vNull.isNullAt(vNull.fieldIndex("sum_k")))
+  }
 }
