@@ -273,6 +273,63 @@ object Stats {
       .orderBy(col("eigenvector").desc, col("gene"))
   }
 
+  /** Exact closeness centrality — the reference's SMALL-graph branch
+    * (agent2_network.py:240 nx.closeness_centrality;
+    * network_enhancer.py skips it beyond 1000 nodes, which is why
+    * `centrality` above does not emit it). Wasserman-Faust
+    * normalization like networkx: C(u) = ((r−1)/Σd) · ((r−1)/(n−1))
+    * over unweighted BFS distances, r = nodes reachable from u,
+    * n = all nodes; isolated-in-component nodes score 0.
+    *
+    * Scale design: all-pairs BFS has no distributable form that
+    * beats its panel-bounded driver cost — the edge list is capped
+    * upstream (correlationEdges maxFeatures), so this is the
+    * Spectral/pca2d driver device: collect the bounded edges once,
+    * O(n·E) locally, nothing corpus-scale moves. The maxNodes guard
+    * makes the bound explicit; above it, rank hubs with `centrality`
+    * (the reference does the same).
+    */
+  def closenessCentrality(
+      edges: DataFrame, aCol: String, bCol: String,
+      maxNodes: Int = 2000): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val rows = edges.select(
+      col(aCol).cast("string"), col(bCol).cast("string")).collect()
+    val nodes = rows.flatMap(r => Seq(r.getString(0), r.getString(1)))
+      .distinct.sorted
+    val n = nodes.length
+    require(n <= maxNodes,
+      s"closenessCentrality: $n nodes exceeds maxNodes=$maxNodes — " +
+        "use centrality() (the large-graph path) instead")
+    val idx = nodes.zipWithIndex.toMap
+    val adj = Array.fill(n)(List.empty[Int])
+    rows.foreach { r =>
+      val i = idx(r.getString(0)); val j = idx(r.getString(1))
+      adj(i) ::= j; adj(j) ::= i
+    }
+    val scores = (0 until n).map { src =>
+      val dist = Array.fill(n)(-1)
+      dist(src) = 0
+      var frontier = List(src)
+      var sumD = 0L; var reach = 1
+      while (frontier.nonEmpty) {
+        frontier = frontier.flatMap { u =>
+          adj(u).filter { v =>
+            if (dist(v) < 0) { dist(v) = dist(u) + 1; true } else false
+          }
+        }
+        frontier.foreach { v => sumD += dist(v); reach += 1 }
+      }
+      val c = if (sumD > 0 && n > 1)
+        ((reach - 1).toDouble / sumD) * ((reach - 1).toDouble / (n - 1))
+      else 0.0
+      (nodes(src), math.rint(c * 1e6) / 1e6)
+    }
+    scores.toDF("gene", "closeness")
+      .orderBy(col("closeness").desc, col("gene"))
+  }
+
   /** Benjamini-Hochberg FDR adjust over a scored frame's `p_value`
     * column: padj_i = min_{j>=i} p_j * n / j over the p-ascending
     * ranking, capped at 1. Appends `p_adj`, keyed tiebreaks on

@@ -265,6 +265,32 @@ class StatsSpec extends SparkSpec {
     assert(order == Seq("c", "l1", "l2", "l3", "l4"))
   }
 
+  test("closeness: nx-normalized values on path, star, and disjoint graphs") {
+    // P3 a-b-c: C(b) = (2/2)*(2/2) = 1.0; C(a) = (2/3)*(2/2) = 0.666667
+    val p3 = Seq(("a", "b", 1.0), ("b", "c", 1.0)).toDF("ga", "gb", "w")
+    val outP3 = Stats.closenessCentrality(p3, "ga", "gb")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(outP3("b") == 1.0)
+    assert(math.abs(outP3("a") - 0.666667) < 1e-6)
+    assert(outP3("a") == outP3("c"))
+    // star K1,4: center 1.0; leaf: sum d = 1 + 3*2 = 7 ->
+    // (4/7)*(4/4) = 0.571429
+    val star = Seq(("c", "l1", 1.0), ("c", "l2", 1.0), ("c", "l3", 1.0),
+      ("c", "l4", 1.0)).toDF("ga", "gb", "w")
+    val outS = Stats.closenessCentrality(star, "ga", "gb")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(outS("c") == 1.0)
+    assert(math.abs(outS("l1") - 0.571429) < 1e-6)
+    // two disjoint pairs, n=4: each node C = (1/1)*(1/3) = 0.333333
+    val pairs = Seq(("a", "b", 1.0), ("c", "d", 1.0)).toDF("ga", "gb", "w")
+    Stats.closenessCentrality(pairs, "ga", "gb").collect()
+      .foreach(r => assert(math.abs(r.getDouble(1) - 0.333333) < 1e-6))
+    // guard: the large-graph path must be refused, not silently run
+    intercept[IllegalArgumentException] {
+      Stats.closenessCentrality(p3, "ga", "gb", maxNodes = 2)
+    }
+  }
+
   test("centrality: two components rank independently of each other") {
     // triangle (a,b,c) + disjoint edge (d,e): triangle nodes carry
     // the mass; the pair still gets a nonzero normalized value
