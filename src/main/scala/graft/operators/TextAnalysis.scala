@@ -38,7 +38,8 @@ object TextAnalysis {
     * QualityScorer.score's additive rubric). All-integer output —
     * bit-identical across engines.
     */
-  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String,
+      passThrough: Seq[String] = Nil): DataFrame = {
     val toks = TextFns.wsTokens(col(textCol))
     val nTokens = size(toks)
     val nChars = length(col(textCol))
@@ -50,9 +51,9 @@ object TextAnalysis {
     val tokScore = when(nTokens.between(20, 1000), 20).otherwise(5)
     val stopScore = when(stopRatio.between(0.02, 0.4), 15).otherwise(0)
     val divScore = when(distinctRatio > 0.5, 15).otherwise(5)
-    docs.select(col(idCol),
-      lenScore.as("len_score"), tokScore.as("tok_score"),
-      stopScore.as("stop_score"), divScore.as("div_score"))
+    docs.select(col(idCol) +: passThrough.map(col) :+
+      lenScore.as("len_score") :+ tokScore.as("tok_score") :+
+      stopScore.as("stop_score") :+ divScore.as("div_score"): _*)
       .withColumn("quality",
         col("len_score") + col("tok_score") + col("stop_score") + col("div_score"))
   }
@@ -267,6 +268,58 @@ object TextAnalysis {
     "execution" -> Seq("join", "hash", "merge", "sort", "scan"),
     "data_model" -> Seq("table", "column", "row", "key", "value"),
     "streaming" -> Seq("stream", "window", "batch"))
+
+  /** Source/domain-level quality rollup — the CCNet/FineWeb-style
+    * DOMAIN filtering step (decide keep/review/drop per source, not
+    * per document): per-source document count, mean quality score,
+    * good-doc share, exact-duplicate rate, english share, and a
+    * thresholded decision. The reference has no corpus-curation
+    * analog; this extends the LLM-data-pipeline surface.
+    *
+    * Scale shape: ONE corpus scan computes the per-doc narrow frame
+    * (quality components + text hash — the text itself is dropped
+    * immediately); duplicate hashes come from a map-side-combined
+    * aggregate OF that frame; the flag join and the source rollup
+    * key on hash/source respectively. The per-doc frame is cached —
+    * it feeds both the dup aggregate and the rollup (caller owns
+    * lifecycle, see graft.Caching).
+    *
+    * Cross-engine protocol: the decision thresholds compare the
+    * ROUNDED aggregates, so a last-ulp drift in an average can never
+    * flip a source's decision between engines.
+    */
+  def sourceQuality(
+      docs: DataFrame, idCol: String, textCol: String,
+      srcCol: String, langCol: String,
+      goodMin: Double = 40.0, keepQ: Double = 40.0, dropQ: Double = 25.0,
+      keepDup: Double = 0.1, dropDup: Double = 0.5): DataFrame = {
+    val perDoc = qualityScore(
+      docs.withColumn("text_hash", md5(col(textCol))),
+      idCol, textCol, passThrough = Seq(srcCol, langCol, "text_hash"))
+      .cache()
+    val dupHashes = perDoc.groupBy(col("text_hash"))
+      .agg(count(lit(1)).as("cnt")).where(col("cnt") > 1)
+      .select(col("text_hash"), lit(1.0).as("is_dup"))
+    val rolled = perDoc.join(dupHashes, Seq("text_hash"), "left")
+      .groupBy(col(srcCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("quality")) + lit(1e-9), 4).as("avg_quality"),
+        round(avg(when(col("quality") >= goodMin, 1.0).otherwise(0.0))
+          + lit(1e-9), 4).as("good_share"),
+        round(avg(coalesce(col("is_dup"), lit(0.0))) + lit(1e-9), 4)
+          .as("dup_rate"),
+        round(avg(when(col(langCol) === "en", 1.0).otherwise(0.0))
+          + lit(1e-9), 4).as("en_share"))
+    rolled
+      .withColumn("decision",
+        when(col("avg_quality") >= keepQ && col("dup_rate") <= keepDup,
+          "keep")
+          .when(col("avg_quality") < dropQ || col("dup_rate") > dropDup,
+            "drop")
+          .otherwise("review"))
+      .orderBy(col(srcCol))
+  }
 
   /** Corpus-trained bigram language-model quality score — the
     * CCNet/KenLM-style perplexity-proxy filter every pre-training

@@ -53,8 +53,10 @@ object TextQueries {
         col("quality").cast("long").as("quality"))
       .orderBy(col("doc_id"))
 
-  private val txtQualitySql =
-    s"""WITH t AS (SELECT doc_id, text,
+  // per-doc quality-score CTE chain ending in `sc` — shared by
+  // txt_quality and src_quality so the two stay in lockstep
+  private val qualityCtes =
+    s"""t AS (SELECT doc_id, text,
        |    string_split_regex(lower(trim(text)), '\\s+') AS toks
        |  FROM documents),
        |m AS (SELECT doc_id,
@@ -69,10 +71,46 @@ object TextQueries {
        |    (CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 20 ELSE 5 END)::BIGINT AS tok_score,
        |    (CASE WHEN stop_ratio BETWEEN 0.02 AND 0.4 THEN 15 ELSE 0 END)::BIGINT AS stop_score,
        |    (CASE WHEN distinct_ratio > 0.5 THEN 15 ELSE 5 END)::BIGINT AS div_score
-       |  FROM m)
+       |  FROM m)""".stripMargin
+
+  private val txtQualitySql =
+    s"""WITH $qualityCtes
        |SELECT doc_id, len_score, tok_score, stop_score, div_score,
        |  (len_score + tok_score + stop_score + div_score)::BIGINT AS quality
        |FROM sc ORDER BY doc_id""".stripMargin
+
+  /* ---------------- src_quality ---------------- */
+
+  /** Source/domain-level curation rollup (TextAnalysis.sourceQuality):
+    * per-source quality/dup/lang aggregates + keep/review/drop
+    * decision on the ROUNDED aggregates.
+    */
+  private def srcQuality(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.sourceQuality(
+      Tables.documents(s, d), "doc_id", "text", "source", "lang")
+
+  private val srcQualitySql =
+    s"""WITH $qualityCtes,
+       |dq AS (SELECT d.doc_id, d.source, d.lang, md5(d.text) AS h,
+       |    (sc.len_score + sc.tok_score + sc.stop_score + sc.div_score)
+       |      AS quality
+       |  FROM documents d JOIN sc USING (doc_id)),
+       |dh AS (SELECT h FROM dq GROUP BY h HAVING count(*) > 1),
+       |fl AS (SELECT dq.*, CASE WHEN dh.h IS NULL THEN 0.0 ELSE 1.0 END
+       |    AS is_dup FROM dq LEFT JOIN dh USING (h)),
+       |ag AS (SELECT source, count(*)::BIGINT AS n_docs,
+       |    round(avg(quality) + 0.000000001, 4) AS avg_quality,
+       |    round(avg(CASE WHEN quality >= 40 THEN 1.0 ELSE 0.0 END)
+       |      + 0.000000001, 4) AS good_share,
+       |    round(avg(is_dup) + 0.000000001, 4) AS dup_rate,
+       |    round(avg(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END)
+       |      + 0.000000001, 4) AS en_share
+       |  FROM fl GROUP BY source)
+       |SELECT source, n_docs, avg_quality, good_share, dup_rate, en_share,
+       |  CASE WHEN avg_quality >= 40 AND dup_rate <= 0.1 THEN 'keep'
+       |       WHEN avg_quality < 25 OR dup_rate > 0.5 THEN 'drop'
+       |       ELSE 'review' END AS decision
+       |FROM ag ORDER BY source""".stripMargin
 
   /* ---------------- txt_langid ---------------- */
 
@@ -1021,6 +1059,7 @@ object TextQueries {
     Qdef("lens_classify", lensClassify, Some(lensClassifySql)),
     Qdef("txt_token_count", txtTokenCount, Some(txtTokenCountSql)),
     Qdef("txt_lm_score", txtLmScore, Some(txtLmScoreSql)),
+    Qdef("src_quality", srcQuality, Some(srcQualitySql)),
     Qdef("txt_scrub", txtScrub, Some(txtScrubSql)),
     Qdef("txt_repetition", txtRepetition, Some(txtRepetitionSql)),
     Qdef("pack_shards", packShards, Some(packShardsSql)),

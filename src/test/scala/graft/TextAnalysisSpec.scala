@@ -109,6 +109,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r2.isNullAt(r2.fieldIndex("top_bigram_frac")))
   }
 
+  test("sourceQuality: dup rate, shares, and threshold decisions") {
+    import spark.implicits._
+    val good = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away to find some more interesting things to do today " +
+      "with many other animals in the deep green forest near the river"
+    val docs = Seq(
+      // srcA: two distinct good docs -> keep
+      (1L, good + " one", "srcA", "en"),
+      (2L, good + " two", "srcA", "en"),
+      // srcB: the same text twice (exact dup pair) + tiny junk docs
+      // -> dup_rate 0.5 > 0.5 is false, but avg quality collapses
+      (3L, "x", "srcB", "de"),
+      (4L, "x", "srcB", "de"),
+      (5L, "y z", "srcB", "en"),
+      (6L, "w", "srcB", "fr"))
+      .toDF("doc_id", "text", "source", "lang")
+    val out = TextAnalysis.sourceQuality(
+      docs, "doc_id", "text", "source", "lang")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("srcA")
+    assert(a.getAs[Long]("n_docs") == 2L)
+    assert(a.getAs[Double]("dup_rate") == 0.0)
+    assert(a.getAs[Double]("en_share") == 1.0)
+    assert(a.getAs[Double]("avg_quality") >= 40.0)
+    assert(a.getAs[String]("decision") == "keep")
+    val b = out("srcB")
+    assert(b.getAs[Long]("n_docs") == 4L)
+    // docs 3 and 4 share a hash -> 2 of 4 docs are dups
+    assert(b.getAs[Double]("dup_rate") == 0.5)
+    assert(b.getAs[Double]("en_share") == 0.25)
+    // quality: n_chars <= 100 (0) + tokens < 20 (5) + stop 0 + div 15
+    assert(b.getAs[Double]("avg_quality") == 20.0)
+    assert(b.getAs[String]("decision") == "drop")
+  }
+
   test("lmScore: hand-computed add-alpha bigram log-probs") {
     import spark.implicits._
     // corpus bigrams: "a b" x3 (docs 1,1,2), "b a" x1 (doc 1)
