@@ -278,11 +278,14 @@ object TextAnalysis {
     *
     * Scale shape: ONE corpus scan computes the per-doc narrow frame
     * (quality components + text hash — the text itself is dropped
-    * immediately); duplicate hashes come from a map-side-combined
-    * aggregate OF that frame; the flag join and the source rollup
-    * key on hash/source respectively. The per-doc frame is cached —
-    * it feeds both the dup aggregate and the rollup (caller owns
-    * lifecycle, see graft.Caching).
+    * immediately); the duplicate flag is a count window PARTITIONED
+    * BY the hash over that frame — deliberately NOT a join against a
+    * dup-hash set: the dup set is unbounded by contract (a 30%-dup
+    * corpus makes it corpus-scale), so a broadcast probe would only
+    * look cheap at test scale — the exact fact-broadcast trap the
+    * plan audit pins out. The pipeline is linear: scan → hash-keyed
+    * window → source-keyed rollup; two exchanges total, no join, no
+    * cache needed.
     *
     * Cross-engine protocol: the decision thresholds compare the
     * ROUNDED aggregates, so a last-ulp drift in an average can never
@@ -296,19 +299,18 @@ object TextAnalysis {
     val perDoc = qualityScore(
       docs.withColumn("text_hash", md5(col(textCol))),
       idCol, textCol, passThrough = Seq(srcCol, langCol, "text_hash"))
-      .cache()
-    val dupHashes = perDoc.groupBy(col("text_hash"))
-      .agg(count(lit(1)).as("cnt")).where(col("cnt") > 1)
-      .select(col("text_hash"), lit(1.0).as("is_dup"))
-    val rolled = perDoc.join(dupHashes, Seq("text_hash"), "left")
+    val flagged = perDoc.withColumn("is_dup",
+      when(count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("text_hash")))
+        > 1, 1.0).otherwise(0.0))
+    val rolled = flagged
       .groupBy(col(srcCol))
       .agg(
         count(lit(1)).as("n_docs"),
         round(avg(col("quality")) + lit(1e-9), 4).as("avg_quality"),
         round(avg(when(col("quality") >= goodMin, 1.0).otherwise(0.0))
           + lit(1e-9), 4).as("good_share"),
-        round(avg(coalesce(col("is_dup"), lit(0.0))) + lit(1e-9), 4)
-          .as("dup_rate"),
+        round(avg(col("is_dup")) + lit(1e-9), 4).as("dup_rate"),
         round(avg(when(col(langCol) === "en", 1.0).otherwise(0.0))
           + lit(1e-9), 4).as("en_share"))
     rolled

@@ -95,9 +95,9 @@ object TextQueries {
        |    (sc.len_score + sc.tok_score + sc.stop_score + sc.div_score)
        |      AS quality
        |  FROM documents d JOIN sc USING (doc_id)),
-       |dh AS (SELECT h FROM dq GROUP BY h HAVING count(*) > 1),
-       |fl AS (SELECT dq.*, CASE WHEN dh.h IS NULL THEN 0.0 ELSE 1.0 END
-       |    AS is_dup FROM dq LEFT JOIN dh USING (h)),
+       |fl AS (SELECT dq.*,
+       |    CASE WHEN count(*) OVER (PARTITION BY h) > 1 THEN 1.0
+       |      ELSE 0.0 END AS is_dup FROM dq),
        |ag AS (SELECT source, count(*)::BIGINT AS n_docs,
        |    round(avg(quality) + 0.000000001, 4) AS avg_quality,
        |    round(avg(CASE WHEN quality >= 40 THEN 1.0 ELSE 0.0 END)

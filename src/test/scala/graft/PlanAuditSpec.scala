@@ -132,4 +132,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       "benchmark gram membership probe must broadcast, not shuffle the corpus")
   }
+
+  test("ev_props_agg is one scan + one aggregate (JSON never shuffles)") {
+    val plan = planOf("ev_props_agg")
+    // the from_json extraction must stay a narrow projection over the
+    // single events scan feeding one hash aggregate — a second scan
+    // or a join would mean the JSON string crossed an exchange
+    assert(plan.linesIterator.count(_.contains("events.parquet")) == 1,
+      s"expected a single events scan:\n$plan")
+    assert(!plan.contains("Join"), s"no join expected:\n$plan")
+    // map-side partial + final — exactly one HASH exchange (the
+    // output-ordering range exchange is the oracle contract)
+    assert(plan.linesIterator.count(_.contains("hashpartitioning")) == 1,
+      s"expected exactly one hash exchange:\n$plan")
+  }
+
+  test("txt_lm_score derives the model from the cached bigram counts") {
+    val plan = planOf("txt_lm_score")
+    // the (doc, bigram, cnt) frame is cached and feeds the model CTEs
+    // AND the scoring join — without it the tokenize+explode pipeline
+    // re-runs per consumer (the documents scan would appear 3+ times)
+    assert(plan.linesIterator.count(_.contains("InMemoryTableScan")) >= 2,
+      s"expected cached bigram frame on both sides:\n$plan")
+  }
+
+  test("src_quality is linear: one scan, hash window, rollup — no join") {
+    val plan = planOf("src_quality")
+    // the dup flag is a count window partitioned by text hash, NOT a
+    // join against a dup-hash set (which is unbounded by contract and
+    // would broadcast only at test scale)
+    assert(plan.linesIterator.count(_.contains("documents.parquet")) == 1,
+      s"expected one documents scan:\n$plan")
+    assert(!plan.contains("Join"), s"no join expected:\n$plan")
+    assert(plan.contains("Window"), s"expected the dup-count window:\n$plan")
+  }
 }
