@@ -64,6 +64,30 @@ object StreamingAggs {
   def runningCounts(events: DataFrame): DataFrame =
     events.groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
 
+  /** Streaming twin of Events.propsAgg: typed JSON extraction from
+    * the schemaless props payload inside a windowed aggregation —
+    * from_json is a pure codegen'd projection, so it composes with
+    * watermarked incremental aggregation exactly like any column
+    * (the point the spec pins: impose schema at read time on an
+    * unbounded source, malformed rows null out, state stays bounded
+    * by the watermark).
+    */
+  def windowedPropsAgg(
+      events: DataFrame, windowDur: String, watermarkDelay: String,
+      bucketWidth: Long = 25L): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .withColumn("k",
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+          .getField("k"))
+      .withColumn("k_bucket", expr(s"k div $bucketWidth"))
+      .groupBy(window(col("ts"), windowDur), col("event_type"),
+        col("k_bucket"))
+      .agg(count(lit(1)).as("n_events"), sum(col("k")).as("sum_k"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("k_bucket"), col("n_events"), col("sum_k"))
+
   /** Stream-stream interval join: pair each click with the
     * impressions the same user saw in the `window` before it. Both
     * sides carry watermarks and the join condition bounds event-time

@@ -44,6 +44,46 @@ class StreamingSpec extends SparkSpec {
     assert(rows(("2024-01-01 01:00:00.0", "view")) == (1L, 3.0))
   }
 
+  test("windowedPropsAgg extracts typed JSON inside the windowed agg") {
+    val sql = spark.sqlContext
+    import spark.implicits._
+    implicit val ctx = sql
+
+    val input = MemoryStream[(Timestamp, String, String)]
+    val events = input.toDF().toDF("ts", "event_type", "props")
+
+    val agg = StreamingAggs.windowedPropsAgg(events, "1 hour", "10 minutes")
+    val query = agg.writeStream
+      .format("memory")
+      .queryName("props_agg_test")
+      .outputMode(OutputMode.Append())
+      .start()
+
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    input.addData(
+      (t(1, 5), "click", """{"k": 10}"""),
+      (t(1, 30), "click", """{"k": 30}"""),
+      (t(1, 45), "view", "not json")) // malformed -> null k bucket
+    query.processAllAvailable()
+    input.addData((t(3, 0), "click", """{"k": 1}"""))
+    query.processAllAvailable()
+    input.addData((t(5, 0), "click", """{"k": 1}"""))
+    query.processAllAvailable()
+
+    val rows = spark.table("props_agg_test").collect()
+      .map(r => (r.getAs[Timestamp]("window_start").toString,
+        r.getAs[String]("event_type"),
+        if (r.isNullAt(2)) -1L else r.getLong(2)) ->
+        (r.getAs[Long]("n_events"),
+          if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    query.stop()
+
+    // k=10 -> bucket 0; k=30 -> bucket 1; malformed -> null bucket
+    assert(rows(("2024-01-01 01:00:00.0", "click", 0L)) == (1L, 10L))
+    assert(rows(("2024-01-01 01:00:00.0", "click", 1L)) == (1L, 30L))
+    assert(rows(("2024-01-01 01:00:00.0", "view", -1L)) == (1L, -1L))
+  }
+
   test("sessionizeStream closes sessions inline and by event-time timeout") {
     val sql = spark.sqlContext
     import spark.implicits._
