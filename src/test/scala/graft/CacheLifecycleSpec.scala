@@ -23,7 +23,9 @@ class CacheLifecycleSpec extends SparkSpec {
     "pack_shards", "vs_centroid_sim", "vs_similar_papers",
     "deg_network", "deg_hub", "sc_markers", "deg_validate",
     "bm25_search", "emb_tfidf_topk", "ev_funnel", "decontam_ngram",
-    "dedup_cluster", "rerank_fused")
+    "dedup_cluster", "rerank_fused",
+    "deg_centrality", // Stats.centrality's deg cache (r10)
+    "txt_lm_score") // lmScore's dbg + cg caches (r10)
 
   test("each caching operator leaves zero net cached plans after the " +
     "documented lifecycle call") {
