@@ -109,6 +109,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r2.isNullAt(r2.fieldIndex("top_bigram_frac")))
   }
 
+  test("lmScore and sourceQuality are partition-invariant") {
+    import spark.implicits._
+    val docs = (1L to 40L).map { i =>
+      (i, s"tok${i % 7} tok${i % 5} tok${i % 3} tok${i % 7} end",
+        s"src${i % 4}", if (i % 3 == 0) "en" else "de")
+    }.toDF("doc_id", "text", "source", "lang")
+    def canon(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val lm1 = TextAnalysis.lmScore(docs.repartition(7), "doc_id", "text")
+    val lm2 = TextAnalysis.lmScore(docs.coalesce(1), "doc_id", "text")
+    assert(canon(lm1.collect()) == canon(lm2.collect()))
+    val sq1 = TextAnalysis.sourceQuality(
+      docs.repartition(7), "doc_id", "text", "source", "lang")
+    val sq2 = TextAnalysis.sourceQuality(
+      docs.coalesce(1), "doc_id", "text", "source", "lang")
+    assert(canon(sq1.collect()) == canon(sq2.collect()))
+  }
+
   test("sourceQuality: dup rate, shares, and threshold decisions") {
     import spark.implicits._
     val good = "the quick brown fox jumps over the lazy dog and then " +
