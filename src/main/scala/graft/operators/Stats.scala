@@ -201,12 +201,12 @@ object Stats {
     *
     * Scale design: the node/edge frames are panel-bounded upstream
     * (correlationEdges caps the pair space at maxFeatures²), so every
-    * per-round join is panel-scale; the incidence list is
-    * localCheckpoint-ed once (read 2 per round) and each round's x is
-    * eagerly checkpointed, truncating lineage exactly like
-    * connectedComponents — no plan grows with the round count. Only
-    * aggregates of panel frames reach broadcast; nothing touches the
-    * driver.
+    * per-round join is panel-scale; the edge generator is
+    * localCheckpoint-ed once (the incidence/self-loop unions are
+    * narrow reads of it) and each round's x is eagerly checkpointed,
+    * truncating lineage exactly like connectedComponents — no plan
+    * grows with the round count. Only the ≤panel iterate and 1-row
+    * aggregates reach broadcast; nothing touches the driver.
     */
   def centrality(edges: DataFrame, iters: Int = 8): DataFrame = {
     // materialize the (possibly expensive) edge generator ONCE — the
