@@ -464,4 +464,33 @@ class SingleCellSpec extends SparkSpec {
     assert(math.abs(ab.getDouble(ab.fieldIndex("score")) -
       math.sqrt(3.0 * 2.0)) < 1e-6)
   }
+
+  test("ploidy threshold swap point: percentile_approx tracks exact") {
+    // inferPloidy pins EXACT percentile() for oracle parity and marks
+    // percentile_approx as the atlas-scale substitution — this spec
+    // is the swap's contract: on a ploidy-score-shaped distribution
+    // (unimodal, no atoms at the threshold), the approx quantile with
+    // the default accuracy lands within the labeling tolerance, so
+    // substituting it shifts no cell across the q75/q90 boundaries
+    // except those within ~0.1% of them.
+    import spark.implicits._
+    // deterministic skewed scores: i^1.5 scaled — strictly monotone,
+    // 10k distinct values (no ties to hide approx error behind)
+    val scores = (1 to 10000)
+      .map(i => math.pow(i.toDouble, 1.5) / 1e4).toDF("s")
+    val row = scores.agg(
+      org.apache.spark.sql.functions.expr("percentile(s, 0.90)"),
+      org.apache.spark.sql.functions.expr(
+        "percentile_approx(s, 0.90, 10000)"),
+      org.apache.spark.sql.functions.expr("percentile(s, 0.75)"),
+      org.apache.spark.sql.functions.expr(
+        "percentile_approx(s, 0.75, 10000)")).head()
+    val (e90, a90, e75, a75) =
+      (row.getDouble(0), row.getDouble(1), row.getDouble(2),
+        row.getDouble(3))
+    assert(math.abs(a90 - e90) / e90 < 1e-3,
+      s"q90 approx $a90 vs exact $e90")
+    assert(math.abs(a75 - e75) / e75 < 1e-3,
+      s"q75 approx $a75 vs exact $e75")
+  }
 }
