@@ -178,4 +178,113 @@ object Pq {
       .orderBy(col("adc_sim").desc_nulls_last, col(idCol))
       .limit(k)
   }
+
+  /** IVF-PQ index: coarse spherical cells (the retrieval-metric
+    * codebook, as in annIvf) + L2-PQ codes of the RESIDUAL
+    * v − coarse_centroid — residuals concentrate around zero, so the
+    * same sub-codebooks quantize them far more finely than raw
+    * vectors (the standard FAISS IVFPQ layout). Returns
+    * (coarse, books, codes): codes carry the coarse cell so queries
+    * prune to probed cells before any scoring.
+    */
+  def ivfPqBuild(
+      vectors: DataFrame, idCol: String, vecCol: String, dim: Int,
+      nCells: Int, m: Int, k: Int, iters: Int): (DataFrame, DataFrame, DataFrame) = {
+    val coarse = VectorSearch.lloydCentroids(
+      vectors, idCol, vecCol, nCells, iters)
+    val assigned = VectorSearch.assignCells(
+      vectors, coarse, idCol, vecCol, "cell")
+    // residuals: one broadcast join against the tiny coarse codebook
+    // — materialized once (localCheckpoint) because PQ training
+    // scans it m × iters times
+    val residuals = assigned
+      .join(broadcast(coarse.withColumnRenamed("centroid", "ccent")),
+        Seq("cell"))
+      .select(col(idCol), col("cell"),
+        zip_with(VectorFns.asDouble(col(vecCol)), col("ccent"),
+          (x, c) => x - c).as("resid"))
+      .localCheckpoint()
+    val books = train(residuals, idCol, "resid", dim, m, k, iters)
+    val codes = encode(residuals, books, idCol, "resid", dim, m)
+      .join(residuals.select(col(idCol), col("cell")), Seq(idCol))
+    (coarse, books, codes)
+  }
+
+  /** IVF-PQ query: probe the nprobe coarse cells nearest the query
+    * (cosine, like annIvf), then ADC-score ONLY the codes in probed
+    * cells against per-cell lookup tables. The reconstruction is
+    * v̂ = c_cell + recon(codes), so cos(q, v̂) needs three
+    * per-(cell, sub, code) terms — q·book, ‖book‖², and the cross
+    * term c_cell,s·book — all broadcast as one nested map built from
+    * a probed-cells × books cross (nprobe·m·k rows, tiny). Corpus
+    * side: ONE semi-join prune on cell + the code fold; raw vectors
+    * are never read.
+    */
+  def ivfPqTopK(
+      codes: DataFrame, coarse: DataFrame, books: DataFrame,
+      query: DataFrame, idCol: String, queryVecCol: String, dim: Int,
+      m: Int, nprobe: Int, k: Int): DataFrame = {
+    val dsub = dim / m
+    val q = query.select(VectorFns.asDouble(col(queryVecCol)).as("q"))
+    val pb = coarse.crossJoin(broadcast(q))
+      .select(col("cell").as("pcell"), col("centroid").as("pcent"),
+        VectorFns.dot(col("centroid"), col("q")).as("qc"),
+        VectorFns.normSq(col("centroid")).as("cnsq"),
+        (VectorFns.dot(col("centroid"), col("q")) /
+          nullif(VectorFns.l2Norm(col("centroid")), lit(0.0))).as("rank"))
+      .orderBy(col("rank").desc_nulls_last, col("pcell"))
+      .limit(nprobe)
+    // per-(cell, sub, code) terms — nprobe·m·k rows, all tiny frames:
+    // dotq = q_s·book, nsq = ‖book‖², crossc = c_cell,s·book
+    val bk = books.select(col("sub"), col("cell").as("code"),
+      col("centroid").as("bcent"))
+    val entries = pb.crossJoin(bk).crossJoin(broadcast(q))
+      .select(col("pcell"), col("sub"), col("code"),
+        struct(
+          VectorFns.dot(col("bcent"),
+            slice(col("q"), col("sub") * dsub + 1, lit(dsub))).as("dotq"),
+          VectorFns.normSq(col("bcent")).as("nsq"),
+          VectorFns.dot(col("bcent"),
+            slice(col("pcent"), col("sub") * dsub + 1, lit(dsub)))
+            .as("crossc")).as("e"))
+    val tbl = entries.groupBy(col("pcell"), col("sub"))
+      .agg(map_from_entries(collect_list(struct(col("code"), col("e"))))
+        .as("t"))
+      .groupBy(col("pcell"))
+      .agg(map_from_entries(collect_list(struct(col("sub"), col("t"))))
+        .as("st"))
+    val cellMeta = tbl
+      .join(pb.select(col("pcell"), col("qc"), col("cnsq")), Seq("pcell"))
+      .agg(map_from_entries(collect_list(struct(col("pcell"),
+        struct(col("st"), col("qc"), col("cnsq"))))).as("cells"))
+    val qn = q.select(VectorFns.l2Norm(col("q")).as("qnrm"))
+    codes
+      // probed-cell prune: a broadcast semi of ≤ nprobe keys — the
+      // IVF win; unprobed codes never reach the fold
+      .join(broadcast(pb.select(col("pcell").as("cell"))), Seq("cell"))
+      .crossJoin(broadcast(cellMeta))
+      .crossJoin(broadcast(qn))
+      .withColumn("cm", element_at(col("cells"), col("cell")))
+      .withColumn("acc", aggregate(
+        sequence(lit(0), lit(m - 1)),
+        struct(lit(0.0).as("dsum"), lit(0.0).as("nsum"),
+          lit(0.0).as("csum")),
+        (acc, s) => {
+          val e = element_at(element_at(col("cm").getField("st"), s),
+            element_at(col("codes"), s + 1))
+          struct(
+            (acc.getField("dsum") + e.getField("dotq")).as("dsum"),
+            (acc.getField("nsum") + e.getField("nsq")).as("nsum"),
+            (acc.getField("csum") + e.getField("crossc")).as("csum"))
+        }))
+      // cos(q, c + recon) = (q·c + Σdotq) /
+      //   (‖q‖ · sqrt(‖c‖² + 2·Σcrossc + Σnsq))
+      .select(col(idCol),
+        round((col("cm").getField("qc") + col("acc").getField("dsum")) /
+          nullif(col("qnrm") * sqrt(col("cm").getField("cnsq") +
+            lit(2.0) * col("acc").getField("csum") +
+            col("acc").getField("nsum")), lit(0.0)), 6).as("ivfpq_sim"))
+      .orderBy(col("ivfpq_sim").desc_nulls_last, col(idCol))
+      .limit(k)
+  }
 }

@@ -95,4 +95,38 @@ class PqSpec extends SparkSpec {
     info(f"recall@10: m=8,k=64 -> $r8x64%.2f; m=8,k=16 -> $r8x16%.2f; " +
       f"m=4,k=16 -> $r4x16%.2f")
   }
+
+  test("IVF-PQ: residual coding + probing tracks exact retrieval") {
+    val emb = Tables.embeddings(spark, d).cache()
+    val query = emb.where(col("vec_id") === 7L)
+      .select(col("embedding").as("qe"))
+    val exact10 = VectorSearch.denseTopK(emb, query,
+      "vec_id", "embedding", "qe", 10)
+      .collect().map(_.getLong(0)).toSet
+    val (coarse, books, codes) = Pq.ivfPqBuild(
+      emb, "vec_id", "embedding", Dim, nCells = 8, m = 8, k = 64,
+      iters = 2)
+    codes.cache().count()
+    def recallAt(nprobe: Int): Double = {
+      val got = Pq.ivfPqTopK(codes, coarse, books, query,
+        "vec_id", "qe", Dim, 8, nprobe, 10)
+        .collect().map(_.getLong(0)).toSet
+      (got & exact10).size / 10.0
+    }
+    val r2 = recallAt(2)
+    val rAll = recallAt(8)
+    // probing every cell removes the IVF loss — only PQ loss remains,
+    // and residual coding must do no worse than raw-vector PQ at the
+    // same (m, k) (measured equal-or-better on this corpus)
+    assert(rAll >= 0.55, s"recall@10 all-cells = $rAll")
+    assert(rAll >= r2, s"recall fell with MORE probes: all=$rAll r2=$r2")
+    // the probe prune is real: nprobe=2 scores a strict subset of
+    // rows (cells carry ~1/4 of the corpus each here)
+    val probedRows = Pq.ivfPqTopK(codes, coarse, books, query,
+      "vec_id", "qe", Dim, 8, 2, 1000).count()
+    assert(probedRows < emb.count(),
+      s"nprobe=2 should prune: scored $probedRows of ${emb.count()}")
+    info(f"IVF-PQ recall@10: nprobe=2 -> $r2%.2f; all cells -> $rAll%.2f" +
+      s"; nprobe=2 scored $probedRows/${emb.count()} rows")
+  }
 }
