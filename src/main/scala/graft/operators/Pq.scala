@@ -179,6 +179,54 @@ object Pq {
       .limit(k)
   }
 
+  /** Scalar quantization (FAISS SQ8): per-dimension [min, max] range
+    * over the corpus, each component → one byte
+    * code = floor(((v − mn) / (mx − mn)) · 255), reconstruction at
+    * the bucket midpoint mn + (code + 0.5)·(mx − mn)/256 — 4× smaller
+    * than float32 with no codebook to train. Unlike PQ (kmeans
+    * weights → spec-only), SQ8 is pure deterministic arithmetic, so
+    * the demo query is ORACLE-CHECKED end to end: both engines
+    * compute the identical IEEE-double expression (same
+    * parenthesization both sides), making even the floor() bucket
+    * boundaries bit-identical.
+    *
+    * Scale shape: the range is one map-side-combined per-dimension
+    * min/max aggregate (d rows out); encode and reconstruct are
+    * narrow zip_with folds against the broadcast d-row range array;
+    * scoring reuses denseTopK on the reconstructed column
+    * (asymmetric: the query stays uncompressed, like ADC).
+    */
+  def sq8TopK(
+      vectors: DataFrame, query: DataFrame, idCol: String,
+      vecCol: String, qVec: String, k: Int,
+      extraCols: Seq[String] = Nil): DataFrame = {
+    val stats = vectors
+      .select(posexplode(col(vecCol)).as(Seq("i", "v")))
+      .groupBy(col("i"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val statsArr = stats.agg(transform(
+      array_sort(collect_list(struct(col("i"), col("mn"), col("mx")))),
+      x => struct(x.getField("mn").as("mn"), x.getField("mx").as("mx")))
+      .as("rng"))
+    val codes = vectors.crossJoin(broadcast(statsArr))
+      .select(col(idCol) +: extraCols.map(col) :+
+        zip_with(col(vecCol), col("rng"), (v, r) => {
+          val mn = r.getField("mn").cast("double")
+          val mx = r.getField("mx").cast("double")
+          when(mx > mn,
+            floor(((v.cast("double") - mn) / (mx - mn)) * lit(255.0)))
+            .otherwise(0L)
+        }).as("codes"): _*)
+    val recon = codes.crossJoin(broadcast(statsArr))
+      .withColumn("recon", zip_with(col("codes"), col("rng"), (c, r) => {
+        val mn = r.getField("mn").cast("double")
+        val mx = r.getField("mx").cast("double")
+        mn + (c.cast("double") + lit(0.5)) * (mx - mn) / lit(256.0)
+      }))
+    VectorSearch.denseTopK(recon, query, idCol, "recon", qVec, k,
+      extraCols)
+  }
+
   /** IVF-PQ index: coarse spherical cells (the retrieval-metric
     * codebook, as in annIvf) + L2-PQ codes of the RESIDUAL
     * v − coarse_centroid — residuals concentrate around zero, so the

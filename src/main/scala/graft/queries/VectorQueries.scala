@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFns
-import graft.operators.{Bm25, Fusion, Precision, RankEval, Validate, VectorSearch}
+import graft.operators.{Bm25, Fusion, Pq, Precision, RankEval, Validate, VectorSearch}
 
 /** Vector + sparse + hybrid search queries (the reference's retrieval
   * surface re-expressed on Spark). All scores double-precision,
@@ -36,6 +36,45 @@ object VectorQueries {
       |         sum(ce[i]::DOUBLE * ce[i]::DOUBLE) AS na,
       |         sum(qe[i]::DOUBLE * qe[i]::DOUBLE) AS nb
       |       FROM ex GROUP BY vec_id, label)
+      |SELECT vec_id, label, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos_sim
+      |FROM dt ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin
+
+  /* ---------------- vs_sq8_topk ---------------- */
+
+  /** Dense top-k over SQ8-compressed vectors (Pq.sq8TopK): the
+    * oracle-checked member of the compression family — per-dim
+    * byte codes, midpoint reconstruction, asymmetric cosine. The
+    * oracle replays the identical IEEE arithmetic, so even the
+    * floor() bucket boundaries hash-match.
+    */
+  private def sq8TopK(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+    Pq.sq8TopK(emb.where(col("vec_id") =!= 0), q,
+      "vec_id", "embedding", "qe", 20, Seq("label"))
+  }
+
+  private val sq8TopKSql =
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |ex0 AS (SELECT e.vec_id, e.label, e.embedding AS ce,
+      |         unnest(generate_series(1, len(e.embedding))) AS i
+      |       FROM embeddings e WHERE e.vec_id <> 0),
+      |ev AS (SELECT vec_id, label, i, ce[i]::DOUBLE AS v FROM ex0),
+      |st AS (SELECT i, min(v) AS mn, max(v) AS mx FROM ev GROUP BY i),
+      |cd AS (SELECT ev.vec_id, ev.label, ev.i,
+      |         CASE WHEN st.mx > st.mn
+      |           THEN floor(((ev.v - st.mn) / (st.mx - st.mn)) * 255.0)::BIGINT
+      |           ELSE 0 END AS code
+      |       FROM ev JOIN st USING (i)),
+      |rc AS (SELECT cd.vec_id, cd.label, cd.i,
+      |         st.mn + (cd.code::DOUBLE + 0.5) * (st.mx - st.mn) / 256.0 AS r
+      |       FROM cd JOIN st USING (i)),
+      |qx AS (SELECT qe, unnest(generate_series(1, len(qe))) AS i FROM q),
+      |qv AS (SELECT i, qe[i]::DOUBLE AS qv FROM qx),
+      |dt AS (SELECT rc.vec_id, rc.label,
+      |         sum(rc.r * qv.qv) AS dot, sum(rc.r * rc.r) AS na,
+      |         sum(qv.qv * qv.qv) AS nb
+      |       FROM rc JOIN qv USING (i) GROUP BY rc.vec_id, rc.label)
       |SELECT vec_id, label, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos_sim
       |FROM dt ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin
 
@@ -1140,6 +1179,7 @@ object VectorQueries {
 
   val defs: Seq[Qdef] = Seq(
     Qdef("vs_dense_topk", denseTopK, Some(denseTopKSql)),
+    Qdef("vs_sq8_topk", sq8TopK, Some(sq8TopKSql)),
     Qdef("vs_filtered_topk", filteredTopK, Some(filteredTopKSql)),
     Qdef("vs_section_topk", sectionTopK, Some(sectionTopKSql)),
     Qdef("vs_knn_join", knnJoin, Some(knnJoinSql)),

@@ -96,6 +96,23 @@ class PqSpec extends SparkSpec {
       f"m=4,k=16 -> $r4x16%.2f")
   }
 
+  test("SQ8: compressed ranking stays close to exact on real data") {
+    val emb = Tables.embeddings(spark, d).cache()
+    val query = emb.where(col("vec_id") === 7L)
+      .select(col("embedding").as("qe"))
+    val corpus = emb.where(col("vec_id") =!= 7L)
+    val exact10 = VectorSearch.denseTopK(corpus, query,
+      "vec_id", "embedding", "qe", 10)
+      .collect().map(_.getLong(0)).toSet
+    val sq10 = Pq.sq8TopK(corpus, query, "vec_id", "embedding", "qe", 10)
+      .collect().map(_.getLong(0)).toSet
+    // 8-bit per-dim quantization is far finer than PQ — near-exact
+    // ranking even on the near-tie synthetic corpus
+    val recall = (sq10 & exact10).size / 10.0
+    assert(recall >= 0.8, s"SQ8 recall@10 = $recall")
+    info(f"SQ8 recall@10 = $recall%.2f")
+  }
+
   test("IVF-PQ: residual coding + probing tracks exact retrieval") {
     val emb = Tables.embeddings(spark, d).cache()
     val query = emb.where(col("vec_id") === 7L)
