@@ -219,6 +219,44 @@ object StatsQueries {
        |$hubCtes
        |SELECT gene, degree FROM hubq ORDER BY degree DESC, gene""".stripMargin
 
+  /* ---------------- deg_direction ---------------- */
+
+  /** Up/down DEG separation (reference: the direction split feeding
+    * agent3's per-direction pathway runs — tests/test_rnaseq_pipeline
+    * .py:148 test_direction_separation): significant genes bucketed
+    * by fold-change sign, with per-bucket count, mean |effect| and
+    * best p. Threshold 0.9 is the DEMO binding constant: the
+    * synthetic quantities carry no real signal (min p_adj ≈ 0.62),
+    * and 0.9 populates all three buckets; production uses 0.05 —
+    * only the constant differs. One aggregate over the deg-stats
+    * frame; groups are ≤ 3 rows.
+    */
+  private val DirPadj = 0.9
+
+  private def degDirection(s: SparkSession, d: String): DataFrame =
+    degStats(s, d)
+      .withColumn("direction",
+        when(col("p_adj") < DirPadj && col("log2_fc") > 0, "up")
+          .when(col("p_adj") < DirPadj && col("log2_fc") < 0, "down")
+          .otherwise("ns"))
+      .groupBy(col("direction"))
+      .agg(count(lit(1)).as("n_genes"),
+        round(avg(col("log2_fc")) + lit(1e-9), 4).as("avg_lfc"),
+        min(col("p_adj")).as("best_padj"))
+      .orderBy(col("direction"))
+
+  private val degDirectionSql =
+    s"""WITH $degStatsCtes,
+       |dr AS (SELECT *,
+       |    CASE WHEN p_adj < $DirPadj AND log2_fc > 0 THEN 'up'
+       |         WHEN p_adj < $DirPadj AND log2_fc < 0 THEN 'down'
+       |         ELSE 'ns' END AS direction
+       |  FROM bh)
+       |SELECT direction, count(*)::BIGINT AS n_genes,
+       |  round(avg(log2_fc) + 0.000000001, 4) AS avg_lfc,
+       |  min(p_adj) AS best_padj
+       |FROM dr GROUP BY direction ORDER BY direction""".stripMargin
+
   /* ---------------- deg_centrality ---------------- */
 
   private val EigIters = 8
@@ -1896,6 +1934,7 @@ object StatsQueries {
     Qdef("deg_network", degNetwork, Some(degNetworkSql)),
     Qdef("deg_hub", degHub, Some(degHubSql)),
     Qdef("deg_centrality", degCentrality, Some(degCentralitySql)),
+    Qdef("deg_direction", degDirection, Some(degDirectionSql)),
     Qdef("sc_markers", scMarkers, Some(scMarkersSql)),
     Qdef("sc_qc", scQc, Some(scQcSql)),
     Qdef("sc_pseudobulk", scPseudobulk, Some(scPseudobulkSql)),
