@@ -156,6 +156,15 @@ class PlanAuditSpec extends SparkSpec {
       s"expected cached bigram frame on both sides:\n$plan")
   }
 
+  test("vs_sq8_topk terminates in TakeOrderedAndProject off the codes") {
+    val plan = planOf("vs_sq8_topk")
+    // the compressed search must keep denseTopK's bounded top-k (no
+    // global sort) and stay Window-free — the range stats fold in as
+    // broadcast arrays, never as a per-row window
+    assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
+    assert(!plan.contains("Window"), s"no Window expected:\n$plan")
+  }
+
   test("src_quality is linear: one scan, hash window, rollup — no join") {
     val plan = planOf("src_quality")
     // the dup flag is a count window partitioned by text hash, NOT a
