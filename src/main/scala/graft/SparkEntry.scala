@@ -17,7 +17,8 @@ object SparkEntry {
       CorpusQueries.defs ++ StatsQueries.defs ++ VariantQueries.defs ++
       NewsQueries.defs ++ GapQueries.defs ++ GraphQueries.defs ++
       CiteQueries.defs ++ BriefQueries.defs ++ DiscoverQueries.defs ++
-      HotTopicQueries.defs ++ MultimodalQueries.defs
+      HotTopicQueries.defs ++ MultimodalQueries.defs ++
+      IntegratedQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Dense top-20 cosine search — the reference's core capability.

@@ -178,11 +178,15 @@ object Events {
 
   /** Semi-structured property extraction + rollup: parse the JSON
     * `props` payload with a TYPED schema (`from_json` — codegen'd
-    * Jackson parse, no UDF, malformed rows → null like DuckDB's
-    * json_extract) and aggregate the extracted numeric per
-    * (event_type, k-bucket). The standard event-instrumentation
-    * pattern: properties stay a schemaless string at ingest, queries
-    * impose the schema they need at read time. ONE narrow projection
+    * Jackson parse, no UDF). STRICT extraction semantics: malformed
+    * JSON, a missing key, a non-integer number and a quoted "12" all
+    * yield NULL (Jackson's typed parse does not coerce) — the DuckDB
+    * oracle replays this with json_valid + a json_type integer gate,
+    * NOT a bare CAST (which would error on malformed JSON and round
+    * '12.5' to 13). Aggregate per (event_type, k-bucket); a null
+    * bucket (unparseable k) sorts NULLS LAST explicitly — Spark's
+    * ascending default is nulls-first, DuckDB's is nulls-last, so
+    * the tie is pinned rather than inherited. ONE narrow projection
     * + one map-side-combined aggregate; the JSON never shuffles —
     * only the extracted long does.
     */
@@ -200,7 +204,7 @@ object Events {
         round(avg(col("k")) + lit(1e-9), 4).as("avg_k"),
         min(col("k")).as("min_k"),
         max(col("k")).as("max_k"))
-      .orderBy(col("event_type"), col("k_bucket"))
+      .orderBy(col("event_type"), col("k_bucket").asc_nulls_last)
 
   /** Daily-count anomaly detection per event_type: z-score of each
     * day's event count against that type's mean/stddev over the whole

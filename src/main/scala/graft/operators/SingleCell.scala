@@ -742,13 +742,22 @@ object SingleCell {
       maxTargets: Int = 100, minCells: Long = 20L,
       minStd: Double = 0.1, minAbsCorr: Double = 0.3,
       maxP: Double = 0.05, topPerType: Int = 50): DataFrame = {
-    val nType = expr.select(col(typeCol), col(cellCol)).distinct()
+    // NOT cached (measured, round 11): nType and roles replay the
+    // caller's upstream subtree, but they run as independent broadcast
+    // subtrees IN PARALLEL with the main pipeline — caching here
+    // serializes stage execution behind the cache fill and measured
+    // ~25% SLOWER at sf0.1 (local[32]); the replayed subtrees are
+    // distinct-projections an order smaller than the matrix.
+    val basis = expr
+      .select(col(typeCol), col(cellCol), col(geneCol),
+        r6(col(valueCol)).as("xr"))
+    val nType = basis.select(col(typeCol), col(cellCol)).distinct()
       .groupBy(col(typeCol))
       .agg(count(lit(1)).cast("double").as("n_cells"))
       .where(col("n_cells") >= minCells.toDouble)
     // roles: curated TFs + the first maxTargets non-TF genes in gene
     // order (the reference's var_names[:500][:100] cap)
-    val roles = expr.select(col(geneCol)).distinct()
+    val roles = basis.select(col(geneCol)).distinct()
       .withColumn("is_tf", col(geneCol).isin(tfs: _*))
       .withColumn("tgt_rank", row_number().over(
         Window.partitionBy(col("is_tf")).orderBy(col(geneCol))))
@@ -756,9 +765,7 @@ object SingleCell {
         col("tgt_rank") <= maxTargets)
       .where(col("is_tf") || col("is_target"))
       .select(col(geneCol), col("is_tf"), col("is_target"))
-    val sub = expr
-      .select(col(typeCol), col(cellCol), col(geneCol),
-        r6(col(valueCol)).as("xr"))
+    val sub = basis
       .join(broadcast(nType), Seq(typeCol))
       .join(broadcast(roles), Seq(geneCol))
     // dense ranks from sparse entries: zeros tie below every present

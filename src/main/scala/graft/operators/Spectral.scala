@@ -36,13 +36,20 @@ object Spectral {
     */
   def laplacianEigenvalues(
       edges: DataFrame, aCol: String, bCol: String,
-      wCol: String): Array[Double] = {
+      wCol: String, maxNodes: Int = 2000): Array[Double] = {
     val rows = edges.select(
       col(aCol).cast("string"), col(bCol).cast("string"),
       col(wCol).cast("double")).collect() // panel-bounded, see header
     val nodes = rows.flatMap(r => Seq(r.getString(0), r.getString(1)))
       .distinct.sorted
     val n = nodes.length
+    // same explicit contract as Stats.closenessCentrality: the
+    // header's panel bound is ENFORCED, not assumed — an unbounded
+    // edge list fails loudly here instead of OOMing the driver on an
+    // n×n dense eigendecomposition
+    require(n <= maxNodes,
+      s"laplacianEigenvalues: $n nodes exceeds maxNodes=$maxNodes — " +
+        "bound the edge list upstream (correlationEdges maxFeatures)")
     if (n == 0) return Array.empty
     val idx = nodes.zipWithIndex.toMap
     val a = DenseMatrix.zeros[Double](n, n)

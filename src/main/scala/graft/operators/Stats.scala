@@ -187,7 +187,9 @@ object Stats {
     * Emits per node: degree, degree_centrality (= degree/(n-1), the
     * nx normalization), betweenness_w (weighted degree normalized by
     * its max — network_enhancer.py:495-498), eigenvector (power
-    * iteration, below).
+    * iteration, below). Edge columns are parameterized
+    * (aCol/bCol/wCol, defaulting to correlationEdges' ga/gb/abs_corr)
+    * like the sibling closenessCentrality, so any edge frame works.
     *
     * Eigenvector centrality runs `iters` FIXED rounds of
     * x' = L2normalize((I + A) x) over the unweighted adjacency,
@@ -208,11 +210,14 @@ object Stats {
     * grows with the round count. Only the ≤panel iterate and 1-row
     * aggregates reach broadcast; nothing touches the driver.
     */
-  def centrality(edges: DataFrame, iters: Int = 8): DataFrame = {
+  def centrality(edges: DataFrame, iters: Int = 8,
+      aCol: String = "ga", bCol: String = "gb",
+      wCol: String = "abs_corr"): DataFrame = {
     // materialize the (possibly expensive) edge generator ONCE — the
     // two mirror branches below would otherwise each re-run it (the
     // same single-materialization rule as connectedComponents' pairs)
-    val e = edges.select(col("ga"), col("gb"), col("abs_corr"))
+    val e = edges.select(col(aCol).as("ga"), col(bCol).as("gb"),
+      col(wCol).as("abs_corr"))
       .localCheckpoint()
     // undirected incidence list; read by the degree agg + every round
     // (narrow union over the materialized edges — no second

@@ -81,15 +81,25 @@ object EventQueries {
   private def evPropsAgg(s: SparkSession, d: String): DataFrame =
     Events.propsAgg(Tables.events(s, d), PropsBucket)
 
+  // the json_valid + json_type gate mirrors Spark's strict typed
+  // from_json: malformed JSON, missing key, float k and quoted "12"
+  // all -> NULL (a bare CAST would ERROR on malformed props and
+  // round '12.5' to 13); NULLS LAST pins the k_bucket null ordering
+  // both engines' defaults disagree on
   private val evPropsAggSql =
     s"""WITH e AS (SELECT event_type,
-       |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+       |    CASE WHEN json_valid(props)
+       |        AND json_type(json_extract(props, '$$.k'))
+       |          IN ('BIGINT', 'UBIGINT')
+       |      THEN CAST(json_extract_string(props, '$$.k') AS BIGINT)
+       |      END AS k
        |  FROM events)
        |SELECT event_type, k // $PropsBucket AS k_bucket,
        |  count(*)::BIGINT AS n_events, sum(k)::BIGINT AS sum_k,
        |  round(avg(k) + 0.000000001, 4) AS avg_k,
        |  min(k) AS min_k, max(k) AS max_k
-       |FROM e GROUP BY 1, 2 ORDER BY event_type, k_bucket""".stripMargin
+       |FROM e GROUP BY 1, 2
+       |ORDER BY event_type, k_bucket NULLS LAST""".stripMargin
 
   /* ---------------- ev_funnel ---------------- */
 

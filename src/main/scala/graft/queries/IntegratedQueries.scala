@@ -1,0 +1,296 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{IntegratedDriver, Variants}
+
+/** Oracle bindings for the integrated multi-omics driver stage
+  * (reference: rnaseq_pipeline/agents/singlecell/
+  * agent_integrated_driver.py). The four evidence frames are the
+  * SAME pipelines graft already verifies — deg_stats (expression),
+  * deg_hub (network), var_driver/var_summary (mutations) — merged on
+  * a shared 40-symbol gene panel that maps the numeric DEG universe
+  * onto real symbols spanning TSG / oncogene / unknown roles, COSMIC
+  * Tier-1 hits and misses, actionable and non-actionable targets.
+  *
+  * DEMO AMPLIFICATION (binding constants, not operator semantics):
+  * the synthetic quantities carry no real expression signal (|log2FC|
+  * <= 0.13, BH-adjusted p saturates at ~0.9), so the binding feeds
+  * the reference's ladder log2fc * 20 and p_value^2 — at sf0.01 that
+  * populates every magnitude bracket (>2/>1.5/>1) and every
+  * significance bracket (<0.001/<0.01/<0.05); production feeds raw
+  * log2FC/padj — only the binding constants differ (the DirPadj
+  * precedent). Both sides compute the amplified inputs with identical
+  * arithmetic and round to 6dp before the ladder.
+  *
+  * Cross-engine protocol: formatted evidence numbers are rounded
+  * (+1e-9) to the printf precision BEFORE formatting so the two
+  * engines' midpoint rules can never disagree; ordering uses the
+  * rounded score plus the unique gene symbol.
+  */
+object IntegratedQueries {
+
+  /** gene id (0..39) -> symbol. Contains every variant-synth gene
+    * except the four paired-only rares (CALR/MPL/SF3B1/CTNNB1 stay
+    * mutation-only), plus TSG/oncogene/unknown fill so every role
+    * and classification branch is reachable.
+    */
+  private val SymPanel = Seq(
+    "KRAS", "BRAF", "EGFR", "TP53", "PIK3CA", "IDH1", "NRAS",
+    "ERBB2", "JAK2", "DNMT3A", "PTEN", "RB1", "APC", "BRCA1", "MYC",
+    "ALK", "TTN", "MUC16", "NPM1", "VHL", "STK11", "SMAD4", "ATM",
+    "CHEK2", "CDH1", "ARID1A", "BAP1", "FBXW7", "MLH1", "MET", "KIT",
+    "FLT3", "RET", "ROS1", "CCND1", "CDK4", "MDM2", "GAPDH", "ACTB",
+    "B2M")
+
+  private val NGenes = 40 // the deg_stats universe (StatsQueries)
+
+  private def pickSym(idx: Column): Column =
+    SymPanel.zipWithIndex.foldRight(lit("")) { case ((n, i), rest) =>
+      when(idx === i, lit(n)).otherwise(rest)
+    }
+
+  private[queries] def probeDeg(s: SparkSession, d: String): DataFrame =
+    StatsQueries.degStats(s, d).select(
+      pickSym(col("gene")).as("gene_symbol"),
+      round(col("log2_fc") * 20.0 + lit(1e-9), 6).as("log2fc"),
+      round(col("p_value") * col("p_value") + lit(1e-9), 6).as("padj"))
+
+  private[queries] def probeHub(s: SparkSession, d: String): DataFrame =
+    StatsQueries.degHub(s, d).select(
+      pickSym(col("gene")).as("gene_symbol"),
+      (col("degree") / NGenes.toDouble).as("hub_score"))
+
+  private[queries] def probeDrivers(s: SparkSession, d: String): DataFrame =
+    VariantQueries.annotated(s, d).select(
+      col("gene"), col("aa_change"), col("is_hotspot"),
+      round(col("driver_score") + lit(1e-9), 6).as("driver_score"),
+      round(col("vaf") + lit(1e-9), 6).as("vaf"), col("is_driver"))
+
+  private[queries] def probeSummary(s: SparkSession, d: String): DataFrame =
+    VariantQueries.annotated(s, d).where(col("gene") =!= "")
+      .groupBy(col("gene"))
+      .agg(count(lit(1)).cast("long").as("total_mutations"))
+
+  private def integratedDriver(s: SparkSession, d: String): DataFrame =
+    IntegratedDriver.integrate(probeDeg(s, d), probeHub(s, d),
+      probeDrivers(s, d), probeSummary(s, d))
+      .orderBy(desc("confidence_score"), col("gene_symbol"))
+
+  /* ---------------- oracle ---------------- */
+
+  private def sqlIn(items: Seq[String]): String =
+    items.map(g => s"'$g'").mkString("(", ", ", ")")
+
+  private def symCase(idxExpr: String): String =
+    SymPanel.zipWithIndex.map { case (n, i) =>
+      s"WHEN $idxExpr = $i THEN '$n'"
+    }.mkString("CASE ", " ", " ELSE '' END")
+
+  private def drugsCase(take: Option[Int]): String =
+    IntegratedDriver.actionableTargets.map { case (g, ds) =>
+      val v = take.fold(ds)(ds.take).mkString(", ")
+      s"WHEN gene = '$g' THEN '$v'"
+    }.mkString("CASE ", " ", " ELSE '' END")
+
+  private val hpvValues = IntegratedDriver.validatedHotspots
+    .zipWithIndex
+    .map { case ((g, k, src, lvl, kl, kd), i) =>
+      s"('$g', '$k', '$src', '$lvl', '$kl', '$kd', $i)"
+    }.mkString(", ")
+
+  private val integratedDriverSql =
+    s"""WITH degf AS (
+       |  WITH ${StatsQueries.degStatsCtes}
+       |  SELECT ${symCase("gene")} AS gene, TRUE AS has_expr,
+       |    round(log2_fc * 20.0 + 0.000000001, 6) AS lfc,
+       |    round(p_value * p_value + 0.000000001, 6) AS padj
+       |  FROM bh),
+       |hubf AS (
+       |  WITH ${StatsQueries.countMatrixSql},
+       |  ${StatsQueries.corrCtes},
+       |  ${StatsQueries.hubCtes}
+       |  SELECT ${symCase("gene")} AS gene, TRUE AS is_hub,
+       |    degree / $NGenes.0 AS hub_score
+       |  FROM hubq),
+       |vx AS (
+       |  WITH ${VariantQueries.annotCtes}
+       |  SELECT gene, aa_change, is_hotspot,
+       |    round(least(100.0, score) + 0.000000001, 6) AS dscore,
+       |    score >= 50.0 AS is_driver,
+       |    round(vaf + 0.000000001, 6) AS vafr
+       |  FROM sc WHERE gene <> ''),
+       |mutp AS (SELECT upper(gene) AS gene, TRUE AS dm_has,
+       |    count(CASE WHEN is_driver THEN 1 END)::BIGINT AS dm_count,
+       |    max(CASE WHEN is_driver THEN is_hotspot END) AS dm_hotspot,
+       |    max(CASE WHEN is_driver AND is_hotspot THEN aa_change END)
+       |      AS dm_hotspot_variant,
+       |    max(CASE WHEN is_driver THEN dscore END) AS dm_score,
+       |    max(CASE WHEN is_driver THEN vafr END) AS dm_vaf
+       |  FROM vx GROUP BY 1
+       |  HAVING count(CASE WHEN is_driver THEN 1 END) > 0),
+       |sump0 AS (SELECT gene, count(*)::BIGINT AS total_mutations
+       |  FROM vx GROUP BY gene),
+       |sump AS (SELECT upper(gene) AS gene,
+       |    max(total_mutations) AS sm_count
+       |  FROM sump0 GROUP BY 1),
+       |prof AS (SELECT * FROM degf
+       |  FULL JOIN hubf USING (gene)
+       |  FULL JOIN mutp USING (gene)
+       |  FULL JOIN sump USING (gene)),
+       |c1 AS (SELECT gene,
+       |    coalesce(has_expr, FALSE) AS hasx,
+       |    coalesce(is_hub, FALSE) AS hub_f,
+       |    coalesce(dm_has, sm_count > 0, FALSE) AS hasm,
+       |    coalesce(dm_count, sm_count, 0)::BIGINT AS mut_count,
+       |    coalesce(dm_hotspot, FALSE) AS hot_f,
+       |    coalesce(dm_hotspot_variant, '') AS hot_var,
+       |    coalesce(dm_score, 0.0) AS mscore,
+       |    coalesce(dm_vaf, 0.0) AS mvaf,
+       |    coalesce(lfc, 0.0) AS lfcv,
+       |    coalesce(padj, 1.0) AS padjv,
+       |    coalesce(hub_score, 0.0) AS hscore
+       |  FROM prof),
+       |c2 AS (SELECT *,
+       |    CASE WHEN hasx THEN
+       |      CASE WHEN lfcv > 0 THEN 'up' ELSE 'down' END
+       |      ELSE '' END AS dirn,
+       |    CASE WHEN gene IN ${sqlIn(Variants.tsgGenes)} THEN 'TSG'
+       |         WHEN gene IN ${sqlIn(Variants.oncogenes)}
+       |           THEN 'Oncogene'
+       |         ELSE 'Unknown' END AS grole
+       |  FROM c1),
+       |c3 AS (SELECT *,
+       |    CASE WHEN grole = 'Oncogene' THEN dirn = 'up'
+       |         WHEN grole = 'TSG' THEN dirn = 'down'
+       |         ELSE TRUE END AS consistent
+       |  FROM c2),
+       |c4 AS (SELECT *,
+       |    (CASE WHEN hasm THEN least(30.0, mscore * 0.5)
+       |       ELSE 0.0 END)
+       |    + (CASE WHEN hasm AND hot_f THEN 15.0 ELSE 0.0 END)
+       |    + (CASE WHEN hasm AND mvaf >= 0.3 THEN 5.0 ELSE 0.0 END)
+       |    + (CASE WHEN hasx THEN
+       |         CASE WHEN abs(lfcv) > 2 THEN 15.0
+       |              WHEN abs(lfcv) > 1.5 THEN 12.0
+       |              WHEN abs(lfcv) > 1 THEN 8.0 ELSE 0.0 END
+       |       ELSE 0.0 END)
+       |    + (CASE WHEN hasx THEN
+       |         CASE WHEN padjv < 0.001 THEN 10.0
+       |              WHEN padjv < 0.01 THEN 7.0
+       |              WHEN padjv < 0.05 THEN 4.0 ELSE 0.0 END
+       |       ELSE 0.0 END)
+       |    + (CASE WHEN hasx AND consistent AND grole <> 'Unknown'
+       |         THEN 5.0 ELSE 0.0 END)
+       |    + (CASE WHEN hub_f THEN least(15.0, hscore * 25.0)
+       |       ELSE 0.0 END)
+       |    + (CASE WHEN hasm AND hasx THEN 10.0 ELSE 0.0 END) AS raw
+       |  FROM c3),
+       |hpv AS (SELECT * FROM (VALUES $hpvValues)
+       |  t(g, vkey, src, lvl, kl, kd, idx)),
+       |c5 AS (SELECT *, trim(replace(hot_var, 'p.', '')) AS vc
+       |  FROM c4),
+       |c6 AS (SELECT *,
+       |    regexp_extract(vc, '^([A-Z])([0-9]+)', 1) AS vlx,
+       |    regexp_extract(vc, '^([A-Z])([0-9]+)', 2) AS vdx,
+       |    (hot_f AND hot_var <> '') AS attempted
+       |  FROM c5),
+       |mx AS (SELECT c6.gene,
+       |    min(CASE WHEN hpv.vkey = c6.vc THEN idx END) AS ex_idx,
+       |    min(CASE WHEN hpv.kl <> '' AND c6.vlx <> ''
+       |          AND hpv.kl = c6.vlx AND hpv.kd = c6.vdx
+       |        THEN idx END) AS pos_idx
+       |  FROM c6 JOIN hpv ON hpv.g = c6.gene WHERE c6.attempted
+       |  GROUP BY c6.gene),
+       |c7 AS (SELECT c6.*, h2.src AS vsource0, h2.lvl AS vlevel0
+       |  FROM c6 LEFT JOIN mx ON mx.gene = c6.gene
+       |  LEFT JOIN hpv h2 ON h2.idx = coalesce(mx.ex_idx, mx.pos_idx)),
+       |c8 AS (SELECT *,
+       |    (attempted AND vsource0 IS NOT NULL) AS hv,
+       |    gene IN ${sqlIn(IntegratedDriver.cosmicTier1)} AS cosmic,
+       |    CASE WHEN raw >= 80.0 THEN
+       |           CASE WHEN hasm AND hasx THEN 'confirmed_driver'
+       |                ELSE 'high_confidence' END
+       |         WHEN raw >= 60.0 THEN 'high_confidence'
+       |         WHEN raw >= 40.0 THEN 'candidate'
+       |         WHEN hasm THEN 'mutation_only'
+       |         WHEN hasx THEN 'expression_only'
+       |         ELSE 'insufficient_evidence' END AS class0,
+       |    ${drugsCase(None)} AS drugs_full,
+       |    ${drugsCase(Some(3))} AS drugs_top3
+       |  FROM c7),
+       |c9 AS (SELECT *,
+       |    CASE WHEN hv THEN vsource0 ELSE '' END AS vsource,
+       |    CASE WHEN hv THEN vlevel0 ELSE '' END AS vlevel,
+       |    (hv OR cosmic) AS dbv,
+       |    (class0 = 'confirmed_driver' AND NOT (hv OR cosmic))
+       |      AS downgraded,
+       |    round(least(100.0, raw) + 0.000000001, 6) AS score
+       |  FROM c8)
+       |SELECT gene AS gene_symbol,
+       |  CASE WHEN downgraded THEN 'high_confidence' ELSE class0 END
+       |    AS classification,
+       |  score AS confidence_score,
+       |  hasm AS has_mutation, mut_count AS mutation_count,
+       |  hot_f AS is_hotspot, hot_var AS hotspot_variant,
+       |  round(mscore + 0.000000001, 6) AS mutation_driver_score,
+       |  round(mvaf + 0.000000001, 6) AS mutation_vaf,
+       |  hasx AS has_expression_change,
+       |  round(lfcv + 0.000000001, 6) AS log2fc,
+       |  round(padjv + 0.000000001, 6) AS padj,
+       |  dirn AS direction, hub_f AS is_hub_gene,
+       |  round(hscore + 0.000000001, 6) AS hub_score,
+       |  grole AS gene_role, consistent AS role_consistent,
+       |  CASE WHEN cosmic THEN 'Tier1' ELSE '' END AS cosmic_tier,
+       |  vlevel AS oncokb_level, dbv AS db_validated,
+       |  hv AS hotspot_validated,
+       |  CASE WHEN hv THEN vsource WHEN cosmic THEN 'COSMIC_Tier1'
+       |    ELSE '' END AS validation_sources,
+       |  trim((CASE WHEN attempted AND NOT hv
+       |      THEN '⚠️ Hotspot ' || hot_var ||
+       |        ' not found in COSMIC/OncoKB validated list'
+       |      ELSE '' END)
+       |    || (CASE WHEN downgraded
+       |      THEN ' Classification downgraded: no external DB validation'
+       |      ELSE '' END)) AS validation_notes,
+       |  (drugs_full <> '') AS is_actionable,
+       |  drugs_full AS actionable_drugs,
+       |  concat_ws('; ',
+       |    CASE WHEN hasm THEN 'Driver mutation detected (score: ' ||
+       |      round(mscore + 0.000000001, 0)::BIGINT::VARCHAR || ')' END,
+       |    CASE WHEN hasm AND hot_f
+       |      THEN 'Hotspot mutation: ' || hot_var END,
+       |    CASE WHEN hasm AND mvaf >= 0.3 THEN 'High VAF (' ||
+       |      printf('%.1f', round(mvaf * 100.0 + 0.000000001, 1)) ||
+       |      '%) - likely clonal' END,
+       |    CASE WHEN hasx THEN 'Differential expression: log2FC=' ||
+       |      printf('%.2f', round(lfcv + 0.000000001, 2)) ||
+       |      ', padj=' || printf('%.2e', padjv) END,
+       |    CASE WHEN hasx AND consistent AND grole <> 'Unknown'
+       |      THEN 'Expression consistent with ' || grole ||
+       |        ' role (' || dirn || ')' END,
+       |    CASE WHEN hub_f THEN 'Network hub gene (score: ' ||
+       |      printf('%.2f', round(hscore + 0.000000001, 2)) || ')' END,
+       |    CASE WHEN hasm AND hasx
+       |      THEN 'Multi-omic evidence (mutation + expression)' END,
+       |    CASE WHEN hv THEN '✓ Hotspot validated: ' || vsource ||
+       |      ' (Level ' || vlevel || ')' END,
+       |    CASE WHEN attempted AND NOT hv
+       |      THEN '⚠️ Hotspot ' || hot_var ||
+       |        ' not found in COSMIC/OncoKB validated list' END,
+       |    CASE WHEN cosmic THEN '✓ COSMIC Tier1 cancer gene' END,
+       |    CASE WHEN drugs_full <> ''
+       |      THEN '△ Curated drugs (not DGIdb validated): ' ||
+       |        drugs_top3 END,
+       |    CASE WHEN downgraded THEN '⚠️ Downgraded to ' ||
+       |      'high_confidence: external validation required for ' ||
+       |      'confirmed_driver' END) AS evidence
+       |FROM c9
+       |WHERE score >= 20.0
+       |ORDER BY confidence_score DESC, gene_symbol""".stripMargin
+
+  val defs: Seq[Qdef] = Seq(
+    Qdef("integrated_driver", integratedDriver,
+      Some(integratedDriverSql)))
+}

@@ -24,7 +24,7 @@ object StatsQueries {
     * per gene at sf0.01, the large-sample regime the normal
     * approximation expects.
     */
-  private def degStats(s: SparkSession, d: String): DataFrame =
+  private[queries] def degStats(s: SparkSession, d: String): DataFrame =
     Stats.diffStats(
       Tables.lineitem(s, d).select(
         pmod(col("l_partkey"), lit(NGenes)).cast("long").as("gene"),
@@ -85,7 +85,7 @@ object StatsQueries {
 
   // the full deg-stats pipeline as a reusable WITH body (deg_enrich
   // builds its DEG list from the same CTEs)
-  private val degStatsCtes =
+  private[queries] val degStatsCtes =
     s"""sm AS (SELECT (l_partkey % $NGenes)::BIGINT AS gene,
        |    l_returnflag AS cohort, l_quantity::DOUBLE AS v
        |  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
@@ -122,7 +122,7 @@ object StatsQueries {
         round(col("log2_cpm") + lit(1e-9), 6).as("log2_cpm"))
       .orderBy(col("sample_id"), col("gene"))
 
-  private val countMatrixSql =
+  private[queries] val countMatrixSql =
     s"""cm AS (SELECT (l_suppkey % $NSamples)::BIGINT AS sample_id,
        |    (l_partkey % $NGenes)::BIGINT AS gene,
        |    sum(l_quantity::DOUBLE) AS raw_count
@@ -176,7 +176,7 @@ object StatsQueries {
       "gene", "sample_id", "log2_cpm", MinAbsCorr)
       .orderBy(col("ga"), col("gb"))
 
-  private val corrCtes =
+  private[queries] val corrCtes =
     s"""lg AS (SELECT sample_id AS s, gene,
        |    ln(cpm + 1.0) / ln(2.0) AS v FROM cpm),
        |mm AS (SELECT a.gene AS ga, b.gene AS gb, count(*)::DOUBLE AS n,
@@ -200,7 +200,7 @@ object StatsQueries {
   /** Hub genes by degree centrality over the thresholded edges
     * (agent2_network.py:207/:257 analog).
     */
-  private def degHub(s: SparkSession, d: String): DataFrame =
+  private[queries] def degHub(s: SparkSession, d: String): DataFrame =
     Stats.hubFeatures(
       Stats.correlationEdges(normalized(s, d),
         "gene", "sample_id", "log2_cpm", MinAbsCorr),
@@ -208,7 +208,7 @@ object StatsQueries {
       .select(col("feature").as("gene"), col("degree"))
 
   // hub computation as reusable CTEs (assumes corrCtes' `ed` in scope)
-  private val hubCtes =
+  private[queries] val hubCtes =
     s"""dg AS (SELECT ga AS gene FROM ed UNION ALL SELECT gb FROM ed),
        |hubq AS (SELECT gene, count(*)::BIGINT AS degree FROM dg
        |  GROUP BY gene ORDER BY degree DESC, gene LIMIT $HubN)""".stripMargin
@@ -1431,14 +1431,20 @@ object StatsQueries {
     val sparsity = Tables.lineitem(s, d).select(
       pmod(col("l_orderkey"), lit(QcCells)).cast("long").as("cell_id"),
       gid.cast("long").as("gid")).distinct()
-    val ex = sparsity.select(col("cell_id"),
+    // cell_type is a pure function of cell_id (the tmeTypes residue
+    // case), so it projects inline — joining the tmeTypes frame here
+    // would re-scan lineitem a second time for the identical cell
+    // universe (both key l_orderkey % QcCells) just to recompute it
+    val name = TmeTypeNames.zipWithIndex.foldRight(lit("")) {
+      case ((n, i), rest) =>
+        when(pmod(col("cell_id"), lit(TmeTypeNames.size)) === i, lit(n))
+          .otherwise(rest)
+    }
+    val ex = sparsity.select(name.as("ct"), col("cell_id"),
       concat(when(col("gid") < QcMitoGenes, lit("MT-")).otherwise(lit("G")),
         col("gid").cast("string")).as("gene"),
       (pmod(col("cell_id") * (lit(1) + pmod(col("gid"), lit(5))), lit(101))
         + lit(1.0)).cast("double").as("x"))
-      .join(tmeTypes(s, d), Seq("cell_id"))
-      .select(col("cell_type").as("ct"), col("cell_id"), col("gene"),
-        col("x"))
     SingleCell.grnEdges(ex, "ct", "cell_id", "gene", "x", GrnTfs)
       .orderBy(col("ct"), col("rnk"))
   }

@@ -109,6 +109,14 @@ object VariantQueries {
       pick(pmod(vid * 13 + 1, lit(7)), OkbLevels).as("oncokb_level"))
   }
 
+  /** The annotated variant frame (shared with IntegratedQueries —
+    * the integrated-driver binding consumes the same variant pipeline
+    * output the reference's driver_mutations.csv / mutation_summary
+    * .csv carry).
+    */
+  private[queries] def annotated(s: SparkSession, d: String): DataFrame =
+    Variants.annotate(synth(s, d))
+
   private def varDriver(s: SparkSession, d: String): DataFrame =
     Variants.annotate(synth(s, d))
       .select(col("variant_key"), col("gene"), col("aa_change"),
@@ -140,7 +148,7 @@ object VariantQueries {
     * the chain cannot drift between them. Generated from the SAME
     * panel constants the operator uses.
     */
-  private val annotCtes: String = {
+  private[queries] val annotCtes: String = {
     val hpValues = Variants.hotspotRows
       .map { case (g, pk, va) => s"('$g', '$pk', '$va')" }
       .mkString(", ")

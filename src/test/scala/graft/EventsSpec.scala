@@ -126,4 +126,26 @@ class EventsSpec extends SparkSpec {
     assert(vNull.getAs[Long]("n_events") == 2L)
     assert(vNull.isNullAt(vNull.fieldIndex("sum_k")))
   }
+
+  test("propsAgg strict-parse parity with the oracle's json_type " +
+    "gate: float and quoted k null out; null bucket sorts LAST") {
+    // pins the exact cases the DuckDB oracle's json_valid+json_type
+    // guard encodes: integer token -> value, float token -> null,
+    // quoted "12" -> null, malformed -> null, negative ok
+    val rows = Seq(
+      (1L, "t", """{"k": 12}"""),
+      (2L, "t", """{"k": 12.5}"""),
+      (3L, "t", """{"k": "12"}"""),
+      (4L, "t", "nope"),
+      (5L, "t", """{"k": -3}"""))
+      .toDF("event_id", "event_type", "props")
+    val out = Events.propsAgg(rows, bucketWidth = 25L).collect()
+    val buckets = out.map(r =>
+      (if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        r.getAs[Long]("n_events"))).toSeq
+    // -3 div 25 = 0 — Spark's div and DuckDB's // BOTH truncate
+    // toward zero on integers (verified), so 12 and -3 share bucket
+    // 0; 12.5/"12"/malformed coalesce into the null bucket, LAST
+    assert(buckets == Seq(Some(0L) -> 2L, None -> 3L))
+  }
 }
