@@ -753,4 +753,113 @@ object Stats {
         col("cancer_type_match"), col("pathway_count"),
         col("interpretation_score"), col("confidence"))
   }
+
+  /** Count-matrix type profiling — the reference pipeline's entry
+    * gate re-expressed over long-form matrices (reference:
+    * rnaseq_pipeline/utils/data_type_detector.py — sample-count
+    * ladder at :175 _check_matrix_shape with
+    * SINGLECELL_MIN_SAMPLES=500 / BULK_MAX_SAMPLES=200 at :32,
+    * sparsity ladder at :274 _check_matrix_characteristics, score
+    * combination + confidence + recommended pipeline at :58 detect).
+    * The file-format and metadata-column sniffing legs (:146/:239)
+    * are filesystem IO, out of scope — a lakehouse matrix has no
+    * .h5ad side files; shape and density are the transferable
+    * signals, reported alongside value-range / integer-fraction
+    * diagnostics.
+    *
+    * Input: long-form entries (matrixCol, sampleCol, featureCol,
+    * valueCol) — one row per PRESENT matrix cell; absent (sample,
+    * feature) pairs are implicit zeros, so sparsity counts them as
+    * zeros without densifying. Deliberate deviation: the reference
+    * samples the first 1000 CSV rows for the sparsity check
+    * (:289 nrows=1000) — a head() has no deterministic distributed
+    * meaning, so the profile aggregates the WHOLE matrix (strictly
+    * more signal, one pass).
+    *
+    * Scale: ONE hash aggregate per matrix (two distinct-counts
+    * expand the input 3×, map-side partials throughout), then
+    * per-row codegen'd ladders on the matrices-cardinality frame. At
+    * 100 TB the cost is exactly one profile pass over the entries.
+    */
+  def matrixProfile(
+      entries: DataFrame, matrixCol: String, sampleCol: String,
+      featureCol: String, valueCol: String,
+      scMinSamples: Long = 500L,
+      bulkMaxSamples: Long = 200L): DataFrame = {
+    val agg = entries.groupBy(col(matrixCol).as("matrix_id"))
+      .agg(
+        countDistinct(col(sampleCol)).cast("long").as("n_samples"),
+        countDistinct(col(featureCol)).cast("long").as("n_genes"),
+        count(when(col(valueCol) =!= 0.0, lit(1))).cast("long")
+          .as("n_nonzero"),
+        round(avg(when(col(valueCol) === floor(col(valueCol)), 1.0)
+          .otherwise(0.0)) + lit(1e-9), 4).as("frac_integer"),
+        round(min(col(valueCol)) + lit(1e-9), 6).as("v_min"),
+        round(max(col(valueCol)) + lit(1e-9), 6).as("v_max"))
+    // dense-cell sparsity: implicit zeros = n_samples*n_genes minus
+    // present nonzeros; compared ROUNDED on both engines
+    val c1 = agg.select(col("*"),
+      round((col("n_samples") * col("n_genes") - col("n_nonzero"))
+        .cast("double") /
+        (col("n_samples") * col("n_genes")).cast("double") * 100.0
+        + lit(1e-9), 4).as("sparsity_pct"))
+    val c2 = c1.select(col("*"),
+      when(col("n_samples") >= scMinSamples, 4L).otherwise(0L)
+        .as("shape_sc"),
+      when(col("n_samples") < scMinSamples &&
+        col("n_samples") <= bulkMaxSamples, 4L).otherwise(0L)
+        .as("shape_bulk"),
+      when(col("sparsity_pct") > 80.0, 2L).otherwise(0L)
+        .as("spar_sc"),
+      when(col("sparsity_pct") < 30.0, 2L).otherwise(0L)
+        .as("spar_bulk"))
+    val c3 = c2.select(col("*"),
+      (col("shape_sc") + col("spar_sc")).as("score_singlecell"),
+      (col("shape_bulk") + col("spar_bulk")).as("score_bulk"))
+    val c4 = c3.select(col("*"),
+      when(col("score_singlecell") + col("score_bulk") === 0L,
+        "unknown")
+        .when(col("score_singlecell") > col("score_bulk"),
+          "singlecell")
+        .otherwise("bulk").as("data_type"),
+      when(col("score_singlecell") + col("score_bulk") === 0L, 0.0)
+        .otherwise(round(
+          greatest(col("score_singlecell"), col("score_bulk"))
+            .cast("double") /
+            (col("score_singlecell") + col("score_bulk"))
+              .cast("double") + lit(1e-9), 4)).as("confidence"))
+    c4.select(
+      col("matrix_id"), col("n_samples"), col("n_genes"),
+      col("n_nonzero"), col("sparsity_pct"), col("frac_integer"),
+      col("v_min"), col("v_max"), col("score_bulk"),
+      col("score_singlecell"), col("data_type"), col("confidence"),
+      when(col("shape_sc") > 0L, concat(
+        col("n_samples").cast("string"),
+        lit(s" samples/cells (>=$scMinSamples → likely single-cell)")))
+        .when(col("shape_bulk") > 0L, concat(
+          col("n_samples").cast("string"),
+          lit(s" samples (<=$bulkMaxSamples → likely bulk)")))
+        .otherwise(concat(col("n_samples").cast("string"),
+          lit(" samples (ambiguous range)"))).as("shape_evidence"),
+      when(col("spar_sc") > 0L, concat(lit("High sparsity ("),
+        format_string("%.1f",
+          round(col("sparsity_pct") + lit(1e-9), 1)),
+        lit("% zeros) → likely single-cell")))
+        .when(col("spar_bulk") > 0L, concat(lit("Low sparsity ("),
+          format_string("%.1f",
+            round(col("sparsity_pct") + lit(1e-9), 1)),
+          lit("% zeros) → likely bulk")))
+        .otherwise(concat(lit("Moderate sparsity ("),
+          format_string("%.1f",
+            round(col("sparsity_pct") + lit(1e-9), 1)),
+          lit("% zeros)"))).as("sparsity_evidence"),
+      when(col("data_type") === "singlecell",
+        "SingleCellAgent (Scanpy 1-Step)")
+        .when(col("data_type") === "bulk" && col("n_samples") >= 6L,
+          "Bulk 6-Agent Pipeline (DESeq2 2-Step)")
+        .when(col("data_type") === "bulk",
+          "Bulk Pre-computed (Fold Change only, samples < 6)")
+        .otherwise("Unknown - Manual selection required")
+        .as("recommended_pipeline"))
+  }
 }

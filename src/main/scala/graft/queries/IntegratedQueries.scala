@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{IntegratedDriver, Variants}
+import graft.operators.{IntegratedDriver, Stats, Variants}
 
 /** Oracle bindings for the integrated multi-omics driver stage
   * (reference: rnaseq_pipeline/agents/singlecell/
@@ -77,6 +77,139 @@ object IntegratedQueries {
     IntegratedDriver.integrate(probeDeg(s, d), probeHub(s, d),
       probeDrivers(s, d), probeSummary(s, d))
       .orderBy(desc("confidence_score"), col("gene_symbol"))
+
+  /* ---------------- mx_profile ---------------- */
+
+  /** Four synthetic long-form matrices chosen so every detector
+    * branch fires at sf0.01 (data_type_detector.py analog —
+    * Stats.matrixProfile): 'bulk' 20×40 dense summed-quantity counts
+    * (≤200 samples + <30% zeros → bulk, DESeq2 pipeline), 'scm'
+    * 600×100 with a 10%-of-cells residue filter (≥500 cells + >80%
+    * zeros → singlecell, Scanpy), 'ambig' 300×40 at ~50% fill (no
+    * shape score, moderate sparsity → unknown), 'tiny' 4×40 dense
+    * (bulk but <6 samples → the fold-change-only pipeline).
+    */
+  private def mxEntries(s: SparkSession, d: String): DataFrame = {
+    val li = graft.Tables.lineitem(s, d)
+    val bulk = li
+      .groupBy(pmod(col("l_suppkey"), lit(20)).cast("long").as("s"),
+        pmod(col("l_partkey"), lit(40)).cast("long").as("g"))
+      .agg(sum(col("l_quantity").cast("double")).as("v"))
+      .select(lit("bulk").as("mx"), col("s"), col("g"), col("v"))
+    val scm = li
+      .select(pmod(col("l_orderkey"), lit(600)).cast("long").as("s"),
+        pmod(col("l_partkey"), lit(100)).cast("long").as("g"))
+      .where(pmod(col("s") * 7 + col("g"), lit(10)) === 0)
+      .distinct()
+      .select(lit("scm").as("mx"), col("s"), col("g"),
+        (pmod(col("s") * 3 + col("g"), lit(7)) + 1).cast("double")
+          .as("v"))
+    val ambig = li
+      .select(pmod(col("l_orderkey"), lit(300)).cast("long").as("s"),
+        pmod(col("l_partkey"), lit(40)).cast("long").as("g"))
+      .where(pmod(col("s") + col("g"), lit(2)) === 0)
+      .distinct()
+      .select(lit("ambig").as("mx"), col("s"), col("g"),
+        (pmod(col("s"), lit(4)) / lit(2.0) + lit(0.5)).as("v"))
+    val tiny = li
+      .groupBy(pmod(col("l_suppkey"), lit(4)).cast("long").as("s"),
+        pmod(col("l_partkey"), lit(40)).cast("long").as("g"))
+      .agg(sum(col("l_quantity").cast("double")).as("v"))
+      .select(lit("tiny").as("mx"), col("s"), col("g"), col("v"))
+    bulk.unionAll(scm).unionAll(ambig).unionAll(tiny)
+  }
+
+  private def mxProfile(s: SparkSession, d: String): DataFrame =
+    Stats.matrixProfile(mxEntries(s, d), "mx", "s", "g", "v")
+      .orderBy(col("matrix_id"))
+
+  private val mxProfileSql =
+    s"""WITH mxb AS (SELECT 'bulk' AS mx,
+       |    (l_suppkey % 20)::BIGINT AS s, (l_partkey % 40)::BIGINT AS g,
+       |    sum(l_quantity::DOUBLE) AS v
+       |  FROM lineitem GROUP BY 2, 3),
+       |mxs0 AS (SELECT DISTINCT (l_orderkey % 600)::BIGINT AS s,
+       |    (l_partkey % 100)::BIGINT AS g
+       |  FROM lineitem
+       |  WHERE ((l_orderkey % 600) * 7 + (l_partkey % 100)) % 10 = 0),
+       |mxs AS (SELECT 'scm' AS mx, s, g,
+       |    ((s * 3 + g) % 7 + 1)::DOUBLE AS v FROM mxs0),
+       |mxa0 AS (SELECT DISTINCT (l_orderkey % 300)::BIGINT AS s,
+       |    (l_partkey % 40)::BIGINT AS g
+       |  FROM lineitem
+       |  WHERE ((l_orderkey % 300) + (l_partkey % 40)) % 2 = 0),
+       |mxa AS (SELECT 'ambig' AS mx, s, g,
+       |    (s % 4) / 2.0 + 0.5 AS v FROM mxa0),
+       |mxt AS (SELECT 'tiny' AS mx,
+       |    (l_suppkey % 4)::BIGINT AS s, (l_partkey % 40)::BIGINT AS g,
+       |    sum(l_quantity::DOUBLE) AS v
+       |  FROM lineitem GROUP BY 2, 3),
+       |ents AS (SELECT * FROM mxb UNION ALL SELECT * FROM mxs
+       |  UNION ALL SELECT * FROM mxa UNION ALL SELECT * FROM mxt),
+       |pr AS (SELECT mx AS matrix_id,
+       |    count(DISTINCT s)::BIGINT AS n_samples,
+       |    count(DISTINCT g)::BIGINT AS n_genes,
+       |    count(CASE WHEN v <> 0.0 THEN 1 END)::BIGINT AS n_nonzero,
+       |    round(avg(CASE WHEN v = floor(v) THEN 1.0 ELSE 0.0 END)
+       |      + 0.000000001, 4) AS frac_integer,
+       |    round(min(v) + 0.000000001, 6) AS v_min,
+       |    round(max(v) + 0.000000001, 6) AS v_max
+       |  FROM ents GROUP BY 1),
+       |p1 AS (SELECT *,
+       |    round((n_samples * n_genes - n_nonzero)::DOUBLE
+       |      / (n_samples * n_genes)::DOUBLE * 100.0
+       |      + 0.000000001, 4) AS sparsity_pct
+       |  FROM pr),
+       |p2 AS (SELECT *,
+       |    (CASE WHEN n_samples >= 500 THEN 4 ELSE 0 END)::BIGINT
+       |      AS shape_sc,
+       |    (CASE WHEN n_samples < 500 AND n_samples <= 200 THEN 4
+       |      ELSE 0 END)::BIGINT AS shape_bulk,
+       |    (CASE WHEN sparsity_pct > 80.0 THEN 2 ELSE 0 END)::BIGINT
+       |      AS spar_sc,
+       |    (CASE WHEN sparsity_pct < 30.0 THEN 2 ELSE 0 END)::BIGINT
+       |      AS spar_bulk
+       |  FROM p1),
+       |p3 AS (SELECT *,
+       |    (shape_sc + spar_sc)::BIGINT AS score_singlecell,
+       |    (shape_bulk + spar_bulk)::BIGINT AS score_bulk
+       |  FROM p2),
+       |p4 AS (SELECT *,
+       |    CASE WHEN score_singlecell + score_bulk = 0 THEN 'unknown'
+       |         WHEN score_singlecell > score_bulk THEN 'singlecell'
+       |         ELSE 'bulk' END AS data_type,
+       |    CASE WHEN score_singlecell + score_bulk = 0 THEN 0.0
+       |      ELSE round(greatest(score_singlecell, score_bulk)::DOUBLE
+       |        / (score_singlecell + score_bulk)::DOUBLE
+       |        + 0.000000001, 4) END AS confidence
+       |  FROM p3)
+       |SELECT matrix_id, n_samples, n_genes, n_nonzero, sparsity_pct,
+       |  frac_integer, v_min, v_max, score_bulk, score_singlecell,
+       |  data_type, confidence,
+       |  CASE WHEN shape_sc > 0 THEN n_samples::VARCHAR ||
+       |      ' samples/cells (>=500 → likely single-cell)'
+       |    WHEN shape_bulk > 0 THEN n_samples::VARCHAR ||
+       |      ' samples (<=200 → likely bulk)'
+       |    ELSE n_samples::VARCHAR || ' samples (ambiguous range)'
+       |    END AS shape_evidence,
+       |  CASE WHEN spar_sc > 0 THEN 'High sparsity (' ||
+       |      printf('%.1f', round(sparsity_pct + 0.000000001, 1)) ||
+       |      '% zeros) → likely single-cell'
+       |    WHEN spar_bulk > 0 THEN 'Low sparsity (' ||
+       |      printf('%.1f', round(sparsity_pct + 0.000000001, 1)) ||
+       |      '% zeros) → likely bulk'
+       |    ELSE 'Moderate sparsity (' ||
+       |      printf('%.1f', round(sparsity_pct + 0.000000001, 1)) ||
+       |      '% zeros)' END AS sparsity_evidence,
+       |  CASE WHEN data_type = 'singlecell'
+       |      THEN 'SingleCellAgent (Scanpy 1-Step)'
+       |    WHEN data_type = 'bulk' AND n_samples >= 6
+       |      THEN 'Bulk 6-Agent Pipeline (DESeq2 2-Step)'
+       |    WHEN data_type = 'bulk'
+       |      THEN 'Bulk Pre-computed (Fold Change only, samples < 6)'
+       |    ELSE 'Unknown - Manual selection required'
+       |    END AS recommended_pipeline
+       |FROM p4 ORDER BY matrix_id""".stripMargin
 
   /* ---------------- oracle ---------------- */
 
@@ -292,5 +425,6 @@ object IntegratedQueries {
 
   val defs: Seq[Qdef] = Seq(
     Qdef("integrated_driver", integratedDriver,
-      Some(integratedDriverSql)))
+      Some(integratedDriverSql)),
+    Qdef("mx_profile", mxProfile, Some(mxProfileSql)))
 }
