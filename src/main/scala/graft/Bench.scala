@@ -50,6 +50,10 @@ object Bench {
         System.gc()
         (dt, ok)
       }
+      // stderr progress (stdout stays the single-JSON-line driver
+      // contract): long sweeps at larger SFs are otherwise opaque
+      System.err.println(String.format(java.util.Locale.ROOT,
+        "[bench] %s %.2f s", name, Double.box(runs.map(_._1).min)))
       name -> runs
     }
     // a query that threw reports null (not its near-zero wall time) so

@@ -227,6 +227,75 @@ object Pq {
       extraCols)
   }
 
+  /** IVF + SQ8 — the pragmatic lake-scale default at moderate dims:
+    * coarse cells prune the corpus to nprobe/K (the IVF win) and the
+    * survivors score against 4×-compressed SQ8 codes with midpoint
+    * reconstruction (the FAISS `IVF<K>,SQ8` index). Unlike IVF-PQ
+    * (kmeans codebooks → spec-only), every step here is
+    * deterministic IEEE arithmetic — per-dim min/max range, floor()
+    * bucketing, probe ranking on rounded cosine — so the demo query
+    * is ORACLE-CHECKED end to end like vs_sq8_topk.
+    *
+    * Scale shape: the range is ONE map-side-combined per-dimension
+    * min/max aggregate (d rows, broadcast back); assignment is
+    * assignCells' zero-exchange broadcast fold; codes (the stored
+    * index: id, cell, d bytes) are built in the same narrow pass; at
+    * query time a broadcast semi of ≤ nprobe cell keys prunes before
+    * any reconstruction — raw vectors are never read by the query
+    * path.
+    */
+  def ivfSq8TopK(
+      candidates: DataFrame, query: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, qVec: String, groupCol: String,
+      nprobe: Int, k: Int): DataFrame = {
+    // trained scalar quantizer: corpus-wide per-dim [mn, mx]
+    val stats = candidates
+      .select(posexplode(col(vecCol)).as(Seq("i", "v")))
+      .groupBy(col("i"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val statsArr = stats.agg(transform(
+      array_sort(collect_list(struct(col("i"), col("mn"), col("mx")))),
+      x => struct(x.getField("mn").as("mn"), x.getField("mx").as("mx")))
+      .as("rng"))
+    // stored index rows: (id, cell, codes)
+    val assigned = VectorSearch.assignCells(
+      candidates, centroids, idCol, vecCol, groupCol)
+    val codes = assigned.crossJoin(broadcast(statsArr))
+      .select(col(idCol), col(groupCol),
+        zip_with(col(vecCol), col("rng"), (v, r) => {
+          val mn = r.getField("mn").cast("double")
+          val mx = r.getField("mx").cast("double")
+          when(mx > mn,
+            floor(((v.cast("double") - mn) / (mx - mn)) * lit(255.0)))
+            .otherwise(0L)
+        }).as("codes"))
+    // probe: nprobe cells nearest the query (rounded cosine, cell
+    // tiebreak — annIvf's ranking)
+    val cents = centroids
+      .select(col(groupCol).as("cgroup"), col("centroid"))
+      .withColumn("gnrm", VectorFns.l2Norm(col("centroid")))
+    val q = query.select(col(qVec))
+      .withColumn("qnrm", VectorFns.l2Norm(col(qVec)))
+    val probed = cents.crossJoin(broadcast(q))
+      .withColumn("pcos", round(VectorFns.cosinePrenormed(
+        col("centroid"), col(qVec), col("gnrm"), col("qnrm")), 6))
+      .orderBy(col("pcos").desc_nulls_last, col("cgroup"))
+      .limit(nprobe)
+      .select(col("cgroup").as(groupCol))
+    // probed codes only -> midpoint reconstruction -> asymmetric
+    // cosine (query uncompressed, like ADC)
+    val recon = codes
+      .join(broadcast(probed), Seq(groupCol))
+      .crossJoin(broadcast(statsArr))
+      .withColumn("recon", zip_with(col("codes"), col("rng"), (c, r) => {
+        val mn = r.getField("mn").cast("double")
+        val mx = r.getField("mx").cast("double")
+        mn + (c.cast("double") + lit(0.5)) * (mx - mn) / lit(256.0)
+      }))
+    VectorSearch.denseTopK(recon, query, idCol, "recon", qVec, k,
+      Seq(groupCol))
+  }
+
   /** IVF-PQ index: coarse spherical cells (the retrieval-metric
     * codebook, as in annIvf) + L2-PQ codes of the RESIDUAL
     * v − coarse_centroid — residuals concentrate around zero, so the

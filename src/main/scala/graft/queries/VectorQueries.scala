@@ -433,6 +433,76 @@ object VectorQueries {
        |SELECT vec_id, cell, round(dot / (sqrt(na) * sqrt(qn.ns)), 6) AS cos_sim
        |FROM fd CROSS JOIN qn ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
 
+  /* ---------------- vs_ivf_sq8 ---------------- */
+
+  /** IVF over SQ8 codes (Pq.ivfSq8TopK — the FAISS `IVF,SQ8` index):
+    * SRP sign-code cells seed data-derived centroids (the
+    * vs_ann_ivf_srp device, all-deterministic), the probe prunes to
+    * 3 cells, and survivors score against 4x-compressed byte codes
+    * via midpoint reconstruction. Every step is IEEE-exact
+    * arithmetic, so unlike IVF-PQ this composition is ORACLE-CHECKED
+    * end to end.
+    */
+  private def ivfSq8(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.VectorFns
+    val emb = Tables.embeddings(s, d)
+      .withColumn("cell", VectorFns.signCode(col("embedding"), 4).cast("int"))
+    val centroids = VectorSearch.centroidArrays(emb, "cell", "embedding")
+    val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+    Pq.ivfSq8TopK(emb.select(col("vec_id"), col("embedding")), q,
+      centroids, "vec_id", "embedding", "qe", "cell", nprobe = 3, k = 10)
+  }
+
+  private val ivfSq8Sql =
+    s"""WITH sc0 AS (SELECT vec_id, embedding, ($srpCellSql)::INT AS cell
+       |       FROM embeddings),
+       |le AS (SELECT cell, embedding,
+       |         unnest(generate_series(1, len(embedding))) AS i FROM sc0),
+       |c AS (SELECT cell, i, avg(embedding[i]::DOUBLE) AS v FROM le GROUP BY cell, i),
+       |cn AS (SELECT cell, sum(v * v) AS ns FROM c GROUP BY cell),
+       |ev AS (SELECT vec_id, embedding, unnest(generate_series(1, len(embedding))) AS i
+       |       FROM embeddings),
+       |en AS (SELECT vec_id, sum(embedding[i]::DOUBLE * embedding[i]::DOUBLE) AS ns
+       |       FROM ev GROUP BY vec_id),
+       |ass0 AS (SELECT ev.vec_id, c.cell, sum(ev.embedding[ev.i]::DOUBLE * c.v) AS dot
+       |         FROM ev JOIN c ON ev.i = c.i GROUP BY 1, 2),
+       |ass1 AS (SELECT a.vec_id, a.cell,
+       |           round(a.dot / (sqrt(en.ns) * sqrt(cn.ns)), 6) AS s
+       |         FROM ass0 a JOIN en ON a.vec_id = en.vec_id JOIN cn ON a.cell = cn.cell),
+       |ass AS (SELECT vec_id, cell FROM (
+       |          SELECT vec_id, cell,
+       |            row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell) AS rn
+       |          FROM ass1) WHERE rn = 1),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |qn AS (SELECT sum(x::DOUBLE * x::DOUBLE) AS ns FROM (SELECT unnest(qe) AS x FROM q)),
+       |qc AS (SELECT c.cell, sum(q.qe[c.i]::DOUBLE * c.v) AS dot
+       |       FROM c CROSS JOIN q GROUP BY c.cell),
+       |probe AS (SELECT cell FROM (
+       |            SELECT qc.cell, round(qc.dot / (sqrt(qn.ns) * sqrt(cn.ns)), 6) AS s
+       |            FROM qc CROSS JOIN qn JOIN cn ON qc.cell = cn.cell)
+       |          ORDER BY s DESC, cell LIMIT 3),
+       |sv AS (SELECT i, embedding[i]::DOUBLE AS v FROM ev),
+       |st AS (SELECT i, min(v) AS mn, max(v) AS mx FROM sv GROUP BY i),
+       |cand AS (SELECT e.vec_id, ass.cell, e.embedding
+       |         FROM embeddings e JOIN ass ON e.vec_id = ass.vec_id
+       |         JOIN probe ON ass.cell = probe.cell),
+       |cx AS (SELECT vec_id, cell, embedding,
+       |         unnest(generate_series(1, len(embedding))) AS i FROM cand),
+       |cv AS (SELECT vec_id, cell, i, embedding[i]::DOUBLE AS v FROM cx),
+       |cd AS (SELECT cv.vec_id, cv.cell, cv.i,
+       |         CASE WHEN st.mx > st.mn
+       |           THEN floor(((cv.v - st.mn) / (st.mx - st.mn)) * 255.0)::BIGINT
+       |           ELSE 0 END AS code
+       |       FROM cv JOIN st USING (i)),
+       |rc AS (SELECT cd.vec_id, cd.cell, cd.i,
+       |         st.mn + (cd.code::DOUBLE + 0.5) * (st.mx - st.mn) / 256.0 AS r
+       |       FROM cd JOIN st USING (i)),
+       |fd AS (SELECT rc.vec_id, rc.cell,
+       |         sum(rc.r * q.qe[rc.i]::DOUBLE) AS dot, sum(rc.r * rc.r) AS na
+       |       FROM rc CROSS JOIN q GROUP BY 1, 2)
+       |SELECT vec_id, cell, round(dot / (sqrt(na) * sqrt(qn.ns)), 6) AS cos_sim
+       |FROM fd CROSS JOIN qn ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+
   /* ---------------- bm25_search ---------------- */
 
   private def bm25Search(s: SparkSession, d: String): DataFrame =
@@ -1187,6 +1257,7 @@ object VectorQueries {
     Qdef("vs_similar_papers", similarPapers, Some(similarPapersSql)),
     Qdef("vs_ann_ivf", annIvf, Some(annIvfSql)),
     Qdef("vs_ann_ivf_srp", annIvfSrp, Some(annIvfSrpSql)),
+    Qdef("vs_ivf_sq8", ivfSq8, Some(ivfSq8Sql)),
     Qdef("vs_ann_ivf_batch", annIvfBatch, Some(annIvfBatchSql)),
     Qdef("bm25_search", bm25Search, Some(bm25Sql)),
     Qdef("bm25_synonyms", bm25Synonyms, Some(bm25SynonymsSql)),

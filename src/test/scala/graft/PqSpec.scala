@@ -113,6 +113,54 @@ class PqSpec extends SparkSpec {
     info(f"SQ8 recall@10 = $recall%.2f")
   }
 
+  test("IVF+SQ8: probed byte codes track exact retrieval and prune " +
+    "the corpus") {
+    import graft.functions.VectorFns
+    val emb = Tables.embeddings(spark, d)
+      .withColumn("cell",
+        VectorFns.signCode(col("embedding"), 4).cast("int"))
+      .cache()
+    val centroids = VectorSearch.centroidArrays(emb, "cell", "embedding")
+    val query = emb.where(col("vec_id") === 7L)
+      .select(col("embedding").as("qe"))
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+      .where(col("vec_id") =!= 7L)
+    val exact10 = VectorSearch.denseTopK(corpus, query,
+      "vec_id", "embedding", "qe", 10)
+      .collect().map(_.getLong(0)).toSet
+    // all 16 cells probed -> only SQ8 loss remains (near-exact);
+    // nprobe=3 adds the IVF pruning loss on top
+    val all16 = Pq.ivfSq8TopK(corpus, query, centroids,
+      "vec_id", "embedding", "qe", "cell", nprobe = 16, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val p3 = Pq.ivfSq8TopK(corpus, query, centroids,
+      "vec_id", "embedding", "qe", "cell", nprobe = 3, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val rAll = (all16 & exact10).size / 10.0
+    val r3 = (p3 & exact10).size / 10.0
+    assert(rAll >= 0.8, s"IVF+SQ8 all-cells recall@10 = $rAll")
+    // nprobe=3 loss is the IVF prune's (SRP cells scatter this
+    // synthetic near-tie corpus), NOT the quantizer's: the sharp
+    // contract is that SQ8 costs at most one flip versus the
+    // UNCOMPRESSED IVF at identical cells/nprobe
+    val ivf3 = VectorSearch.annIvf(corpus, query, centroids,
+      "vec_id", "embedding", "qe", "cell", nprobe = 3, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val r3Ivf = (ivf3 & exact10).size / 10.0
+    assert(r3 >= r3Ivf - 0.1,
+      s"SQ8-on-IVF recall $r3 fell more than one flip below " +
+        s"uncompressed IVF $r3Ivf")
+    // the probe must actually prune: scored rows < corpus
+    val scored = Pq.ivfSq8TopK(corpus, query, centroids,
+      "vec_id", "embedding", "qe", "cell", nprobe = 3, k = 100000)
+      .count()
+    assert(scored < corpus.count(),
+      s"nprobe=3 should prune: scored $scored of ${corpus.count()}")
+    info(f"IVF+SQ8 recall@10: all cells -> $rAll%.2f; nprobe=3 -> " +
+      f"$r3%.2f (uncompressed IVF nprobe=3 -> $r3Ivf%.2f); " +
+      f"nprobe=3 scored $scored/${corpus.count()} rows")
+  }
+
   test("IVF-PQ: residual coding + probing tracks exact retrieval") {
     val emb = Tables.embeddings(spark, d).cache()
     val query = emb.where(col("vec_id") === 7L)
