@@ -489,4 +489,79 @@ object Dedup {
       count(lit(1)).over(Window.partitionBy(col("component")))
         .cast("long"))
   }
+
+  /** Cross-document repeated-passage detection (exact-substring dedup
+    * in the style of Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better"): every `windowTokens`-token
+    * sliding window that occurs in >= `minDocs` DISTINCT documents
+    * marks its token span as duplicated; per document the duplicated
+    * spans are union-merged and reported as a token-coverage fraction
+    * plus a keep/trim/drop curation action.
+    *
+    * The suffix-array of the paper is replaced by its Spark-shaped
+    * equivalent: positional window postings grouped by window string.
+    * A fixed window slightly under-counts runs shorter than
+    * `windowTokens` and exactly covers all longer ones — the standard
+    * approximation when the match floor IS the window size.
+    *
+    * Span-union without interval trees: windows all have length w and
+    * starts are scanned in order per doc, so each duplicated start
+    * contributes min(pos - prev_pos, w) new tokens (w for the first)
+    * — a single lag window over (doc) partitions.
+    *
+    * Scale design: this operator NEVER enumerates document pairs —
+    * unlike the pairwise dedup family above, cost is linear in
+    * corpus tokens. Shuffles are (window) keys for the
+    * distinct-doc count + postings join (both partial-aggregated /
+    * co-partitioned from the same child) and (doc) keys for the
+    * coverage window; a boilerplate window shared by millions of
+    * docs is one counter group and w tokens of coverage per doc,
+    * never a candidate-pair blowup.
+    */
+  def repeatedSpans(
+      docs: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int, minDocs: Int = 2,
+      trimFrac: Double = 0.2, dropFrac: Double = 0.8): DataFrame = {
+    val w = windowTokens
+    require(w >= 2, s"repeatedSpans: windowTokens=$w must be >= 2")
+    val base = docs
+      .select(col(idCol), TextFns.wsTokens(col(textCol)).as("tk"))
+      .select(col(idCol), col("tk"), size(col("tk")).as("ntok"))
+    // positional postings (id, pos, sh) — NOT distinct: a window
+    // repeated inside one doc covers both spans
+    val win = base
+      .select(col(idCol),
+        posexplode(TextFns.shinglesOfTokens(col("tk"), w))
+          .as(Seq("pos", "sh")))
+      .cache() // feeds both the df count and the postings join
+    val dupSh = win.groupBy(col("sh"))
+      .agg(countDistinct(col(idCol)).as("dw"))
+      .where(col("dw") >= minDocs)
+      .select(col("sh"))
+    val dup = win.join(dupSh, Seq("sh")).select(col(idCol), col("pos"))
+    val perDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val cov = dup
+      .withColumn("contrib",
+        coalesce(least(col("pos") - lag(col("pos"), 1).over(perDoc),
+          lit(w)), lit(w)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("ndw"), sum(col("contrib")).as("cover"))
+    // dup_frac is rounded BEFORE the action thresholds so Spark and
+    // the oracle classify from the identical 6dp value
+    base.select(col(idCol), col("ntok"))
+      .join(cov, Seq(idCol), "left")
+      .select(col(idCol),
+        col("ntok").cast("long").as("n_tokens"),
+        greatest(col("ntok") - (w - 1), lit(0)).cast("long")
+          .as("n_windows"),
+        coalesce(col("ndw"), lit(0L)).cast("long").as("n_dup_windows"),
+        coalesce(col("cover"), lit(0L)).cast("long")
+          .as("dup_cover_tokens"),
+        round(coalesce(col("cover"), lit(0L)).cast("double") /
+          col("ntok"), 6).as("dup_frac"))
+      .withColumn("action",
+        when(col("dup_frac") >= dropFrac, lit("drop"))
+          .when(col("dup_frac") >= trimFrac, lit("trim"))
+          .otherwise(lit("keep")))
+  }
 }

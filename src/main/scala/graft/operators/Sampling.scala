@@ -89,4 +89,66 @@ object Sampling {
           .orderBy(col("skey"), col(idCol))).cast("long"))
       .drop("skey")
   }
+
+  /** Mixture SOLVER on top of `stratifiedSample`'s hash filter: given
+    * TARGET composition weights per stratum (Pile/DoReMi-style domain
+    * mixing), derive each stratum's sampling rate from the observed
+    * corpus counts instead of hand-tuning constants. Without
+    * upsampling, the largest achievable mixed corpus is
+    * N* = min_s(count_s / w_s); stratum s then samples at rate
+    * N*·w_s / count_s (the binding stratum rides at rate 1.0).
+    *
+    * Returns the per-stratum audit summary: observed count, target
+    * weight, quantized rate cutoff, selected count, and the achieved
+    * composition fraction — the frame a pipeline logs to show the
+    * realized mix vs the spec. Strata absent from `weights` are
+    * excluded (weight 0); weighted strata absent from the corpus drop
+    * out of the solve (their achievable contribution is 0, so they
+    * cannot bind).
+    *
+    * Scale design: counts are one partial-aggregated groupBy on the
+    * stratum key (stratum cardinality = domains, tiny); the weights
+    * table, the 1-row N* aggregate and the derived rates frame all
+    * broadcast, so the corpus-side selection is a narrow
+    * broadcast-join + hash filter directly behind the scan — the
+    * corpus shuffles only once, for the per-stratum selected-count
+    * aggregate (partial agg, domain-cardinality groups).
+    */
+  def mixToWeights(
+      df: DataFrame, strataCol: String, idCol: String,
+      weights: Map[String, Double], salt: String): DataFrame = {
+    require(weights.nonEmpty, "mixToWeights: weights must be non-empty")
+    weights.foreach { case (k, w) =>
+      require(w > 0.0, s"mixToWeights: non-positive weight for $k: $w") }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wdf = weights.toSeq.sortBy(_._1).toDF(strataCol, "target_w")
+    val counts = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_docs"))
+    val wc = counts.join(broadcast(wdf), Seq(strataCol))
+    val nstar = wc.agg(min(col("n_docs") / col("target_w")).as("nstar"))
+    // rate quantized to hash buckets; +1e-9 keeps floor() off the
+    // representation boundary identically in both engines
+    val rates = wc.crossJoin(broadcast(nstar))
+      .withColumn("rate_buckets",
+        floor(least(col("nstar") * col("target_w") / col("n_docs"),
+          lit(1.0)) * lit(Buckets) + lit(1e-9)))
+    val sel = df
+      .join(broadcast(rates.select(col(strataCol), col("rate_buckets"))),
+        Seq(strataCol))
+      .where(bucketOf(col(idCol), salt) < col("rate_buckets"))
+      .groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_selected"))
+    val total = sel.agg(sum(col("n_selected")).as("total_sel"))
+    rates.join(sel, Seq(strataCol), "left")
+      .crossJoin(broadcast(total))
+      .select(col(strataCol),
+        col("n_docs").cast("long").as("n_docs"),
+        round(col("target_w"), 6).as("target_w"),
+        col("rate_buckets").cast("long").as("rate_buckets"),
+        coalesce(col("n_selected"), lit(0L)).cast("long")
+          .as("n_selected"),
+        round(coalesce(col("n_selected"), lit(0L)).cast("double") /
+          col("total_sel") + lit(1e-9), 6).as("achieved_frac"))
+  }
 }

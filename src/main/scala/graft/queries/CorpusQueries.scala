@@ -121,8 +121,60 @@ object CorpusQueries {
        |SELECT doc_id, shard, pos FROM fin ORDER BY shard, pos""".stripMargin
   }
 
+  /* ---------------- corpus_mix ---------------- */
+
+  private val MixWeights: Map[String, Double] =
+    Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1)
+  private val MixWSalt = "mixw-v1"
+
+  /** Mixture-solver binding: target a 40/30/20/10 composition over
+    * four sources. With uniform observed counts the 0.4 source binds
+    * (rate 1.0) and the others derive 0.75/0.5/0.25 — the audit frame
+    * shows the realized mix vs the spec.
+    */
+  private def corpusMix(s: SparkSession, d: String): DataFrame =
+    Sampling.mixToWeights(
+      Tables.documents(s, d).select(col("doc_id"), col("source")),
+      "source", "doc_id", MixWeights, MixWSalt)
+      .orderBy(col("source"))
+
+  private val corpusMixSql = {
+    val vals = MixWeights.toSeq.sorted
+      .map { case (k, w) =>
+        s"(${graft.functions.TextFns.sqlLit(k)}, ${w}::DOUBLE)" }
+      .mkString(", ")
+    val dec = SqlSnippets.hexPrefixDecode(
+      s"md5(doc_id::VARCHAR || '|$MixWSalt')")
+    s"""WITH w(source, target_w) AS (VALUES $vals),
+       |counts AS (SELECT source, count(*)::BIGINT AS n_docs
+       |  FROM documents GROUP BY source),
+       |wc AS (SELECT counts.source, n_docs, target_w
+       |  FROM counts JOIN w ON counts.source = w.source),
+       |ns AS (SELECT min(n_docs / target_w) AS nstar FROM wc),
+       |rates AS (SELECT source, n_docs, target_w,
+       |    floor(least(nstar * target_w / n_docs, 1.0)
+       |      * ${Sampling.Buckets} + 0.000000001)::BIGINT AS rate_buckets
+       |  FROM wc, ns),
+       |b AS (SELECT doc_id, source,
+       |    (($dec) % ${Sampling.Buckets})::BIGINT AS bucket
+       |  FROM documents),
+       |sel AS (SELECT b.source, count(*)::BIGINT AS n_selected
+       |  FROM b JOIN rates ON b.source = rates.source
+       |    AND b.bucket < rates.rate_buckets
+       |  GROUP BY b.source),
+       |tot AS (SELECT sum(n_selected)::BIGINT AS total_sel FROM sel)
+       |SELECT rates.source, n_docs,
+       |  round(target_w, 6) AS target_w, rate_buckets,
+       |  coalesce(n_selected, 0)::BIGINT AS n_selected,
+       |  round(coalesce(n_selected, 0)::DOUBLE / total_sel
+       |    + 0.000000001, 6) AS achieved_frac
+       |FROM rates LEFT JOIN sel ON rates.source = sel.source, tot
+       |ORDER BY rates.source""".stripMargin
+  }
+
   val defs: Seq[Qdef] = Seq(
     Qdef("corpus_latest", corpusLatest, Some(corpusLatestSql)),
     Qdef("sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
-    Qdef("corpus_shuffle", corpusShuffle, Some(corpusShuffleSql)))
+    Qdef("corpus_shuffle", corpusShuffle, Some(corpusShuffleSql)),
+    Qdef("corpus_mix", corpusMix, Some(corpusMixSql)))
 }

@@ -375,6 +375,54 @@ object DedupQueries {
        |FROM ht JOIN pd ON ht.doc_id = pd.doc_id
        |ORDER BY contamination DESC, ht.doc_id""".stripMargin
 
+  /* ---------------- dedup_spans ---------------- */
+
+  private val SpanW = 8
+
+  private def dedupSpans(s: SparkSession, d: String): DataFrame =
+    Dedup.repeatedSpans(Tables.documents(s, d), "doc_id", "text",
+      windowTokens = SpanW)
+      .orderBy(col("doc_id"))
+
+  /** Oracle twin of Dedup.repeatedSpans: positional (non-distinct)
+    * window postings, distinct-doc window counts, lag-based span
+    * union. Position base differs (1-based here vs posexplode's
+    * 0-based) but only deltas reach the coverage math.
+    */
+  private val dedupSpansSql = {
+    val w = SpanW
+    val concat = (0 until w).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+    val fr = s"round(coalesce(cover, 0)::DOUBLE / ntok, 6)"
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+       |  FROM documents),
+       |base AS (SELECT doc_id, len(t) AS ntok FROM toks),
+       |ix AS (SELECT doc_id, t,
+       |    unnest(generate_series(1, len(t) - ${w - 1})) AS i
+       |  FROM toks),
+       |win AS (SELECT doc_id, i AS pos, $concat AS shg FROM ix),
+       |ds AS (SELECT shg FROM (
+       |    SELECT shg, count(DISTINCT doc_id) AS dw FROM win GROUP BY shg)
+       |  WHERE dw >= 2),
+       |dup AS (SELECT win.doc_id, win.pos FROM win JOIN ds ON win.shg = ds.shg),
+       |lg AS (SELECT doc_id, pos,
+       |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+       |  FROM dup),
+       |cov AS (SELECT doc_id, count(*)::BIGINT AS ndw,
+       |    sum(least(coalesce(pos - prev, $w), $w))::BIGINT AS cover
+       |  FROM lg GROUP BY doc_id)
+       |SELECT base.doc_id, ntok::BIGINT AS n_tokens,
+       |  greatest(ntok - ${w - 1}, 0)::BIGINT AS n_windows,
+       |  coalesce(ndw, 0)::BIGINT AS n_dup_windows,
+       |  coalesce(cover, 0)::BIGINT AS dup_cover_tokens,
+       |  $fr AS dup_frac,
+       |  CASE WHEN $fr >= 0.8 THEN 'drop'
+       |       WHEN $fr >= 0.2 THEN 'trim'
+       |       ELSE 'keep' END AS action
+       |FROM base LEFT JOIN cov ON base.doc_id = cov.doc_id
+       |ORDER BY base.doc_id""".stripMargin
+  }
+
   val defs: Seq[Qdef] = Seq(
     Qdef("dedup_exact", dedupExact, Some(dedupExactSql)),
     Qdef("dedup_minhash_lsh", dedupMinhash, Some(dedupMinhashSql)),
@@ -384,5 +432,6 @@ object DedupQueries {
     Qdef("dedup_embcos", dedupEmbCos, Some(dedupEmbCosSql)),
     Qdef("dedup_embcos_mb", dedupEmbCosMb, Some(dedupEmbCosMbSql)),
     Qdef("decontam_ngram", decontamNgram, Some(decontamNgramSql)),
-    Qdef("dedup_cluster", dedupCluster, Some(dedupClusterSql)))
+    Qdef("dedup_cluster", dedupCluster, Some(dedupClusterSql)),
+    Qdef("dedup_spans", dedupSpans, Some(dedupSpansSql)))
 }

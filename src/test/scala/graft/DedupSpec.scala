@@ -104,4 +104,44 @@ class DedupSpec extends SparkSpec {
       Dedup.connectedComponents(path, "da", "db", maxIters = 2).collect()
     }
   }
+
+  test("repeatedSpans merges overlapping windows and classifies coverage") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),             // shares "a b c d" with doc 2
+      (2L, "x x a b c d y z"),
+      (3L, "p q r s t u v w"),             // unique — zero coverage
+      (4L, "jj kk ll mm nn"),              // 4 == 5: fully duplicated
+      (5L, "jj kk ll mm nn"),
+      (6L, "a b c za zb zc a b c zd"),      // two DISJOINT dup spans
+      (7L, "a b c")                         // single fully-dup window
+    ).toDF("doc_id", "text")
+    val out = Dedup.repeatedSpans(docs, "doc_id", "text", windowTokens = 3)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_dup_windows"), r.getAs[Long]("dup_cover_tokens"),
+          r.getAs[Double]("dup_frac"), r.getAs[String]("action"))))
+      .toMap
+    // overlapping starts 0,1 union to 4 tokens ("a b c d"), not 6
+    assert(out(1L) == ((2L, 4L, 0.5, "trim")))
+    assert(out(2L) == ((2L, 4L, 0.5, "trim")))
+    assert(out(3L) == ((0L, 0L, 0.0, "keep")))
+    // identical 5-token docs: starts 0,1,2 union to all 5 tokens
+    assert(out(4L) == ((3L, 5L, 1.0, "drop")))
+    assert(out(5L) == ((3L, 5L, 1.0, "drop")))
+    // disjoint dup spans at 0 and 6 contribute w each (no over-merge)
+    assert(out(6L) == ((2L, 6L, 0.6, "trim")))
+    assert(out(7L) == ((1L, 3L, 1.0, "drop")))
+    assert(out.size == 7)
+  }
+
+  test("repeatedSpans ignores repeats confined to a single document") {
+    val docs = Seq(
+      (1L, "m n o m n o m n o"), // heavy WITHIN-doc repetition only
+      (2L, "totally unrelated words here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.repeatedSpans(docs, "doc_id", "text", windowTokens = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("n_dup_windows")).toMap
+    assert(out(1L) == 0L && out(2L) == 0L)
+  }
 }

@@ -91,4 +91,41 @@ class SamplingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(other != out)
   }
+
+  test("mixToWeights: binding stratum rides at rate 1.0, others derive") {
+    // 100 docs each of a/b/c plus an UNWEIGHTED stratum d
+    val df = (0L until 400L)
+      .map(i => (i, Seq("a", "b", "c", "d")((i % 4).toInt)))
+      .toDF("id", "stratum")
+    val out = Sampling.mixToWeights(df, "stratum", "id",
+      Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2), "mx1")
+      .collect()
+      .map(r => r.getAs[String]("stratum") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Double]("target_w"),
+          r.getAs[Long]("rate_buckets"), r.getAs[Long]("n_selected"))))
+      .toMap
+    // N* = min(100/.5, 100/.3, 100/.2) = 200 -> rates 1.0 / 0.6 / 0.4
+    assert(out.keySet == Set("a", "b", "c")) // d excluded (weight 0)
+    assert(out("a")._3 == 1000L && out("b")._3 == 600L &&
+      out("c")._3 == 400L)
+    assert(out("a")._4 == 100L) // rate-1.0 stratum keeps everything
+    // hash-rate strata land near the target (uniform md5 buckets)
+    assert(out("b")._4 > 40L && out("b")._4 < 80L)
+    assert(out("c")._4 > 25L && out("c")._4 < 55L)
+    // achieved fractions sum to 1 over the selected corpus
+    val fracs = Sampling.mixToWeights(df, "stratum", "id",
+      Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2), "mx1")
+      .agg(sum(col("achieved_frac"))).head().getDouble(0)
+    assert(math.abs(fracs - 1.0) < 1e-4)
+  }
+
+  test("mixToWeights rejects empty and non-positive weights") {
+    val df = Seq((1L, "a")).toDF("id", "stratum")
+    intercept[IllegalArgumentException] {
+      Sampling.mixToWeights(df, "stratum", "id", Map.empty, "s")
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.mixToWeights(df, "stratum", "id", Map("a" -> 0.0), "s")
+    }
+  }
 }
