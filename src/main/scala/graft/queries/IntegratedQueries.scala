@@ -62,21 +62,24 @@ object IntegratedQueries {
       pickSym(col("gene")).as("gene_symbol"),
       (col("degree") / NGenes.toDouble).as("hub_score"))
 
-  private[queries] def probeDrivers(s: SparkSession, d: String): DataFrame =
-    VariantQueries.annotated(s, d).select(
+  private def integratedDriver(s: SparkSession, d: String): DataFrame = {
+    // ONE variant-annotate chain feeds BOTH mutation evidence frames
+    // (deriving drivers and the per-gene summary from separate
+    // annotated() calls would scan lineitem + distinct the variant
+    // ids twice inside one query). The cached frame is variant-panel
+    // rows — tiny at any corpus scale.
+    val ann = VariantQueries.annotated(s, d).cache()
+    val drivers = ann.select(
       col("gene"), col("aa_change"), col("is_hotspot"),
       round(col("driver_score") + lit(1e-9), 6).as("driver_score"),
       round(col("vaf") + lit(1e-9), 6).as("vaf"), col("is_driver"))
-
-  private[queries] def probeSummary(s: SparkSession, d: String): DataFrame =
-    VariantQueries.annotated(s, d).where(col("gene") =!= "")
+    val summary = ann.where(col("gene") =!= "")
       .groupBy(col("gene"))
       .agg(count(lit(1)).cast("long").as("total_mutations"))
-
-  private def integratedDriver(s: SparkSession, d: String): DataFrame =
     IntegratedDriver.integrate(probeDeg(s, d), probeHub(s, d),
-      probeDrivers(s, d), probeSummary(s, d))
+      drivers, summary)
       .orderBy(desc("confidence_score"), col("gene_symbol"))
+  }
 
   /* ---------------- mx_profile ---------------- */
 
