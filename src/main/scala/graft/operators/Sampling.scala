@@ -125,7 +125,11 @@ object Sampling {
     val wdf = weights.toSeq.sortBy(_._1).toDF(strataCol, "target_w")
     val counts = df.groupBy(col(strataCol))
       .agg(count(lit(1)).as("n_docs"))
-    val wc = counts.join(broadcast(wdf), Seq(strataCol))
+    // cached: the weighted-counts frame is read by the N* aggregate,
+    // the rates derivation AND the final output — without the cache
+    // each consumer re-scans the corpus for the counts (4 scans
+    // observed). Domain-cardinality rows, bounded at any scale.
+    val wc = counts.join(broadcast(wdf), Seq(strataCol)).cache()
     val nstar = wc.agg(min(col("n_docs") / col("target_w")).as("nstar"))
     // rate quantized to hash buckets; +1e-9 keeps floor() off the
     // representation boundary identically in both engines
@@ -140,7 +144,10 @@ object Sampling {
       .groupBy(col(strataCol))
       .agg(count(lit(1)).as("n_selected"))
     val total = sel.agg(sum(col("n_selected")).as("total_sel"))
-    rates.join(sel, Seq(strataCol), "left")
+    // sel/total are domain-cardinality aggregates but Spark has no
+    // stats for them — broadcast explicitly or the audit join plans
+    // a sort-merge against the tiny rates frame
+    rates.join(broadcast(sel), Seq(strataCol), "left")
       .crossJoin(broadcast(total))
       .select(col(strataCol),
         col("n_docs").cast("long").as("n_docs"),

@@ -175,4 +175,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"no join expected:\n$plan")
     assert(plan.contains("Window"), s"expected the dup-count window:\n$plan")
   }
+
+  test("dedup_spans joins postings on window keys — no pair enumeration") {
+    val plan = planOf("dedup_spans")
+    // the dup-window membership probe is a hash join on the window
+    // string; a pair-enumerating plan would show a nested-loop or
+    // cartesian build. Postings are cached (df count + membership
+    // join read the same shingle pass).
+    assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"plan:\n$plan")
+    assert(plan.linesIterator.count(_.contains("InMemoryTableScan")) >= 2,
+      s"expected cached postings on both consumers:\n$plan")
+  }
+
+  test("corpus_mix keeps the corpus side behind broadcast joins") {
+    val plan = planOf("corpus_mix")
+    // rates (domain cardinality) broadcast onto the documents scan;
+    // the corpus must never sort-merge against the solver frames
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"plan:\n$plan")
+  }
 }
