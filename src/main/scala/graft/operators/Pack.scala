@@ -66,4 +66,46 @@ object Pack {
         col("cum_tokens") - col(tokenCol), lit(budget)))
       .drop("_pid", "_offset")
   }
+
+  /** Sequence-boundary fragmentation audit over `packByTokenBudget`
+    * output: in concat-and-chunk pretraining (the GPT-style packing
+    * the shard layout feeds), the token stream is cut into fixed
+    * `seqLen` sequences, and a document whose span straddles a cut
+    * is fragmented across two training sequences (attention can
+    * never see it whole). Per shard this reports how bad that is:
+    * doc/token counts, realized sequence span, boundary-crossing doc
+    * count and fraction — the metric a data pipeline tracks when
+    * choosing seqLen vs document-length distribution.
+    *
+    * Offsets are GLOBAL (cum_tokens), so sequence cuts align across
+    * shard boundaries when `budget` is a multiple of `seqLen` — pass
+    * such a pair or shard-edge sequences span two shards.
+    *
+    * Scale: pure arithmetic on the packed frame plus ONE
+    * partial-aggregated groupBy on shard_id (bounded groups by the
+    * budget contract). Zero-token docs are zero-width spans — they
+    * never count as crossing and never move the span bounds.
+    */
+  def sequenceAudit(
+      packed: DataFrame, tokenCol: String, seqLen: Long): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val start = col("cum_tokens") - col(tokenCol)
+    val endM1 = col("cum_tokens") - 1 // last occupied offset
+    val seqFirst = call_function("div", start, lit(seqLen))
+    val seqLast = call_function("div", endM1, lit(seqLen))
+    packed
+      .select(col("shard_id"), col(tokenCol),
+        seqFirst.as("_sf"), seqLast.as("_sl"))
+      .groupBy(col("shard_id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(col(tokenCol)).cast("long").as("shard_tokens"),
+        (max(col("_sl")) - min(col("_sf")) + 1).cast("long")
+          .as("n_seqs"),
+        sum(when(col("_sl") > col("_sf"), 1L).otherwise(0L))
+          .cast("long").as("crossing_docs"))
+      .withColumn("crossing_frac",
+        round(col("crossing_docs").cast("double") / col("n_docs")
+          + lit(1e-9), 6))
+  }
 }

@@ -462,6 +462,44 @@ object TextQueries {
        |  ((cum_tokens - est_tokens) // $ShardBudget)::BIGINT AS shard_id
        |FROM c ORDER BY doc_id""".stripMargin
 
+  /* ---------------- pack_audit ---------------- */
+
+  /** budget 10000 = 5 × seqLen 2000: sequence cuts align to shard
+    * boundaries (the sequenceAudit contract). */
+  private val AuditSeqLen = 2000L
+
+  private def packAudit(s: SparkSession, d: String): DataFrame =
+    Pack.sequenceAudit(
+      Pack.packByTokenBudget(
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            expr("n_chars div 4 + 1").as("est_tokens")),
+        "doc_id", "est_tokens", ShardBudget),
+      "est_tokens", AuditSeqLen)
+      .orderBy(col("shard_id"))
+
+  private val packAuditSql =
+    s"""WITH t AS (SELECT doc_id, n_chars // 4 + 1 AS est_tokens
+       |  FROM documents),
+       |c AS (SELECT doc_id, est_tokens,
+       |    (sum(est_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+       |      AS cum_tokens
+       |  FROM t),
+       |p AS (SELECT
+       |    ((cum_tokens - est_tokens) // $ShardBudget)::BIGINT AS shard_id,
+       |    est_tokens,
+       |    (cum_tokens - est_tokens) // $AuditSeqLen AS sf,
+       |    (cum_tokens - 1) // $AuditSeqLen AS sl
+       |  FROM c)
+       |SELECT shard_id, count(*)::BIGINT AS n_docs,
+       |  sum(est_tokens)::BIGINT AS shard_tokens,
+       |  (max(sl) - min(sf) + 1)::BIGINT AS n_seqs,
+       |  sum(CASE WHEN sl > sf THEN 1 ELSE 0 END)::BIGINT AS crossing_docs,
+       |  round(sum(CASE WHEN sl > sf THEN 1 ELSE 0 END)::DOUBLE / count(*)
+       |    + 0.000000001, 6) AS crossing_frac
+       |FROM p GROUP BY shard_id ORDER BY shard_id""".stripMargin
+
   /* ---------------- txt_scrub ---------------- */
 
   /** Scrub binding on the part descriptions (the corpus slice that
@@ -1063,6 +1101,7 @@ object TextQueries {
     Qdef("txt_scrub", txtScrub, Some(txtScrubSql)),
     Qdef("txt_repetition", txtRepetition, Some(txtRepetitionSql)),
     Qdef("pack_shards", packShards, Some(packShardsSql)),
+    Qdef("pack_audit", packAudit, Some(packAuditSql)),
     Qdef("corpus_stats", corpusStats, Some(corpusStatsSql)),
     Qdef("trend_gaps", trendGaps, Some(trendGapsSql)),
     Qdef("topic_trends", topicTrends, Some(topicTrendsSql)),

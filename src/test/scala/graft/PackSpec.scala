@@ -41,4 +41,24 @@ class PackSpec extends SparkSpec {
     assert(plan.contains("windowspecdefinition(_pid"),
       s"expected a _pid-partitioned window:\n$plan")
   }
+
+  test("sequenceAudit counts boundary-crossing docs per shard") {
+    // tokens 5,3,4,6,2,4,0 -> cum 5,8,12,18,20,24,24; seqLen 8,
+    // budget 16 (aligned): only doc 4 (span 12..17) crosses a cut
+    val d = Seq((1L, 5L), (2L, 3L), (3L, 4L), (4L, 6L), (5L, 2L),
+      (6L, 4L), (7L, 0L)).toDF("id", "tok")
+    val out = Pack.sequenceAudit(
+      Pack.packByTokenBudget(d, "id", "tok", budget = 16L, partitions = 3),
+      "tok", seqLen = 8L)
+      .collect()
+      .map(r => r.getAs[Long]("shard_id") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("shard_tokens"),
+          r.getAs[Long]("n_seqs"), r.getAs[Long]("crossing_docs"),
+          r.getAs[Double]("crossing_frac"))))
+      .toMap
+    assert(out(0L) == ((4L, 18L, 3L, 1L, 0.25)))
+    // zero-token doc 7 is zero-width: no crossing, no span movement
+    assert(out(1L) == ((3L, 6L, 1L, 0L, 0.0)))
+    assert(out.size == 2)
+  }
 }
