@@ -404,4 +404,35 @@ object Pq {
       .orderBy(col("ivfpq_sim").desc_nulls_last, col(idCol))
       .limit(k)
   }
+
+  /** FAISS-style refine layer (`IVFPQ,RFlat`): the compressed index
+    * produces a candK shortlist, then ONLY those candK vectors are
+    * re-read uncompressed and exactly re-ranked to the final top-k.
+    * This buys back the quantization-loss recall at the cost of candK
+    * point lookups — the standard accuracy knob when codes alone
+    * plateau (candK/k is the refine expansion factor).
+    *
+    * Scale: the shortlist is candK ids → a broadcast semi-prune on
+    * the vector store (at lake scale, a point-lookup against the
+    * bucketed/partitioned store — never a scan-and-score of the
+    * corpus); exact cosine runs on candK rows only.
+    */
+  def ivfPqRefine(
+      codes: DataFrame, coarse: DataFrame, books: DataFrame,
+      vectors: DataFrame, query: DataFrame, idCol: String,
+      vecCol: String, queryVecCol: String, dim: Int, m: Int,
+      nprobe: Int, candK: Int, k: Int): DataFrame = {
+    require(candK >= k, s"candK=$candK must be >= k=$k")
+    val shortlist = ivfPqTopK(codes, coarse, books, query, idCol,
+      queryVecCol, dim, m, nprobe, candK).select(col(idCol))
+    val q = query.select(VectorFns.asDouble(col(queryVecCol)).as("q"))
+    vectors
+      .join(broadcast(shortlist), Seq(idCol))
+      .crossJoin(broadcast(q))
+      .select(col(idCol),
+        round(VectorFns.cosine(VectorFns.asDouble(col(vecCol)),
+          col("q")), 6).as("refined_sim"))
+      .orderBy(col("refined_sim").desc_nulls_last, col(idCol))
+      .limit(k)
+  }
 }

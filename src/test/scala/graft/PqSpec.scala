@@ -194,4 +194,43 @@ class PqSpec extends SparkSpec {
     info(f"IVF-PQ recall@10: nprobe=2 -> $r2%.2f; all cells -> $rAll%.2f" +
       s"; nprobe=2 scored $probedRows/${emb.count()} rows")
   }
+
+  test("IVF-PQ refine: exact re-rank of the shortlist buys back PQ loss") {
+    val emb = Tables.embeddings(spark, d).cache()
+    val query = emb.where(col("vec_id") === 7L)
+      .select(col("embedding").as("qe"))
+    val exact10 = VectorSearch.denseTopK(emb, query,
+      "vec_id", "embedding", "qe", 10)
+      .collect().map(_.getLong(0)).toSet
+    val (coarse, books, codes) = Pq.ivfPqBuild(
+      emb, "vec_id", "embedding", Dim, nCells = 8, m = 8, k = 64,
+      iters = 2)
+    codes.cache().count()
+    def recallOf(ids: Set[Long]) = (ids & exact10).size / 10.0
+    val plain = recallOf(Pq.ivfPqTopK(codes, coarse, books, query,
+      "vec_id", "qe", Dim, 8, 8, 10).collect().map(_.getLong(0)).toSet)
+    // all-cell probe + 10x shortlist: the refine layer re-ranks candK
+    // exact vectors, so any true top-10 the codes ranked within the
+    // shortlist is recovered — at candK=100 over all cells the PQ
+    // ordering loss is fully bought back on this corpus
+    val refined = Pq.ivfPqRefine(codes, coarse, books, emb, query,
+      "vec_id", "embedding", "qe", Dim, 8, nprobe = 8, candK = 100,
+      k = 10).collect().map(_.getLong(0)).toSet
+    assert(recallOf(refined) >= plain,
+      s"refine reduced recall: ${recallOf(refined)} < $plain")
+    assert(recallOf(refined) == 1.0,
+      s"candK=100 all-cell refine should be exact here: ${recallOf(refined)}")
+    // refined scores are the EXACT cosines (match denseTopK output)
+    val refTop = Pq.ivfPqRefine(codes, coarse, books, emb, query,
+      "vec_id", "embedding", "qe", Dim, 8, 8, 100, 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val exactScores = VectorSearch.denseTopK(emb, query,
+      "vec_id", "embedding", "qe", 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    exactScores.foreach { case (id, s) =>
+      assert(math.abs(refTop(id) - s) < 1e-9,
+        s"refined score for $id diverges: ${refTop(id)} vs $s")
+    }
+    info(f"refine recall@10: plain=$plain%.2f refined=${recallOf(refined)}%.2f")
+  }
 }
