@@ -82,6 +82,52 @@ object MultimodalQueries {
        |    ELSE 0 END)::BIGINT AS n_frames
        |FROM m GROUP BY kind ORDER BY kind""".stripMargin
 
+  private val DigestBytes = 40
+
+  /** Content-digest dedup over BINARY payloads (the image/audio
+    * near-dup collapse of a multimodal training pipeline): md5 a
+    * fixed-length digest slice of the payload bytes — the stand-in
+    * for a perceptual digest (thumbnail/fingerprint), which is what
+    * media dedup hashes in production, full-byte equality being too
+    * strict for re-encoded media. Groups per (kind, digest) with
+    * canonical id + reclaimable bytes. ONLY 32-char hashes and byte
+    * counts shuffle — payload blobs never leave their scan
+    * partitions, which is what makes this viable on TB media corpora.
+    *
+    * Oracle parity: payload = UTF-8 bytes of ASCII text in this
+    * binding, so the Spark byte-slice md5 equals DuckDB's
+    * md5(substr(text, 1, n)) exactly (byte = char on ASCII; a regen
+    * to non-ASCII text fails the compare loudly, by design).
+    */
+  private def mmDedup(s: SparkSession, d: String): DataFrame =
+    media(s, d).toDF
+      .select(col("media_id"), col("kind"),
+        md5(substring(col("payload"), 1, DigestBytes))
+          .as("payload_digest"),
+        length(col("payload")).cast("long").as("n_bytes"))
+      .groupBy(col("kind"), col("payload_digest"))
+      .agg(count(lit(1)).cast("long").as("dup_cnt"),
+        min(col("media_id")).as("canonical_id"),
+        sum(col("n_bytes")).cast("long").as("group_bytes"),
+        (sum(col("n_bytes")) - max(col("n_bytes"))).cast("long")
+          .as("reclaimable_bytes"))
+      .where(col("dup_cnt") > 1)
+      .orderBy(col("kind"), col("payload_digest"))
+
+  private val mmDedupSql =
+    s"""WITH m AS (SELECT doc_id AS media_id,
+       |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+       |      ELSE 'video' END AS kind,
+       |    md5(substr(text, 1, $DigestBytes)) AS payload_digest,
+       |    octet_length(encode(text))::BIGINT AS n_bytes FROM documents)
+       |SELECT kind, payload_digest, count(*)::BIGINT AS dup_cnt,
+       |  min(media_id) AS canonical_id,
+       |  sum(n_bytes)::BIGINT AS group_bytes,
+       |  (sum(n_bytes) - max(n_bytes))::BIGINT AS reclaimable_bytes
+       |FROM m GROUP BY kind, payload_digest HAVING count(*) > 1
+       |ORDER BY kind, payload_digest""".stripMargin
+
   val defs: Seq[Qdef] = Seq(
-    Qdef("mm_stats", mmStats, Some(mmStatsSql)))
+    Qdef("mm_stats", mmStats, Some(mmStatsSql)),
+    Qdef("mm_dedup", mmDedup, Some(mmDedupSql)))
 }
