@@ -243,6 +243,31 @@ object Events {
   def tsPeriods(c: String, periodSecs: Long): org.apache.spark.sql.Column =
     expr(s"($c div 1000000000) div $periodSecs")
 
+  /** Per-type value-distribution summary: count, mean, and exact
+    * linear-interpolation percentiles (p50/p90/p99) — the latency/
+    * value SLO rollup of an event pipeline.
+    *
+    * EXACT percentiles for oracle parity (Spark `percentile` and
+    * DuckDB `quantile_cont` share the interpolation rule — the
+    * sc_ploidy precedent). Scale contract: exact per-group
+    * percentiles buffer a group's values; at lake scale substitute
+    * `percentile_approx` at the marked spot — EventsSpec pins the
+    * swap's error envelope so the substitution is a config change,
+    * not a semantics change.
+    */
+  def valuePercentiles(
+      events: DataFrame, typeCol: String, valCol: String): DataFrame = {
+    def r6(c: org.apache.spark.sql.Column) = round(c + lit(1e-9), 6)
+    events.groupBy(col(typeCol))
+      .agg(
+        count(lit(1)).cast("long").as("n_events"),
+        r6(avg(col(valCol))).as("mean_value"),
+        // atlas-scale swap point: percentile_approx(value, p, acc)
+        r6(expr(s"percentile($valCol, 0.5)")).as("p50"),
+        r6(expr(s"percentile($valCol, 0.9)")).as("p90"),
+        r6(expr(s"percentile($valCol, 0.99)")).as("p99"))
+  }
+
   /** Cohort retention: cohort = a user's first active period (day,
     * week, ... via `periodSecs`); n_users = distinct users from that
     * cohort active at each period offset (0..maxOffset);

@@ -269,7 +269,22 @@ object EventQueries {
        |       ELSE 'stable' END AS trend
        |FROM g ORDER BY event_type""".stripMargin
 
+  /* ---------------- ev_value_pctl ---------------- */
+
+  private def evValuePctl(s: SparkSession, d: String): DataFrame =
+    Events.valuePercentiles(Tables.events(s, d), "event_type", "value")
+      .orderBy(col("event_type"))
+
+  private val evValuePctlSql =
+    """SELECT event_type, count(*)::BIGINT AS n_events,
+      |  round(avg(value) + 0.000000001, 6) AS mean_value,
+      |  round(quantile_cont(value, 0.5) + 0.000000001, 6) AS p50,
+      |  round(quantile_cont(value, 0.9) + 0.000000001, 6) AS p90,
+      |  round(quantile_cont(value, 0.99) + 0.000000001, 6) AS p99
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val defs: Seq[Qdef] = Seq(
+    Qdef("ev_value_pctl", evValuePctl, Some(evValuePctlSql)),
     Qdef("ev_windowed_agg", evWindowedAgg, Some(evWindowedAggSql)),
     Qdef("ev_sessionize", evSessionize, Some(evSessionizeSql)),
     Qdef("ev_user_topk", evUserTopK, Some(evUserTopKSql)),

@@ -148,4 +148,28 @@ class EventsSpec extends SparkSpec {
     // 0; 12.5/"12"/malformed coalesce into the null bucket, LAST
     assert(buckets == Seq(Some(0L) -> 2L, None -> 3L))
   }
+
+  test("valuePercentiles interpolates exactly; approx swap stays in envelope") {
+    import org.apache.spark.sql.functions._
+    // type A: values 0..100 -> p50=50, p90=90, p99=99 exactly
+    val ev = (0 to 100).map(v => (v.toLong, 1L, ns(v.toLong), "A", v.toDouble))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val row = Events.valuePercentiles(ev, "event_type", "value")
+      .collect().head
+    assert(row.getAs[Long]("n_events") == 101L)
+    assert(row.getAs[Double]("p50") == 50.0)
+    assert(row.getAs[Double]("p90") == 90.0)
+    assert(row.getAs[Double]("p99") == 99.0)
+    // the marked atlas-scale substitution: percentile_approx at
+    // accuracy 10000 must stay within 1 value-step of exact on this
+    // distribution — pins that the swap is a config change, not a
+    // semantics change
+    val approx = ev.groupBy(col("event_type"))
+      .agg(expr("percentile_approx(value, array(0.5, 0.9, 0.99), 10000)")
+        .as("ap"))
+      .collect().head.getAs[scala.collection.Seq[Double]]("ap")
+    assert(math.abs(approx(0) - 50.0) <= 1.0, s"p50 approx ${approx(0)}")
+    assert(math.abs(approx(1) - 90.0) <= 1.0, s"p90 approx ${approx(1)}")
+    assert(math.abs(approx(2) - 99.0) <= 1.0, s"p99 approx ${approx(2)}")
+  }
 }
