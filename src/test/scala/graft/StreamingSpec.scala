@@ -170,6 +170,48 @@ class StreamingSpec extends SparkSpec {
     assert(rows((1L, 100L)) == (2L, 3.0, 10L))  // closed by timeout
   }
 
+  test("sessionizeStream end to end over a parquet FILE source — the " +
+    "stateful flatMapGroupsWithState path on the real read wiring") {
+    import spark.implicits._
+    import graft.streaming.SessionEvent
+
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stream_sess").toFile
+    def ev(uid: Long, sec: Long, v: Double) =
+      SessionEvent(uid, new Timestamp(sec * 1000L), v)
+    def writeBatch(rows: Seq[SessionEvent]): Unit =
+      rows.toDS().coalesce(1)
+        .write.mode("append").parquet(dir.getAbsolutePath)
+
+    // startup backfill: the same batch-1 shape as the memory spec
+    writeBatch(Seq(ev(1L, 100L, 1.0), ev(1L, 110L, 2.0), ev(2L, 105L, 4.0)))
+    val events = spark.readStream
+      .schema("user_id BIGINT, ts TIMESTAMP, value DOUBLE")
+      .parquet(dir.getAbsolutePath)
+      .as[SessionEvent]
+    val query = StreamingAggs.sessionizeStream(events, gapSecs = 1800L)
+      .writeStream
+      .format("memory")
+      .queryName("sessionize_file_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    query.processAllAvailable()
+    writeBatch(Seq(ev(2L, 4000L, 8.0)))   // inline close of user 2
+    query.processAllAvailable()
+    writeBatch(Seq(ev(2L, 4010L, 1.0)))   // advances the timeout clock
+    query.processAllAvailable()
+
+    val rows = spark.table("sessionize_file_test").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_start")) ->
+        (r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"),
+          r.getAs[Long]("duration_secs"))).toMap
+    query.stop()
+
+    // identical sessions to the memory-source spec
+    assert(rows((2L, 105L)) == (1L, 4.0, 0L))
+    assert(rows((1L, 100L)) == (2L, 3.0, 10L))
+  }
+
   test("dedupStream drops in-window duplicate content, state bounded by watermark") {
     val sql = spark.sqlContext
     import spark.implicits._
