@@ -172,9 +172,68 @@ object CorpusQueries {
        |ORDER BY rates.source""".stripMargin
   }
 
+  /* ---------------- corpus_drift ---------------- */
+
+  /** Snapshot-drift binding: base = the corpus as-is; "current" = the
+    * same docs with a source-dependent length shift (sid%4==0 →
+    * +150 chars ≈ 1.5 width-100 buckets, strong drift; sid%4==1 →
+    * +40, mild; else unshifted). Purely synthetic drift, but it
+    * drives the PSI fold and the ladder deterministically through
+    * all three levels; production feeds two real snapshot frames.
+    */
+  private def corpusDrift(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val sid = substring(col("source"), 4, 10).cast("int")
+    val base = docs.select(col("source"), col("n_chars").as("nc"))
+    val cur = docs.select(col("source"),
+      (col("n_chars") +
+        when(pmod(sid, lit(4)) === 0, 150)
+          .when(pmod(sid, lit(4)) === 1, 40)
+          .otherwise(0)).as("nc"))
+    def bucketed(f: DataFrame) = f.select(col("source"),
+      least(expr("nc div 100"), lit(9L)).as("len_bucket"))
+    graft.operators.Drift.psi(
+      bucketed(base), bucketed(cur), "source", "len_bucket")
+      .orderBy(col("source"))
+  }
+
+  private val corpusDriftSql =
+    """WITH sid AS (SELECT source, n_chars,
+      |    substr(source, 4)::INT AS sid FROM documents),
+      |b AS (SELECT source, least(n_chars // 100, 9) AS bk FROM sid),
+      |c AS (SELECT source,
+      |    least((n_chars + CASE WHEN sid % 4 = 0 THEN 150
+      |      WHEN sid % 4 = 1 THEN 40 ELSE 0 END) // 100, 9) AS bk
+      |  FROM sid),
+      |cb AS (SELECT source, bk, count(*)::BIGINT AS cnt_b
+      |  FROM b GROUP BY 1, 2),
+      |cc AS (SELECT source, bk, count(*)::BIGINT AS cnt_c
+      |  FROM c GROUP BY 1, 2),
+      |j AS (SELECT coalesce(cb.source, cc.source) AS source,
+      |    coalesce(cb.bk, cc.bk) AS bk,
+      |    coalesce(cnt_b, 0) AS cnt_b, coalesce(cnt_c, 0) AS cnt_c
+      |  FROM cb FULL OUTER JOIN cc
+      |    ON cb.source = cc.source AND cb.bk = cc.bk),
+      |t AS (SELECT source, cnt_b, cnt_c,
+      |    sum(cnt_b) OVER (PARTITION BY source) AS tot_b,
+      |    sum(cnt_c) OVER (PARTITION BY source) AS tot_c FROM j),
+      |p AS (SELECT source, tot_b, tot_c,
+      |    greatest(cnt_b::DOUBLE / tot_b, 0.000001) AS pb,
+      |    greatest(cnt_c::DOUBLE / tot_c, 0.000001) AS pc FROM t),
+      |g AS (SELECT source, max(tot_b)::BIGINT AS n_base,
+      |    max(tot_c)::BIGINT AS n_current,
+      |    round(sum((pc - pb) * ln(pc / pb)) + 0.000000001, 6) AS psi
+      |  FROM p GROUP BY source)
+      |SELECT source, n_base, n_current, psi,
+      |  CASE WHEN psi < 0.1 THEN 'stable'
+      |       WHEN psi < 0.25 THEN 'moderate'
+      |       ELSE 'high' END AS drift_level
+      |FROM g ORDER BY source""".stripMargin
+
   val defs: Seq[Qdef] = Seq(
     Qdef("corpus_latest", corpusLatest, Some(corpusLatestSql)),
     Qdef("sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
     Qdef("corpus_shuffle", corpusShuffle, Some(corpusShuffleSql)),
-    Qdef("corpus_mix", corpusMix, Some(corpusMixSql)))
+    Qdef("corpus_mix", corpusMix, Some(corpusMixSql)),
+    Qdef("corpus_drift", corpusDrift, Some(corpusDriftSql)))
 }
