@@ -215,8 +215,8 @@ object CorpusQueries {
       |  FROM cb FULL OUTER JOIN cc
       |    ON cb.source = cc.source AND cb.bk = cc.bk),
       |t AS (SELECT source, cnt_b, cnt_c,
-      |    sum(cnt_b) OVER (PARTITION BY source) AS tot_b,
-      |    sum(cnt_c) OVER (PARTITION BY source) AS tot_c FROM j),
+      |    (sum(cnt_b) OVER (PARTITION BY source))::BIGINT AS tot_b,
+      |    (sum(cnt_c) OVER (PARTITION BY source))::BIGINT AS tot_c FROM j),
       |p AS (SELECT source, tot_b, tot_c,
       |    greatest(cnt_b::DOUBLE / tot_b, 0.000001) AS pb,
       |    greatest(cnt_c::DOUBLE / tot_c, 0.000001) AS pc FROM t),

@@ -123,7 +123,7 @@ object MultimodalQueries {
        |SELECT kind, payload_digest, count(*)::BIGINT AS dup_cnt,
        |  min(media_id) AS canonical_id,
        |  sum(n_bytes)::BIGINT AS group_bytes,
-       |  (sum(n_bytes) - max(n_bytes))::BIGINT AS reclaimable_bytes
+       |  (sum(n_bytes)::BIGINT - max(n_bytes))::BIGINT AS reclaimable_bytes
        |FROM m GROUP BY kind, payload_digest HAVING count(*) > 1
        |ORDER BY kind, payload_digest""".stripMargin
 
