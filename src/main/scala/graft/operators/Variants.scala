@@ -280,4 +280,117 @@ object Variants {
         min(when(col("driver_score") === col("_mx"),
           col("aa_change"))).as("top_variant"))
   }
+
+  /** IntOGen cohort-code → pipeline cancer-type map
+    * (reference: scripts/build_driver_database.py:20
+    * CANCER_TYPE_MAP — the curated panel IS the spec; unmapped
+    * cohorts drop, exactly like the reference's notna filter).
+    */
+  val cancerTypeMap: Seq[(String, String)] = Seq(
+    "BRCA" -> "breast_cancer",
+    "LUAD" -> "lung_cancer", "LUSC" -> "lung_cancer",
+    "NSCLC" -> "lung_cancer", "SCLC" -> "lung_cancer",
+    "COAD" -> "colorectal_cancer", "COADREAD" -> "colorectal_cancer",
+    "READ" -> "colorectal_cancer",
+    "PAAD" -> "pancreatic_cancer", "PANET" -> "pancreatic_cancer",
+    "HCC" -> "liver_cancer", "LIHC" -> "liver_cancer",
+    "GBM" -> "glioblastoma",
+    "LGG" -> "low_grade_glioma", "HGGNOS" -> "low_grade_glioma",
+    "AML" -> "blood_cancer", "ALL" -> "blood_cancer",
+    "CLL" -> "blood_cancer", "PCM" -> "blood_cancer",
+    "DLBCL" -> "blood_cancer", "NHL" -> "blood_cancer",
+    "KIRC" -> "kidney_cancer", "KIRP" -> "kidney_cancer",
+    "KICH" -> "kidney_cancer", "RCC" -> "kidney_cancer",
+    "PRAD" -> "prostate_cancer",
+    "OV" -> "ovarian_cancer", "OVT" -> "ovarian_cancer",
+    "STAD" -> "stomach_cancer",
+    "BLCA" -> "bladder_cancer",
+    "THCA" -> "thyroid_cancer", "WDTC" -> "thyroid_cancer",
+    "MEL" -> "melanoma", "SKCM" -> "melanoma",
+    "HNSC" -> "head_neck_cancer",
+    "UCEC" -> "uterine_cancer")
+
+  /** The 17 pipeline cancer types (build_driver_database.py:93). */
+  val mlCancerTypes: Seq[String] = Seq(
+    "breast_cancer", "lung_cancer", "colorectal_cancer",
+    "pancreatic_cancer", "liver_cancer", "glioblastoma",
+    "low_grade_glioma", "blood_cancer", "kidney_cancer",
+    "prostate_cancer", "ovarian_cancer", "stomach_cancer",
+    "bladder_cancer", "thyroid_cancer", "melanoma",
+    "head_neck_cancer", "uterine_cancer")
+
+  /** Driver-database build (reference:
+    * scripts/build_driver_database.py:113 process_intogen_data):
+    * keep IS_DRIVER rows, map cohort codes onto pipeline cancer
+    * types (unmapped drop), translate roles (Act → Oncogene,
+    * LoF → TSG, else Unknown), and collapse duplicate
+    * (cancer_type, gene) entries keeping the one with the MOST
+    * samples — first-in-input wins ties, which the reference gets
+    * from file order and this operator pins with an explicit
+    * `row_order` column (one max(struct) aggregate, no window sort;
+    * -row_order inside the struct makes lexicographic max pick the
+    * earliest row among equal sample counts).
+    *
+    * Input long-form columns: cancer_type_raw, gene, is_driver,
+    * role_raw, samples, total_samples, mutation_freq, cgc_gene,
+    * qvalue, row_order.
+    *
+    * Scale: a narrow filter + broadcast-free map lookup behind the
+    * scan, then ONE partial-aggregated groupBy on (type, gene) —
+    * group count bounded by types × genes.
+    */
+  def driverDb(entries: DataFrame): DataFrame = {
+    val typeMap = typedlit(cancerTypeMap.toMap)
+    entries
+      .where(col("is_driver"))
+      .withColumn("cancer_type",
+        element_at(typeMap, col("cancer_type_raw")))
+      .where(col("cancer_type").isNotNull)
+      .withColumn("role",
+        when(col("role_raw") === "Act", lit("Oncogene"))
+          .when(col("role_raw") === "LoF", lit("TSG"))
+          .otherwise(lit("Unknown")))
+      .groupBy(col("cancer_type"), col("gene"))
+      .agg(max(struct(
+        col("samples"), (-col("row_order")).as("nro"),
+        col("total_samples"), col("mutation_freq"), col("role"),
+        col("cgc_gene"), col("qvalue"))).as("w"))
+      .select(col("cancer_type"), col("gene"),
+        col("w.mutation_freq").as("mutation_freq"),
+        col("w.samples").as("samples"),
+        col("w.total_samples").as("total_samples"),
+        col("w.role").as("role"),
+        col("w.cgc_gene").as("cgc_gene"),
+        col("w.qvalue").as("qvalue"))
+  }
+
+  /** Summary stage (build_driver_database.py:179 generate_summary):
+    * per pipeline cancer type — including types with NO drivers,
+    * which the reference initializes explicitly — the gene count and
+    * the top-N genes by mutation frequency (gene-name tiebreak: the
+    * reference's stable sort inherits file order, the same
+    * insertion-order deviation the GRN family documents), plus the
+    * distinct-gene total across all types. All frames here are
+    * panel-scale: the literal 17-type frame and the 1-row total
+    * broadcast.
+    */
+  def driverDbSummary(db: DataFrame, topN: Int = 10): DataFrame = {
+    val spark = db.sparkSession
+    import spark.implicits._
+    val allTypes = mlCancerTypes.toDF("cancer_type")
+    val byType = db.groupBy(col("cancer_type"))
+      .agg(count(lit(1)).cast("long").as("gc"),
+        concat_ws(",", slice(transform(
+          sort_array(collect_list(struct(
+            (-col("mutation_freq")).as("nf"), col("gene")))),
+          e => e.getField("gene")), 1, topN)).as("tg"))
+    val tot = db.agg(countDistinct(col("gene")).cast("long")
+      .as("total_genes"))
+    allTypes.join(byType, Seq("cancer_type"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("cancer_type"),
+        coalesce(col("gc"), lit(0L)).as("gene_count"),
+        coalesce(col("tg"), lit("")).as("top_genes"),
+        col("total_genes"))
+  }
 }

@@ -183,7 +183,12 @@ object CorpusQueries {
     */
   private def corpusDrift(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val sid = substring(col("source"), 4, 10).cast("int")
+    // try_cast on BOTH sides: Spark's try_cast and DuckDB's TRY_CAST
+    // agree that a non-numeric suffix yields NULL (pmod(NULL) falls
+    // to the unshifted branch) — a plain ::INT would hard-error in
+    // DuckDB on a renamed source while Spark under ANSI also throws,
+    // but try_cast pins the tolerant behavior explicitly both sides
+    val sid = expr("try_cast(substring(source, 4, 10) AS int)")
     val base = docs.select(col("source"), col("n_chars").as("nc"))
     val cur = docs.select(col("source"),
       (col("n_chars") +
@@ -199,7 +204,7 @@ object CorpusQueries {
 
   private val corpusDriftSql =
     """WITH sid AS (SELECT source, n_chars,
-      |    substr(source, 4)::INT AS sid FROM documents),
+      |    TRY_CAST(substr(source, 4) AS INT) AS sid FROM documents),
       |b AS (SELECT source, least(n_chars // 100, 9) AS bk FROM sid),
       |c AS (SELECT source,
       |    least((n_chars + CASE WHEN sid % 4 = 0 THEN 150

@@ -294,7 +294,113 @@ object VariantQueries {
        |GROUP BY rs.gene, rs.gene_role
        |ORDER BY max_driver_score DESC, gene""".stripMargin
 
+  /* ---------------- driver_db / driver_db_summary ---------------- */
+
+  private val DbVar = 300
+  private val RawCodes: Seq[String] =
+    Variants.cancerTypeMap.map(_._1) ++ Seq("XXX", "YYY")
+  private val RoleRaw = Seq("Act", "LoF", "ambiguous")
+
+  /** Long-form IntOGen-shaped synth: 300 driver-gene entries whose
+    * cohort codes span all 36 mapped codes PLUS two unmapped ones
+    * (the notna-drop branch), with (type, gene) collisions by
+    * construction so the keep-max-samples dedup really collapses
+    * rows. Multipliers coprime to the panel sizes (7⊥38, 5⊥18).
+    */
+  private def driverSynth(s: SparkSession, d: String): DataFrame = {
+    val vids = Tables.lineitem(s, d)
+      .select(pmod(col("l_orderkey"), lit(DbVar)).cast("long").as("vid"))
+      .distinct()
+    val vid = col("vid")
+    vids.select(
+      vid.as("row_order"),
+      pick(pmod(vid * 7 + 1, lit(RawCodes.size)), RawCodes)
+        .as("cancer_type_raw"),
+      pick(pmod(vid * 5 + 2, lit(GenePanel.size)), GenePanel).as("gene"),
+      (pmod(vid, lit(3)) =!= 0).as("is_driver"),
+      pick(pmod(vid * 11 + 1, lit(RoleRaw.size)), RoleRaw).as("role_raw"),
+      (pmod(vid * 13, lit(500)) + 1).as("samples"),
+      (lit(1000L) + pmod(vid * 17, lit(200))).as("total_samples"),
+      (pmod(vid, lit(2)) === 0).as("cgc_gene"),
+      (pmod(vid, lit(100)).cast("double") / 100.0).as("qvalue"))
+      .withColumn("mutation_freq",
+        round(col("samples").cast("double") / col("total_samples"), 6))
+  }
+
+  private def driverDbQ(s: SparkSession, d: String): DataFrame =
+    Variants.driverDb(driverSynth(s, d))
+      .orderBy(col("cancer_type"), desc("mutation_freq"), col("gene"))
+
+  private def driverDbSummaryQ(s: SparkSession, d: String): DataFrame =
+    Variants.driverDbSummary(Variants.driverDb(driverSynth(s, d)))
+      .orderBy(col("cancer_type"))
+
+  /** Synth + map + role + keep-max dedup as shared CTEs ending in
+    * `db` — generated from the SAME panels the operator uses.
+    */
+  private val driverDbCtes: String = {
+    val ctCase = Variants.cancerTypeMap.map { case (k, v) =>
+      s"WHEN '$k' THEN '$v'"
+    }.mkString("CASE ctr ", " ", " ELSE NULL END")
+    s"""dv AS (SELECT DISTINCT (l_orderkey % $DbVar)::BIGINT AS vid
+       |  FROM lineitem),
+       |de AS (SELECT vid AS row_order,
+       |    ${sqlCase(s"(vid * 7 + 1) % ${RawCodes.size}", RawCodes)} AS ctr,
+       |    ${sqlCase(s"(vid * 5 + 2) % ${GenePanel.size}", GenePanel)} AS gene,
+       |    (vid % 3) <> 0 AS is_driver,
+       |    ${sqlCase(s"(vid * 11 + 1) % ${RoleRaw.size}", RoleRaw)} AS role_raw,
+       |    ((vid * 13) % 500 + 1)::BIGINT AS samples,
+       |    (1000 + (vid * 17) % 200)::BIGINT AS total_samples,
+       |    (vid % 2) = 0 AS cgc_gene,
+       |    (vid % 100)::DOUBLE / 100.0 AS qvalue
+       |  FROM dv),
+       |dm AS (SELECT row_order, gene, samples, total_samples, cgc_gene,
+       |    qvalue, $ctCase AS cancer_type,
+       |    round(samples::DOUBLE / total_samples, 6) AS mutation_freq,
+       |    CASE role_raw WHEN 'Act' THEN 'Oncogene'
+       |      WHEN 'LoF' THEN 'TSG' ELSE 'Unknown' END AS role
+       |  FROM de WHERE is_driver),
+       |dr AS (SELECT cancer_type, gene, mutation_freq, samples,
+       |    total_samples, role, cgc_gene, qvalue,
+       |    row_number() OVER (PARTITION BY cancer_type, gene
+       |      ORDER BY samples DESC, row_order) AS rn
+       |  FROM dm WHERE cancer_type IS NOT NULL),
+       |db AS (SELECT cancer_type, gene, mutation_freq, samples,
+       |    total_samples, role, cgc_gene, qvalue FROM dr WHERE rn = 1)"""
+      .stripMargin
+  }
+
+  private val driverDbSql =
+    s"""WITH $driverDbCtes
+       |SELECT cancer_type, gene, mutation_freq, samples, total_samples,
+       |  role, cgc_gene, qvalue
+       |FROM db ORDER BY cancer_type, mutation_freq DESC, gene"""
+      .stripMargin
+
+  private val driverDbSummarySql = {
+    val typeValues = Variants.mlCancerTypes
+      .map(t => s"('$t')").mkString(", ")
+    s"""WITH $driverDbCtes,
+       |types(cancer_type) AS (VALUES $typeValues),
+       |rk AS (SELECT cancer_type, gene,
+       |    row_number() OVER (PARTITION BY cancer_type
+       |      ORDER BY mutation_freq DESC, gene) AS k
+       |  FROM db),
+       |tg AS (SELECT cancer_type, count(*)::BIGINT AS gene_count,
+       |    string_agg(CASE WHEN k <= 10 THEN gene END, ',' ORDER BY k)
+       |      AS top_genes
+       |  FROM rk GROUP BY cancer_type),
+       |tot AS (SELECT count(DISTINCT gene)::BIGINT AS total_genes FROM db)
+       |SELECT types.cancer_type,
+       |  coalesce(gene_count, 0)::BIGINT AS gene_count,
+       |  coalesce(top_genes, '') AS top_genes, total_genes
+       |FROM types LEFT JOIN tg ON types.cancer_type = tg.cancer_type, tot
+       |ORDER BY types.cancer_type""".stripMargin
+  }
+
   val defs: Seq[Qdef] = Seq(
     Qdef("var_driver", varDriver, Some(varDriverSql)),
-    Qdef("var_summary", varSummary, Some(varSummarySql)))
+    Qdef("var_summary", varSummary, Some(varSummarySql)),
+    Qdef("driver_db", driverDbQ, Some(driverDbSql)),
+    Qdef("driver_db_summary", driverDbSummaryQ, Some(driverDbSummarySql)))
 }

@@ -132,4 +132,56 @@ class VariantsSpec extends SparkSpec {
     assert(kras.getAs[String]("top_variant") == "p.G12D")
     assert(out("TTN").getAs[Long]("driver_mutations") == 0L)
   }
+
+  private val dbCols = Seq("cancer_type_raw", "gene", "is_driver",
+    "role_raw", "samples", "total_samples", "mutation_freq",
+    "cgc_gene", "qvalue", "row_order")
+
+  test("driverDb maps, filters, translates roles, keeps max-samples row") {
+    val rows = Seq(
+      // duplicate (lung, KRAS): row 2 has MORE samples and wins
+      ("LUAD", "KRAS", true, "Act", 100L, 1000L, 0.1, true, 0.01, 1L),
+      ("LUSC", "KRAS", true, "LoF", 300L, 1000L, 0.3, false, 0.02, 2L),
+      // equal samples: FIRST in input order (row_order 3) wins
+      ("BRCA", "TP53", true, "LoF", 200L, 1000L, 0.2, true, 0.01, 3L),
+      ("BRCA", "TP53", true, "Act", 200L, 1000L, 0.2, false, 0.05, 4L),
+      // non-driver dropped; unmapped cohort dropped; odd role→Unknown
+      ("GBM", "EGFR", false, "Act", 50L, 1000L, 0.05, true, 0.2, 5L),
+      ("XXX", "MYC", true, "Act", 70L, 1000L, 0.07, true, 0.3, 6L),
+      ("OV", "BRCA1", true, "ambiguous", 90L, 1000L, 0.09, false, 0.1, 7L)
+    ).toDF(dbCols: _*)
+    val out = Variants.driverDb(rows)
+      .collect()
+      .map(r => (r.getAs[String]("cancer_type"), r.getAs[String]("gene")) -> r)
+      .toMap
+    assert(out.size == 3)
+    val lung = out(("lung_cancer", "KRAS"))
+    assert(lung.getAs[Long]("samples") == 300L)
+    assert(lung.getAs[String]("role") == "TSG") // winner row's LoF
+    val brca = out(("breast_cancer", "TP53"))
+    assert(brca.getAs[String]("role") == "TSG") // first-in-input won
+    assert(brca.getAs[Boolean]("cgc_gene"))
+    assert(out(("ovarian_cancer", "BRCA1")).getAs[String]("role")
+      == "Unknown")
+  }
+
+  test("driverDbSummary includes empty types and caps/orders top genes") {
+    val rows = (1 to 12).map { i =>
+      ("BRCA", s"G${"%02d".format(i)}", true, "Act", i.toLong * 10,
+        1000L, i / 100.0, true, 0.01, i.toLong)
+    }.toDF(dbCols: _*)
+    val out = Variants.driverDbSummary(Variants.driverDb(rows))
+      .collect()
+      .map(r => r.getAs[String]("cancer_type") ->
+        ((r.getAs[Long]("gene_count"), r.getAs[String]("top_genes"),
+          r.getAs[Long]("total_genes"))))
+      .toMap
+    assert(out.size == 17) // every pipeline type, even empty ones
+    val (gc, tg, tot) = out("breast_cancer")
+    assert(gc == 12L && tot == 12L)
+    // top-10 by freq desc: G12 .. G03 (G02/G01 cut)
+    assert(tg == (12 to 3 by -1).map(i => s"G${"%02d".format(i)}")
+      .mkString(","))
+    assert(out("melanoma") == ((0L, "", 12L)))
+  }
 }
