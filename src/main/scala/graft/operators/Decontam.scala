@@ -58,4 +58,53 @@ object Decontam {
         round(col("hit_grams").cast("double") / col("n_grams") + lit(1e-9), 6)
           .as("contamination"))
   }
+
+  /** SPAN-level decontamination (the positional twin of
+    * `contaminated`, Lee et al.-style): instead of distinct-gram set
+    * overlap, find the token SPANS of each training document covered
+    * by verbatim `windowTokens`-token passages from the benchmark
+    * set, union-merge them (the `Dedup.repeatedSpans` lag device:
+    * each contaminated start past the first contributes
+    * min(Δpos, w) tokens), and report coverage — the difference
+    * matters for TRIMMING: set overlap says "how much of the doc's
+    * vocabulary leaks", span coverage says "which contiguous text to
+    * cut".
+    *
+    * Scale shape: the benchmark window set broadcasts (eval suites
+    * are bounded); the corpus side is positional postings probed by
+    * one broadcast semi-join — no corpus shuffle for the membership
+    * probe, then a (doc)-keyed window + rollup. Docs with zero
+    * contaminated windows are absent.
+    */
+  def contaminatedSpans(
+      corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, windowTokens: Int): DataFrame = {
+    val w = windowTokens
+    require(w >= 2, s"windowTokens must be >= 2, got $w")
+    def windows(df: DataFrame) = df.select(col(idCol),
+      posexplode(TextFns.shinglesOfTokens(
+        TextFns.wsTokens(col(textCol)), w)).as(Seq("pos", "win")))
+    val benchWins = windows(bench).select(col("win")).distinct()
+    val toks = corpus.select(col(idCol),
+      TextFns.wsTokens(col(textCol)).as("tk"))
+      .select(col(idCol), col("tk"), size(col("tk")).as("ntok"))
+    val hits = toks
+      .select(col(idCol), col("ntok"),
+        posexplode(TextFns.shinglesOfTokens(col("tk"), w))
+          .as(Seq("pos", "win")))
+      .join(broadcast(benchWins), Seq("win"))
+    val perDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    hits
+      .withColumn("contrib",
+        coalesce(least(col("pos") - lag(col("pos"), 1).over(perDoc),
+          lit(w)), lit(w)))
+      .groupBy(col(idCol))
+      .agg(max(col("ntok")).cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("contam_windows"),
+        sum(col("contrib")).cast("long").as("contam_cover_tokens"))
+      .withColumn("contam_frac",
+        round(col("contam_cover_tokens").cast("double") /
+          col("n_tokens") + lit(1e-9), 6))
+  }
 }

@@ -375,6 +375,49 @@ object DedupQueries {
        |FROM ht JOIN pd ON ht.doc_id = pd.doc_id
        |ORDER BY contamination DESC, ht.doc_id""".stripMargin
 
+  /* ---------------- decontam_spans ---------------- */
+
+  /** Span-level decontamination binding: same fixed eval suite as
+    * decontam_ngram, but positional — which contiguous training-doc
+    * text verbatim-matches an eval passage, union-merged coverage.
+    */
+  private def decontamSpans(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Decontam.contaminatedSpans(
+      docs.where(!col("doc_id").isin(BenchIds: _*)),
+      docs.where(col("doc_id").isin(BenchIds: _*)),
+      "doc_id", "text", windowTokens = 8)
+      .orderBy(desc("contam_frac"), col("doc_id"))
+  }
+
+  private val decontamSpansSql = {
+    val w = 8
+    val concat = (0 until w).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+       |  FROM documents),
+       |ix AS (SELECT doc_id, t, len(t) AS ntok,
+       |    unnest(generate_series(1, len(t) - ${w - 1})) AS i
+       |  FROM toks),
+       |win AS (SELECT doc_id, ntok, i AS pos, $concat AS wn FROM ix),
+       |bw AS (SELECT DISTINCT wn FROM win WHERE doc_id IN $benchIdsSql),
+       |hits AS (SELECT win.doc_id, win.ntok, win.pos
+       |  FROM win JOIN bw USING (wn)
+       |  WHERE win.doc_id NOT IN $benchIdsSql),
+       |lg AS (SELECT doc_id, ntok, pos,
+       |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+       |  FROM hits),
+       |cov AS (SELECT doc_id, max(ntok)::BIGINT AS n_tokens,
+       |    count(*)::BIGINT AS contam_windows,
+       |    sum(least(coalesce(pos - prev, $w), $w))::BIGINT
+       |      AS contam_cover_tokens
+       |  FROM lg GROUP BY doc_id)
+       |SELECT doc_id, n_tokens, contam_windows, contam_cover_tokens,
+       |  round(contam_cover_tokens::DOUBLE / n_tokens + 0.000000001, 6)
+       |    AS contam_frac
+       |FROM cov ORDER BY contam_frac DESC, doc_id""".stripMargin
+  }
+
   /* ---------------- dedup_spans ---------------- */
 
   private val SpanW = 8
@@ -433,5 +476,6 @@ object DedupQueries {
     Qdef("dedup_embcos_mb", dedupEmbCosMb, Some(dedupEmbCosMbSql)),
     Qdef("decontam_ngram", decontamNgram, Some(decontamNgramSql)),
     Qdef("dedup_cluster", dedupCluster, Some(dedupClusterSql)),
-    Qdef("dedup_spans", dedupSpans, Some(dedupSpansSql)))
+    Qdef("dedup_spans", dedupSpans, Some(dedupSpansSql)),
+    Qdef("decontam_spans", decontamSpans, Some(decontamSpansSql)))
 }

@@ -308,9 +308,17 @@ object VariantQueries {
     * rows. Multipliers coprime to the panel sizes (7⊥38, 5⊥18).
     */
   private def driverSynth(s: SparkSession, d: String): DataFrame = {
+    // cached: the 300-row distinct is a PLAN BARRIER — without it
+    // Catalyst pushes the downstream is_driver filter and the
+    // 38-entry cohort-map lookup through the aggregate onto the
+    // lineitem scan, evaluating the panel CASE chains once per FACT
+    // row instead of once per vid (measured 9.1 s -> the scan cost
+    // at the sf1 probe). Also de-duplicates the scan between the
+    // summary query's two consumers.
     val vids = Tables.lineitem(s, d)
       .select(pmod(col("l_orderkey"), lit(DbVar)).cast("long").as("vid"))
       .distinct()
+      .cache()
     val vid = col("vid")
     vids.select(
       vid.as("row_order"),

@@ -134,6 +134,30 @@ class DedupSpec extends SparkSpec {
     assert(out.size == 7)
   }
 
+  test("contaminatedSpans reports merged eval-passage coverage per doc") {
+    import graft.operators.Decontam
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // two OVERLAPPING contaminated windows ("alpha beta gamma" at
+      // 2, "beta gamma delta" at 3) union to 4 tokens of 8
+      (1L, "x y alpha beta gamma delta p q"),
+      (2L, "nothing shared with the suite here"),
+      // the same eval passage twice, disjoint -> 3 + 3 of 9
+      (3L, "alpha beta gamma z1 z2 z3 alpha beta gamma")
+    ).toDF("doc_id", "text")
+    val out = Decontam.contaminatedSpans(corpus, bench,
+      "doc_id", "text", windowTokens = 3)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("contam_windows"),
+          r.getAs[Long]("contam_cover_tokens"),
+          r.getAs[Double]("contam_frac"))))
+      .toMap
+    assert(out(1L) == ((8L, 2L, 4L, 0.5)))
+    assert(out(3L) == ((9L, 2L, 6L, 0.666667)))
+    assert(!out.contains(2L)) // clean docs are absent
+  }
+
   test("repeatedSpans ignores repeats confined to a single document") {
     val docs = Seq(
       (1L, "m n o m n o m n o"), // heavy WITHIN-doc repetition only
