@@ -63,12 +63,14 @@ object IntegratedQueries {
       (col("degree") / NGenes.toDouble).as("hub_score"))
 
   private def integratedDriver(s: SparkSession, d: String): DataFrame = {
-    // ONE variant-annotate chain feeds BOTH mutation evidence frames
-    // (deriving drivers and the per-gene summary from separate
-    // annotated() calls would scan lineitem + distinct the variant
-    // ids twice inside one query). The cached frame is variant-panel
-    // rows — tiny at any corpus scale.
-    val ann = VariantQueries.annotated(s, d).cache()
+    // ONE variant-annotate chain feeds BOTH mutation evidence frames.
+    // The lineitem scan + variant-id distinct is deduplicated by the
+    // synth-level vids cache (VariantQueries.synth); both consumers
+    // below re-derive the panel-scale annotate math from those 400
+    // cached rows, which measured CHEAPER than stacking a second
+    // cache on the annotated frame (cache-on-cache adds a
+    // materialization pass: 5.7 → 7.0 s warm at sf0.1).
+    val ann = VariantQueries.annotated(s, d)
     val drivers = ann.select(
       col("gene"), col("aa_change"), col("is_hotspot"),
       round(col("driver_score") + lit(1e-9), 6).as("driver_score"),

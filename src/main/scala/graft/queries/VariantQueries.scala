@@ -75,9 +75,16 @@ object VariantQueries {
     }
 
   private def synth(s: SparkSession, d: String): DataFrame = {
+    // cached: the 400-row distinct is a PLAN BARRIER (the driverSynth
+    // precedent) — without it downstream filters like geneSummary's
+    // gene != '' push their panel CASE chains through the aggregate
+    // onto the lineitem scan and evaluate per FACT row (seen in
+    // var_summary's scan DataFilters; it benched consistently ~2×
+    // var_driver, which has no pushable filter)
     val vids = Tables.lineitem(s, d)
       .select(pmod(col("l_orderkey"), lit(NVar)).cast("long").as("vid"))
       .distinct()
+      .cache()
     val vid = col("vid")
     val paired = pmod(vid, lit(4)) === 0
     val pairIdx = pmod(vid / 4, lit(Pairs.size))
