@@ -51,14 +51,21 @@ object IntegratedQueries {
       when(idx === i, lit(n)).otherwise(rest)
     }
 
+  /** The two DEG evidence probes barrier their panel-scale upstream
+    * aggregates with cache() — without it the integrate stage's
+    * gene_symbol predicates push the 40-branch pickSym CASE through
+    * the aggregate onto the lineitem scan and evaluate it per FACT
+    * row (the driver_db/var_summary defect class, seen in the scan
+    * DataFilters). The cached frames are 40/10 rows.
+    */
   private[queries] def probeDeg(s: SparkSession, d: String): DataFrame =
-    StatsQueries.degStats(s, d).select(
+    StatsQueries.degStats(s, d).cache().select(
       pickSym(col("gene")).as("gene_symbol"),
       round(col("log2_fc") * 20.0 + lit(1e-9), 6).as("log2fc"),
       round(col("p_value") * col("p_value") + lit(1e-9), 6).as("padj"))
 
   private[queries] def probeHub(s: SparkSession, d: String): DataFrame =
-    StatsQueries.degHub(s, d).select(
+    StatsQueries.degHub(s, d).cache().select(
       pickSym(col("gene")).as("gene_symbol"),
       (col("degree") / NGenes.toDouble).as("hub_score"))
 
