@@ -243,6 +243,28 @@ object Events {
   def tsPeriods(c: String, periodSecs: Long): org.apache.spark.sql.Column =
     expr(s"($c div 1000000000) div $periodSecs")
 
+  /** Daily active users: events per day, distinct users per day, and
+    * the events-per-user intensity — the DAU telemetry of an event
+    * pipeline.
+    *
+    * EXACT countDistinct for oracle parity: a two-phase aggregate
+    * (per-partition distinct then merge), whose shuffle carries the
+    * per-day distinct user sets. The documented lake-scale
+    * substitution is `approx_count_distinct` (HLL++ sketches merge
+    * in constant space per day) at the marked spot — EventsSpec pins
+    * the swap's relative-error envelope so it stays a config change.
+    */
+  def dailyActiveUsers(events: DataFrame): DataFrame =
+    events
+      .withColumn("day", to_date(timestamp_seconds(tsSecs("ts"))))
+      .groupBy(col("day"))
+      .agg(
+        count(lit(1)).cast("long").as("n_events"),
+        // lake-scale swap point: approx_count_distinct(user_id, rsd)
+        countDistinct(col("user_id")).cast("long").as("dau"))
+      .withColumn("events_per_user",
+        round(col("n_events").cast("double") / col("dau") + lit(1e-9), 4))
+
   /** Per-type value-distribution summary: count, mean, and exact
     * linear-interpolation percentiles (p50/p90/p99) — the latency/
     * value SLO rollup of an event pipeline.

@@ -283,7 +283,22 @@ object EventQueries {
       |  round(quantile_cont(value, 0.99) + 0.000000001, 6) AS p99
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /* ---------------- ev_dau ---------------- */
+
+  private def evDau(s: SparkSession, d: String): DataFrame =
+    Events.dailyActiveUsers(Tables.events(s, d))
+      .orderBy(col("day"))
+
+  private val evDauSql =
+    """SELECT date_trunc('day', ts)::DATE AS day,
+      |  count(*)::BIGINT AS n_events,
+      |  count(DISTINCT user_id)::BIGINT AS dau,
+      |  round(count(*)::DOUBLE / count(DISTINCT user_id)
+      |    + 0.000000001, 4) AS events_per_user
+      |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+
   val defs: Seq[Qdef] = Seq(
+    Qdef("ev_dau", evDau, Some(evDauSql)),
     Qdef("ev_value_pctl", evValuePctl, Some(evValuePctlSql)),
     Qdef("ev_windowed_agg", evWindowedAgg, Some(evWindowedAggSql)),
     Qdef("ev_sessionize", evSessionize, Some(evSessionizeSql)),

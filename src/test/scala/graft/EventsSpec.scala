@@ -149,6 +149,29 @@ class EventsSpec extends SparkSpec {
     assert(buckets == Seq(Some(0L) -> 2L, None -> 3L))
   }
 
+  test("dailyActiveUsers counts distincts; approx swap stays in envelope") {
+    import org.apache.spark.sql.functions._
+    // day 0: users 1,1,2 -> dau 2, 3 events; day 1: user 3 once
+    val ev = Seq(
+      (1L, 1L, ns(10), "a", 1.0), (2L, 1L, ns(20), "a", 1.0),
+      (3L, 2L, ns(30), "a", 1.0), (4L, 3L, ns(86400 + 5), "a", 1.0)
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val out = Events.dailyActiveUsers(ev).orderBy(col("day"))
+      .collect()
+      .map(r => (r.getAs[Long]("n_events"), r.getAs[Long]("dau"),
+        r.getAs[Double]("events_per_user")))
+    assert(out.toSeq == Seq((3L, 2L, 1.5), (1L, 1L, 1.0)))
+    // the marked lake-scale substitution: HLL++ at rsd=0.02 must
+    // stay within 5% of exact on a 5000-distinct-user day
+    val big = (0 until 20000)
+      .map(i => (i.toLong, (i % 5000).toLong, ns(i % 80000), "a", 1.0))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val approx = big
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("ad"))
+      .head().getLong(0)
+    assert(math.abs(approx - 5000L) <= 250L, s"approx dau $approx")
+  }
+
   test("valuePercentiles interpolates exactly; approx swap stays in envelope") {
     import org.apache.spark.sql.functions._
     // type A: values 0..100 -> p50=50, p90=90, p99=99 exactly
