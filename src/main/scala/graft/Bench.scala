@@ -52,8 +52,13 @@ object Bench {
       }
       // stderr progress (stdout stays the single-JSON-line driver
       // contract): long sweeps at larger SFs are otherwise opaque
-      System.err.println(String.format(java.util.Locale.ROOT,
-        "[bench] %s %.2f s", name, Double.box(runs.map(_._1).min)))
+      // min over SUCCESSFUL runs only — the stdout JSON reports null
+      // for failed queries and the progress line must not let one
+      // masquerade as fast either
+      val okTimes = runs.filter(_._2).map(_._1)
+      System.err.println(if (okTimes.isEmpty) s"[bench] $name FAILED"
+      else String.format(java.util.Locale.ROOT,
+        "[bench] %s %.2f s", name, Double.box(okTimes.min)))
       name -> runs
     }
     // a query that threw reports null (not its near-zero wall time) so

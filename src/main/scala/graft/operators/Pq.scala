@@ -260,8 +260,13 @@ object Pq {
     // stored index rows: (id, cell, codes)
     val assigned = VectorSearch.assignCells(
       candidates, centroids, idCol, vecCol, groupCol)
+    // rng rides along with the codes so the reconstruction stage
+    // below reuses it — re-joining statsArr there would recompute
+    // the corpus-wide min/max aggregate a second time (two full
+    // candidate scans per query); all stages between are narrow, so
+    // the carried column never crosses a shuffle
     val codes = assigned.crossJoin(broadcast(statsArr))
-      .select(col(idCol), col(groupCol),
+      .select(col(idCol), col(groupCol), col("rng"),
         zip_with(col(vecCol), col("rng"), (v, r) => {
           val mn = r.getField("mn").cast("double")
           val mx = r.getField("mx").cast("double")
@@ -286,7 +291,6 @@ object Pq {
     // cosine (query uncompressed, like ADC)
     val recon = codes
       .join(broadcast(probed), Seq(groupCol))
-      .crossJoin(broadcast(statsArr))
       .withColumn("recon", zip_with(col("codes"), col("rng"), (c, r) => {
         val mn = r.getField("mn").cast("double")
         val mx = r.getField("mx").cast("double")

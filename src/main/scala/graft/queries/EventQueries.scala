@@ -84,14 +84,17 @@ object EventQueries {
   // the json_valid + json_type gate mirrors Spark's strict typed
   // from_json: malformed JSON, missing key, float k and quoted "12"
   // all -> NULL (a bare CAST would ERROR on malformed props and
-  // round '12.5' to 13); NULLS LAST pins the k_bucket null ordering
-  // both engines' defaults disagree on
+  // round '12.5' to 13); TRY_CAST, not CAST, because json_type
+  // 'UBIGINT' admits values in (2^63, 2^64) that overflow BIGINT —
+  // Spark's from_json(k BIGINT) nulls those, and CAST would abort
+  // the whole oracle instead; NULLS LAST pins the k_bucket null
+  // ordering both engines' defaults disagree on
   private val evPropsAggSql =
     s"""WITH e AS (SELECT event_type,
        |    CASE WHEN json_valid(props)
        |        AND json_type(json_extract(props, '$$.k'))
        |          IN ('BIGINT', 'UBIGINT')
-       |      THEN CAST(json_extract_string(props, '$$.k') AS BIGINT)
+       |      THEN TRY_CAST(json_extract_string(props, '$$.k') AS BIGINT)
        |      END AS k
        |  FROM events)
        |SELECT event_type, k // $PropsBucket AS k_bucket,

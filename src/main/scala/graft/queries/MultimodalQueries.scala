@@ -109,7 +109,14 @@ object MultimodalQueries {
       .agg(count(lit(1)).cast("long").as("dup_cnt"),
         min(col("media_id")).as("canonical_id"),
         sum(col("n_bytes")).cast("long").as("group_bytes"),
-        (sum(col("n_bytes")) - max(col("n_bytes"))).cast("long")
+        // reclaim = bytes freed by keeping exactly the CANONICAL
+        // (min-id) member — digest groups can mix sizes (same
+        // 40-byte prefix, different tails), so this is
+        // sum - canonical's size (min(struct) = value-at-min-key),
+        // not sum - max
+        (sum(col("n_bytes")) -
+          min(struct(col("media_id"), col("n_bytes")))
+            .getField("n_bytes")).cast("long")
           .as("reclaimable_bytes"))
       .where(col("dup_cnt") > 1)
       .orderBy(col("kind"), col("payload_digest"))
@@ -123,7 +130,8 @@ object MultimodalQueries {
        |SELECT kind, payload_digest, count(*)::BIGINT AS dup_cnt,
        |  min(media_id) AS canonical_id,
        |  sum(n_bytes)::BIGINT AS group_bytes,
-       |  (sum(n_bytes)::BIGINT - max(n_bytes))::BIGINT AS reclaimable_bytes
+       |  (sum(n_bytes)::BIGINT - arg_min(n_bytes, media_id))::BIGINT
+       |    AS reclaimable_bytes
        |FROM m GROUP BY kind, payload_digest HAVING count(*) > 1
        |ORDER BY kind, payload_digest""".stripMargin
 

@@ -115,6 +115,10 @@ object ScaleUp {
         when(col("__r") === 0, col("text"))
           .otherwise(concat(col("text"), lit(" variant "),
             col("__r").cast("string"))))
+      // keep the derived length column consistent with the perturbed
+      // text — n_chars-driven queries (pack/drift/stats) and
+      // text-tokenizing queries must see the SAME corpus
+      .withColumn("n_chars", length(col("text")).cast("long"))
       .drop("__r"), "documents", 8)
 
     val embeddings = read("embeddings")
