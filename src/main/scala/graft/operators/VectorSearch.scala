@@ -316,4 +316,75 @@ object VectorSearch {
       .limit(k)
       .select(col(idCol), col("cell"), col("cos_sim"))
   }
+
+  /** MMR diversification (Carbonell & Goldstein, SIGIR 1998):
+    * greedily re-rank the top-candK relevance shortlist so each pick
+    * maximizes lambda*rel - (1-lambda)*max-sim-to-already-picked —
+    * the standard vector-store knob against near-duplicate result
+    * lists. The greedy recurrence is inherently sequential over a
+    * BOUNDED shortlist, so this is a guarded driver device like
+    * closenessCentrality: the distributed work is the denseTopK
+    * shortlist; the candK x candK greedy runs on the driver behind
+    * an explicit maxCandidates require (REFUSES rather than
+    * silently collecting a corpus).
+    *
+    * Cross-engine protocol: rel scores are denseTopK's rounded
+    * cos_sim verbatim; pairwise sims and per-step MMR scores round
+    * to 6dp with the +1e-9 nudge BEFORE each argmax (both engines
+    * compare identical rounded states — the centrality device); ties
+    * break to the smaller id. `idCol` must be LongType.
+    */
+  def mmrRerank(
+      candidates: DataFrame, query: DataFrame, idCol: String,
+      vecCol: String, qVec: String, candK: Int, k: Int,
+      lambda: Double, maxCandidates: Int = 500): DataFrame = {
+    require(candK <= maxCandidates,
+      s"mmrRerank: candK=$candK exceeds maxCandidates=$maxCandidates")
+    require(k >= 1 && k <= candK, s"mmrRerank: k=$k out of [1, $candK]")
+    require(lambda >= 0.0 && lambda <= 1.0,
+      s"mmrRerank: lambda=$lambda out of [0, 1]")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    def r6(x: Double): Double =
+      BigDecimal(x + 1e-9)
+        .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    // bounded by candK (<= maxCandidates, checked above)
+    val shortlist = denseTopK(candidates, query, idCol, vecCol, qVec,
+      candK, Seq(vecCol)).collect()
+    val ids = shortlist.map(_.getAs[Long](idCol))
+    val vecs = shortlist.map(
+      _.getAs[scala.collection.Seq[Float]](vecCol)
+        .map(_.toDouble).toArray)
+    val rels = shortlist.map(_.getAs[Double]("cos_sim"))
+    val norms = vecs.map(v => math.sqrt(v.map(x => x * x).sum))
+    def sim(i: Int, j: Int): Double = {
+      var dot = 0.0
+      var d = 0
+      while (d < vecs(i).length) { dot += vecs(i)(d) * vecs(j)(d); d += 1 }
+      r6(dot / (norms(i) * norms(j)))
+    }
+    val n = ids.length
+    val picked = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Double, Double, Int)]
+    while (picked.size < math.min(k, n)) {
+      val step = picked.size + 1
+      var bestIdx = -1
+      var bestScore = Double.NegativeInfinity
+      for (i <- 0 until n if !picked.contains(i)) {
+        val maxSim =
+          if (picked.isEmpty) 0.0 else picked.map(p => sim(i, p)).max
+        val score = r6(lambda * rels(i) - (1.0 - lambda) * maxSim)
+        // score DESC, id ASC — the repo's universal tiebreak
+        if (score > bestScore ||
+            (score == bestScore && (bestIdx == -1 || ids(i) < ids(bestIdx)))) {
+          bestScore = score; bestIdx = i
+        }
+      }
+      picked += bestIdx
+      out += ((ids(bestIdx), rels(bestIdx), bestScore, step))
+    }
+    out.toSeq.toDF(idCol, "rel", "mmr_score", "pick_order")
+  }
 }

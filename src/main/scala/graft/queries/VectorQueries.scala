@@ -1247,9 +1247,87 @@ object VectorQueries {
        |    AS overall_confidence
        |FROM xag CROSS JOIN xnp ORDER BY paper""".stripMargin
 
+  /* ---------------- vs_mmr ---------------- */
+
+  private val MmrCandK = 25
+  private val MmrK = 5
+  private val MmrLambda = 0.7
+
+  /** MMR diversification over the dense shortlist: top-25 by cosine,
+    * then 5 greedy picks at lambda 0.7 — the near-duplicate-results
+    * knob of a vector store. The oracle unrolls the greedy recurrence
+    * as k chained argmax CTEs over the same rounded state.
+    */
+  private def vsMmr(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+    VectorSearch.mmrRerank(emb.where(col("vec_id") =!= 0), q,
+      "vec_id", "embedding", "qe", MmrCandK, MmrK, MmrLambda)
+      .orderBy(col("pick_order"))
+  }
+
+  private val vsMmrSql = {
+    val lam = MmrLambda
+    val om = 1.0 - MmrLambda
+    // chained greedy: sel{t} = sel{t-1} + argmax over the remainder
+    val steps = (2 to MmrK).map { t =>
+      s"""p$t AS (SELECT v.vec_id, v.rel,
+         |    round($lam * v.rel - $om * m.ms + 0.000000001, 6)
+         |      AS mmr_score, $t AS pick_order
+         |  FROM (SELECT sc.vec_id, sc.rel FROM sc
+         |        WHERE sc.vec_id NOT IN (SELECT vec_id FROM sel${t - 1})) v
+         |  JOIN (SELECT ia, max(s) AS ms FROM sims
+         |        WHERE ib IN (SELECT vec_id FROM sel${t - 1})
+         |        GROUP BY ia) m ON v.vec_id = m.ia
+         |  ORDER BY mmr_score DESC, v.vec_id LIMIT 1),
+         |sel$t AS (SELECT * FROM sel${t - 1} UNION ALL SELECT * FROM p$t)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |ex AS (SELECT e.vec_id, e.embedding AS ce, q.qe AS qe,
+       |         unnest(generate_series(1, len(e.embedding))) AS i
+       |       FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
+       |dt AS (SELECT vec_id,
+       |         sum(ce[i]::DOUBLE * qe[i]::DOUBLE) AS dot,
+       |         sum(ce[i]::DOUBLE * ce[i]::DOUBLE) AS na,
+       |         sum(qe[i]::DOUBLE * qe[i]::DOUBLE) AS nb
+       |       FROM ex GROUP BY vec_id),
+       |sc AS (SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 6) AS rel
+       |       FROM dt ORDER BY rel DESC, vec_id LIMIT $MmrCandK),
+       |sv AS (SELECT sc.vec_id, e.embedding FROM sc
+       |       JOIN embeddings e ON sc.vec_id = e.vec_id),
+       |px AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+       |         a.embedding AS va, b.embedding AS vb,
+       |         unnest(generate_series(1, len(a.embedding))) AS i
+       |       FROM sv a JOIN sv b ON a.vec_id < b.vec_id),
+       |ps AS (SELECT ia, ib,
+       |         sum(va[i]::DOUBLE * vb[i]::DOUBLE) AS dot,
+       |         sum(va[i]::DOUBLE * va[i]::DOUBLE) AS na,
+       |         sum(vb[i]::DOUBLE * vb[i]::DOUBLE) AS nb
+       |       FROM px GROUP BY ia, ib),
+       |sims AS (SELECT ia, ib,
+       |           round(dot / (sqrt(na) * sqrt(nb)) + 0.000000001, 6) AS s
+       |         FROM ps
+       |         UNION ALL
+       |         SELECT ib, ia,
+       |           round(dot / (sqrt(na) * sqrt(nb)) + 0.000000001, 6)
+       |         FROM ps),
+       |p1 AS (SELECT vec_id, rel,
+       |         round($lam * rel + 0.000000001, 6) AS mmr_score,
+       |         1 AS pick_order
+       |       FROM sc
+       |       ORDER BY round($lam * rel + 0.000000001, 6) DESC, vec_id
+       |       LIMIT 1),
+       |sel1 AS (SELECT * FROM p1),
+       |$steps
+       |SELECT vec_id, rel, mmr_score, pick_order FROM sel$MmrK
+       |ORDER BY pick_order""".stripMargin
+  }
+
   val defs: Seq[Qdef] = Seq(
     Qdef("vs_dense_topk", denseTopK, Some(denseTopKSql)),
     Qdef("vs_sq8_topk", sq8TopK, Some(sq8TopKSql)),
+    Qdef("vs_mmr", vsMmr, Some(vsMmrSql)),
     Qdef("vs_filtered_topk", filteredTopK, Some(filteredTopKSql)),
     Qdef("vs_section_topk", sectionTopK, Some(sectionTopKSql)),
     Qdef("vs_knn_join", knnJoin, Some(knnJoinSql)),

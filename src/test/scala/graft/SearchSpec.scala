@@ -121,4 +121,37 @@ class SearchSpec extends SparkSpec {
       "label", nprobe = 2, k = 3).queryExecution.executedPlan.toString
     assert(!plan.contains("Window"))
   }
+
+  test("mmrRerank alternates clusters; lambda=1 degenerates to top-k") {
+    // query between two tight clusters (A: ids 1,2; B: ids 10,11),
+    // leaning toward A — pure relevance ranks (2, 1, 11); MMR at
+    // lambda .5 must interleave a B pick at step 2 (within-cluster
+    // sims ~0.999 crush the second same-cluster pick's score)
+    val cands = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)), (2L, Array(0.98f, 0.05f, 0.0f)),
+      (10L, Array(0.0f, 1.0f, 0.0f)), (11L, Array(0.05f, 0.98f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val q = Seq(Tuple1(Array(0.8f, 0.6f, 0.0f))).toDF("qe")
+    val mmr = VectorSearch.mmrRerank(cands, q, "vec_id", "embedding",
+      "qe", candK = 4, k = 3, lambda = 0.5)
+      .orderBy(col("pick_order"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(mmr.head == 2L) // first pick is pure relevance
+    assert(mmr(1) == 10L, s"step 2 should cross clusters: $mmr")
+    // lambda = 1.0: no diversity penalty -> plain relevance order
+    val pure = VectorSearch.mmrRerank(cands, q, "vec_id", "embedding",
+      "qe", candK = 4, k = 3, lambda = 1.0)
+      .orderBy(col("pick_order"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(pure == Seq(2L, 1L, 11L))
+    // guards refuse rather than silently collecting a corpus
+    intercept[IllegalArgumentException] {
+      VectorSearch.mmrRerank(cands, q, "vec_id", "embedding", "qe",
+        candK = 1000, k = 3, lambda = 0.5)
+    }
+    intercept[IllegalArgumentException] {
+      VectorSearch.mmrRerank(cands, q, "vec_id", "embedding", "qe",
+        candK = 5, k = 3, lambda = 1.5)
+    }
+  }
 }
