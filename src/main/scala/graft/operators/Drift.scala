@@ -37,13 +37,29 @@ object Drift {
       base: DataFrame, current: DataFrame,
       strataCol: String, bucketCol: String,
       minP: Double = 1e-6): DataFrame = {
-    require(minP > 0.0 && minP < 1.0, s"minP out of (0,1): $minP")
-    def counts(df: DataFrame, cnt: String) =
+    def counts(df: DataFrame) =
       df.groupBy(col(strataCol), col(bucketCol))
-        .agg(count(lit(1)).as(cnt))
+        .agg(count(lit(1)).as("cnt"))
+    psiFromCounts(counts(base), counts(current),
+      strataCol, bucketCol, "cnt", minP)
+  }
+
+  /** PSI from PRE-AGGREGATED (stratum, bucket, count) frames — the
+    * entry point for monitoring pipelines that already maintain
+    * bucket counts (a Structured Streaming windowed aggregation's
+    * micro-batch output via foreachBatch, a rollup table, a
+    * baseline snapshot) rather than raw rows.
+    */
+  def psiFromCounts(
+      baseCounts: DataFrame, currentCounts: DataFrame,
+      strataCol: String, bucketCol: String, cntCol: String,
+      minP: Double = 1e-6): DataFrame = {
+    require(minP > 0.0 && minP < 1.0, s"minP out of (0,1): $minP")
     val byStratum = Window.partitionBy(col(strataCol))
-    val joined = counts(base, "cnt_b")
-      .join(counts(current, "cnt_c"),
+    val joined = baseCounts
+      .select(col(strataCol), col(bucketCol), col(cntCol).as("cnt_b"))
+      .join(currentCounts
+        .select(col(strataCol), col(bucketCol), col(cntCol).as("cnt_c")),
         Seq(strataCol, bucketCol), "full_outer")
       .select(col(strataCol), col(bucketCol),
         coalesce(col("cnt_b"), lit(0L)).as("cnt_b"),

@@ -212,6 +212,65 @@ class StreamingSpec extends SparkSpec {
     assert(rows((1L, 100L)) == (2L, 3.0, 10L))
   }
 
+  test("windowed drift monitoring: streaming bucket counts feed PSI per closed window") {
+    val sql = spark.sqlContext
+    import spark.implicits._
+    implicit val ctx = sql
+    import org.apache.spark.sql.functions._
+    import graft.operators.Drift
+
+    // static baseline distribution for stratum s: buckets 40%/60%
+    val baseline = (Seq.fill(4)(("s", 0L)) ++ Seq.fill(6)(("s", 1L)))
+      .toDF("stratum", "bucket")
+      .groupBy(col("stratum"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .cache()
+
+    val input = MemoryStream[(Timestamp, String, Long)]
+    val events = input.toDF().toDF("ts", "stratum", "bucket")
+    // ONE streaming aggregation (watermarked windowed bucket counts);
+    // the PSI fold runs per micro-batch in foreachBatch over the
+    // CLOSED windows — the composition a monitoring pipeline deploys
+    val counts = events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("stratum"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"),
+        col("stratum"), col("bucket"), col("cnt"))
+    val results =
+      scala.collection.mutable.ArrayBuffer.empty[(String, Double, String)]
+    val query = counts.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val cur = batch.select(col("stratum"), col("bucket"), col("cnt"))
+        if (!cur.isEmpty) {
+          Drift.psiFromCounts(baseline, cur, "stratum", "bucket", "cnt")
+            .collect().foreach { r =>
+              results += ((r.getAs[String]("stratum"),
+                r.getAs[Double]("psi"), r.getAs[String]("drift_level")))
+            }
+        }
+        ()
+      }
+      .start()
+
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // hour-1 window: 60%/40% against the 40%/60% baseline
+    input.addData((1 to 6).map(_ => (t(1, 5), "s", 0L)) ++
+      (1 to 4).map(_ => (t(1, 30), "s", 1L)): _*)
+    query.processAllAvailable()
+    input.addData((t(3, 0), "s", 0L)) // advances watermark, closes hour 1
+    query.processAllAvailable()
+    input.addData((t(5, 0), "s", 0L)) // closes hour 3 too
+    query.processAllAvailable()
+    query.stop()
+
+    // hour-1 window: the hand-computed DriftSpec statistic
+    assert(results.exists { case (st, p, lvl) =>
+      st == "s" && math.abs(p - 0.162186) < 1e-6 && lvl == "moderate"
+    }, s"hour-1 PSI missing from $results")
+  }
+
   test("dedupStream drops in-window duplicate content, state bounded by watermark") {
     val sql = spark.sqlContext
     import spark.implicits._
