@@ -49,17 +49,27 @@ object Drift {
     * bucket counts (a Structured Streaming windowed aggregation's
     * micro-batch output via foreachBatch, a rollup table, a
     * baseline snapshot) rather than raw rows.
+    *
+    * Input frames are re-aggregated to one row per (stratum, bucket)
+    * internally: a duplicate-keyed input (e.g. two closed streaming
+    * windows landing in one micro-batch, or an unconsolidated rollup)
+    * would otherwise fan out the full_outer join and double-count the
+    * per-stratum totals. The extra aggregate is free at scale — both
+    * frames are already strata × buckets sized, and when the input IS
+    * unique the same-keyed re-aggregate reuses its partitioning
+    * (no added shuffle).
     */
   def psiFromCounts(
       baseCounts: DataFrame, currentCounts: DataFrame,
       strataCol: String, bucketCol: String, cntCol: String,
       minP: Double = 1e-6): DataFrame = {
     require(minP > 0.0 && minP < 1.0, s"minP out of (0,1): $minP")
+    def consolidated(df: DataFrame, out: String) =
+      df.groupBy(col(strataCol), col(bucketCol))
+        .agg(sum(col(cntCol)).as(out))
     val byStratum = Window.partitionBy(col(strataCol))
-    val joined = baseCounts
-      .select(col(strataCol), col(bucketCol), col(cntCol).as("cnt_b"))
-      .join(currentCounts
-        .select(col(strataCol), col(bucketCol), col(cntCol).as("cnt_c")),
+    val joined = consolidated(baseCounts, "cnt_b")
+      .join(consolidated(currentCounts, "cnt_c"),
         Seq(strataCol, bucketCol), "full_outer")
       .select(col(strataCol), col(bucketCol),
         coalesce(col("cnt_b"), lit(0L)).as("cnt_b"),

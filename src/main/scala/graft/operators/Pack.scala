@@ -83,16 +83,22 @@ object Pack {
     *
     * Scale: pure arithmetic on the packed frame plus ONE
     * partial-aggregated groupBy on shard_id (bounded groups by the
-    * budget contract). Zero-token docs are zero-width spans — they
-    * never count as crossing and never move the span bounds.
+    * budget contract). Zero-token docs are zero-width spans: their
+    * span bounds are EXCLUDED from the _sf/_sl aggregates outright
+    * (null, skipped by min/max/crossing) rather than computed — at
+    * cum_tokens == 0 the last-occupied offset is −1, whose integral
+    * division truncates toward zero in Spark but floors in SQL
+    * engines (DuckDB //), so a computed bound would diverge
+    * cross-engine. They still count toward n_docs/shard_tokens.
     */
   def sequenceAudit(
       packed: DataFrame, tokenCol: String, seqLen: Long): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
     val start = col("cum_tokens") - col(tokenCol)
     val endM1 = col("cum_tokens") - 1 // last occupied offset
-    val seqFirst = call_function("div", start, lit(seqLen))
-    val seqLast = call_function("div", endM1, lit(seqLen))
+    val occupied = col(tokenCol) > 0
+    val seqFirst = when(occupied, call_function("div", start, lit(seqLen)))
+    val seqLast = when(occupied, call_function("div", endM1, lit(seqLen)))
     packed
       .select(col("shard_id"), col(tokenCol),
         seqFirst.as("_sf"), seqLast.as("_sl"))
@@ -100,8 +106,9 @@ object Pack {
       .agg(
         count(lit(1)).cast("long").as("n_docs"),
         sum(col(tokenCol)).cast("long").as("shard_tokens"),
-        (max(col("_sl")) - min(col("_sf")) + 1).cast("long")
-          .as("n_seqs"),
+        // an all-zero-token shard realizes no sequences -> 0
+        coalesce(max(col("_sl")) - min(col("_sf")) + 1, lit(0L))
+          .cast("long").as("n_seqs"),
         sum(when(col("_sl") > col("_sf"), 1L).otherwise(0L))
           .cast("long").as("crossing_docs"))
       .withColumn("crossing_frac",

@@ -349,13 +349,19 @@ object VectorSearch {
       BigDecimal(x + 1e-9)
         .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
         .toDouble
-    // bounded by candK (<= maxCandidates, checked above)
+    // bounded by candK (<= maxCandidates, checked above); the vector
+    // column is normalized to array<double> BEFORE collect so both
+    // array<float> and array<double> embeddings (the whole vector
+    // surface accepts either via VectorFns.asDouble) read back
+    // uniformly — a raw getAs[Seq[Float]] would ClassCastException
+    // on a double column at collect time
     val shortlist = denseTopK(candidates, query, idCol, vecCol, qVec,
-      candK, Seq(vecCol)).collect()
+      candK, Seq(vecCol))
+      .withColumn(vecCol, VectorFns.asDouble(col(vecCol)))
+      .collect()
     val ids = shortlist.map(_.getAs[Long](idCol))
     val vecs = shortlist.map(
-      _.getAs[scala.collection.Seq[Float]](vecCol)
-        .map(_.toDouble).toArray)
+      _.getAs[scala.collection.Seq[Double]](vecCol).toArray)
     val rels = shortlist.map(_.getAs[Double]("cos_sim"))
     val norms = vecs.map(v => math.sqrt(v.map(x => x * x).sum))
     def sim(i: Int, j: Int): Double = {

@@ -489,12 +489,14 @@ object TextQueries {
        |p AS (SELECT
        |    ((cum_tokens - est_tokens) // $ShardBudget)::BIGINT AS shard_id,
        |    est_tokens,
-       |    (cum_tokens - est_tokens) // $AuditSeqLen AS sf,
-       |    (cum_tokens - 1) // $AuditSeqLen AS sl
+       |    CASE WHEN est_tokens > 0
+       |      THEN (cum_tokens - est_tokens) // $AuditSeqLen END AS sf,
+       |    CASE WHEN est_tokens > 0
+       |      THEN (cum_tokens - 1) // $AuditSeqLen END AS sl
        |  FROM c)
        |SELECT shard_id, count(*)::BIGINT AS n_docs,
        |  sum(est_tokens)::BIGINT AS shard_tokens,
-       |  (max(sl) - min(sf) + 1)::BIGINT AS n_seqs,
+       |  coalesce(max(sl) - min(sf) + 1, 0)::BIGINT AS n_seqs,
        |  sum(CASE WHEN sl > sf THEN 1 ELSE 0 END)::BIGINT AS crossing_docs,
        |  round(sum(CASE WHEN sl > sf THEN 1 ELSE 0 END)::DOUBLE / count(*)
        |    + 0.000000001, 6) AS crossing_frac

@@ -48,6 +48,36 @@ class DriftSpec extends SparkSpec {
     assert(fwd == psiOf(y, x)) // PSI is symmetric in its two snapshots
   }
 
+  test("psiFromCounts consolidates duplicate (stratum, bucket) rows") {
+    import org.apache.spark.sql.functions._
+    // the same distribution twice: once as unique (stratum, bucket)
+    // counts, once split across duplicate key rows (two closed
+    // streaming windows landing in one micro-batch). Without internal
+    // consolidation the full_outer join fans out and the per-stratum
+    // totals double-count.
+    val base = Seq(("s", 0L, 4L), ("s", 1L, 6L))
+      .toDF("stratum", "bucket", "cnt")
+    val curUnique = Seq(("s", 0L, 6L), ("s", 1L, 4L))
+      .toDF("stratum", "bucket", "cnt")
+    val curSplit = Seq(("s", 0L, 2L), ("s", 0L, 4L), ("s", 1L, 1L),
+      ("s", 1L, 3L)).toDF("stratum", "bucket", "cnt")
+    def run(cur: org.apache.spark.sql.DataFrame) =
+      Drift.psiFromCounts(base, cur, "stratum", "bucket", "cnt")
+        .collect().head
+    val u = run(curUnique)
+    val d = run(curSplit)
+    assert(math.abs(u.getAs[Double]("psi") - 0.162186) < 1e-6)
+    assert(d.getAs[Double]("psi") == u.getAs[Double]("psi"))
+    assert(d.getAs[Long]("n_current") == 10L) // not double-counted
+    // duplicate BASE rows consolidate too
+    val baseSplit = Seq(("s", 0L, 1L), ("s", 0L, 3L), ("s", 1L, 6L))
+      .toDF("stratum", "bucket", "cnt")
+    val b = Drift.psiFromCounts(baseSplit, curUnique,
+      "stratum", "bucket", "cnt").collect().head
+    assert(b.getAs[Double]("psi") == u.getAs[Double]("psi"))
+    assert(b.getAs[Long]("n_base") == 10L)
+  }
+
   test("minP out of range is rejected") {
     val f = Seq(("s", 0L)).toDF("stratum", "bucket")
     intercept[IllegalArgumentException] {

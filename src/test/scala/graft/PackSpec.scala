@@ -61,4 +61,31 @@ class PackSpec extends SparkSpec {
     assert(out(1L) == ((3L, 6L, 1L, 0L, 0.0)))
     assert(out.size == 2)
   }
+
+  test("sequenceAudit: a zero-token doc at offset 0 never moves the span") {
+    // doc 1 has 0 tokens at cum_tokens 0: its last-occupied offset is
+    // -1, where integral division truncates (Spark) vs floors
+    // (DuckDB) differently — the span bounds must be EXCLUDED, not
+    // computed, or n_seqs diverges cross-engine
+    val d = Seq((1L, 0L), (2L, 5L), (3L, 3L)).toDF("id", "tok")
+    val out = Pack.sequenceAudit(
+      Pack.packByTokenBudget(d, "id", "tok", budget = 16L, partitions = 2),
+      "tok", seqLen = 8L)
+      .collect().map(r => (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("shard_tokens"), r.getAs[Long]("n_seqs"),
+        r.getAs[Long]("crossing_docs")))
+    // spans 0..4 and 5..7: one sequence, no crossings; the zero-width
+    // doc counts in n_docs only
+    assert(out.toSeq == Seq((3L, 8L, 1L, 0L)))
+  }
+
+  test("sequenceAudit: an all-zero-token shard realizes zero sequences") {
+    val d = Seq((1L, 0L), (2L, 0L)).toDF("id", "tok")
+    val out = Pack.sequenceAudit(
+      Pack.packByTokenBudget(d, "id", "tok", budget = 16L, partitions = 1),
+      "tok", seqLen = 8L)
+      .collect().map(r => (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_seqs"), r.getAs[Long]("crossing_docs")))
+    assert(out.toSeq == Seq((2L, 0L, 0L)))
+  }
 }

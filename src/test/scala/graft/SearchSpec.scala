@@ -154,4 +154,20 @@ class SearchSpec extends SparkSpec {
         candK = 5, k = 3, lambda = 1.5)
     }
   }
+
+  test("mmrRerank accepts array<double> embeddings like the rest of " +
+    "the vector surface") {
+    // same geometry as the float spec above, as doubles — the
+    // collect-side read must go through asDouble, not a Float cast
+    val cands = Seq(
+      (1L, Array(1.0, 0.0, 0.0)), (2L, Array(0.98, 0.05, 0.0)),
+      (10L, Array(0.0, 1.0, 0.0)), (11L, Array(0.05, 0.98, 0.0))
+    ).toDF("vec_id", "embedding")
+    val q = Seq(Tuple1(Array(0.8, 0.6, 0.0))).toDF("qe")
+    val mmr = VectorSearch.mmrRerank(cands, q, "vec_id", "embedding",
+      "qe", candK = 4, k = 3, lambda = 0.5)
+      .orderBy(col("pick_order"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(mmr.head == 2L && mmr(1) == 10L, s"unexpected order: $mmr")
+  }
 }

@@ -237,38 +237,57 @@ class StreamingSpec extends SparkSpec {
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("window_start"),
         col("stratum"), col("bucket"), col("cnt"))
-    val results =
-      scala.collection.mutable.ArrayBuffer.empty[(String, Double, String)]
+    // one PSI computation PER closed window: a micro-batch may close
+    // several windows at once, and folding their counts into a single
+    // psiFromCounts call would merge distinct hourly distributions
+    // (each window is its own "current" snapshot vs the baseline)
+    val results = scala.collection.mutable
+      .ArrayBuffer.empty[(String, String, Double, String)]
     val query = counts.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        val cur = batch.select(col("stratum"), col("bucket"), col("cnt"))
-        if (!cur.isEmpty) {
-          Drift.psiFromCounts(baseline, cur, "stratum", "bucket", "cnt")
-            .collect().foreach { r =>
-              results += ((r.getAs[String]("stratum"),
-                r.getAs[Double]("psi"), r.getAs[String]("drift_level")))
-            }
-        }
+        val closed = batch.cache() // two consumers: window list + per-window slices
+        closed.select(col("window_start")).distinct()
+          .collect().map(_.getTimestamp(0)).sortBy(_.getTime).foreach { w =>
+            val cur = closed.where(col("window_start") === w)
+              .select(col("stratum"), col("bucket"), col("cnt"))
+            Drift.psiFromCounts(baseline, cur, "stratum", "bucket", "cnt")
+              .collect().foreach { r =>
+                results += ((w.toString, r.getAs[String]("stratum"),
+                  r.getAs[Double]("psi"), r.getAs[String]("drift_level")))
+              }
+          }
+        closed.unpersist()
         ()
       }
       .start()
 
     def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
-    // hour-1 window: 60%/40% against the 40%/60% baseline
+    // hour-1 window: 60%/40% against the 40%/60% baseline;
+    // hour-2 window: 40%/60% — identical to baseline, PSI 0
     input.addData((1 to 6).map(_ => (t(1, 5), "s", 0L)) ++
-      (1 to 4).map(_ => (t(1, 30), "s", 1L)): _*)
+      (1 to 4).map(_ => (t(1, 30), "s", 1L)) ++
+      (1 to 4).map(_ => (t(2, 5), "s", 0L)) ++
+      (1 to 6).map(_ => (t(2, 30), "s", 1L)): _*)
     query.processAllAvailable()
-    input.addData((t(3, 0), "s", 0L)) // advances watermark, closes hour 1
+    // one late event far ahead closes hours 1 AND 2 in the SAME
+    // micro-batch — the regime that used to merge their counts
+    input.addData((t(5, 0), "s", 0L))
     query.processAllAvailable()
-    input.addData((t(5, 0), "s", 0L)) // closes hour 3 too
+    input.addData((t(7, 0), "s", 0L)) // closes hour 5 too
     query.processAllAvailable()
     query.stop()
 
-    // hour-1 window: the hand-computed DriftSpec statistic
-    assert(results.exists { case (st, p, lvl) =>
-      st == "s" && math.abs(p - 0.162186) < 1e-6 && lvl == "moderate"
+    // hour 1: the hand-computed DriftSpec statistic; hour 2: stable 0
+    // — distinguishable ONLY if each window got its own PSI pass
+    assert(results.exists { case (w, st, p, lvl) =>
+      w.startsWith("2024-01-01 01:00") && st == "s" &&
+        math.abs(p - 0.162186) < 1e-6 && lvl == "moderate"
     }, s"hour-1 PSI missing from $results")
+    assert(results.exists { case (w, st, p, lvl) =>
+      w.startsWith("2024-01-01 02:00") && st == "s" &&
+        p == 0.0 && lvl == "stable"
+    }, s"hour-2 PSI missing from $results")
   }
 
   test("dedupStream drops in-window duplicate content, state bounded by watermark") {
