@@ -146,15 +146,64 @@ object Dedup {
     jaccardVerify(cand, sh, idCol, minJaccard)
   }
 
+  /** Default pairwise-verify budget for the two EXACT all-pairs
+    * operators below. The verify explode is the one super-linear
+    * stage in the dedup family: on a dup-heavy corpus its row count
+    * grows quadratically with cluster sizes (measured on the 10×
+    * dup-amplified sf1 probe: 17-25× wall for 10× data). The budget
+    * converts that from a silent detonation into a loud refusal —
+    * the closenessCentrality maxNodes / mmrRerank maxCandidates
+    * contract. The lake-scale routes past a refusal are the banded
+    * family (minhashLsh / simhashPairs) and the linear repeatedSpans.
+    *
+    * Calibration (measured Σ_sh C(df,2) on the demo bindings):
+    * sf0.01 = 1.4e4, sf0.1 = 1.27e6, and the 10× dup-amplified sf1
+    * probe = 1.42e8 (runs in ~52 s there) — so 2e8 admits every
+    * regime this repo has actually measured as completing, and the
+    * NEXT 10× (≈1.4e10 by the probe's super-linear trend) refuses
+    * instead of hanging a cluster.
+    */
+  val DefaultMaxPairRows = 200000000L
+
+  /** Refuses when the posting-list self-join would materialise more
+    * than `budget` pair rows: Σ_key C(n_key, 2) over the pruned
+    * postings — the EXACT row count of the candidate explode, not an
+    * estimate. One scalar aggregate over the (cached) postings frame;
+    * decimal accumulation so the certificate itself can't overflow.
+    */
+  private def requirePairBudget(
+      postings: DataFrame, keyCol: String, budget: Long,
+      op: String): Unit = {
+    val bound = postings.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .agg(sum(((col("n") * (col("n") - 1)) / 2).cast("decimal(38,0)")))
+      .head().getDecimal(0)
+    val rows = if (bound == null) java.math.BigDecimal.ZERO else bound
+    if (rows.compareTo(java.math.BigDecimal.valueOf(budget)) > 0)
+      throw new IllegalStateException(
+        s"$op: pairwise-exact verify would materialise $rows candidate " +
+          s"rows, over the maxPairRows budget of $budget — this corpus " +
+          "is too duplicate-heavy for all-pairs exact verification. " +
+          "Use the banded route (minhashLsh / simhashPairs) or the " +
+          "linear repeatedSpans, or raise maxPairRows explicitly.")
+  }
+
   /** All-pairs n-gram Jaccard via inverted-index (set-similarity)
     * join. Shingles with document frequency above `maxShingleDf` are
     * dropped BEFORE the join (mirrored stop-shingle cap: bounds the
     * per-posting pair blowup; near-dup pairs still share plenty of
     * rare shingles).
+    *
+    * Guarded: REFUSES (loud IllegalStateException, never a silent
+    * quadratic run) when the posting self-join would exceed
+    * `maxPairRows` — see requirePairBudget. The check is one scalar
+    * aggregate over the already-cached pruned postings, so the main
+    * plan pays no extra scan.
     */
   def ngramJaccard(
       docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int, maxShingleDf: Int, minJaccard: Double): DataFrame = {
+      shingleN: Int, maxShingleDf: Int, minJaccard: Double,
+      maxPairRows: Long = DefaultMaxPairRows): DataFrame = {
     val sh = shingles(docs, idCol, textCol, shingleN).cache()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("nsh"))
     val dfOk = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
@@ -163,6 +212,7 @@ object Dedup {
     // both self-join sides read the pruned postings; cache so the
     // df-filter join runs once, not twice
     val pruned = sh.join(dfOk, Seq("sh")).cache()
+    requirePairBudget(pruned, "sh", maxPairRows, "ngramJaccard")
     val a = pruned.select(col(idCol).as("da"), col("sh"))
     val b = pruned.select(col(idCol).as("db"), col("sh"))
     a.join(b, Seq("sh"))
@@ -187,10 +237,17 @@ object Dedup {
     * over the full shingle sets (unlike `ngramJaccard`, whose
     * df-capped counts are approximate in the presence of hot
     * shingles).
+    *
+    * Guarded like ngramJaccard: REFUSES when the PREFIX-posting
+    * self-join would exceed `maxPairRows` rows (the prefix join
+    * bounds the candidate count, which in turn drives the exact
+    * verify explode — the stage measured super-linear on dup-heavy
+    * corpora).
     */
   def ngramJaccardPrefix(
       docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int, minJaccard: Double): DataFrame = {
+      shingleN: Int, minJaccard: Double,
+      maxPairRows: Long = DefaultMaxPairRows): DataFrame = {
     val sh = shingles(docs, idCol, textCol, shingleN).cache()
     val dfs = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     // (df, shingle) is the global sort key; each doc's shingles are
@@ -204,11 +261,17 @@ object Dedup {
       .select(col(idCol), col("ks"), size(col("ks")).as("nsh"),
         (size(col("ks")) -
           ceil(lit(minJaccard) * size(col("ks"))) + 1).cast("int").as("plen"))
+    // cached: the pair-budget certificate plus BOTH self-join sides
+    // read the prefix postings (aliased projections don't
+    // canonicalize equal, so ReuseExchange would not dedupe the
+    // sort-aggregate chain on its own)
     val prefix = sorted
       .select(col(idCol), col("nsh"),
         posexplode(slice(col("ks"), lit(1), col("plen"))).as(Seq("pos0", "k")))
       .select(col(idCol), col("nsh"),
         (col("pos0") + 1).as("pos"), col("k.sh").as("sh"))
+      .cache()
+    requirePairBudget(prefix, "sh", maxPairRows, "ngramJaccardPrefix")
     val a = prefix.select(col(idCol).as("da"), col("sh"),
       col("nsh").as("na"), col("pos").as("pa"))
     val b = prefix.select(col(idCol).as("db"), col("sh"),

@@ -41,6 +41,34 @@ class DedupSpec extends SparkSpec {
     assert(ng((1L, 3L)) > 0.5)
   }
 
+  test("pairwise-exact verifiers refuse past the maxPairRows budget " +
+    "(the dup-heavy sf1-probe regime, scaled down)") {
+    // the sf1 ScaleUp regime in miniature: a mega-cluster of
+    // identical docs, where every shared shingle posting pairs all
+    // members — Σ_sh C(df,2) grows quadratically with cluster size.
+    // 20 copies × ~30 distinct shingles/doc → ~30·C(20,2) ≈ 5700
+    // pair rows: over a budget of 1000, under the permissive default.
+    val heavy = (1L to 20L).map(i => (i, base)).toDF("doc_id", "text")
+    val e1 = intercept[IllegalStateException] {
+      Dedup.ngramJaccard(heavy, "doc_id", "text",
+        shingleN = 3, maxShingleDf = 100, minJaccard = 0.5,
+        maxPairRows = 1000L)
+    }
+    assert(e1.getMessage.contains("maxPairRows"), e1.getMessage)
+    assert(e1.getMessage.contains("minhashLsh"), e1.getMessage) // names the scale route
+    val e2 = intercept[IllegalStateException] {
+      Dedup.ngramJaccardPrefix(heavy, "doc_id", "text",
+        shingleN = 3, minJaccard = 0.5, maxPairRows = 1000L)
+    }
+    assert(e2.getMessage.contains("ngramJaccardPrefix"), e2.getMessage)
+    // under the default budget the same corpus runs fine: all
+    // C(20,2) = 190 pairs verify at jaccard 1.0
+    assert(Dedup.ngramJaccard(heavy, "doc_id", "text",
+      shingleN = 3, maxShingleDf = 100, minJaccard = 0.5).count() == 190L)
+    assert(Dedup.ngramJaccardPrefix(heavy, "doc_id", "text",
+      shingleN = 3, minJaccard = 0.5).count() == 190L)
+  }
+
   test("simhash of identical docs is identical; near dups within hamming 6") {
     val sims = Dedup.simhash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap

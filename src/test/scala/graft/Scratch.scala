@@ -14,52 +14,42 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val d = "/root/testdata/sf0.1"
-    def time(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = f
-      println(f"STAGE $name%-24s rows=$n%-8d ${(System.nanoTime() - t0) / 1e9}%.2fs")
-    }
-    spark.range(1000000L).selectExpr("sum(id)").collect()
 
     import graft.operators.Dedup
-    val docs = Tables.documents(spark, d)
-    time("docs")(docs.count())
-    val sh = Dedup.shingles(docs, "doc_id", "text", 3)
-    time("shingles")(sh.count())
-    val shc = sh.cache()
-    time("shingles_cache")(shc.count())
-    val sigs = Dedup.minhashSignatures(shc, "doc_id", 32)
-    time("signatures")(sigs.count())
-    val cand = Dedup.lshCandidates(sigs, "doc_id", 32, 4, 100)
-    time("candidates")(cand.count())
-    time("jaccard")(Dedup.jaccardVerify(cand, shc, "doc_id", 0.5).count())
-    time("full_minhash")(Dedup.minhashLsh(docs, "doc_id", "text").count())
-    time("embcos")(Dedup.embeddingNearDup(
-      Tables.embeddings(spark, d), "vec_id", "embedding",
-      graft.functions.VectorFns.signCode(col("embedding"), 6), 0.4).count())
 
-    import graft.operators.Bm25
-    import graft.functions.TextFns
-    val terms = graft.queries.VectorQueries.QueryTerms
-    val toks = docs.select(col("doc_id"),
-      explode(TextFns.bm25Tokens(col("text"))).as("term"))
-    time("bm25_tokens")(toks.count())
-    time("bm25_score")(Bm25.score(docs, "doc_id", "text", terms).count())
-    time("bm25_topk")(Bm25.topK(docs, "doc_id", "text", terms, 20).count())
-    time("bm25_topk2")(Bm25.topK(docs, "doc_id", "text", terms, 20).count())
-    spark.catalog.clearCache()
-    time("bm25_topk_cksum") {
-      val df = Bm25.topK(docs, "doc_id", "text", terms, 20)
-      df.agg(sum(xxhash64(df.columns.map(col): _*).cast("decimal(38,0)"))).collect()
-      20L
+    // pair-budget certificates: Σ_sh C(df,2) for the flat (df-capped)
+    // and prefix posting frames, per scale factor
+    for (d <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1",
+        "/root/repo/.scaleprobe/sf1")) {
+      if (new java.io.File(d + "/documents.parquet").exists()) {
+        val docs = Tables.documents(spark, d)
+        val sh = Dedup.shingles(docs, "doc_id", "text", 3).cache()
+        val dfs = sh.groupBy(col("sh")).agg(count(lit(1)).as("df")).cache()
+        def cert(f: org.apache.spark.sql.DataFrame): java.math.BigDecimal = {
+          val r = f.agg(sum(((col("df") * (col("df") - 1)) / 2)
+            .cast("decimal(38,0)"))).head().getDecimal(0)
+          if (r == null) java.math.BigDecimal.ZERO else r
+        }
+        val flat = cert(dfs.where(col("df") <= 200))
+        // prefix postings: rebuild the same frame ngramJaccardPrefix uses
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+        val sorted = sh.join(dfs, Seq("sh"))
+          .groupBy(col("doc_id"))
+          .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("ks"))
+          .select(col("doc_id"), col("ks"), size(col("ks")).as("nsh"),
+            (size(col("ks")) - ceil(lit(0.6) * size(col("ks"))) + 1)
+              .cast("int").as("plen"))
+        val prefix = sorted
+          .select(col("doc_id"),
+            posexplode(slice(col("ks"), lit(1), col("plen")))
+              .as(Seq("pos0", "k")))
+          .select(col("doc_id"), col("k.sh").as("sh"))
+        val pfx = cert(prefix.groupBy(col("sh"))
+          .agg(count(lit(1)).as("df")))
+        println(s"CERT $d flat=$flat prefix=$pfx")
+        spark.catalog.clearCache()
+      } else println(s"CERT $d MISSING")
     }
-    val ck = Bm25.topK(docs, "doc_id", "text", terms, 20)
-    println("CKSUM_PLAN " + ck
-      .agg(sum(xxhash64(ck.columns.map(col): _*).cast("decimal(38,0)")))
-      .queryExecution.executedPlan.toString.linesIterator
-      .filter(l => l.contains("TakeOrdered") || l.contains("Sort ") || l.contains("GlobalLimit"))
-      .mkString(" | "))
     spark.stop()
   }
 }
