@@ -80,9 +80,15 @@ object Dedup {
     * still collide in their other, rarer bands, so recall loss is
     * confined to pathological mega-clusters.
     */
-  def lshCandidates(
-      sigs: DataFrame, idCol: String, numHashes: Int, rows: Int,
-      maxBucket: Int): DataFrame = {
+  /** Band postings (id, band, bkey) from a signature frame: the
+    * persistable LSH index unit — what an incremental pipeline
+    * writes per batch (see `incrementalLsh`) and what the batch
+    * self-join consumes. Band keys are md5 over the band's hashes
+    * plus the band ordinal, so identical hash runs in different
+    * bands never collide.
+    */
+  def bandPostings(
+      sigs: DataFrame, idCol: String, numHashes: Int, rows: Int): DataFrame = {
     // an indivisible band width would silently ignore the trailing
     // hashes — paid for in the signatures but contributing no recall
     require(numHashes % rows == 0,
@@ -93,14 +99,32 @@ object Dedup {
       struct(lit(b).as("band"),
         md5(concat_ws("|", cols :+ lit(b.toString): _*)).as("bkey"))
     }
+    sigs.select(col(idCol),
+      explode(array(bands: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+  }
+
+  /** Docs → persisted-index rows in one call: shingle → MinHash →
+    * band postings. This is the frame `incrementalLsh` expects as its
+    * `index` side; persist it bucketed by bkey
+    * (Corpus.writeBucketed) so nightly probes skip the exchange.
+    */
+  def minhashBandIndex(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 32, bandRows: Int = 4): DataFrame =
+    bandPostings(
+      minhashSignatures(shingles(docs, idCol, textCol, shingleN),
+        idCol, numHashes),
+      idCol, numHashes, bandRows)
+
+  def lshCandidates(
+      sigs: DataFrame, idCol: String, numHashes: Int, rows: Int,
+      maxBucket: Int): DataFrame = {
     // the band frame feeds THREE consumers (bucket counts + both join
     // sides); without a cache each one would recompute the signature
     // aggregation and the shingle scan upstream. numBands rows per doc
     // — always tiny relative to the corpus.
-    val exploded = sigs.select(col(idCol),
-      explode(array(bands: _*)).as("bk"))
-      .select(col(idCol), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-      .cache()
+    val exploded = bandPostings(sigs, idCol, numHashes, rows).cache()
     val smallBuckets = exploded.groupBy(col("band"), col("bkey"))
       .agg(count(lit(1)).as("bsz"))
       .where(col("bsz") <= maxBucket)
@@ -144,6 +168,75 @@ object Dedup {
     val sigs = minhashSignatures(sh, idCol, numHashes)
     val cand = lshCandidates(sigs, idCol, numHashes, bandRows, maxBucket)
     jaccardVerify(cand, sh, idCol, minJaccard)
+  }
+
+  /** Incremental-crawl dedup: near-dup pairs between a NEW batch and
+    * an EXISTING corpus, WITHOUT re-pairing the corpus — the
+    * production nightly (reference analog:
+    * backend/app/core/vector_store.py:136 add_chunks' incremental
+    * upsert, generalized from id-dedup to content-level). The corpus
+    * side enters as its persisted band-posting index
+    * (`minhashBandIndex` rows, ideally bucketed by bkey via
+    * Corpus.writeBucketed so repeated probes skip the exchange);
+    * only the new batch is shingled/hashed in full.
+    *
+    * Scale shape, stage by stage:
+    *  - new-batch postings: narrow over the (small) batch;
+    *  - skew guard: bucket population counted on the INDEX side —
+    *    corpus-side mega-buckets (boilerplate) are where quadratic
+    *    growth lives; they are dropped before the probe join,
+    *    mirroring the batch op's maxBucket contract;
+    *  - candidate probe: one (band, bkey)-keyed join, new × old
+    *    only — never old × old (the whole point) and never new × new
+    *    (an intra-batch dup is the BATCH op's job on the delta);
+    *  - verify: only MATCHED old docs are re-read and re-shingled
+    *    (a semi-join prune bounded by the candidate set — point
+    *    lookups against the doc store at lake scale), then one exact
+    *    Jaccard between new-side and old-side shingle sets.
+    *
+    * Output: (new_id, old_id, jaccard) for pairs ≥ minJaccard.
+    */
+  def incrementalLsh(
+      index: DataFrame, baseDocs: DataFrame, newDocs: DataFrame,
+      idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 32, bandRows: Int = 4,
+      minJaccard: Double = 0.5, maxBucket: Int = 100): DataFrame = {
+    // new-side shingles feed signatures AND the verify join
+    val newSh = shingles(newDocs, idCol, textCol, shingleN).cache()
+    val newPost = bandPostings(
+      minhashSignatures(newSh, idCol, numHashes), idCol, numHashes, bandRows)
+    val okBuckets = index.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("bsz"))
+      .where(col("bsz") <= maxBucket)
+      .select(col("band"), col("bkey"))
+    val cand = newPost
+      .join(okBuckets, Seq("band", "bkey"))
+      .select(col(idCol).as("new_id"), col("band"), col("bkey"))
+      .join(index.select(col(idCol).as("old_id"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .select(col("new_id"), col("old_id")).distinct()
+      .cache() // feeds the old-doc prune and the verify join
+    val oldSh = shingles(
+      baseDocs.join(cand.select(col("old_id").as(idCol)).distinct(),
+        Seq(idCol), "left_semi"),
+      idCol, textCol, shingleN).cache()
+    val sizesNew = newSh.groupBy(col(idCol)).agg(count(lit(1)).as("n_new"))
+    val sizesOld = oldSh.groupBy(col(idCol)).agg(count(lit(1)).as("n_old"))
+    cand
+      .join(newSh.select(col(idCol).as("new_id"), col("sh")), Seq("new_id"))
+      .join(oldSh.select(col(idCol).as("old_id"), col("sh")),
+        Seq("old_id", "sh"))
+      .groupBy(col("new_id"), col("old_id"))
+      .agg(count(lit(1)).cast("double").as("common"))
+      .join(sizesNew.select(col(idCol).as("new_id"), col("n_new")),
+        Seq("new_id"))
+      .join(sizesOld.select(col(idCol).as("old_id"), col("n_old")),
+        Seq("old_id"))
+      .withColumn("raw_jac",
+        col("common") / (col("n_new") + col("n_old") - col("common")))
+      .where(col("raw_jac") >= minJaccard)
+      .select(col("new_id"), col("old_id"),
+        round(col("raw_jac"), 6).as("jaccard"))
   }
 
   /** Default pairwise-verify budget for the two EXACT all-pairs

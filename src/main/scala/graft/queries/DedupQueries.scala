@@ -49,11 +49,13 @@ object DedupQueries {
       minJaccard = 0.5, maxBucket = MaxBucket)
       .orderBy(col("da"), col("db"))
 
-  /** The full MinHash+LSH pipeline as a CTE chain ending in `j`
-    * (da, db, raw_jac) — shared by the pair query and the cluster
-    * query so both stay in mechanical lockstep.
+  /** Shingles → signatures → band postings as a CTE chain ending in
+    * `bands` (doc_id, band, bkey) — the shared prefix of the batch
+    * pair/cluster queries and the incremental-probe query (band
+    * postings are per-doc, so one chain over the whole table serves
+    * both sides of any base/delta split).
     */
-  private val minhashCtes: String = {
+  private val minhashBandCtes: String = {
     val m1 = SqlSnippets.hexPrefixDecode("md5(shg)")
     val m2 = SqlSnippets.hexPrefixDecode("md5(shg || '#')")
     val sigCols = (0 until NumHashes)
@@ -71,7 +73,15 @@ object DedupQueries {
        |    $sigCols
        |  FROM hb GROUP BY doc_id),
        |bands AS (
-       |  $bandSelects),
+       |  $bandSelects)""".stripMargin
+  }
+
+  /** The full MinHash+LSH pipeline as a CTE chain ending in `j`
+    * (da, db, raw_jac) — shared by the pair query and the cluster
+    * query so both stay in mechanical lockstep.
+    */
+  private val minhashCtes: String = {
+    s"""$minhashBandCtes,
        |bok AS (SELECT band, bkey FROM bands GROUP BY band, bkey
        |  HAVING count(*) <= $MaxBucket),
        |bp AS (SELECT bands.doc_id, bands.band, bands.bkey FROM bands
@@ -466,9 +476,59 @@ object DedupQueries {
        |ORDER BY base.doc_id""".stripMargin
   }
 
+  /* ---------------- dedup_incremental ---------------- */
+
+  /** Incremental-crawl dedup binding: tonight's batch is every doc
+    * ≡ 7 (mod 10) — a fixed ~10% slice at every scale factor — and
+    * the remaining 90% is the existing corpus whose band-posting
+    * index (Dedup.minhashBandIndex) already exists. Same LSH
+    * constants as dedup_minhash_lsh; only new-vs-old pairs emerge
+    * (intra-batch dups are the batch op's job on the delta).
+    */
+  private def dedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val isNew = pmod(col("doc_id"), lit(10)) === 7
+    val base = docs.where(!isNew)
+    Dedup.incrementalLsh(
+      Dedup.minhashBandIndex(base, "doc_id", "text",
+        shingleN = 3, numHashes = NumHashes, bandRows = BandRows),
+      base, docs.where(isNew), "doc_id", "text",
+      shingleN = 3, numHashes = NumHashes, bandRows = BandRows,
+      minJaccard = 0.5, maxBucket = MaxBucket)
+      .orderBy(col("new_id"), col("old_id"))
+  }
+
+  /** Oracle twin: band postings are per-doc, so one `bands` chain
+    * over the whole table splits into index/new sides by the same
+    * mod predicate; bucket population counts the INDEX side only
+    * (the operator's skew-guard contract).
+    */
+  private val dedupIncrementalSql =
+    s"""WITH $minhashBandCtes,
+       |bidx AS (SELECT doc_id, band, bkey FROM bands WHERE doc_id % 10 <> 7),
+       |bnew AS (SELECT doc_id, band, bkey FROM bands WHERE doc_id % 10 = 7),
+       |ibok AS (SELECT band, bkey FROM bidx GROUP BY band, bkey
+       |  HAVING count(*) <= $MaxBucket),
+       |icand AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+       |  FROM bnew n
+       |  JOIN ibok ON n.band = ibok.band AND n.bkey = ibok.bkey
+       |  JOIN bidx o ON n.band = o.band AND n.bkey = o.bkey),
+       |icm AS (SELECT c.new_id, c.old_id, count(*)::DOUBLE AS common
+       |  FROM icand c
+       |  JOIN shs sa ON sa.doc_id = c.new_id
+       |  JOIN shs sb ON sb.doc_id = c.old_id AND sb.shg = sa.shg
+       |  GROUP BY c.new_id, c.old_id),
+       |ij AS (SELECT icm.new_id, icm.old_id,
+       |    icm.common / (zn.nsh + zo.nsh - icm.common) AS raw_jac
+       |  FROM icm JOIN sizes zn ON icm.new_id = zn.doc_id
+       |  JOIN sizes zo ON icm.old_id = zo.doc_id)
+       |SELECT new_id, old_id, round(raw_jac, 6) AS jaccard FROM ij
+       |WHERE raw_jac >= 0.5 ORDER BY new_id, old_id""".stripMargin
+
   val defs: Seq[Qdef] = Seq(
     Qdef("dedup_exact", dedupExact, Some(dedupExactSql)),
     Qdef("dedup_minhash_lsh", dedupMinhash, Some(dedupMinhashSql)),
+    Qdef("dedup_incremental", dedupIncremental, Some(dedupIncrementalSql)),
     Qdef("dedup_ngram_jaccard", dedupNgram, Some(dedupNgramSql)),
     Qdef("dedup_ngram_prefix", dedupNgramPrefix, Some(dedupNgramPrefixSql)),
     Qdef("dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),

@@ -69,6 +69,48 @@ class DedupSpec extends SparkSpec {
       shingleN = 3, minJaccard = 0.5).count() == 190L)
   }
 
+  test("incrementalLsh finds new-vs-old pairs from a persisted band " +
+    "index without re-pairing the corpus") {
+    // corpus: docs 1 (base) and 4 (distinct); tonight's batch: doc 3
+    // (near-dup of 1) and doc 5 (novel). Expect exactly 3→1; the
+    // old×old pair space (1,4) and intra-batch space (3,5) are never
+    // consulted.
+    val baseDocs = Seq((1L, base), (4L, distinct)).toDF("doc_id", "text")
+    val delta = Seq((3L, nearDup),
+      (5L, "entirely novel content with no overlap to anything else at all"))
+      .toDF("doc_id", "text")
+    val index = Dedup.minhashBandIndex(baseDocs, "doc_id", "text")
+    val out = Dedup.incrementalLsh(index, baseDocs, delta,
+      "doc_id", "text", minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length == 1)
+    assert(out.head._1 == 3L && out.head._2 == 1L && out.head._3 > 0.5)
+
+    // the same probe against the index PERSISTED as a bucketed table
+    // (the production nightly: pre-shuffled by write, re-read across
+    // sessions) yields the identical result
+    import graft.sources.Corpus
+    spark.sql("DROP TABLE IF EXISTS inc_band_idx")
+    Corpus.writeBucketed(index, "inc_band_idx", "bkey", 4)
+    val persisted = spark.table("inc_band_idx")
+    val out2 = Dedup.incrementalLsh(persisted, baseDocs, delta,
+      "doc_id", "text", minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out2.toSeq == out.toSeq)
+    spark.sql("DROP TABLE IF EXISTS inc_band_idx")
+
+    // agreement with the batch op: on base+delta together, minhashLsh's
+    // cross pairs (one side in the batch) are exactly the incremental
+    // output pairs
+    val full = Dedup.minhashLsh(baseDocs.unionAll(delta), "doc_id", "text",
+      minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cross = full.filter { case (a, b) =>
+      Set(3L, 5L).contains(a) ^ Set(3L, 5L).contains(b) }
+    assert(cross == out.map(p => (math.min(p._1, p._2),
+      math.max(p._1, p._2))).toSet)
+  }
+
   test("simhash of identical docs is identical; near dups within hamming 6") {
     val sims = Dedup.simhash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
