@@ -503,6 +503,91 @@ object VectorQueries {
        |SELECT vec_id, cell, round(dot / (sqrt(na) * sqrt(qn.ns)), 6) AS cos_sim
        |FROM fd CROSS JOIN qn ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
 
+  /* ---------------- vs_pq_adc ---------------- */
+
+  /** PQ + asymmetric-distance search, ORACLE-CHECKED end to end: the
+    * full Pq.train → encode → adcTopK chain at iters = 1 — every
+    * stage is deterministic IEEE arithmetic (id-ordered seeds, one
+    * unrolled L2 Lloyd round, argmax assignment on 6dp-rounded
+    * scores, broadcast lookup-table fold), so DuckDB replays it as a
+    * CTE chain parameterized by a `subs` relation (no per-subspace
+    * SQL duplication). iters = 1 is the oracle device, not a
+    * capability limit — PqSpec measures multi-iteration recall; this
+    * row pins the ARITHMETIC of the whole compressed-search path
+    * cross-engine, the vs_ivf_sq8 precedent applied to codebook PQ.
+    */
+  private val PqDim = 64
+  private val PqM = 4
+  private val PqDsub = PqDim / PqM
+  private val PqK = 8
+
+  private def pqAdc(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+    val books = Pq.train(emb, "vec_id", "embedding",
+      PqDim, PqM, PqK, iters = 1)
+    val codes = Pq.encode(emb, books, "vec_id", "embedding", PqDim, PqM)
+    val q = Tables.embeddings(s, d).where(col("vec_id") === 0)
+      .select(col("embedding").as("qe"))
+    Pq.adcTopK(codes, books, q, "vec_id", "qe", PqDim, PqM, 10)
+  }
+
+  private val pqAdcSql =
+    s"""WITH subs AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS sub),
+       |di AS (SELECT unnest(generate_series(1, $PqDsub)) AS i),
+       |sv AS (SELECT e.vec_id, s.sub, d.i,
+       |    e.embedding[s.sub * $PqDsub + d.i]::DOUBLE AS v
+       |  FROM embeddings e CROSS JOIN subs s CROSS JOIN di d),
+       |sd AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cell
+       |  FROM embeddings ORDER BY vec_id LIMIT $PqK),
+       |c0 AS (SELECT sd.cell, sv.sub, sv.i, sv.v
+       |  FROM sd JOIN sv ON sv.vec_id = sd.vec_id),
+       |c0n AS (SELECT sub, cell, sum(v * v) AS nsq FROM c0 GROUP BY 1, 2),
+       |a0 AS (SELECT sv.vec_id, sv.sub, c0.cell, sum(sv.v * c0.v) AS dot
+       |  FROM sv JOIN c0 ON sv.sub = c0.sub AND sv.i = c0.i
+       |  GROUP BY 1, 2, 3),
+       |a1 AS (SELECT a0.vec_id, a0.sub, a0.cell,
+       |    round(a0.dot - c0n.nsq / 2, 6) AS s
+       |  FROM a0 JOIN c0n ON a0.sub = c0n.sub AND a0.cell = c0n.cell),
+       |asg AS (SELECT vec_id, sub, cell FROM (
+       |    SELECT vec_id, sub, cell,
+       |      row_number() OVER (PARTITION BY vec_id, sub
+       |        ORDER BY s DESC, cell) AS rn
+       |    FROM a1) WHERE rn = 1),
+       |bk AS (SELECT asg.sub, asg.cell, sv.i, avg(sv.v) AS v
+       |  FROM asg JOIN sv ON sv.vec_id = asg.vec_id AND sv.sub = asg.sub
+       |  GROUP BY 1, 2, 3),
+       |bkn AS (SELECT sub, cell, sum(v * v) AS nsq FROM bk GROUP BY 1, 2),
+       |e0 AS (SELECT sv.vec_id, sv.sub, bk.cell, sum(sv.v * bk.v) AS dot
+       |  FROM sv JOIN bk ON sv.sub = bk.sub AND sv.i = bk.i
+       |  GROUP BY 1, 2, 3),
+       |e1 AS (SELECT e0.vec_id, e0.sub, e0.cell,
+       |    round(e0.dot - bkn.nsq / 2, 6) AS s
+       |  FROM e0 JOIN bkn ON e0.sub = bkn.sub AND e0.cell = bkn.cell),
+       |codes AS (SELECT vec_id, sub, cell AS code FROM (
+       |    SELECT vec_id, sub, cell,
+       |      row_number() OVER (PARTITION BY vec_id, sub
+       |        ORDER BY s DESC, cell) AS rn
+       |    FROM e1) WHERE rn = 1),
+       |q AS (SELECT s.sub, d.i,
+       |    e.embedding[s.sub * $PqDsub + d.i]::DOUBLE AS v
+       |  FROM embeddings e CROSS JOIN subs s CROSS JOIN di d
+       |  WHERE e.vec_id = 0),
+       |qn AS (SELECT sqrt(sum(x::DOUBLE * x::DOUBLE)) AS qnrm
+       |  FROM (SELECT unnest(embedding) AS x FROM embeddings
+       |        WHERE vec_id = 0)),
+       |tb AS (SELECT bk.sub, bk.cell, sum(bk.v * q.v) AS dot
+       |  FROM bk JOIN q ON bk.sub = q.sub AND bk.i = q.i GROUP BY 1, 2),
+       |sc AS (SELECT codes.vec_id,
+       |    sum(tb.dot) AS dsum, sum(bkn.nsq) AS nsum
+       |  FROM codes
+       |  JOIN tb ON codes.sub = tb.sub AND codes.code = tb.cell
+       |  JOIN bkn ON codes.sub = bkn.sub AND codes.code = bkn.cell
+       |  GROUP BY 1)
+       |SELECT vec_id, round(dsum / (qn.qnrm * sqrt(sc.nsum)), 6) AS adc_sim
+       |FROM sc CROSS JOIN qn
+       |ORDER BY adc_sim DESC, vec_id LIMIT 10""".stripMargin
+
   /* ---------------- bm25_search ---------------- */
 
   private def bm25Search(s: SparkSession, d: String): DataFrame =
@@ -1336,6 +1421,7 @@ object VectorQueries {
     Qdef("vs_ann_ivf", annIvf, Some(annIvfSql)),
     Qdef("vs_ann_ivf_srp", annIvfSrp, Some(annIvfSrpSql)),
     Qdef("vs_ivf_sq8", ivfSq8, Some(ivfSq8Sql)),
+    Qdef("vs_pq_adc", pqAdc, Some(pqAdcSql)),
     Qdef("vs_ann_ivf_batch", annIvfBatch, Some(annIvfBatchSql)),
     Qdef("bm25_search", bm25Search, Some(bm25Sql)),
     Qdef("bm25_synonyms", bm25Synonyms, Some(bm25SynonymsSql)),
