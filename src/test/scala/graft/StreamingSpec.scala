@@ -365,6 +365,190 @@ class StreamingSpec extends SparkSpec {
     assert(current(3L) == ((1L, "c-del", true))) // tombstone surfaced
   }
 
+  test("dedupStream end to end over a parquet FILE source") {
+    import spark.implicits._
+
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stream_dedup").toFile
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    def writeBatch(rows: Seq[(Timestamp, Long, String)]): Unit =
+      rows.toDF("ts", "doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(dir.getAbsolutePath)
+
+    // startup backfill, then one more file — same shape as the
+    // memory-source spec
+    writeBatch(Seq(
+      (t(0), 1L, "same content"),
+      (t(1), 2L, "same content"),
+      (t(2), 3L, "other content")))
+    val docs = spark.readStream
+      .schema("ts TIMESTAMP, doc_id BIGINT, text STRING")
+      .parquet(dir.getAbsolutePath)
+    val query = StreamingAggs.dedupStream(docs, "text", "ts", "10 minutes")
+      .writeStream
+      .format("memory")
+      .queryName("dedup_stream_file_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    query.processAllAvailable()
+    writeBatch(Seq((t(5), 4L, "same content"))) // still in-window dup
+    query.processAllAvailable()
+
+    val rows = spark.table("dedup_stream_file_test").collect()
+      .map(r => r.getAs[Long]("doc_id")).toSet
+    query.stop()
+
+    assert(rows == Set(1L, 3L)) // identical survivors to the memory spec
+  }
+
+  test("latestWinsStream end to end over a parquet FILE source") {
+    import spark.implicits._
+    import graft.streaming.UpsertEvent
+
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stream_upsert").toFile
+    def writeBatch(rows: Seq[UpsertEvent]): Unit =
+      rows.toDS().coalesce(1)
+        .write.mode("append").parquet(dir.getAbsolutePath)
+
+    writeBatch(Seq(
+      UpsertEvent(1L, 0L, "a0", deleted = false),
+      UpsertEvent(2L, 0L, "b0", deleted = false),
+      UpsertEvent(3L, 0L, "c0", deleted = false)))
+    val updates = spark.readStream
+      .schema("key BIGINT, version BIGINT, payload STRING, deleted BOOLEAN")
+      .parquet(dir.getAbsolutePath)
+      .as[UpsertEvent]
+    val query = StreamingAggs.latestWinsStream(updates)
+      .writeStream
+      .format("memory")
+      .queryName("latest_wins_file_test")
+      .outputMode(OutputMode.Update())
+      .start()
+    query.processAllAvailable()
+    writeBatch(Seq(
+      UpsertEvent(1L, 5L, "a5", deleted = false),
+      UpsertEvent(3L, 1L, "c-del", deleted = true)))
+    query.processAllAvailable()
+    writeBatch(Seq(UpsertEvent(1L, 1L, "a1-late", deleted = false)))
+    query.processAllAvailable()
+
+    val rows = spark.table("latest_wins_file_test").collect()
+      .map(r => (r.getAs[Long]("key"),
+        (r.getAs[Long]("version"), r.getAs[String]("payload"),
+          r.getAs[Boolean]("deleted"))))
+    val current = rows.zipWithIndex.groupBy(_._1._1)
+      .map { case (k, vs) => k -> vs.maxBy(_._2)._1._2 }
+    query.stop()
+
+    // identical resolution to the memory-source spec
+    assert(current(1L) == ((5L, "a5", false)))
+    assert(current(2L) == ((0L, "b0", false)))
+    assert(current(3L) == ((1L, "c-del", true)))
+  }
+
+  test("impressionClickJoin end to end over parquet FILE sources — " +
+    "the two-stream interval join on real read wiring") {
+    import spark.implicits._
+
+    val impDir = java.nio.file.Files
+      .createTempDirectory("graft_stream_imps").toFile
+    val clickDir = java.nio.file.Files
+      .createTempDirectory("graft_stream_clicks").toFile
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    Seq((7L, t(0), 1000L), (8L, t(1), 1001L))
+      .toDF("imp_user", "imp_ts", "imp_id").coalesce(1)
+      .write.mode("append").parquet(impDir.getAbsolutePath)
+    Seq(
+      (7L, t(5), 2000L),   // 5 min after impression 1000 -> joins
+      (8L, t(30), 2001L),  // 29 min after impression 1001 -> outside window
+      (9L, t(6), 2002L))   // no impression for this user
+      .toDF("click_user", "click_ts", "click_id").coalesce(1)
+      .write.mode("append").parquet(clickDir.getAbsolutePath)
+
+    val imps = spark.readStream
+      .schema("imp_user BIGINT, imp_ts TIMESTAMP, imp_id BIGINT")
+      .parquet(impDir.getAbsolutePath)
+    val clicks = spark.readStream
+      .schema("click_user BIGINT, click_ts TIMESTAMP, click_id BIGINT")
+      .parquet(clickDir.getAbsolutePath)
+    val query = StreamingAggs.impressionClickJoin(imps, clicks, "10 minutes")
+      .writeStream
+      .format("memory")
+      .queryName("impression_click_file_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    query.processAllAvailable()
+
+    val rows = spark.table("impression_click_file_test").collect()
+      .map(r => (r.getAs[Long]("imp_id"), r.getAs[Long]("click_id"))).toSet
+    query.stop()
+
+    assert(rows == Set((1000L, 2000L))) // identical join to the memory spec
+  }
+
+  test("windowed drift monitoring end to end over a parquet FILE source") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.operators.Drift
+
+    val baseline = (Seq.fill(4)(("s", 0L)) ++ Seq.fill(6)(("s", 1L)))
+      .toDF("stratum", "bucket")
+      .groupBy(col("stratum"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .cache()
+
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stream_drift").toFile
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    def writeBatch(rows: Seq[(Timestamp, String, Long)]): Unit =
+      rows.toDF("ts", "stratum", "bucket").coalesce(1)
+        .write.mode("append").parquet(dir.getAbsolutePath)
+
+    writeBatch((1 to 6).map(_ => (t(1, 5), "s", 0L)) ++
+      (1 to 4).map(_ => (t(1, 30), "s", 1L)))
+    val events = spark.readStream
+      .schema("ts TIMESTAMP, stratum STRING, bucket BIGINT")
+      .parquet(dir.getAbsolutePath)
+    val counts = events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("stratum"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"),
+        col("stratum"), col("bucket"), col("cnt"))
+    val results =
+      scala.collection.mutable.ArrayBuffer.empty[(String, Double, String)]
+    val query = counts.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val closed = batch.cache()
+        closed.select(col("window_start")).distinct()
+          .collect().map(_.getTimestamp(0)).foreach { w =>
+            val cur = closed.where(col("window_start") === w)
+              .select(col("stratum"), col("bucket"), col("cnt"))
+            Drift.psiFromCounts(baseline, cur, "stratum", "bucket", "cnt")
+              .collect().foreach { r =>
+                results += ((r.getAs[String]("stratum"),
+                  r.getAs[Double]("psi"), r.getAs[String]("drift_level")))
+              }
+          }
+        closed.unpersist()
+        ()
+      }
+      .start()
+    query.processAllAvailable()
+    writeBatch(Seq((t(3, 0), "s", 0L))) // closes hour 1
+    query.processAllAvailable()
+    writeBatch(Seq((t(5, 0), "s", 0L))) // closes hour 3
+    query.processAllAvailable()
+    query.stop()
+
+    // the same hand-computed hour-1 statistic as the memory spec
+    assert(results.exists { case (st, p, lvl) =>
+      st == "s" && math.abs(p - 0.162186) < 1e-6 && lvl == "moderate"
+    }, s"hour-1 PSI missing from $results")
+  }
+
   test("impressionClickJoin pairs clicks with in-window impressions only") {
     val sql = spark.sqlContext
     import spark.implicits._
