@@ -354,16 +354,19 @@ object Dedup {
       .select(col(idCol), col("ks"), size(col("ks")).as("nsh"),
         (size(col("ks")) -
           ceil(lit(minJaccard) * size(col("ks"))) + 1).cast("int").as("plen"))
-    // cached: the pair-budget certificate plus BOTH self-join sides
-    // read the prefix postings (aliased projections don't
-    // canonicalize equal, so ReuseExchange would not dedupe the
-    // sort-aggregate chain on its own)
+    // deliberately NOT cached: the certificate below recomputes the
+    // prefix chain once (~4 s at the sf1 probe — the chain is cheap
+    // relative to the join it guards), because caching this frame
+    // was measured to SLOW the probe query 51.8 → 93+ s at sf1 —
+    // the in-memory scan of the exploded postings starves the
+    // downstream self-join that previously read two live codegen
+    // pipelines (the "cache fill serializes parallel subtrees"
+    // lesson, in join-input form)
     val prefix = sorted
       .select(col(idCol), col("nsh"),
         posexplode(slice(col("ks"), lit(1), col("plen"))).as(Seq("pos0", "k")))
       .select(col(idCol), col("nsh"),
         (col("pos0") + 1).as("pos"), col("k.sh").as("sh"))
-      .cache()
     requirePairBudget(prefix, "sh", maxPairRows, "ngramJaccardPrefix")
     val a = prefix.select(col(idCol).as("da"), col("sh"),
       col("nsh").as("na"), col("pos").as("pa"))
