@@ -347,13 +347,18 @@ object Dedup {
     // sorted ONCE as a hash AGGREGATE (collect_list sorts
     // ~doc-length structs in memory — never a row_number window over
     // whole shuffle partitions) and the prefix is sliced off with its
-    // positions, which the candidate-time filters below need
+    // positions, which the candidate-time filters below need.
+    // Cached: THREE consumers (prefix explode via the certificate +
+    // main plan, and both verify array sides) — and unlike the
+    // exploded postings (see below), this is one compact array row
+    // per DOC, so the in-memory scan is benign.
     val sorted = sh.join(dfs, Seq("sh"))
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("ks"))
       .select(col(idCol), col("ks"), size(col("ks")).as("nsh"),
         (size(col("ks")) -
           ceil(lit(minJaccard) * size(col("ks"))) + 1).cast("int").as("plen"))
+      .cache()
     // deliberately NOT cached: the certificate below recomputes the
     // prefix chain once (~4 s at the sf1 probe — the chain is cheap
     // relative to the join it guards), because caching this frame
@@ -397,7 +402,29 @@ object Dedup {
       .where(least(col("na") - col("ia") + 1, col("nb") - col("jb") + 1) >=
         minOverlap)
       .select(col("da"), col("db"))
-    jaccardVerify(cand, sh, idCol, minJaccard)
+    // Exact verify by per-pair ARRAY intersection, not a postings
+    // join: jaccardVerify's candidate×shingle explode materializes
+    // O(candidates × doc-shingles) rows (the measured sf1
+    // scale-killer — ~1 B intermediate rows); here each candidate
+    // pair fetches the two docs' already-sorted distinct shingle
+    // arrays (one compact row per doc, from the cached `sorted`
+    // frame the prefix was sliced from) and |A∩B| is a narrow
+    // per-row array_intersect — identical exact Jaccard, zero
+    // postings shuffle.
+    val arrs = sorted.select(col(idCol),
+      transform(col("ks"), x => x.getField("sh")).as("shs"),
+      col("nsh"))
+    cand
+      .join(arrs.select(col(idCol).as("da"), col("shs").as("sa"),
+        col("nsh").as("na")), Seq("da"))
+      .join(arrs.select(col(idCol).as("db"), col("shs").as("sb"),
+        col("nsh").as("nb")), Seq("db"))
+      .withColumn("common",
+        size(array_intersect(col("sa"), col("sb"))).cast("double"))
+      .withColumn("raw_jac",
+        col("common") / (col("na") + col("nb") - col("common")))
+      .where(col("raw_jac") >= minJaccard)
+      .select(col("da"), col("db"), round(col("raw_jac"), 6).as("jaccard"))
   }
 
   /** 64-bit SimHash per doc over distinct word 3-gram shingles (more

@@ -69,6 +69,28 @@ class DedupSpec extends SparkSpec {
       shingleN = 3, minJaccard = 0.5).count() == 190L)
   }
 
+  test("ngramJaccardPrefix is lossless: identical pairs and jaccard " +
+    "to the flat inverted-index op") {
+    // mixed corpus: exact dup, near dup, distinct — with the df cap
+    // high enough that the flat op prunes nothing, both ops compute
+    // the same exact all-pairs Jaccard (prefix filtering + the
+    // array-intersect verify must lose no pair and change no value)
+    val all = docs.unionAll(Seq(
+      (5L, base.replace("quick", "swift").replace("owls", "birds"))
+    ).toDF("doc_id", "text"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1)) -> r.getDouble(2)
+    val flat = Dedup.ngramJaccard(all, "doc_id", "text",
+      shingleN = 3, maxShingleDf = 1000, minJaccard = 0.3)
+      .collect().map(key).toMap
+    val pfx = Dedup.ngramJaccardPrefix(all, "doc_id", "text",
+      shingleN = 3, minJaccard = 0.3)
+      .collect().map(key).toMap
+    assert(pfx == flat, s"prefix $pfx != flat $flat")
+    assert(pfx.contains((1L, 2L)) && pfx((1L, 2L)) == 1.0)
+    assert(pfx.keys.exists { case (a, b) => b == 5L || a == 5L })
+  }
+
   test("incrementalLsh finds new-vs-old pairs from a persisted band " +
     "index without re-pairing the corpus") {
     // corpus: docs 1 (base) and 4 (distinct); tonight's batch: doc 3
