@@ -133,6 +133,20 @@ class DedupSpec extends SparkSpec {
       math.max(p._1, p._2))).toSet)
   }
 
+  test("incrementalLsh re-reads old docs only through a semi-join " +
+    "prune (the lake-scale point-lookup contract)") {
+    val baseDocs = Seq((1L, base), (4L, distinct)).toDF("doc_id", "text")
+    val delta = Seq((3L, nearDup)).toDF("doc_id", "text")
+    val index = Dedup.minhashBandIndex(baseDocs, "doc_id", "text")
+    val plan = Dedup.incrementalLsh(index, baseDocs, delta,
+      "doc_id", "text", minJaccard = 0.5)
+      .queryExecution.executedPlan.toString
+    // the base corpus must enter the verify ONLY behind the
+    // candidate-bounded semi prune — at 100 TB that is a point
+    // lookup against the doc store, never a full re-shingle
+    assert(plan.contains("LeftSemi"), s"no semi prune in plan:\n$plan")
+  }
+
   test("simhash of identical docs is identical; near dups within hamming 6") {
     val sims = Dedup.simhash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
