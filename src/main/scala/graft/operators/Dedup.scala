@@ -205,14 +205,20 @@ object Dedup {
     val newSh = shingles(newDocs, idCol, textCol, shingleN).cache()
     val newPost = bandPostings(
       minhashSignatures(newSh, idCol, numHashes), idCol, numHashes, bandRows)
-    val okBuckets = index.groupBy(col("band"), col("bkey"))
+    // two consumers (bucket counts + the probe join): cached like
+    // lshCandidates' band frame — numBands rows per doc, tiny
+    // relative to the corpus, and when the caller builds the index
+    // inline (rather than reading a persisted table) this stops the
+    // whole shingle→minhash chain re-executing per consumer
+    val idx = index.select(col(idCol), col("band"), col("bkey")).cache()
+    val okBuckets = idx.groupBy(col("band"), col("bkey"))
       .agg(count(lit(1)).as("bsz"))
       .where(col("bsz") <= maxBucket)
       .select(col("band"), col("bkey"))
     val cand = newPost
       .join(okBuckets, Seq("band", "bkey"))
       .select(col(idCol).as("new_id"), col("band"), col("bkey"))
-      .join(index.select(col(idCol).as("old_id"), col("band"), col("bkey")),
+      .join(idx.select(col(idCol).as("old_id"), col("band"), col("bkey")),
         Seq("band", "bkey"))
       .select(col("new_id"), col("old_id")).distinct()
       .cache() // feeds the old-doc prune and the verify join
@@ -267,11 +273,18 @@ object Dedup {
   private def requirePairBudget(
       postings: DataFrame, keyCol: String, budget: Long,
       op: String): Unit = {
+    // n is cast to decimal BEFORE the multiply: a mega-key with
+    // n > ~3e9 would overflow n*(n-1) in LongType — an opaque ANSI
+    // ARITHMETIC_OVERFLOW (or, non-ANSI, a wrapped negative that
+    // UNDER-counts and admits the very corpus the guard exists to
+    // refuse). The even product is halved exactly on the driver.
     val bound = postings.groupBy(col(keyCol))
       .agg(count(lit(1)).as("n"))
-      .agg(sum(((col("n") * (col("n") - 1)) / 2).cast("decimal(38,0)")))
+      .agg(sum(col("n").cast("decimal(19,0)") *
+        (col("n") - 1).cast("decimal(19,0)")))
       .head().getDecimal(0)
-    val rows = if (bound == null) java.math.BigDecimal.ZERO else bound
+    val rows = if (bound == null) java.math.BigDecimal.ZERO
+      else bound.divide(java.math.BigDecimal.valueOf(2))
     if (rows.compareTo(java.math.BigDecimal.valueOf(budget)) > 0)
       throw new IllegalStateException(
         s"$op: pairwise-exact verify would materialise $rows candidate " +

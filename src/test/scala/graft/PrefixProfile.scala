@@ -52,7 +52,8 @@ object PrefixProfile {
         (col("pos0") + 1).as("pos"), col("k.sh").as("sh"))
     time("prefix_cert") {
       prefix.groupBy(col("sh")).agg(count(lit(1)).as("n"))
-        .agg(sum(((col("n") * (col("n") - 1)) / 2).cast("decimal(38,0)")))
+        .agg(sum(col("n").cast("decimal(19,0)") *
+          (col("n") - 1).cast("decimal(19,0)")))
         .collect(); 1L
     }
     val a = prefix.select(col("doc_id").as("da"), col("sh"),

@@ -26,9 +26,10 @@ object Scratch {
         val sh = Dedup.shingles(docs, "doc_id", "text", 3).cache()
         val dfs = sh.groupBy(col("sh")).agg(count(lit(1)).as("df")).cache()
         def cert(f: org.apache.spark.sql.DataFrame): java.math.BigDecimal = {
-          val r = f.agg(sum(((col("df") * (col("df") - 1)) / 2)
-            .cast("decimal(38,0)"))).head().getDecimal(0)
-          if (r == null) java.math.BigDecimal.ZERO else r
+          val r = f.agg(sum(col("df").cast("decimal(19,0)") *
+            (col("df") - 1).cast("decimal(19,0)"))).head().getDecimal(0)
+          if (r == null) java.math.BigDecimal.ZERO
+          else r.divide(java.math.BigDecimal.valueOf(2))
         }
         val flat = cert(dfs.where(col("df") <= 200))
         // prefix postings: rebuild the same frame ngramJaccardPrefix uses

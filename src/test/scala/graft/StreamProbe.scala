@@ -71,10 +71,13 @@ object StreamProbe {
       _.stateOperators.map(_.memoryUsedBytes))
     val batches = query.recentProgress.length
     query.stop()
+    // an empty progress log (no day files / no recorded batches) must
+    // still report the wall/session numbers, not crash on empty.max
+    val rowStats = if (stateRows.isEmpty) "maxStateRows=n/a" else
+      f"maxStateRows=${stateRows.max} lastStateRows=${stateRows.last} " +
+        f"maxStateMB=${stateMem.max / 1e6}%.1f"
     println(f"PROBE_RESULT wall=$wall%.1fs sessions=$sessions " +
-      f"batches=$batches maxStateRows=${stateRows.max} " +
-      f"lastStateRows=${stateRows.last} " +
-      f"maxStateMB=${stateMem.max / 1e6}%.1f")
+      s"batches=$batches $rowStats")
     spark.stop()
   }
 }
