@@ -57,6 +57,54 @@ class PipelineSpec extends SparkSpec {
     assert(hits.forall(h => h._2 >= -1.0 && h._2 <= 1.0))
   }
 
+  test("nightly incremental flow: band-index probe -> drop near-dup " +
+    "arrivals -> decontaminate -> pack the survivors") {
+    import graft.operators.Decontam
+    // existing corpus (already deduped) + its persisted band index
+    val corpus = Seq(
+      (0L, "spark shuffles data across the cluster for wide joins and aggregations at scale"),
+      (1L, "window functions rank rows within user partitions ordered by event time columns")
+    ).toDF("doc_id", "text")
+    val index = Dedup.minhashBandIndex(corpus, "doc_id", "text")
+    // tonight's crawl: one near-dup of doc 0, one novel doc, one doc
+    // that quotes the eval suite verbatim
+    val evalSuite = Seq(
+      (900L, "held out benchmark question about gradient descent convergence rates")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "spark shuffles data across the cluster for wide joins and aggregations at large scale"),
+      (11L, "an entirely novel crawl document about distributed query optimizers and costs"),
+      (12L, "this page copies the held out benchmark question about gradient descent convergence rates verbatim")
+    ).toDF("doc_id", "text")
+
+    // 1. incremental dedup: new-vs-corpus only, via the persisted index
+    val dupNew = Dedup.incrementalLsh(index, corpus, batch,
+      "doc_id", "text", minJaccard = 0.5)
+      .select(col("new_id")).as[Long].collect().toSet
+    assert(dupNew == Set(10L)) // the near-dup arrival, nothing else
+    val fresh = batch.where(!col("doc_id").isin(dupNew.toSeq: _*))
+
+    // 2. decontaminate the survivors against the fixed eval suite
+    val contaminated = Decontam.contaminated(
+      fresh, evalSuite, "doc_id", "text", 5)
+      .where(col("contamination") >= 0.3)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(contaminated == Set(12L))
+    val clean = fresh.where(!col("doc_id").isin(contaminated.toSeq: _*))
+
+    // 3. pack what survived into token-budget shards (appended after
+    // the corpus, as the nightly would)
+    val packed = Pack.packByTokenBudget(
+      corpus.unionAll(clean)
+        .select(col("doc_id"),
+          (length(col("text")) / 4 + 1).cast("long").as("est")),
+      "doc_id", "est", budget = 40L)
+    val byDoc = packed.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("shard_id")).toMap
+    assert(byDoc.keySet == Set(0L, 1L, 11L)) // dup + contaminated gone
+    assert(byDoc.values.max >= 1L) // the budget actually split shards
+  }
+
   test("training-data prep: scrub -> quality gate -> dedup -> sectioned chunks -> shards") {
     val raw = Seq(
       (0L, "User u#1234 ran the join stage and the merge stage on table t#77 " * 3),
