@@ -195,6 +195,10 @@ object Dedup {
     *    Jaccard between new-side and old-side shingle sets.
     *
     * Output: (new_id, old_id, jaccard) for pairs ≥ minJaccard.
+    *
+    * Contract: batch ids are DISJOINT from corpus ids (standard for
+    * append-only crawl ids) — an id on both sides would pair a doc
+    * with itself through any band collision.
     */
   def incrementalLsh(
       index: DataFrame, baseDocs: DataFrame, newDocs: DataFrame,
