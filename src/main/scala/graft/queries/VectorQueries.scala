@@ -503,6 +503,77 @@ object VectorQueries {
        |SELECT vec_id, cell, round(dot / (sqrt(na) * sqrt(qn.ns)), 6) AS cos_sim
        |FROM fd CROSS JOIN qn ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
 
+  /* ---------------- vs_ivf_append ---------------- */
+
+  /** Incremental index APPEND (r12) — the reference's add_chunks
+    * regime for the ANN surface (backend/app/core/vector_store.py:136
+    * adds new embeddings to the existing collection without
+    * rebuilding it): the coarse codebook is FROZEN on the base
+    * snapshot (SRP cells + per-cell means over vec_id >= 10 only) and
+    * tonight's arrivals (vec_id < 10) are assigned to those stale
+    * cells by the same zero-exchange fold — no retraining, no base
+    * re-index. The query is one of the NEW vectors (the
+    * just-ingested-then-queried path): it must surface itself top-1
+    * through the frozen codebook. Centroid staleness costs recall as
+    * the corpus drifts — the production answer is periodic re-train,
+    * which is vs_ann_ivf_srp's path; this row pins the between-trains
+    * regime.
+    */
+  private def ivfAppend(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.VectorFns
+    val emb = Tables.embeddings(s, d)
+    val base = emb.where(col("vec_id") >= 10)
+      .withColumn("cell", VectorFns.signCode(col("embedding"), 4).cast("int"))
+    val centroids = VectorSearch.centroidArrays(base, "cell", "embedding")
+    val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+    VectorSearch.annIvf(emb.select(col("vec_id"), col("embedding")), q,
+      centroids, "vec_id", "embedding", "qe", "cell", nprobe = 3, k = 10)
+  }
+
+  /** annIvfSrp's oracle with the centroid CTEs restricted to the base
+    * snapshot; assignment/probe/scoring run over the combined corpus
+    * against those frozen centroids.
+    */
+  private val ivfAppendSql =
+    s"""WITH sc0 AS (SELECT vec_id, embedding, ($srpCellSql)::INT AS cell
+       |       FROM embeddings WHERE vec_id >= 10),
+       |le AS (SELECT cell, embedding,
+       |         unnest(generate_series(1, len(embedding))) AS i FROM sc0),
+       |c AS (SELECT cell, i, avg(embedding[i]::DOUBLE) AS v FROM le GROUP BY cell, i),
+       |cn AS (SELECT cell, sum(v * v) AS ns FROM c GROUP BY cell),
+       |ev AS (SELECT vec_id, embedding, unnest(generate_series(1, len(embedding))) AS i
+       |       FROM embeddings),
+       |en AS (SELECT vec_id, sum(embedding[i]::DOUBLE * embedding[i]::DOUBLE) AS ns
+       |       FROM ev GROUP BY vec_id),
+       |ass0 AS (SELECT ev.vec_id, c.cell, sum(ev.embedding[ev.i]::DOUBLE * c.v) AS dot
+       |         FROM ev JOIN c ON ev.i = c.i GROUP BY 1, 2),
+       |ass1 AS (SELECT a.vec_id, a.cell,
+       |           round(a.dot / (sqrt(en.ns) * sqrt(cn.ns)), 6) AS s
+       |         FROM ass0 a JOIN en ON a.vec_id = en.vec_id JOIN cn ON a.cell = cn.cell),
+       |ass AS (SELECT vec_id, cell FROM (
+       |          SELECT vec_id, cell,
+       |            row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell) AS rn
+       |          FROM ass1) WHERE rn = 1),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |qn AS (SELECT sum(x::DOUBLE * x::DOUBLE) AS ns FROM (SELECT unnest(qe) AS x FROM q)),
+       |qc AS (SELECT c.cell, sum(q.qe[c.i]::DOUBLE * c.v) AS dot
+       |       FROM c CROSS JOIN q GROUP BY c.cell),
+       |probe AS (SELECT cell FROM (
+       |            SELECT qc.cell, round(qc.dot / (sqrt(qn.ns) * sqrt(cn.ns)), 6) AS s
+       |            FROM qc CROSS JOIN qn JOIN cn ON qc.cell = cn.cell)
+       |          ORDER BY s DESC, cell LIMIT 3),
+       |cand AS (SELECT e.vec_id, ass.cell, e.embedding
+       |         FROM embeddings e JOIN ass ON e.vec_id = ass.vec_id
+       |         JOIN probe ON ass.cell = probe.cell),
+       |cx AS (SELECT vec_id, cell, embedding,
+       |         unnest(generate_series(1, len(embedding))) AS i FROM cand),
+       |fd AS (SELECT cx.vec_id, cx.cell,
+       |         sum(cx.embedding[cx.i]::DOUBLE * q.qe[cx.i]::DOUBLE) AS dot,
+       |         sum(cx.embedding[cx.i]::DOUBLE * cx.embedding[cx.i]::DOUBLE) AS na
+       |       FROM cx CROSS JOIN q GROUP BY 1, 2)
+       |SELECT vec_id, cell, round(dot / (sqrt(na) * sqrt(qn.ns)), 6) AS cos_sim
+       |FROM fd CROSS JOIN qn ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+
   /* ---------------- vs_pq_adc ---------------- */
 
   /** PQ + asymmetric-distance search, ORACLE-CHECKED end to end: the
@@ -1421,6 +1492,7 @@ object VectorQueries {
     Qdef("vs_ann_ivf", annIvf, Some(annIvfSql)),
     Qdef("vs_ann_ivf_srp", annIvfSrp, Some(annIvfSrpSql)),
     Qdef("vs_ivf_sq8", ivfSq8, Some(ivfSq8Sql)),
+    Qdef("vs_ivf_append", ivfAppend, Some(ivfAppendSql)),
     Qdef("vs_pq_adc", pqAdc, Some(pqAdcSql)),
     Qdef("vs_ann_ivf_batch", annIvfBatch, Some(annIvfBatchSql)),
     Qdef("bm25_search", bm25Search, Some(bm25Sql)),
