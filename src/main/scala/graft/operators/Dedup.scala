@@ -767,4 +767,63 @@ object Dedup {
           .when(col("dup_frac") >= trimFrac, lit("trim"))
           .otherwise(lit("keep")))
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means cells BLOCK the corpus, and within
+    * each cell every pair at cosine ≥ `minCos` marks the HIGHER id
+    * as a semantic duplicate — the deterministic keep-lowest-id
+    * variant of the paper's keep-one-per-ε-ball policy. Where
+    * embeddingNearDup blocks by SRP sign codes (recall bounded by
+    * orthant agreement), the k-means cells here adapt to the actual
+    * density structure — the published SemDeDup trade: train a small
+    * codebook, miss only cross-cell pairs.
+    *
+    * Scale shape: codebook training and BOTH assignment passes are
+    * zero-exchange folds over broadcast centroids
+    * (VectorSearch.assignCells); only (cell, id) keys shuffle for
+    * the size prune, and the within-cell self-join is bounded by
+    * `maxCell`² per cell — cells past the cap emit no pairs (the
+    * mirrored-guard contract the whole blocking family carries).
+    * The drop list is ≤ |corpus| rows regardless of pair count.
+    *
+    * Output, one row per DROPPED vector: (idCol, cell, dup_of,
+    * dup_sim) where dup_of is the most-similar LOWER-id in-cell
+    * neighbor (ties to the smallest id on the 6dp-rounded score).
+    * dup_of may itself be dropped (the ε-ball chain); the retained
+    * corpus is every id absent from this frame.
+    */
+  def semanticDedup(
+      vectors: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, minCos: Double,
+      maxCell: Int = 1000): DataFrame = {
+    val cents = VectorSearch.lloydCentroids(vectors, idCol, vecCol, k, iters)
+    // cached: the size prune plus both self-join sides read it
+    val assigned = VectorSearch
+      .assignCells(vectors, cents, idCol, vecCol, "cell")
+      .cache()
+    val smallCells = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("csz"))
+      .where(col("csz") <= maxCell)
+      .select(col("cell"))
+    val pruned = assigned.join(smallCells, Seq("cell")).cache()
+    val a = pruned.select(col("cell"), col(idCol).as("va"),
+      col(vecCol).as("ea"), col("cnrm").as("nra"))
+    val b = pruned.select(col("cell"), col(idCol).as("vb"),
+      col(vecCol).as("eb"), col("cnrm").as("nrb"))
+    val pairs = a.join(b, Seq("cell"))
+      .where(col("va") < col("vb"))
+      .withColumn("raw_cos", VectorFns.cosinePrenormed(
+        col("ea"), col("eb"), col("nra"), col("nrb")))
+      .where(col("raw_cos") >= minCos)
+      .select(col("cell"), col("va"), col("vb"),
+        round(col("raw_cos"), 6).as("cos_sim"))
+    // keeper attribution orders on the ROUNDED score so both engines
+    // break ties from the identical 6dp value
+    val w = Window.partitionBy(col("vb"))
+      .orderBy(col("cos_sim").desc, col("va"))
+    pairs.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("vb").as(idCol), col("cell"),
+        col("va").as("dup_of"), col("cos_sim").as("dup_sim"))
+  }
 }

@@ -525,6 +525,90 @@ object DedupQueries {
        |SELECT new_id, old_id, round(raw_jac, 6) AS jaccard FROM ij
        |WHERE raw_jac >= 0.5 ORDER BY new_id, old_id""".stripMargin
 
+  /* ---------------- dedup_semantic ---------------- */
+
+  /** SemDeDup binding over the embeddings table: k-means cells (k=8
+    * seeds, ONE Lloyd round — the vs_pq_adc oracle device: every
+    * stage is deterministic IEEE arithmetic so DuckDB replays the
+    * whole train→assign→pair chain; multi-iteration convergence is
+    * DedupSpec's job), within-cell ε-ball at cos ≥ 0.4 (the demo
+    * threshold the embcos rows share — the synthetic random-cluster
+    * corpus has no 0.95-grade near-dups), keep-lowest-id policy.
+    */
+  private val SemK = 8
+  private val SemMinCos = 0.4
+  private val SemMaxCell = 1000
+
+  private def dedupSemantic(s: SparkSession, d: String): DataFrame =
+    Dedup.semanticDedup(
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", k = SemK, iters = 1,
+      minCos = SemMinCos, maxCell = SemMaxCell)
+      .orderBy(col("vec_id"))
+
+  /** Oracle: unrolled one-round spherical Lloyd (seed = first k ids,
+    * cosine argmax on 6dp-rounded scores with ties to the smallest
+    * cell, member means), final assignment to the trained codebook,
+    * cell-size prune, within-cell pairs, keeper attribution on the
+    * rounded score — each stage mirroring the operator exactly.
+    */
+  private val dedupSemanticSql =
+    s"""WITH sd AS (SELECT vec_id,
+       |    (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cell
+       |  FROM embeddings ORDER BY vec_id LIMIT $SemK),
+       |ev AS (SELECT vec_id, embedding,
+       |    unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
+       |sv AS (SELECT vec_id, i, embedding[i]::DOUBLE AS v FROM ev),
+       |en AS (SELECT vec_id, sum(v * v) AS ns FROM sv GROUP BY vec_id),
+       |c0 AS (SELECT sd.cell, sv.i, sv.v
+       |  FROM sd JOIN sv ON sv.vec_id = sd.vec_id),
+       |c0n AS (SELECT cell, sum(v * v) AS ns FROM c0 GROUP BY cell),
+       |a0 AS (SELECT sv.vec_id, c0.cell, sum(sv.v * c0.v) AS dot
+       |  FROM sv JOIN c0 ON sv.i = c0.i GROUP BY 1, 2),
+       |a1 AS (SELECT a0.vec_id, a0.cell,
+       |    round(a0.dot / (sqrt(en.ns) * sqrt(c0n.ns)), 6) AS s
+       |  FROM a0 JOIN en ON a0.vec_id = en.vec_id
+       |  JOIN c0n ON a0.cell = c0n.cell),
+       |asg0 AS (SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY s DESC, cell) AS rn
+       |    FROM a1) WHERE rn = 1),
+       |c1 AS (SELECT asg0.cell, sv.i, avg(sv.v) AS v
+       |  FROM asg0 JOIN sv ON sv.vec_id = asg0.vec_id GROUP BY 1, 2),
+       |c1n AS (SELECT cell, sum(v * v) AS ns FROM c1 GROUP BY cell),
+       |b0 AS (SELECT sv.vec_id, c1.cell, sum(sv.v * c1.v) AS dot
+       |  FROM sv JOIN c1 ON sv.i = c1.i GROUP BY 1, 2),
+       |b1 AS (SELECT b0.vec_id, b0.cell,
+       |    round(b0.dot / (sqrt(en.ns) * sqrt(c1n.ns)), 6) AS s
+       |  FROM b0 JOIN en ON b0.vec_id = en.vec_id
+       |  JOIN c1n ON b0.cell = c1n.cell),
+       |asg AS (SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY s DESC, cell) AS rn
+       |    FROM b1) WHERE rn = 1),
+       |cok AS (SELECT cell FROM asg GROUP BY cell
+       |  HAVING count(*) <= $SemMaxCell),
+       |m AS (SELECT asg.vec_id, asg.cell
+       |  FROM asg JOIN cok ON asg.cell = cok.cell),
+       |pr AS (SELECT a.cell, a.vec_id AS va, b.vec_id AS vb
+       |  FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+       |dt AS (SELECT pr.cell, pr.va, pr.vb, sum(x.v * y.v) AS dot
+       |  FROM pr JOIN sv x ON x.vec_id = pr.va
+       |  JOIN sv y ON y.vec_id = pr.vb AND y.i = x.i
+       |  GROUP BY 1, 2, 3),
+       |sim AS (SELECT dt.cell, dt.va, dt.vb,
+       |    dt.dot / (sqrt(na.ns) * sqrt(nb.ns)) AS raw
+       |  FROM dt JOIN en na ON dt.va = na.vec_id
+       |  JOIN en nb ON dt.vb = nb.vec_id
+       |  WHERE dt.dot / (sqrt(na.ns) * sqrt(nb.ns)) >= $SemMinCos)
+       |SELECT vec_id, cell, dup_of, dup_sim FROM (
+       |  SELECT vb AS vec_id, cell, va AS dup_of,
+       |    round(raw, 6) AS dup_sim,
+       |    row_number() OVER (PARTITION BY vb
+       |      ORDER BY round(raw, 6) DESC, va) AS rn
+       |  FROM sim) WHERE rn = 1
+       |ORDER BY vec_id""".stripMargin
+
   val defs: Seq[Qdef] = Seq(
     Qdef("dedup_exact", dedupExact, Some(dedupExactSql)),
     Qdef("dedup_minhash_lsh", dedupMinhash, Some(dedupMinhashSql)),
@@ -534,6 +618,7 @@ object DedupQueries {
     Qdef("dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
     Qdef("dedup_embcos", dedupEmbCos, Some(dedupEmbCosSql)),
     Qdef("dedup_embcos_mb", dedupEmbCosMb, Some(dedupEmbCosMbSql)),
+    Qdef("dedup_semantic", dedupSemantic, Some(dedupSemanticSql)),
     Qdef("decontam_ngram", decontamNgram, Some(decontamNgramSql)),
     Qdef("dedup_cluster", dedupCluster, Some(dedupClusterSql)),
     Qdef("dedup_spans", dedupSpans, Some(dedupSpansSql)),

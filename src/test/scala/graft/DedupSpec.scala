@@ -187,6 +187,41 @@ class DedupSpec extends SparkSpec {
     assert(out.toSet == Set((1L, 2L)))
   }
 
+  test("semanticDedup drops higher ids inside k-means ε-balls, keeps cluster keepers") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),   // cluster A keeper (seed 0)
+      (2L, Array(0.0f, 1.0f, 0.0f)),   // cluster B keeper (seed 1)
+      (3L, Array(0.99f, 0.1f, 0.0f)),  // near-dup of 1
+      (4L, Array(0.0f, 0.99f, 0.12f)), // near-dup of 2
+      (5L, Array(1.0f, 0.0f, 0.02f))   // near-dup of 1 AND of 3
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(vecs, "vec_id", "embedding",
+      k = 2, iters = 2, minCos = 0.95)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Int]("cell"), r.getAs[Long]("dup_of")))
+      .toMap
+    // keepers 1 and 2 are absent; every ε-ball member above them drops
+    assert(out.keySet == Set(3L, 4L, 5L))
+    assert(out(3L) == (0, 1L)) // cluster A cell, attributed to keeper 1
+    assert(out(4L) == (1, 2L)) // cluster B cell
+    // 5 qualifies against BOTH 1 (cos .9998) and 3 (cos .9946):
+    // attribution picks the most-similar lower id, not the smallest
+    assert(out(5L) == (0, 1L))
+    // cross-cluster pairs (cos ~0.1) never meet: different cells
+  }
+
+  test("semanticDedup maxCell guard: oversized cells emit no pairs") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.99f, 0.01f)),
+      (3L, Array(0.98f, 0.02f))
+    ).toDF("vec_id", "embedding")
+    // everything lands in one 3-member cell; cap at 2 prunes it whole
+    val out = Dedup.semanticDedup(vecs, "vec_id", "embedding",
+      k = 1, iters = 1, minCos = 0.9, maxCell = 2)
+    assert(out.count() == 0)
+  }
+
   test("connectedComponents labels every cluster with its min id") {
     val pairs = Seq(
       (2L, 5L), (5L, 9L),   // chain {2,5,9}
