@@ -549,6 +549,96 @@ class StreamingSpec extends SparkSpec {
     }, s"hour-1 PSI missing from $results")
   }
 
+  test("streaming incremental-crawl dedup: micro-batches probe the persisted " +
+    "band index, then append to it — new-vs-new dups across batches found") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.operators.Dedup
+
+    // the nightly dedup_incremental flow as a STREAM: each crawled
+    // micro-batch probes the persisted LSH band index (new-vs-old
+    // pairs only, the corpus is never re-paired), then appends its
+    // own bands + docs — so batch N+1 dedups against batch N without
+    // any retraining or re-index. Same contract as incrementalLsh:
+    // ids are disjoint across base and every batch.
+    val baseText = ("the quick brown fox jumps over the lazy dog and " +
+      "runs far away home tonight while seven silent owls watch from " +
+      "tall oak trees near the quiet river bank under pale moon light")
+    val crawlText = ("deep in the winter valley a narrow frozen stream " +
+      "curves past grey stone cottages where patient fishermen wait " +
+      "beside small fires and children skate between wooden bridges " +
+      "until evening bells call everyone home for warm bread")
+
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_stream_incdedup").toFile
+    val baseDir = new java.io.File(root, "base").getAbsolutePath
+    val idxDir = new java.io.File(root, "index").getAbsolutePath
+    val crawlDir = new java.io.File(root, "crawl").getAbsolutePath
+
+    // persisted state: the existing corpus and its band index
+    val base = Seq((1L, baseText),
+      (2L, "completely different words about spark engines and scale"))
+      .toDF("doc_id", "text")
+    base.write.parquet(baseDir)
+    Dedup.minhashBandIndex(base, "doc_id", "text",
+      shingleN = 3, numHashes = 32, bandRows = 4).write.parquet(idxDir)
+
+    def writeCrawl(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(crawlDir)
+
+    val results =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    // batch 1 arrives before the stream starts (startup backfill):
+    // doc 10 near-dups base doc 1; doc 11 is fresh content
+    writeCrawl(Seq(
+      (10L, baseText.replace("lazy", "sleepy")),
+      (11L, crawlText)))
+    val crawled = spark.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .parquet(crawlDir)
+    val query = crawled.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val delta = batch.select(col("doc_id"), col("text")).cache()
+        // PROBE first (collect is the action — it runs against the
+        // index as persisted BEFORE this batch)...
+        Dedup.incrementalLsh(
+          delta.sparkSession.read.parquet(idxDir),
+          delta.sparkSession.read.parquet(baseDir),
+          delta, "doc_id", "text", minJaccard = 0.5)
+          .collect().foreach { r =>
+            results += ((r.getAs[Long]("new_id"), r.getAs[Long]("old_id"),
+              r.getAs[Double]("jaccard")))
+          }
+        // ...then APPEND the batch's bands and docs so the NEXT batch
+        // dedups against this one too
+        Dedup.minhashBandIndex(delta, "doc_id", "text",
+          shingleN = 3, numHashes = 32, bandRows = 4)
+          .write.mode("append").parquet(idxDir)
+        delta.write.mode("append").parquet(baseDir)
+        delta.unpersist()
+        ()
+      }
+      .start()
+    query.processAllAvailable()
+    assert(results.map(p => (p._1, p._2)).toSet == Set((10L, 1L)),
+      s"batch-1 probe should pair 10 with base doc 1 only: $results")
+
+    // batch 2: doc 20 near-dups BATCH-1's doc 11 — findable only if
+    // batch 1's bands were appended to the persisted index
+    results.clear()
+    writeCrawl(Seq(
+      (20L, crawlText.replace("frozen", "silver")),
+      (21L, "entirely novel text with no neighbours in any batch")))
+    query.processAllAvailable()
+    query.stop()
+
+    assert(results.map(p => (p._1, p._2)).toSet == Set((20L, 11L)),
+      s"batch-2 probe should pair 20 with batch-1 doc 11 only: $results")
+    assert(results.forall(_._3 >= 0.5))
+  }
+
   test("impressionClickJoin pairs clicks with in-window impressions only") {
     val sql = spark.sqlContext
     import spark.implicits._
