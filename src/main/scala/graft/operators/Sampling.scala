@@ -158,4 +158,61 @@ object Sampling {
         round(coalesce(col("n_selected"), lit(0L)).cast("double") /
           col("total_sel") + lit(1e-9), 6).as("achieved_frac"))
   }
+
+  /** DSIR importance log-weights (Xie et al. 2023, arXiv:2302.03169,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * score every raw-pool document by how target-domain-like its
+    * hashed n-gram profile is, log w(x) = Σ_features
+    * [ln p̂_target(bucket) − ln p̂_raw(bucket)] — the closed-form
+    * bag-of-hashed-ngrams importance estimator the paper selects
+    * pretraining data with (resampling itself is then
+    * `stratifiedSample`-style rate selection on the ranked weights).
+    *
+    * Features are word unigrams + bigrams WITH multiplicity, hashed
+    * into `buckets` via the repo's cross-engine md5 device
+    * (TextFns.hexHash32); both class models use add-one smoothing
+    * over the `buckets` outcomes. A doc with no features (impossible
+    * under the one-empty-token wsTokens contract) would simply be
+    * absent.
+    *
+    * Scale design: BOTH model fits are single partial-aggregated
+    * passes bounded at `buckets` rows; the raw corpus is scanned
+    * ONCE — its per-doc bucket counts (cached) feed the raw-side
+    * model AND the scoring join, which is a broadcast of the
+    * `buckets`-row log-ratio table followed by one map-side-combined
+    * per-doc sum. Nothing pairwise, nothing superlinear; the only
+    * corpus-keyed shuffle is the (id, bucket) partial count.
+    */
+  def dsirLogWeights(
+      target: DataFrame, raw: DataFrame, idCol: String, textCol: String,
+      buckets: Int = 256): DataFrame = {
+    require(buckets > 0, s"dsirLogWeights: buckets must be positive: $buckets")
+    def bucketed(df: DataFrame) = df
+      .select(col(idCol), TextFns.wsTokens(col(textCol)).as("tk"))
+      .select(col(idCol), explode(concat(col("tk"),
+        TextFns.shinglesOfTokens(col("tk"), 2))).as("feat"))
+      .select(col(idCol), (TextFns.hexHash32(col("feat")) % buckets).as("bkt"))
+    // model frames are ≤ `buckets` rows — cached because each feeds
+    // both the totals aggregate and the log-ratio join
+    val tb = bucketed(target).groupBy(col("bkt"))
+      .agg(count(lit(1)).as("tcnt")).cache()
+    val dc = bucketed(raw).groupBy(col(idCol), col("bkt"))
+      .agg(count(lit(1)).as("n")).cache()
+    val rb = dc.groupBy(col("bkt")).agg(sum(col("n")).as("rcnt")).cache()
+    val totals = tb.agg(sum(col("tcnt")).cast("double").as("tt"))
+      .crossJoin(rb.agg(sum(col("rcnt")).cast("double").as("tr")))
+    val lr = tb.join(rb, Seq("bkt"), "full_outer")
+      .select(col("bkt"),
+        coalesce(col("tcnt"), lit(0L)).as("tcnt"),
+        coalesce(col("rcnt"), lit(0L)).as("rcnt"))
+      .crossJoin(broadcast(totals))
+      .select(col("bkt"),
+        (log((col("tcnt") + 1).cast("double") / (col("tt") + buckets)) -
+          log((col("rcnt") + 1).cast("double") / (col("tr") + buckets)))
+          .as("lr"))
+    dc.join(broadcast(lr), Seq("bkt"))
+      .groupBy(col(idCol))
+      .agg(sum(col("n")).cast("long").as("n_feats"),
+        round(sum(col("n") * col("lr")), 6).as("dsir_logw"))
+  }
 }

@@ -235,10 +235,65 @@ object CorpusQueries {
       |       ELSE 'high' END AS drift_level
       |FROM g ORDER BY source""".stripMargin
 
+  /* ---------------- corpus_dsir ---------------- */
+
+  /** DSIR data-selection binding: the target domain is the English
+    * slice of the corpus (the classic "select target-language-like
+    * data" use), the raw pool is everything else, 256 hash buckets.
+    * Every raw doc gets its importance log-weight — the frame a
+    * selection pass then rate-samples by rank.
+    */
+  private val DsirBuckets = 256
+
+  private def corpusDsir(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Sampling.dsirLogWeights(
+      docs.where(col("lang") === "en"),
+      docs.where(col("lang") =!= "en"),
+      "doc_id", "text", DsirBuckets)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: one feature chain (unigrams ∪ bigrams with
+    * multiplicity, md5-bucketed via the shared hex decode) split by
+    * the lang predicate; add-one-smoothed class models over
+    * `DsirBuckets` outcomes; per-doc Σ n·log-ratio.
+    */
+  private val corpusDsirSql = {
+    val dec = SqlSnippets.hexPrefixDecode("md5(feat)")
+    s"""WITH toks AS (SELECT doc_id, lang,
+       |    string_split_regex(lower(trim(text)), '\\s+') AS t
+       |  FROM documents),
+       |uni AS (SELECT doc_id, lang, unnest(t) AS feat FROM toks),
+       |bix AS (SELECT doc_id, lang, t,
+       |    unnest(generate_series(1, len(t) - 1)) AS i FROM toks),
+       |bi AS (SELECT doc_id, lang, t[i] || ' ' || t[i+1] AS feat FROM bix),
+       |feats AS (SELECT doc_id, lang, feat FROM uni
+       |  UNION ALL SELECT doc_id, lang, feat FROM bi),
+       |fb AS (SELECT doc_id, lang, ($dec) % $DsirBuckets AS bkt FROM feats),
+       |tb AS (SELECT bkt, count(*) AS tcnt FROM fb
+       |  WHERE lang = 'en' GROUP BY bkt),
+       |dc AS (SELECT doc_id, bkt, count(*) AS n FROM fb
+       |  WHERE lang <> 'en' GROUP BY doc_id, bkt),
+       |rb AS (SELECT bkt, sum(n)::BIGINT AS rcnt FROM dc GROUP BY bkt),
+       |tt AS (SELECT sum(tcnt)::DOUBLE AS v FROM tb),
+       |tr AS (SELECT sum(rcnt)::DOUBLE AS v FROM rb),
+       |lr AS (SELECT coalesce(tb.bkt, rb.bkt) AS bkt,
+       |    ln((coalesce(tcnt, 0) + 1)::DOUBLE / (tt.v + $DsirBuckets)) -
+       |    ln((coalesce(rcnt, 0) + 1)::DOUBLE / (tr.v + $DsirBuckets)) AS lr
+       |  FROM tb FULL OUTER JOIN rb ON tb.bkt = rb.bkt
+       |  CROSS JOIN tt CROSS JOIN tr)
+       |SELECT dc.doc_id, sum(dc.n)::BIGINT AS n_feats,
+       |  round(sum(dc.n * lr.lr), 6) AS dsir_logw
+       |FROM dc JOIN lr ON dc.bkt = lr.bkt
+       |GROUP BY dc.doc_id ORDER BY dc.doc_id""".stripMargin
+  }
+
   val defs: Seq[Qdef] = Seq(
     Qdef("corpus_latest", corpusLatest, Some(corpusLatestSql)),
     Qdef("sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
     Qdef("corpus_shuffle", corpusShuffle, Some(corpusShuffleSql)),
     Qdef("corpus_mix", corpusMix, Some(corpusMixSql)),
-    Qdef("corpus_drift", corpusDrift, Some(corpusDriftSql)))
+    Qdef("corpus_drift", corpusDrift, Some(corpusDriftSql)),
+    Qdef("corpus_dsir", corpusDsir, Some(corpusDsirSql)))
 }

@@ -128,4 +128,34 @@ class SamplingSpec extends SparkSpec {
       Sampling.mixToWeights(df, "stratum", "id", Map("a" -> 0.0), "s")
     }
   }
+
+  test("dsirLogWeights ranks target-like raw docs above dissimilar ones") {
+    val target = Seq(
+      (100L, "spark sql table scan join merge window"),
+      (101L, "table join window sort spark sql scan"),
+      (102L, "sql window merge table spark join scan"))
+      .toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "spark sql table join window scan"), // target-like
+      (2L, "violet meadow kitten sunrise bakery ribbon"), // unlike
+      (3L, "spark sql table join violet meadow")) // mixed
+      .toDF("doc_id", "text")
+    val out = Sampling.dsirLogWeights(target, raw, "doc_id", "text")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_feats"), r.getAs[Double]("dsir_logw")))
+      .toMap
+    // 6 tokens → 6 unigrams + 5 bigrams
+    assert(out(1L)._1 == 11L && out(2L)._1 == 11L && out(3L)._1 == 11L)
+    // importance ordering: target-like > mixed > dissimilar
+    assert(out(1L)._2 > out(3L)._2, s"target-like ≤ mixed: $out")
+    assert(out(3L)._2 > out(2L)._2, s"mixed ≤ dissimilar: $out")
+  }
+
+  test("dsirLogWeights rejects a non-positive bucket count") {
+    val d = Seq((1L, "a b")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Sampling.dsirLogWeights(d, d, "doc_id", "text", buckets = 0)
+    }
+  }
 }
