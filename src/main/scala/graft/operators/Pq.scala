@@ -351,8 +351,11 @@ object Pq {
       .select(col("cell").as("pcell"), col("centroid").as("pcent"),
         VectorFns.dot(col("centroid"), col("q")).as("qc"),
         VectorFns.normSq(col("centroid")).as("cnsq"),
-        (VectorFns.dot(col("centroid"), col("q")) /
-          nullif(VectorFns.l2Norm(col("centroid")), lit(0.0))).as("rank"))
+        // 6dp-rounded BEFORE ordering (repo cross-engine protocol:
+        // never order on unrounded doubles) — ties to smallest cell
+        round(VectorFns.dot(col("centroid"), col("q")) /
+          nullif(VectorFns.l2Norm(col("centroid")), lit(0.0)), 6)
+          .as("rank"))
       .orderBy(col("rank").desc_nulls_last, col("pcell"))
       .limit(nprobe)
     // per-(cell, sub, code) terms — nprobe·m·k rows, all tiny frames:

@@ -659,6 +659,151 @@ object VectorQueries {
        |FROM sc CROSS JOIN qn
        |ORDER BY adc_sim DESC, vec_id LIMIT 10""".stripMargin
 
+  /* ---------------- vs_ivf_pq ---------------- */
+
+  /** The FULL FAISS `IVF,PQ,RFlat` stack ORACLE-CHECKED end to end:
+    * coarse spherical k-means (4 cells, one Lloyd round — the
+    * dedup_semantic device), per-cell residuals, per-subspace L2 PQ
+    * codebooks on the residuals (the vs_pq_adc device, m=4 × k=8),
+    * probe the 2 nearest coarse cells, three-term ADC shortlist of
+    * candK=20 codes (cos(q, c+recon) via q·book / ‖book‖² /
+    * c_s·book lookup terms), then the RFlat exact re-rank of the
+    * shortlist to top-10. iters = 1 everywhere is the oracle
+    * device, not a capability limit — PqSpec measures converged
+    * recall. This graduates the last spec-only compressed-search
+    * path to a correctness row: every ranking stage orders on
+    * 6dp-rounded scores with pinned ties.
+    */
+  private val IpCells = 4
+  private val IpM = 4
+  private val IpDsub = PqDim / IpM
+  private val IpK = 8
+  private val IpProbe = 2
+  private val IpCand = 20
+
+  private def ivfPq(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+    val (coarse, books, codes) = Pq.ivfPqBuild(emb, "vec_id", "embedding",
+      PqDim, IpCells, IpM, IpK, iters = 1)
+    val q = Tables.embeddings(s, d).where(col("vec_id") === 0)
+      .select(col("embedding").as("qe"))
+    Pq.ivfPqRefine(codes, coarse, books, emb, q, "vec_id", "embedding",
+      "qe", PqDim, IpM, IpProbe, IpCand, 10)
+  }
+
+  private val ivfPqSql =
+    s"""WITH ev AS (SELECT vec_id, embedding,
+       |    unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
+       |sv AS (SELECT vec_id, i, embedding[i]::DOUBLE AS v FROM ev),
+       |en AS (SELECT vec_id, sum(v * v) AS ns FROM sv GROUP BY vec_id),
+       |sd AS (SELECT vec_id,
+       |    (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cell
+       |  FROM embeddings ORDER BY vec_id LIMIT $IpCells),
+       |c0 AS (SELECT sd.cell, sv.i, sv.v
+       |  FROM sd JOIN sv ON sv.vec_id = sd.vec_id),
+       |c0n AS (SELECT cell, sum(v * v) AS ns FROM c0 GROUP BY cell),
+       |a0 AS (SELECT sv.vec_id, c0.cell, sum(sv.v * c0.v) AS dot
+       |  FROM sv JOIN c0 ON sv.i = c0.i GROUP BY 1, 2),
+       |a1 AS (SELECT a0.vec_id, a0.cell,
+       |    round(a0.dot / (sqrt(en.ns) * sqrt(c0n.ns)), 6) AS s
+       |  FROM a0 JOIN en ON a0.vec_id = en.vec_id
+       |  JOIN c0n ON a0.cell = c0n.cell),
+       |asg0 AS (SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY s DESC, cell) AS rn FROM a1) WHERE rn = 1),
+       |cc AS (SELECT asg0.cell, sv.i, avg(sv.v) AS v
+       |  FROM asg0 JOIN sv ON sv.vec_id = asg0.vec_id GROUP BY 1, 2),
+       |ccn AS (SELECT cell, sum(v * v) AS ns FROM cc GROUP BY cell),
+       |b0 AS (SELECT sv.vec_id, cc.cell, sum(sv.v * cc.v) AS dot
+       |  FROM sv JOIN cc ON sv.i = cc.i GROUP BY 1, 2),
+       |b1 AS (SELECT b0.vec_id, b0.cell,
+       |    round(b0.dot / (sqrt(en.ns) * sqrt(ccn.ns)), 6) AS s
+       |  FROM b0 JOIN en ON b0.vec_id = en.vec_id
+       |  JOIN ccn ON b0.cell = ccn.cell),
+       |asg AS (SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY s DESC, cell) AS rn FROM b1) WHERE rn = 1),
+       |rv AS (SELECT sv.vec_id, sv.i, sv.v - cc.v AS v
+       |  FROM sv JOIN asg ON sv.vec_id = asg.vec_id
+       |  JOIN cc ON asg.cell = cc.cell AND cc.i = sv.i),
+       |rsv AS (SELECT vec_id, ((i - 1) // $IpDsub)::INT AS sub,
+       |    ((i - 1) % $IpDsub) + 1 AS j, v FROM rv),
+       |pd AS (SELECT vec_id,
+       |    (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cell
+       |  FROM embeddings ORDER BY vec_id LIMIT $IpK),
+       |p0 AS (SELECT pd.cell, rsv.sub, rsv.j, rsv.v
+       |  FROM pd JOIN rsv ON rsv.vec_id = pd.vec_id),
+       |p0n AS (SELECT sub, cell, sum(v * v) AS nsq FROM p0 GROUP BY 1, 2),
+       |q0 AS (SELECT rsv.vec_id, rsv.sub, p0.cell, sum(rsv.v * p0.v) AS dot
+       |  FROM rsv JOIN p0 ON rsv.sub = p0.sub AND rsv.j = p0.j
+       |  GROUP BY 1, 2, 3),
+       |q1 AS (SELECT q0.vec_id, q0.sub, q0.cell,
+       |    round(q0.dot - p0n.nsq / 2, 6) AS s
+       |  FROM q0 JOIN p0n ON q0.sub = p0n.sub AND q0.cell = p0n.cell),
+       |pasg AS (SELECT vec_id, sub, cell FROM (
+       |    SELECT vec_id, sub, cell,
+       |      row_number() OVER (PARTITION BY vec_id, sub
+       |        ORDER BY s DESC, cell) AS rn FROM q1) WHERE rn = 1),
+       |bk AS (SELECT pasg.sub, pasg.cell, rsv.j, avg(rsv.v) AS v
+       |  FROM pasg JOIN rsv ON rsv.vec_id = pasg.vec_id
+       |    AND rsv.sub = pasg.sub GROUP BY 1, 2, 3),
+       |bkn AS (SELECT sub, cell, sum(v * v) AS nsq FROM bk GROUP BY 1, 2),
+       |e0 AS (SELECT rsv.vec_id, rsv.sub, bk.cell, sum(rsv.v * bk.v) AS dot
+       |  FROM rsv JOIN bk ON rsv.sub = bk.sub AND rsv.j = bk.j
+       |  GROUP BY 1, 2, 3),
+       |e1 AS (SELECT e0.vec_id, e0.sub, e0.cell,
+       |    round(e0.dot - bkn.nsq / 2, 6) AS s
+       |  FROM e0 JOIN bkn ON e0.sub = bkn.sub AND e0.cell = bkn.cell),
+       |pcode AS (SELECT vec_id, sub, cell AS code FROM (
+       |    SELECT vec_id, sub, cell,
+       |      row_number() OVER (PARTITION BY vec_id, sub
+       |        ORDER BY s DESC, cell) AS rn FROM e1) WHERE rn = 1),
+       |qsv AS (SELECT i, v FROM sv WHERE vec_id = 0),
+       |qn AS (SELECT sqrt(sum(v * v)) AS qnrm FROM qsv),
+       |qrs AS (SELECT ((i - 1) // $IpDsub)::INT AS sub,
+       |    ((i - 1) % $IpDsub) + 1 AS j, v FROM qsv),
+       |pq0 AS (SELECT cc.cell, sum(cc.v * qsv.v) AS dot
+       |  FROM cc JOIN qsv ON cc.i = qsv.i GROUP BY cc.cell),
+       |probe AS (SELECT cell, qc, cnsq FROM (
+       |    SELECT pq0.cell, pq0.dot AS qc, ccn.ns AS cnsq,
+       |      round(pq0.dot / sqrt(ccn.ns), 6) AS prank
+       |    FROM pq0 JOIN ccn ON pq0.cell = ccn.cell)
+       |  ORDER BY prank DESC, cell LIMIT $IpProbe),
+       |tdq AS (SELECT bk.sub, bk.cell AS code, sum(bk.v * qrs.v) AS dotq
+       |  FROM bk JOIN qrs ON bk.sub = qrs.sub AND bk.j = qrs.j
+       |  GROUP BY 1, 2),
+       |csl AS (SELECT probe.cell AS pcell, ((cc.i - 1) // $IpDsub)::INT AS sub,
+       |    ((cc.i - 1) % $IpDsub) + 1 AS j, cc.v
+       |  FROM cc JOIN probe ON cc.cell = probe.cell),
+       |tcr AS (SELECT csl.pcell, bk.sub, bk.cell AS code,
+       |    sum(bk.v * csl.v) AS crossc
+       |  FROM bk JOIN csl ON bk.sub = csl.sub AND bk.j = csl.j
+       |  GROUP BY 1, 2, 3),
+       |cand AS (SELECT pcode.vec_id, asg.cell AS pcell, pcode.sub, pcode.code
+       |  FROM pcode JOIN asg ON pcode.vec_id = asg.vec_id
+       |  JOIN probe ON asg.cell = probe.cell),
+       |adc AS (SELECT cand.vec_id, cand.pcell, sum(tdq.dotq) AS dsum,
+       |    sum(bkn.nsq) AS nsum, sum(tcr.crossc) AS csum
+       |  FROM cand JOIN tdq ON cand.sub = tdq.sub AND cand.code = tdq.code
+       |  JOIN bkn ON cand.sub = bkn.sub AND cand.code = bkn.cell
+       |  JOIN tcr ON tcr.pcell = cand.pcell AND tcr.sub = cand.sub
+       |    AND tcr.code = cand.code
+       |  GROUP BY 1, 2),
+       |sl AS (SELECT vec_id FROM (
+       |    SELECT adc.vec_id, round((probe.qc + adc.dsum) /
+       |        (qn.qnrm * sqrt(probe.cnsq + 2 * adc.csum + adc.nsum)), 6)
+       |        AS s
+       |    FROM adc JOIN probe ON adc.pcell = probe.cell CROSS JOIN qn)
+       |  ORDER BY s DESC, vec_id LIMIT $IpCand),
+       |rf AS (SELECT sv.vec_id, sum(sv.v * qsv.v) AS dot
+       |  FROM sv JOIN sl ON sv.vec_id = sl.vec_id JOIN qsv ON sv.i = qsv.i
+       |  GROUP BY sv.vec_id)
+       |SELECT rf.vec_id, round(rf.dot / (sqrt(en.ns) * qn.qnrm), 6)
+       |    AS refined_sim
+       |FROM rf JOIN en ON rf.vec_id = en.vec_id CROSS JOIN qn
+       |ORDER BY refined_sim DESC, rf.vec_id LIMIT 10""".stripMargin
+
   /* ---------------- bm25_search ---------------- */
 
   private def bm25Search(s: SparkSession, d: String): DataFrame =
@@ -1494,6 +1639,7 @@ object VectorQueries {
     Qdef("vs_ivf_sq8", ivfSq8, Some(ivfSq8Sql)),
     Qdef("vs_ivf_append", ivfAppend, Some(ivfAppendSql)),
     Qdef("vs_pq_adc", pqAdc, Some(pqAdcSql)),
+    Qdef("vs_ivf_pq", ivfPq, Some(ivfPqSql)),
     Qdef("vs_ann_ivf_batch", annIvfBatch, Some(annIvfBatchSql)),
     Qdef("bm25_search", bm25Search, Some(bm25Sql)),
     Qdef("bm25_synonyms", bm25Synonyms, Some(bm25SynonymsSql)),
