@@ -639,6 +639,82 @@ class StreamingSpec extends SparkSpec {
     assert(results.forall(_._3 >= 0.5))
   }
 
+  test("streaming ANN ingest: micro-batches append to the persisted vector " +
+    "store; queries surface new vectors through the FROZEN codebook") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.operators.VectorSearch
+    import graft.functions.VectorFns
+
+    // the vs_ivf_append regime as a STREAM: tonight's vectors land in
+    // micro-batches, each batch is appended to the persisted store,
+    // and retrieval keeps using the codebook trained on the BASE
+    // snapshot (no retrain between batches — staleness is the
+    // documented recall trade until the periodic re-train).
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_stream_annappend").toFile
+    val storeDir = new java.io.File(root, "store").getAbsolutePath
+    val centDir = new java.io.File(root, "cents").getAbsolutePath
+    val inDir = new java.io.File(root, "arrivals").getAbsolutePath
+
+    // base snapshot: two clear orthants; codebook = per-sign-cell means
+    val base = Seq(
+      (100L, Array(1.0f, 0.1f, 0.0f, 0.0f)),
+      (101L, Array(0.9f, 0.2f, 0.1f, 0.0f)),
+      (102L, Array(-1.0f, -0.1f, 0.0f, 0.0f)),
+      (103L, Array(-0.9f, -0.2f, 0.1f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    base.write.parquet(storeDir)
+    VectorSearch.centroidArrays(
+      base.withColumn("cell",
+        VectorFns.signCode(col("embedding"), 2).cast("int")),
+      "cell", "embedding").write.parquet(centDir)
+
+    def writeArrivals(rows: Seq[(Long, Array[Float])]): Unit =
+      rows.toDF("vec_id", "embedding").coalesce(1)
+        .write.mode("append").parquet(inDir)
+
+    writeArrivals(Seq((1L, Array(0.95f, 0.15f, 0.05f, 0.0f))))
+    val arrivals = spark.readStream
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+      .parquet(inDir)
+    val query = arrivals.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select(col("vec_id"), col("embedding"))
+          .write.mode("append").parquet(storeDir)
+        ()
+      }
+      .start()
+    query.processAllAvailable()
+    // the just-ingested-then-queried path: probe with batch-1's vector
+    // against the frozen codebook over the grown store
+    val q1 = Seq(Tuple1(Array(0.95f, 0.15f, 0.05f, 0.0f))).toDF("qe")
+    val top1 = VectorSearch.annIvf(
+      spark.read.parquet(storeDir), q1, spark.read.parquet(centDir),
+      "vec_id", "embedding", "qe", "cell", nprobe = 1, k = 3)
+      .collect()
+    assert(top1.head.getAs[Long]("vec_id") == 1L &&
+      top1.head.getAs[Double]("cos_sim") == 1.0,
+      s"ingested vector must surface itself top-1: ${top1.toSeq}")
+    // base content remains retrievable through the same frozen cells
+    assert(top1.map(_.getAs[Long]("vec_id")).toSet.contains(100L))
+
+    // batch 2 in the OPPOSITE orthant: still assigned + retrievable
+    // under the stale codebook
+    writeArrivals(Seq((2L, Array(-0.95f, -0.15f, 0.05f, 0.0f))))
+    query.processAllAvailable()
+    query.stop()
+    val q2 = Seq(Tuple1(Array(-0.95f, -0.15f, 0.05f, 0.0f))).toDF("qe")
+    val top2 = VectorSearch.annIvf(
+      spark.read.parquet(storeDir), q2, spark.read.parquet(centDir),
+      "vec_id", "embedding", "qe", "cell", nprobe = 1, k = 3)
+      .collect()
+    assert(top2.head.getAs[Long]("vec_id") == 2L &&
+      top2.head.getAs[Double]("cos_sim") == 1.0,
+      s"batch-2 vector must surface itself top-1: ${top2.toSeq}")
+  }
+
   test("impressionClickJoin pairs clicks with in-window impressions only") {
     val sql = spark.sqlContext
     import spark.implicits._
