@@ -119,6 +119,41 @@ object Corpus {
       .partitionBy(partitionCols: _*)
       .parquet(path)
 
+  /** Log compaction (Kafka-compaction / Delta-OPTIMIZE shape): fold
+    * an append-only latest-wins log into a fresh base snapshot —
+    * resolve via mergeLatest (tombstoned keys consumed), then write
+    * evenly-sized parquet files targeting `targetRowsPerFile` rows
+    * each, so a long-running base+delta pipeline (`corpus_latest`)
+    * doesn't degrade into a small-files scan. Returns the compacted
+    * row count (the audit scalar a maintenance job logs).
+    *
+    * Contract: compacted rows KEEP their versions, so re-merging the
+    * new base with later deltas equals merging the original log with
+    * them (pinned by spec) — PROVIDED no update older than the
+    * compaction point arrives afterwards (a lower-versioned
+    * straggler for a consumed tombstone would resurrect the key:
+    * the standard log-compaction watermark contract).
+    *
+    * Scale: one mergeLatest pass (map-side-combined max-struct per
+    * key), one count, one exchange to `ceil(n/target)` output files.
+    * The count + repartition pair is the normal cost of a
+    * maintenance job; it never runs on the query path.
+    */
+  def compactLog(
+      log: DataFrame, keyCols: Seq[String], versionCol: String,
+      deletedCol: Option[String], path: String,
+      targetRowsPerFile: Long): Long = {
+    require(targetRowsPerFile > 0,
+      s"compactLog: targetRowsPerFile must be positive: $targetRowsPerFile")
+    val merged = mergeLatest(log, keyCols, versionCol, deletedCol).cache()
+    val n = merged.count()
+    val files =
+      math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    merged.repartition(files).write.mode(SaveMode.Overwrite).parquet(path)
+    merged.unpersist()
+    n
+  }
+
   /** Bucketed managed table: both sides of a repeated equi-join
     * bucketed by the join key skip the exchange entirely — the
     * pre-shuffle is paid ONCE at write time instead of per query.

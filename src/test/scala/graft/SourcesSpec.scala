@@ -68,6 +68,54 @@ class SourcesSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"latest-wins must not window-sort:\n$plan")
   }
 
+  test("compactLog folds the log to sized files; re-merge with later deltas " +
+    "is equivalent to merging the original log") {
+    val dir = Files.createTempDirectory("graft_compact").toFile.getAbsolutePath
+    val log = Seq(
+      (1L, 0L, "base", 10L, false), (1L, 1L, "delta", 110L, false),
+      (2L, 0L, "base", 20L, false),
+      (3L, 0L, "base", 30L, false), (3L, 1L, "delta", 30L, true),
+      (4L, 0L, "base", 40L, false), (4L, 1L, "delta", 40L, true),
+      (4L, 2L, "delta", 240L, false),
+      (5L, 0L, "base", 50L, false), (6L, 0L, "base", 60L, false)
+    ).toDF("doc_id", "version", "src", "n_chars", "deleted")
+
+    val n = Corpus.compactLog(log, Seq("doc_id"), "version",
+      Some("deleted"), dir, targetRowsPerFile = 2L)
+    assert(n == 5) // keys 1,2,4,5,6 (3 consumed by its tombstone)
+    val base = spark.read.parquet(dir)
+    assert(base.count() == 5)
+    // ceil(5/2) = 3 evenly-sized files
+    val files = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+    assert(files == 3, s"expected 3 data files, got $files")
+
+    // later deltas over the compacted base resolve exactly like the
+    // original log would: key 1 upserted at v2, key 5 tombstoned
+    val newDeltas = Seq(
+      (1L, 2L, "delta", 210L, false),
+      (5L, 1L, "delta", 50L, true)
+    ).toDF("doc_id", "version", "src", "n_chars", "deleted")
+    def resolve(l: org.apache.spark.sql.DataFrame) =
+      Corpus.mergeLatest(l, Seq("doc_id"), "version", Some("deleted"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3)))
+        .toMap
+    val fromCompacted = resolve(base.unionByName(newDeltas))
+    val fromOriginal = resolve(log.unionByName(newDeltas))
+    assert(fromCompacted == fromOriginal)
+    assert(fromCompacted == Map(1L -> ((2L, 210L)), 2L -> ((0L, 20L)),
+      4L -> ((2L, 240L)), 6L -> ((0L, 60L))))
+  }
+
+  test("compactLog rejects a non-positive file-size target") {
+    val log = Seq((1L, 0L, "b", 1L, false))
+      .toDF("doc_id", "version", "src", "n_chars", "deleted")
+    intercept[IllegalArgumentException] {
+      Corpus.compactLog(log, Seq("doc_id"), "version", Some("deleted"),
+        "/tmp/never_written", 0L)
+    }
+  }
+
   test("mergeLatest matches a sequential reference fold on randomized logs") {
     val rnd = new scala.util.Random(42) // fixed seed: reproducible failures
     for (_ <- 1 to 5) {
