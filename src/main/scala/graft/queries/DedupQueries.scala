@@ -553,39 +553,7 @@ object DedupQueries {
     * rounded score — each stage mirroring the operator exactly.
     */
   private val dedupSemanticSql =
-    s"""WITH sd AS (SELECT vec_id,
-       |    (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cell
-       |  FROM embeddings ORDER BY vec_id LIMIT $SemK),
-       |ev AS (SELECT vec_id, embedding,
-       |    unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
-       |sv AS (SELECT vec_id, i, embedding[i]::DOUBLE AS v FROM ev),
-       |en AS (SELECT vec_id, sum(v * v) AS ns FROM sv GROUP BY vec_id),
-       |c0 AS (SELECT sd.cell, sv.i, sv.v
-       |  FROM sd JOIN sv ON sv.vec_id = sd.vec_id),
-       |c0n AS (SELECT cell, sum(v * v) AS ns FROM c0 GROUP BY cell),
-       |a0 AS (SELECT sv.vec_id, c0.cell, sum(sv.v * c0.v) AS dot
-       |  FROM sv JOIN c0 ON sv.i = c0.i GROUP BY 1, 2),
-       |a1 AS (SELECT a0.vec_id, a0.cell,
-       |    round(a0.dot / (sqrt(en.ns) * sqrt(c0n.ns)), 6) AS s
-       |  FROM a0 JOIN en ON a0.vec_id = en.vec_id
-       |  JOIN c0n ON a0.cell = c0n.cell),
-       |asg0 AS (SELECT vec_id, cell FROM (
-       |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
-       |        ORDER BY s DESC, cell) AS rn
-       |    FROM a1) WHERE rn = 1),
-       |c1 AS (SELECT asg0.cell, sv.i, avg(sv.v) AS v
-       |  FROM asg0 JOIN sv ON sv.vec_id = asg0.vec_id GROUP BY 1, 2),
-       |c1n AS (SELECT cell, sum(v * v) AS ns FROM c1 GROUP BY cell),
-       |b0 AS (SELECT sv.vec_id, c1.cell, sum(sv.v * c1.v) AS dot
-       |  FROM sv JOIN c1 ON sv.i = c1.i GROUP BY 1, 2),
-       |b1 AS (SELECT b0.vec_id, b0.cell,
-       |    round(b0.dot / (sqrt(en.ns) * sqrt(c1n.ns)), 6) AS s
-       |  FROM b0 JOIN en ON b0.vec_id = en.vec_id
-       |  JOIN c1n ON b0.cell = c1n.cell),
-       |asg AS (SELECT vec_id, cell FROM (
-       |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
-       |        ORDER BY s DESC, cell) AS rn
-       |    FROM b1) WHERE rn = 1),
+    s"""WITH ${SqlSnippets.lloydSphericalCtes(SemK, "c1")},
        |cok AS (SELECT cell FROM asg GROUP BY cell
        |  HAVING count(*) <= $SemMaxCell),
        |m AS (SELECT asg.vec_id, asg.cell

@@ -18,6 +18,53 @@ object SqlSnippets {
       s"(strpos('0123456789abcdef', substr($mExpr, ${off + k}, 1)) - 1) * ${coef}"
     }.mkString(" + ")
 
+  /** One-round spherical-Lloyd training + final-assignment CTE chain
+    * over the embeddings table — the oracle twin of
+    * `VectorSearch.lloydCentroids(k, iters = 1)` followed by
+    * `assignCells` (id-ordered seeds, cosine argmax on 6dp-rounded
+    * scores with ties to the smallest cell, member means, re-assign
+    * to the trained codebook). ONE shared definition (the
+    * hexPrefixDecode rule): dedup_semantic and vs_ivf_pq replay the
+    * identical protocol and must stay in lockstep.
+    *
+    * Emits: ev, sv (vec_id, i, v), en (vec_id, ns), sd, c0, c0n,
+    * a0, a1, asg0, `$cent` (trained centroids: cell, i, v),
+    * `${cent}n` (cell norms), b0, b1, asg (vec_id, cell — the final
+    * assignment). sv/en are caller-reusable downstream.
+    */
+  def lloydSphericalCtes(k: Int, cent: String): String =
+    s"""ev AS (SELECT vec_id, embedding,
+       |    unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
+       |sv AS (SELECT vec_id, i, embedding[i]::DOUBLE AS v FROM ev),
+       |en AS (SELECT vec_id, sum(v * v) AS ns FROM sv GROUP BY vec_id),
+       |sd AS (SELECT vec_id,
+       |    (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cell
+       |  FROM embeddings ORDER BY vec_id LIMIT $k),
+       |c0 AS (SELECT sd.cell, sv.i, sv.v
+       |  FROM sd JOIN sv ON sv.vec_id = sd.vec_id),
+       |c0n AS (SELECT cell, sum(v * v) AS ns FROM c0 GROUP BY cell),
+       |a0 AS (SELECT sv.vec_id, c0.cell, sum(sv.v * c0.v) AS dot
+       |  FROM sv JOIN c0 ON sv.i = c0.i GROUP BY 1, 2),
+       |a1 AS (SELECT a0.vec_id, a0.cell,
+       |    round(a0.dot / (sqrt(en.ns) * sqrt(c0n.ns)), 6) AS s
+       |  FROM a0 JOIN en ON a0.vec_id = en.vec_id
+       |  JOIN c0n ON a0.cell = c0n.cell),
+       |asg0 AS (SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY s DESC, cell) AS rn FROM a1) WHERE rn = 1),
+       |$cent AS (SELECT asg0.cell, sv.i, avg(sv.v) AS v
+       |  FROM asg0 JOIN sv ON sv.vec_id = asg0.vec_id GROUP BY 1, 2),
+       |${cent}n AS (SELECT cell, sum(v * v) AS ns FROM $cent GROUP BY cell),
+       |b0 AS (SELECT sv.vec_id, $cent.cell, sum(sv.v * $cent.v) AS dot
+       |  FROM sv JOIN $cent ON sv.i = $cent.i GROUP BY 1, 2),
+       |b1 AS (SELECT b0.vec_id, b0.cell,
+       |    round(b0.dot / (sqrt(en.ns) * sqrt(${cent}n.ns)), 6) AS s
+       |  FROM b0 JOIN en ON b0.vec_id = en.vec_id
+       |  JOIN ${cent}n ON b0.cell = ${cent}n.cell),
+       |asg AS (SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY s DESC, cell) AS rn FROM b1) WHERE rn = 1)""".stripMargin
+
   /** Fixed-size overlapping chunking CTEs (s → st → ch); `ch` exposes
     * (doc_id, chunk_index, chunk_text) — the oracle twin of
     * graft.operators.Chunker.fixedChunks(size, overlap) with

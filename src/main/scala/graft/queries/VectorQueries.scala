@@ -693,37 +693,7 @@ object VectorQueries {
   }
 
   private val ivfPqSql =
-    s"""WITH ev AS (SELECT vec_id, embedding,
-       |    unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
-       |sv AS (SELECT vec_id, i, embedding[i]::DOUBLE AS v FROM ev),
-       |en AS (SELECT vec_id, sum(v * v) AS ns FROM sv GROUP BY vec_id),
-       |sd AS (SELECT vec_id,
-       |    (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cell
-       |  FROM embeddings ORDER BY vec_id LIMIT $IpCells),
-       |c0 AS (SELECT sd.cell, sv.i, sv.v
-       |  FROM sd JOIN sv ON sv.vec_id = sd.vec_id),
-       |c0n AS (SELECT cell, sum(v * v) AS ns FROM c0 GROUP BY cell),
-       |a0 AS (SELECT sv.vec_id, c0.cell, sum(sv.v * c0.v) AS dot
-       |  FROM sv JOIN c0 ON sv.i = c0.i GROUP BY 1, 2),
-       |a1 AS (SELECT a0.vec_id, a0.cell,
-       |    round(a0.dot / (sqrt(en.ns) * sqrt(c0n.ns)), 6) AS s
-       |  FROM a0 JOIN en ON a0.vec_id = en.vec_id
-       |  JOIN c0n ON a0.cell = c0n.cell),
-       |asg0 AS (SELECT vec_id, cell FROM (
-       |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
-       |        ORDER BY s DESC, cell) AS rn FROM a1) WHERE rn = 1),
-       |cc AS (SELECT asg0.cell, sv.i, avg(sv.v) AS v
-       |  FROM asg0 JOIN sv ON sv.vec_id = asg0.vec_id GROUP BY 1, 2),
-       |ccn AS (SELECT cell, sum(v * v) AS ns FROM cc GROUP BY cell),
-       |b0 AS (SELECT sv.vec_id, cc.cell, sum(sv.v * cc.v) AS dot
-       |  FROM sv JOIN cc ON sv.i = cc.i GROUP BY 1, 2),
-       |b1 AS (SELECT b0.vec_id, b0.cell,
-       |    round(b0.dot / (sqrt(en.ns) * sqrt(ccn.ns)), 6) AS s
-       |  FROM b0 JOIN en ON b0.vec_id = en.vec_id
-       |  JOIN ccn ON b0.cell = ccn.cell),
-       |asg AS (SELECT vec_id, cell FROM (
-       |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
-       |        ORDER BY s DESC, cell) AS rn FROM b1) WHERE rn = 1),
+    s"""WITH ${SqlSnippets.lloydSphericalCtes(IpCells, "cc")},
        |rv AS (SELECT sv.vec_id, sv.i, sv.v - cc.v AS v
        |  FROM sv JOIN asg ON sv.vec_id = asg.vec_id
        |  JOIN cc ON asg.cell = cc.cell AND cc.i = sv.i),

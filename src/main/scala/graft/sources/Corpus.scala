@@ -138,6 +138,17 @@ object Corpus {
     * key), one count, one exchange to `ceil(n/target)` output files.
     * The count + repartition pair is the normal cost of a
     * maintenance job; it never runs on the query path.
+    *
+    * The merged frame is MATERIALIZED with an eager localCheckpoint
+    * before the write, severing the plan from the source relation —
+    * so the natural IN-PLACE call (compact `path` back into `path`)
+    * works instead of tripping Spark's overwrite-while-reading
+    * check. Trade-off (the connectedComponents localCheckpoint
+    * rule): checkpoint blocks are non-reliable storage, so an
+    * executor loss between the overwrite's delete and commit can
+    * lose the snapshot. A 100 TB run compacts into a NEW snapshot
+    * dir and swaps the table pointer instead — in-place is the
+    * single-node/maintenance-window convenience.
     */
   def compactLog(
       log: DataFrame, keyCols: Seq[String], versionCol: String,
@@ -145,12 +156,12 @@ object Corpus {
       targetRowsPerFile: Long): Long = {
     require(targetRowsPerFile > 0,
       s"compactLog: targetRowsPerFile must be positive: $targetRowsPerFile")
-    val merged = mergeLatest(log, keyCols, versionCol, deletedCol).cache()
+    val merged = mergeLatest(log, keyCols, versionCol, deletedCol)
+      .localCheckpoint()
     val n = merged.count()
     val files =
       math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
     merged.repartition(files).write.mode(SaveMode.Overwrite).parquet(path)
-    merged.unpersist()
     n
   }
 

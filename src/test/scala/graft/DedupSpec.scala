@@ -193,7 +193,7 @@ class DedupSpec extends SparkSpec {
       (2L, Array(0.0f, 1.0f, 0.0f)),   // cluster B keeper (seed 1)
       (3L, Array(0.99f, 0.1f, 0.0f)),  // near-dup of 1
       (4L, Array(0.0f, 0.99f, 0.12f)), // near-dup of 2
-      (5L, Array(1.0f, 0.0f, 0.02f))   // near-dup of 1 AND of 3
+      (5L, Array(0.99f, 0.1f, 0.02f))  // near-dup of 3 AND (less) of 1
     ).toDF("vec_id", "embedding")
     val out = Dedup.semanticDedup(vecs, "vec_id", "embedding",
       k = 2, iters = 2, minCos = 0.95)
@@ -205,9 +205,10 @@ class DedupSpec extends SparkSpec {
     assert(out.keySet == Set(3L, 4L, 5L))
     assert(out(3L) == (0, 1L)) // cluster A cell, attributed to keeper 1
     assert(out(4L) == (1, 2L)) // cluster B cell
-    // 5 qualifies against BOTH 1 (cos .9998) and 3 (cos .9946):
-    // attribution picks the most-similar lower id, not the smallest
-    assert(out(5L) == (0, 1L))
+    // 5 qualifies against BOTH 3 (cos .9998) and 1 (cos .9947):
+    // attribution picks the MOST-SIMILAR lower id (3), not the
+    // smallest (1) — the two policies disagree here by construction
+    assert(out(5L) == (0, 3L))
     // cross-cluster pairs (cos ~0.1) never meet: different cells
   }
 

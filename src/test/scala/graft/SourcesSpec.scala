@@ -107,6 +107,22 @@ class SourcesSpec extends SparkSpec {
       4L -> ((2L, 240L)), 6L -> ((0L, 60L))))
   }
 
+  test("compactLog compacts a log IN PLACE (read from and write to the same dir)") {
+    val dir = Files.createTempDirectory("graft_compact_ip").toFile.getAbsolutePath
+    Seq(
+      (1L, 0L, "base", 10L, false), (1L, 1L, "delta", 110L, false),
+      (2L, 0L, "base", 20L, false), (2L, 1L, "delta", 20L, true)
+    ).toDF("doc_id", "version", "src", "n_chars", "deleted")
+      .write.mode("overwrite").parquet(dir) // temp dir pre-exists
+    // the natural maintenance call: fold dir back into dir
+    val n = Corpus.compactLog(spark.read.parquet(dir), Seq("doc_id"),
+      "version", Some("deleted"), dir, targetRowsPerFile = 10L)
+    assert(n == 1)
+    val out = spark.read.parquet(dir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_chars"))
+    assert(out.toSeq == Seq(1L -> 110L))
+  }
+
   test("compactLog rejects a non-positive file-size target") {
     val log = Seq((1L, 0L, "b", 1L, false))
       .toDF("doc_id", "version", "src", "n_chars", "deleted")
