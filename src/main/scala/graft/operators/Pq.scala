@@ -99,12 +99,25 @@ object Pq {
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     require(k <= 256, s"k=$k exceeds one-byte codes")
     val dsub = dim / m
-    (0 until m).map { s =>
-      val sub = vectors.select(col(idCol),
-        slice(col(vecCol), s * dsub + 1, dsub).as("subv"))
-      lloydL2(sub, idCol, "subv", k, iters)
-        .select(lit(s).as("sub"), col("cell"), col("centroid"))
-    }.reduce(_ unionAll _)
+    // the m subspace trainings are independent chains of small
+    // eager actions (seed limit + per-iter localCheckpoint), so run
+    // them as CONCURRENT Spark jobs — the scheduler interleaves
+    // their stages instead of paying m sequential action latencies
+    // (job submission is thread-safe; results are deterministic
+    // because each future touches only its own slice). Wall ≈
+    // slowest subspace instead of the sum.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val trained = (0 until m).map { s =>
+      Future {
+        val sub = vectors.select(col(idCol),
+          slice(col(vecCol), s * dsub + 1, dsub).as("subv"))
+        lloydL2(sub, idCol, "subv", k, iters)
+          .select(lit(s).as("sub"), col("cell"), col("centroid"))
+      }
+    }.map(Await.result(_, Duration.Inf))
+    trained.reduce(_ unionAll _)
   }
 
   /** Encode each vector to its m-code array (id, codes). One narrow
