@@ -25,7 +25,10 @@ class CacheLifecycleSpec extends SparkSpec {
     "bm25_search", "emb_tfidf_topk", "ev_funnel", "decontam_ngram",
     "dedup_cluster", "rerank_fused",
     "deg_centrality", // Stats.centrality's deg cache (r10)
-    "txt_lm_score") // lmScore's dbg + cg caches (r10)
+    "txt_lm_score", // lmScore's dbg + cg caches (r10)
+    "dedup_incremental", // incrementalLsh's index/cand/shingle caches (r12)
+    "dedup_semantic", // semanticDedup's assigned + pruned caches (r12)
+    "corpus_dsir") // dsirLogWeights' model + per-doc count caches (r12)
 
   test("each caching operator leaves zero net cached plans after the " +
     "documented lifecycle call") {
