@@ -165,4 +165,54 @@ class PipelineSpec extends SparkSpec {
     assert(rows.map(_._4).sliding(2).forall(p => p.head <= p.last))
     assert(rows.map(_._4).distinct.length > 1) // budget actually splits
   }
+
+  test("selection flow: semantic dedup -> DSIR weighting -> compacted snapshot") {
+    import graft.operators.Sampling
+    import graft.sources.Corpus
+
+    // corpus: doc 4 is an embedding near-dup of doc 1; seeds 1..3
+    // span the three clusters so k=3 recovers them
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f)),
+      (4L, Array(0.99f, 0.05f, 0.0f))
+    ).toDF("doc_id", "embedding")
+    val dropped = Dedup.semanticDedup(vecs, "doc_id", "embedding",
+      k = 3, iters = 2, minCos = 0.95)
+      .select("doc_id").as[Long].collect().toSet
+    assert(dropped == Set(4L))
+
+    // survivors weighted against an English target domain
+    val target = Seq(
+      (100L, "spark sql window join table scan"),
+      (101L, "table join scan spark sql window")).toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "spark sql join table window merge"),   // target-like
+      (2L, "violet meadow kitten ribbon sunrise"), // unlike
+      (3L, "spark table scan violet meadow rose"), // mixed
+      (4L, "spark sql join table window merge")    // the dup
+    ).toDF("doc_id", "text")
+    val pool = raw.where(!col("doc_id").isin(dropped.toSeq: _*))
+    val ranked = Sampling.dsirLogWeights(target, pool, "doc_id", "text")
+      .orderBy(col("dsir_logw").desc, col("doc_id"))
+      .select("doc_id").as[Long].collect()
+    assert(ranked.toSeq == Seq(1L, 3L, 2L))
+
+    // persist the decision as a latest-wins log (dups + bottom rank
+    // tombstoned) and compact to the training snapshot
+    val keep = ranked.take(2).toSet // {1, 3}
+    val cut = (dropped ++ ranked.drop(2)).toSeq // {4, 2}
+    val log = raw
+      .withColumn("version", lit(0L)).withColumn("deleted", lit(false))
+      .unionByName(raw.where(col("doc_id").isin(cut: _*))
+        .withColumn("version", lit(1L)).withColumn("deleted", lit(true)))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pipe_sel").toFile.getAbsolutePath
+    val n = Corpus.compactLog(log, Seq("doc_id"), "version",
+      Some("deleted"), dir, targetRowsPerFile = 10L)
+    assert(n == 2)
+    assert(spark.read.parquet(dir)
+      .select("doc_id").as[Long].collect().toSet == keep)
+  }
 }
