@@ -226,8 +226,10 @@ object Dedup {
         Seq("band", "bkey"))
       .select(col("new_id"), col("old_id")).distinct()
       .cache() // feeds the old-doc prune and the verify join
+    // no distinct on the prune key: cand is already distinct and
+    // left_semi matching is existence-only
     val oldSh = shingles(
-      baseDocs.join(cand.select(col("old_id").as(idCol)).distinct(),
+      baseDocs.join(cand.select(col("old_id").as(idCol)),
         Seq(idCol), "left_semi"),
       idCol, textCol, shingleN).cache()
     val sizesNew = newSh.groupBy(col(idCol)).agg(count(lit(1)).as("n_new"))
@@ -274,21 +276,31 @@ object Dedup {
     * estimate. One scalar aggregate over the (cached) postings frame;
     * decimal accumulation so the certificate itself can't overflow.
     */
-  private def requirePairBudget(
-      postings: DataFrame, keyCol: String, budget: Long,
-      op: String): Unit = {
-    // n is cast to decimal BEFORE the multiply: a mega-key with
-    // n > ~3e9 would overflow n*(n-1) in LongType — an opaque ANSI
-    // ARITHMETIC_OVERFLOW (or, non-ANSI, a wrapped negative that
-    // UNDER-counts and admits the very corpus the guard exists to
-    // refuse). The even product is halved exactly on the driver.
+  /** Exact candidate-pair row count of a posting self-join:
+    * Σ_key C(n_key, 2) — the certificate requirePairBudget enforces,
+    * public so profilers and capacity planners measure the SAME
+    * statistic the guard refuses on (no hand-copied twins).
+    * n is cast to decimal BEFORE the multiply: a mega-key with
+    * n > ~3e9 would overflow n*(n-1) in LongType — an opaque ANSI
+    * ARITHMETIC_OVERFLOW (or, non-ANSI, a wrapped negative that
+    * UNDER-counts and admits the very corpus the guard exists to
+    * refuse). The even product is halved exactly on the driver.
+    */
+  def pairCertificate(
+      postings: DataFrame, keyCol: String): java.math.BigDecimal = {
     val bound = postings.groupBy(col(keyCol))
       .agg(count(lit(1)).as("n"))
       .agg(sum(col("n").cast("decimal(19,0)") *
         (col("n") - 1).cast("decimal(19,0)")))
       .head().getDecimal(0)
-    val rows = if (bound == null) java.math.BigDecimal.ZERO
-      else bound.divide(java.math.BigDecimal.valueOf(2))
+    if (bound == null) java.math.BigDecimal.ZERO
+    else bound.divide(java.math.BigDecimal.valueOf(2))
+  }
+
+  private def requirePairBudget(
+      postings: DataFrame, keyCol: String, budget: Long,
+      op: String): Unit = {
+    val rows = pairCertificate(postings, keyCol)
     if (rows.compareTo(java.math.BigDecimal.valueOf(budget)) > 0)
       throw new IllegalStateException(
         s"$op: pairwise-exact verify would materialise $rows candidate " +

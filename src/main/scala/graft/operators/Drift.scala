@@ -51,13 +51,19 @@ object Drift {
     * baseline snapshot) rather than raw rows.
     *
     * Input frames are re-aggregated to one row per (stratum, bucket)
-    * internally: a duplicate-keyed input (e.g. two closed streaming
-    * windows landing in one micro-batch, or an unconsolidated rollup)
-    * would otherwise fan out the full_outer join and double-count the
-    * per-stratum totals. The extra aggregate is free at scale — both
-    * frames are already strata × buckets sized, and when the input IS
-    * unique the same-keyed re-aggregate reuses its partitioning
-    * (no added shuffle).
+    * internally, so a duplicate-keyed input (an unconsolidated
+    * rollup, a retried append) cannot fan out the full_outer join
+    * and double-count the per-stratum totals. The extra aggregate is
+    * free at scale — both frames are already strata × buckets sized,
+    * and when the input IS unique the same-keyed re-aggregate reuses
+    * its partitioning (no added shuffle).
+    *
+    * Consolidation is NOT window merging: each call computes ONE
+    * distribution per stratum, so a multi-window micro-batch (two
+    * closed streaming windows in one foreachBatch frame) must be
+    * sliced and scored one window per call — summing across windows
+    * would average two distinct snapshots into a falsely-stable PSI.
+    * StreamingSpec's drift monitor pins that per-window loop.
     */
   def psiFromCounts(
       baseCounts: DataFrame, currentCounts: DataFrame,

@@ -213,6 +213,10 @@ object Sampling {
     dc.join(broadcast(lr), Seq("bkt"))
       .groupBy(col(idCol))
       .agg(sum(col("n")).cast("long").as("n_feats"),
-        round(sum(col("n") * col("lr")), 6).as("dsir_logw"))
+        // +1e-9 before rounding: the repo-wide nudge off the decimal
+        // rounding boundary for order-dependent double sums (both
+        // engines accumulate the per-bucket terms in different
+        // orders; mirrored in the oracle)
+        round(sum(col("n") * col("lr")) + lit(1e-9), 6).as("dsir_logw"))
   }
 }

@@ -284,7 +284,7 @@ object CorpusQueries {
        |  FROM tb FULL OUTER JOIN rb ON tb.bkt = rb.bkt
        |  CROSS JOIN tt CROSS JOIN tr)
        |SELECT dc.doc_id, sum(dc.n)::BIGINT AS n_feats,
-       |  round(sum(dc.n * lr.lr), 6) AS dsir_logw
+       |  round(sum(dc.n * lr.lr) + 0.000000001, 6) AS dsir_logw
        |FROM dc JOIN lr ON dc.bkt = lr.bkt
        |GROUP BY dc.doc_id ORDER BY dc.doc_id""".stripMargin
   }

@@ -159,8 +159,10 @@ object Corpus {
     val merged = mergeLatest(log, keyCols, versionCol, deletedCol)
       .localCheckpoint()
     val n = merged.count()
-    val files =
-      math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    // clamp before .toInt: a tiny target over a lake-scale corpus
+    // must degrade to max partitions, not wrap negative
+    val files = math.min(Int.MaxValue.toLong,
+      math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile)).toInt
     merged.repartition(files).write.mode(SaveMode.Overwrite).parquet(path)
     n
   }

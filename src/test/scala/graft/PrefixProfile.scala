@@ -51,10 +51,7 @@ object PrefixProfile {
       .select(col("doc_id"), col("nsh"),
         (col("pos0") + 1).as("pos"), col("k.sh").as("sh"))
     time("prefix_cert") {
-      prefix.groupBy(col("sh")).agg(count(lit(1)).as("n"))
-        .agg(sum(col("n").cast("decimal(19,0)") *
-          (col("n") - 1).cast("decimal(19,0)")))
-        .collect(); 1L
+      Dedup.pairCertificate(prefix, "sh"); 1L
     }
     val a = prefix.select(col("doc_id").as("da"), col("sh"),
       col("nsh").as("na"), col("pos").as("pa"))

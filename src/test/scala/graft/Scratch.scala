@@ -25,13 +25,10 @@ object Scratch {
         val docs = Tables.documents(spark, d)
         val sh = Dedup.shingles(docs, "doc_id", "text", 3).cache()
         val dfs = sh.groupBy(col("sh")).agg(count(lit(1)).as("df")).cache()
-        def cert(f: org.apache.spark.sql.DataFrame): java.math.BigDecimal = {
-          val r = f.agg(sum(col("df").cast("decimal(19,0)") *
-            (col("df") - 1).cast("decimal(19,0)"))).head().getDecimal(0)
-          if (r == null) java.math.BigDecimal.ZERO
-          else r.divide(java.math.BigDecimal.valueOf(2))
-        }
-        val flat = cert(dfs.where(col("df") <= 200))
+        // the operator's own certificate over the df-capped postings
+        val flat = Dedup.pairCertificate(
+          sh.join(dfs.where(col("df") <= 200).select(col("sh")), Seq("sh")),
+          "sh")
         // prefix postings: rebuild the same frame ngramJaccardPrefix uses
         val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
         val sorted = sh.join(dfs, Seq("sh"))
@@ -45,8 +42,7 @@ object Scratch {
             posexplode(slice(col("ks"), lit(1), col("plen")))
               .as(Seq("pos0", "k")))
           .select(col("doc_id"), col("k.sh").as("sh"))
-        val pfx = cert(prefix.groupBy(col("sh"))
-          .agg(count(lit(1)).as("df")))
+        val pfx = Dedup.pairCertificate(prefix, "sh")
         println(s"CERT $d flat=$flat prefix=$pfx")
         spark.catalog.clearCache()
       } else println(s"CERT $d MISSING")
