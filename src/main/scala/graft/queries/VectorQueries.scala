@@ -301,6 +301,65 @@ object VectorQueries {
       |SELECT vec_id, cell, round(dot / (sqrt(na) * sqrt(qn.ns)), 6) AS cos_sim
       |FROM fd CROSS JOIN qn ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
 
+  /* ---------------- vs_ann_recall ---------------- */
+
+  /** Index-quality SELF-TELEMETRY as a first-class query: recall@10
+    * of the label-cell IVF (vs_ann_ivf's exact binding) against the
+    * brute-force scan over the same candidate set — the number a
+    * production retrieval pipeline alerts on when centroids go
+    * stale (AnnRecallSpec measures the full nprobe curves; this row
+    * pins ONE operating point cross-engine, measured not guessed).
+    * Both legs are the existing oracle devices; the intersection is
+    * a 10-row semi join.
+    */
+  private def annRecall(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val centroids = VectorSearch.centroidArrays(emb, "label", "embedding")
+    val approx = VectorSearch.annIvf(emb, q, centroids,
+      "vec_id", "embedding", "qe", "label", nprobe = 3, k = 10)
+      .select(col("vec_id"))
+    val exact = VectorSearch.denseTopK(emb, q,
+      "vec_id", "embedding", "qe", 10)
+      .select(col("vec_id"))
+    approx.join(exact, Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).cast("long").as("hits"))
+      .select(lit(10L).as("k"), col("hits"),
+        round(col("hits").cast("double") / 10 + lit(1e-9), 6).as("recall"))
+  }
+
+  /** Oracle: the vs_ann_ivf CTE chain for the approximate leg, the
+    * vs_dense_topk chain (self included) for the exact leg, then
+    * |∩| / 10.
+    */
+  private val annRecallSql = {
+    val tail = "SELECT vec_id, cell, round(dot / (sqrt(na) * sqrt(qn.ns)), " +
+      "6) AS cos_sim\nFROM fd CROSS JOIN qn ORDER BY cos_sim DESC, " +
+      "vec_id LIMIT 10"
+    require(annIvfSql.endsWith(tail),
+      "vs_ann_recall: annIvfSql tail changed — update the splice")
+    val ivfCtes = annIvfSql.stripPrefix("WITH ").stripSuffix(tail).trim
+    s"""WITH $ivfCtes,
+       |ivf AS (
+       |  SELECT vec_id, round(dot / (sqrt(na) * sqrt(qn.ns)), 6) AS cos_sim
+       |  FROM fd CROSS JOIN qn ORDER BY cos_sim DESC, vec_id LIMIT 10),
+       |xx AS (SELECT e.vec_id, q.qe AS qe, e.embedding AS ce,
+       |    unnest(generate_series(1, len(e.embedding))) AS i
+       |  FROM embeddings e CROSS JOIN q),
+       |xd AS (SELECT vec_id,
+       |    sum(ce[i]::DOUBLE * qe[i]::DOUBLE) AS dot,
+       |    sum(ce[i]::DOUBLE * ce[i]::DOUBLE) AS na
+       |  FROM xx GROUP BY vec_id),
+       |exact AS (SELECT vec_id,
+       |    round(xd.dot / (sqrt(xd.na) * sqrt(qn.ns)), 6) AS cos_sim
+       |  FROM xd CROSS JOIN qn ORDER BY cos_sim DESC, vec_id LIMIT 10),
+       |hits AS (SELECT count(*)::BIGINT AS hits
+       |  FROM ivf JOIN exact ON ivf.vec_id = exact.vec_id)
+       |SELECT 10::BIGINT AS k, hits,
+       |  round(hits::DOUBLE / 10 + 0.000000001, 6) AS recall
+       |FROM hits""".stripMargin
+  }
+
   /* ---------------- vs_ann_ivf_batch ---------------- */
 
   /** Batch IVF: top-5 per query for 10 queries at once, scoring only
@@ -1610,6 +1669,7 @@ object VectorQueries {
     Qdef("vs_ivf_append", ivfAppend, Some(ivfAppendSql)),
     Qdef("vs_pq_adc", pqAdc, Some(pqAdcSql)),
     Qdef("vs_ivf_pq", ivfPq, Some(ivfPqSql)),
+    Qdef("vs_ann_recall", annRecall, Some(annRecallSql)),
     Qdef("vs_ann_ivf_batch", annIvfBatch, Some(annIvfBatchSql)),
     Qdef("bm25_search", bm25Search, Some(bm25Sql)),
     Qdef("bm25_synonyms", bm25Synonyms, Some(bm25SynonymsSql)),
