@@ -197,8 +197,12 @@ object Dedup {
     * Output: (new_id, old_id, jaccard) for pairs ≥ minJaccard.
     *
     * Contract: batch ids are DISJOINT from corpus ids (standard for
-    * append-only crawl ids) — an id on both sides would pair a doc
-    * with itself through any band collision.
+    * append-only crawl ids). The candidate stage defensively drops
+    * new_id = old_id rows, so a violated contract (a re-crawled doc
+    * keeping its id) can never emit the doc paired with ITSELF at
+    * jaccard 1.0 — but cross pairs involving the reused id are still
+    * attributed to whichever side carries it, so disjointness remains
+    * the caller's contract, merely no longer a silent-wrong-pair one.
     */
   def incrementalLsh(
       index: DataFrame, baseDocs: DataFrame, newDocs: DataFrame,
@@ -224,6 +228,10 @@ object Dedup {
       .select(col(idCol).as("new_id"), col("band"), col("bkey"))
       .join(idx.select(col(idCol).as("old_id"), col("band"), col("bkey")),
         Seq("band", "bkey"))
+      // id-disjointness guard: a contract-violating reused id must
+      // never pair a doc with itself (free — evaluated in the join's
+      // output projection, no extra stage)
+      .where(col("new_id") =!= col("old_id"))
       .select(col("new_id"), col("old_id")).distinct()
       .cache() // feeds the old-doc prune and the verify join
     // no distinct on the prune key: cand is already distinct and
@@ -270,12 +278,6 @@ object Dedup {
     */
   val DefaultMaxPairRows = 200000000L
 
-  /** Refuses when the posting-list self-join would materialise more
-    * than `budget` pair rows: Σ_key C(n_key, 2) over the pruned
-    * postings — the EXACT row count of the candidate explode, not an
-    * estimate. One scalar aggregate over the (cached) postings frame;
-    * decimal accumulation so the certificate itself can't overflow.
-    */
   /** Exact candidate-pair row count of a posting self-join:
     * Σ_key C(n_key, 2) — the certificate requirePairBudget enforces,
     * public so profilers and capacity planners measure the SAME
@@ -297,6 +299,12 @@ object Dedup {
     else bound.divide(java.math.BigDecimal.valueOf(2))
   }
 
+  /** Refuses when the posting-list self-join would materialise more
+    * than `budget` pair rows: pairCertificate's Σ_key C(n_key, 2)
+    * over the pruned postings — the EXACT row count of the candidate
+    * explode, not an estimate. One scalar aggregate over the (cached)
+    * postings frame, so the main plan pays no extra scan.
+    */
   private def requirePairBudget(
       postings: DataFrame, keyCol: String, budget: Long,
       op: String): Unit = {

@@ -51,12 +51,17 @@ object Drift {
     * baseline snapshot) rather than raw rows.
     *
     * Input frames are re-aggregated to one row per (stratum, bucket)
-    * internally, so a duplicate-keyed input (an unconsolidated
-    * rollup, a retried append) cannot fan out the full_outer join
-    * and double-count the per-stratum totals. The extra aggregate is
-    * free at scale — both frames are already strata × buckets sized,
-    * and when the input IS unique the same-keyed re-aggregate reuses
-    * its partitioning (no added shuffle).
+    * internally, so an unconsolidated rollup with duplicate keys
+    * cannot fan out the full_outer join. Consolidation treats
+    * duplicate keys as PARTIAL counts and sums them — correct for
+    * split rollups, but a retried append of identical rows doubles
+    * the counts (PSI survives a FULL retry only because proportions
+    * scale uniformly; a PARTIAL retry skews them) — exactly-once
+    * delivery of count rows remains the caller's responsibility.
+    * The extra aggregate is free at scale — both frames are already
+    * strata × buckets sized, and when the input IS unique the
+    * same-keyed re-aggregate reuses its partitioning (no added
+    * shuffle).
     *
     * Consolidation is NOT window merging: each call computes ONE
     * distribution per stratum, so a multi-window micro-batch (two

@@ -106,17 +106,25 @@ object Pq {
     // (job submission is thread-safe; results are deterministic
     // because each future touches only its own slice). Wall ≈
     // slowest subspace instead of the sum.
-    import scala.concurrent.{Await, Future}
+    import scala.concurrent.{Await, Future, blocking}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val trained = (0 until m).map { s =>
-      Future {
-        val sub = vectors.select(col(idCol),
-          slice(col(vecCol), s * dsub + 1, dsub).as("subv"))
-        lloydL2(sub, idCol, "subv", k, iters)
-          .select(lit(s).as("sub"), col("cell"), col("centroid"))
-      }
-    }.map(Await.result(_, Duration.Inf))
+    // blocking{} tells the global fork-join pool these futures park on
+    // Spark actions, so it grows past the CPU-count default instead of
+    // silently serialising subspaces m+1..n behind the first batch;
+    // Future.sequence (vs awaiting one by one) propagates the FIRST
+    // failure promptly instead of after every earlier await returns.
+    val trained = Await.result(
+      Future.sequence((0 until m).map { s =>
+        Future {
+          blocking {
+            val sub = vectors.select(col(idCol),
+              slice(col(vecCol), s * dsub + 1, dsub).as("subv"))
+            lloydL2(sub, idCol, "subv", k, iters)
+              .select(lit(s).as("sub"), col("cell"), col("centroid"))
+          }
+        }
+      }), Duration.Inf)
     trained.reduce(_ unionAll _)
   }
 

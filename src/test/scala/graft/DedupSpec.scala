@@ -133,6 +133,23 @@ class DedupSpec extends SparkSpec {
       math.max(p._1, p._2))).toSet)
   }
 
+  test("incrementalLsh never emits a self-pair when the id-disjointness " +
+    "contract is violated (re-crawled doc keeping its id)") {
+    // doc 1 is re-crawled VERBATIM under its existing id: every band
+    // collides with itself. Without the guard the probe would emit
+    // (1, 1, jaccard 1.0) — the guard drops identity pairs while
+    // keeping genuine cross pairs (3 → 1) intact.
+    val baseDocs = Seq((1L, base), (4L, distinct)).toDF("doc_id", "text")
+    val delta = Seq((1L, base), (3L, nearDup)).toDF("doc_id", "text")
+    val index = Dedup.minhashBandIndex(baseDocs, "doc_id", "text")
+    val out = Dedup.incrementalLsh(index, baseDocs, delta,
+      "doc_id", "text", minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(!out.exists(p => p._1 == p._2), s"self-pair leaked: ${out.toSeq}")
+    assert(out.exists(p => p._1 == 3L && p._2 == 1L && p._3 > 0.5),
+      s"genuine cross pair lost: ${out.toSeq}")
+  }
+
   test("incrementalLsh re-reads old docs only through a semi-join " +
     "prune (the lake-scale point-lookup contract)") {
     val baseDocs = Seq((1L, base), (4L, distinct)).toDF("doc_id", "text")
