@@ -208,26 +208,43 @@ object Dedup {
       index: DataFrame, baseDocs: DataFrame, newDocs: DataFrame,
       idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 32, bandRows: Int = 4,
-      minJaccard: Double = 0.5, maxBucket: Int = 100): DataFrame = {
+      minJaccard: Double = 0.5, maxBucket: Int = 100,
+      cacheIndex: Boolean = true): DataFrame = {
     // new-side shingles feed signatures AND the verify join
     val newSh = shingles(newDocs, idCol, textCol, shingleN).cache()
     val newPost = bandPostings(
       minhashSignatures(newSh, idCol, numHashes), idCol, numHashes, bandRows)
-    // two consumers (bucket counts + the probe join): cached like
-    // lshCandidates' band frame — numBands rows per doc, tiny
-    // relative to the corpus, and when the caller builds the index
-    // inline (rather than reading a persisted table) this stops the
-    // whole shingle→minhash chain re-executing per consumer
-    val idx = index.select(col(idCol), col("band"), col("bkey")).cache()
-    val okBuckets = idx.groupBy(col("band"), col("bkey"))
+    // two consumers (bucket counts + the probe join). cacheIndex=true
+    // (default) is for an INLINE-built index: without the cache the
+    // whole shingle→minhash chain re-executes per consumer. Pass
+    // cacheIndex=false when `index` is a PERSISTED table (the nightly
+    // regime): materialising a corpus-sized index into executor
+    // memory is exactly what a 100 TB probe must not do — the two
+    // consumers are then two cheap bucketed scans.
+    //
+    // All index-side keying below is on bkey ALONE: bkey is
+    // band-salted at construction (bandPostings hashes the band id
+    // into the md5), so (band, bkey) ≡ bkey as a grouping/join key —
+    // and a SINGLE key that exactly matches the persisted table's
+    // bucket column is what makes the whole index side exchange-free:
+    // Spark co-partitions a join on a bucketed table only when ALL
+    // join keys equal the bucket keys
+    // (spark.sql.requireAllClusterKeysForCoPartition defaults true),
+    // so a composite (band, bkey) join re-shuffles the corpus-sized
+    // index that bucketing was meant to pre-shuffle. With bkey-only
+    // keys the bucket-count aggregate AND the probe join consume
+    // HashPartitioning(bkey) straight off the scan — zero index-side
+    // exchange, spec-pinned in DedupSpec's bucketed-probe plan test.
+    val idxRaw = index.select(col(idCol), col("bkey"))
+    val idx = if (cacheIndex) idxRaw.cache() else idxRaw
+    val okBuckets = idx.groupBy(col("bkey"))
       .agg(count(lit(1)).as("bsz"))
       .where(col("bsz") <= maxBucket)
-      .select(col("band"), col("bkey"))
+      .select(col("bkey"))
     val cand = newPost
-      .join(okBuckets, Seq("band", "bkey"))
-      .select(col(idCol).as("new_id"), col("band"), col("bkey"))
-      .join(idx.select(col(idCol).as("old_id"), col("band"), col("bkey")),
-        Seq("band", "bkey"))
+      .join(okBuckets, Seq("bkey"))
+      .select(col(idCol).as("new_id"), col("bkey"))
+      .join(idx.select(col(idCol).as("old_id"), col("bkey")), Seq("bkey"))
       // id-disjointness guard: a contract-violating reused id must
       // never pair a doc with itself (free — evaluated in the join's
       // output projection, no extra stage)

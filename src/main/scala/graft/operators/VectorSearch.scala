@@ -288,24 +288,43 @@ object VectorSearch {
       candidates: DataFrame, query: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, qVec: String, groupCol: String,
       nprobe: Int, k: Int): DataFrame = {
-    // centroid frame renamed to avoid colliding with candidate columns;
-    // centroid norms computed once (broadcast side)
+    val assigned = assignCells(candidates, centroids, idCol, vecCol, groupCol)
+    val probed = probeCells(query, centroids, qVec, groupCol, nprobe)
+      .select(col("cgroup").as("cell"))
+    scoreProbedTopK(assigned.join(broadcast(probed), Seq("cell")),
+      query, idCol, vecCol, qVec, k)
+  }
+
+  /** The nprobe coarse cells nearest to ONE query, ranked:
+    * (cgroup, pcos) — a |codebook|-sized computation shared by annIvf
+    * (joined lazily) and annIvfProbe (collected for static pruning).
+    */
+  private def probeCells(
+      query: DataFrame, centroids: DataFrame, qVec: String,
+      groupCol: String, nprobe: Int): DataFrame = {
     val cents = centroids
       .select(col(groupCol).as("cgroup"), col("centroid"))
       .withColumn("gnrm", VectorFns.l2Norm(col("centroid")))
     val q = query.select(col(qVec))
       .withColumn("qnrm", VectorFns.l2Norm(col(qVec)))
-    val assigned = assignCells(candidates, centroids, idCol, vecCol, groupCol)
-    // probe cells: nprobe centroids nearest to the query
-    val probed = cents
+    cents
       .crossJoin(broadcast(q))
       .withColumn("pcos", round(VectorFns.cosinePrenormed(
         col("centroid"), col(qVec), col("gnrm"), col("qnrm")), 6))
       .orderBy(col("pcos").desc, col("cgroup"))
       .limit(nprobe)
-      .select(col("cgroup").as("cell"))
-    assigned
-      .join(broadcast(probed), Seq("cell"))
+  }
+
+  /** Exact-cosine top-k over an already-cell-pruned candidate frame
+    * (idCol, vecCol, cnrm, cell) — the shared scoring tail of the IVF
+    * family. Terminates in TakeOrderedAndProject; no shuffle.
+    */
+  private def scoreProbedTopK(
+      pruned: DataFrame, query: DataFrame, idCol: String, vecCol: String,
+      qVec: String, k: Int): DataFrame = {
+    val q = query.select(col(qVec))
+      .withColumn("qnrm", VectorFns.l2Norm(col(qVec)))
+    pruned
       .crossJoin(broadcast(q))
       .withColumn("cos_sim", round(VectorFns.cosinePrenormed(
         col(vecCol), col(qVec), col("cnrm"), col("qnrm")), 6))
@@ -315,6 +334,38 @@ object VectorSearch {
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
       .select(col(idCol), col("cell"), col("cos_sim"))
+  }
+
+  /** Probe an ALREADY-ASSIGNED IVF index — the persisted-index twin
+    * of annIvf for the production regime where assignment ran at
+    * ingest (assignCells / an append batch) and the (id, vec, cnrm,
+    * cell) rows live in a table PARTITIONED by `cell`
+    * (Corpus.writePartitioned). Two-phase, like every on-disk IVF
+    * engine: first the nprobe nearest cells are ranked and COLLECTED
+    * (a |codebook|-sized job ending in nprobe ints — the same
+    * driver-bounded cost class as the probe-list broadcast), then the
+    * index is scanned with a STATIC `cell IN (...)` predicate. The
+    * literal predicate is what turns cell pruning from a row filter
+    * into partition pruning — un-probed cells' FILES are skipped at
+    * listing time (`PartitionFilters: [cell IN ...]`), which a lazy
+    * runtime join cannot do (dynamic partition pruning does not see
+    * through a limit-based build side). The probe plan is exchange-
+    * free: scan → broadcast query → TakeOrderedAndProject. The index
+    * never re-assigns and its vectors never shuffle. Spec-pinned in
+    * SearchSpec. Returns identical rows to annIvf on the same inputs
+    * (same rounded probe ranking, same scoring tail).
+    *
+    * `assigned` must carry assignCells' output columns: idCol,
+    * vecCol, `cnrm` (vector L2 norm) and `cell`.
+    */
+  def annIvfProbe(
+      assigned: DataFrame, query: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, qVec: String, groupCol: String,
+      nprobe: Int, k: Int): DataFrame = {
+    val cells = probeCells(query, centroids, qVec, groupCol, nprobe)
+      .select(col("cgroup")).collect().map(_.get(0))
+    scoreProbedTopK(assigned.where(col("cell").isin(cells: _*)),
+      query, idCol, vecCol, qVec, k)
   }
 
   /** MMR diversification (Carbonell & Goldstein, SIGIR 1998):

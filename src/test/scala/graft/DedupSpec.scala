@@ -133,6 +133,88 @@ class DedupSpec extends SparkSpec {
       math.max(p._1, p._2))).toSet)
   }
 
+  test("nightly probe over a bkey-bucketed persisted band index plans " +
+    "with ZERO exchange on the index side; an unbucketed index does not") {
+    import graft.sources.Corpus
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val baseDocs = Seq((1L, base), (4L, distinct)).toDF("doc_id", "text")
+    val delta = Seq((3L, nearDup)).toDF("doc_id", "text")
+    val index = Dedup.minhashBandIndex(baseDocs, "doc_id", "text")
+    def rmrf(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles.foreach(rmrf)
+      p.delete(): Unit
+    }
+    Seq("nightly_band_idx", "nightly_band_plain").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      // a crashed prior run can leave the managed location behind
+      rmrf(new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t))
+    }
+    Corpus.writeBucketed(index, "nightly_band_idx", "bkey", 4)
+    index.write.format("parquet").saveAsTable("nightly_band_plain")
+    // shuffles that read ONLY the index table = the corpus-sized
+    // exchanges the bucketed layout must eliminate (new-batch-side
+    // and post-candidate shuffles read other leaves too, and stay).
+    // The operator caches its candidate frame, so the probe stage
+    // lives inside an InMemoryRelation — the walk descends into
+    // cached plans for both the shuffle collection and the leaf test.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def allShuffles(p: SparkPlan): Seq[ShuffleExchangeExec] =
+      p.collect { case s: ShuffleExchangeExec => s } ++
+        p.collect { case im: InMemoryTableScanExec => im }
+          .flatMap(im => allShuffles(im.relation.cachedPlan))
+    def indexOnly(p: SparkPlan, table: String): Boolean = {
+      val leaves = p.collectLeaves()
+      leaves.nonEmpty && leaves.forall {
+        case f: FileSourceScanExec => f.toString.contains(table)
+        case im: InMemoryTableScanExec =>
+          indexOnly(im.relation.cachedPlan, table)
+        case _ => false
+      }
+    }
+    def indexOnlyShuffles(table: String): Int = {
+      val plan = Dedup.incrementalLsh(spark.table(table),
+        baseDocs, delta, "doc_id", "text", minJaccard = 0.5,
+        cacheIndex = false).queryExecution.executedPlan
+      allShuffles(plan).count(s => indexOnly(s, table))
+    }
+    // AQE re-wraps the tree mid-audit and auto-broadcast would
+    // trivialise the claim (at 100 TB the corpus index is never
+    // broadcast-able): pin the static sort-merge shape
+    val saved = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k =>
+      k -> spark.conf.get(k))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // unbucketed: the bucket-count aggregate and the probe join each
+      // re-cluster the corpus-sized index — the exchanges the nightly
+      // must not pay
+      assert(indexOnlyShuffles("nightly_band_plain") > 0,
+        "self-check: the detector must flag the unbucketed layout")
+      // bucketed by bkey: HashPartitioning(bkey) satisfies every
+      // (band, bkey) distribution downstream — zero index-side
+      // exchange from scan to candidate join
+      assert(indexOnlyShuffles("nightly_band_idx") == 0,
+        "bucketed index side must plan without an exchange")
+      // and the probe still answers correctly through the bucketed,
+      // uncached plan
+      val out = Dedup.incrementalLsh(spark.table("nightly_band_idx"),
+        baseDocs, delta, "doc_id", "text", minJaccard = 0.5,
+        cacheIndex = false)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(out.toSeq == Seq((3L, 1L)), out.toSeq.toString)
+    } finally {
+      saved.foreach { case (k, v) => spark.conf.set(k, v) }
+      // the probes cached candidate/shingle frames over tables this
+      // test is about to drop — clear before other suites run
+      spark.catalog.clearCache()
+      Seq("nightly_band_idx", "nightly_band_plain").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("incrementalLsh never emits a self-pair when the id-disjointness " +
     "contract is violated (re-crawled doc keeping its id)") {
     // doc 1 is re-crawled VERBATIM under its existing id: every band

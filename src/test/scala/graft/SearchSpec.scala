@@ -122,6 +122,47 @@ class SearchSpec extends SparkSpec {
     assert(!plan.contains("Window"))
   }
 
+  test("annIvfProbe over a persisted cell-partitioned index: identical " +
+    "results to annIvf, zero shuffle, un-probed cells partition-pruned") {
+    // the production regime: assignment ran at ingest, the (id, vec,
+    // cnrm, cell) rows live partitioned by cell, the codebook is a
+    // persisted k-row table — a query probes without re-assigning or
+    // re-training anything
+    val vecs = (0 until 40).map { i =>
+      val angle = (i % 4) * math.Pi / 2 + (i / 40.0) * 0.1
+      (i.toLong, Array(math.cos(angle).toFloat, math.sin(angle).toFloat), i % 4)
+    }.toDF("vec_id", "embedding", "label")
+    val cents = VectorSearch.centroidArrays(vecs, "label", "embedding")
+    val q = vecs.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val assigned = VectorSearch.assignCells(
+      vecs.select(col("vec_id"), col("embedding")), cents,
+      "vec_id", "embedding", "label")
+    val tmp = java.nio.file.Files.createTempDirectory("ivf_idx")
+    val (idxDir, cDir) = (s"$tmp/index", s"$tmp/codebook")
+    graft.sources.Corpus.writePartitioned(assigned, idxDir, Seq("cell"))
+    cents.write.parquet(cDir)
+    val probe = VectorSearch.annIvfProbe(
+      spark.read.parquet(idxDir), q, spark.read.parquet(cDir),
+      "vec_id", "embedding", "qe", "label", nprobe = 2, k = 5)
+    val direct = VectorSearch.annIvf(vecs, q, cents,
+      "vec_id", "embedding", "qe", "label", nprobe = 2, k = 5)
+    assert(probe.collect().toSeq == direct.collect().toSeq)
+    val plan = probe.queryExecution.executedPlan.toString
+    // the index side must not shuffle (the query is the broadcast
+    // side; top-k is TakeOrderedAndProject) ...
+    assert(!plan.contains("ShuffleExchange") &&
+      !plan.contains("Exchange hashpartitioning"), plan)
+    // ... nor re-assign (the fold over the broadcast centroid array
+    // is the INGEST step, absent from the probe plan)
+    assert(!plan.contains("aggregate("), plan)
+    // the two-phase probe's static cell list is a PARTITION filter:
+    // un-probed cells' files are skipped at listing time — a query
+    // reads nprobe/K of the lake, not all of it
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters"))
+    assert(pf.exists(l => l.contains("cell") && l.contains("IN (")),
+      s"no static cell partition filter:\n$plan")
+  }
+
   test("mmrRerank alternates clusters; lambda=1 degenerates to top-k") {
     // query between two tight clusters (A: ids 1,2; B: ids 10,11),
     // leaning toward A — pure relevance ranks (2, 1, 11); MMR at
