@@ -166,6 +166,95 @@ class PipelineSpec extends SparkSpec {
     assert(rows.map(_._4).distinct.length > 1) // budget actually splits
   }
 
+  test("ANN index lifecycle: appends ride the frozen codebook until " +
+    "recall@10 telemetry trips the floor, retrain recovers recall") {
+    // The production loop VERDICT's staleness triad implies, composed
+    // end to end on the persisted layout: vs_ivf_append's
+    // frozen-codebook ingest + vs_ann_recall's telemetry +
+    // vs_ann_ivf_srp's retrain role (reference analog: the
+    // add_chunks -> re-index lifecycle around
+    // backend/app/core/vector_store.py:136). The index lives
+    // cell-PARTITIONED on disk (annIvfProbe's regime); every append
+    // assigns against the FROZEN codebook and appends its partition
+    // files; telemetry probes with the just-ingested direction.
+    import graft.sources.Corpus
+    import org.apache.spark.sql.SaveMode
+    def vec(a: Double) = Array(math.cos(a).toFloat, math.sin(a).toFloat)
+    // base snapshot: clusters A (around 0 rad) and B (around pi/2);
+    // ids 0 and 1 are the lowest ids so lloydCentroids' id-ordered
+    // seeding starts one seed in each cluster
+    val base = ((Seq(0L -> 0.0) ++
+      (3 to 21).map(i => i.toLong -> ((i - 3) * 0.005))) ++
+      (Seq(1L -> (math.Pi / 2)) ++
+        (100 to 118).map(i => i.toLong -> (math.Pi / 2 + (i - 100) * 0.005))))
+      .map { case (id, a) => (id, vec(a)) }.toDF("vec_id", "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("ann_lifecycle")
+    val (idxDir, cbDir) = (s"$tmp/index", s"$tmp/codebook")
+    val cb0 = VectorSearch.lloydCentroids(base, "vec_id", "embedding",
+      k = 2, iters = 2)
+    Corpus.writePartitioned(
+      VectorSearch.assignCells(base, cb0, "vec_id", "embedding", "cell"),
+      idxDir, Seq("cell"))
+    cb0.write.parquet(cbDir)
+
+    // recall@10 of the persisted-index probe vs brute force over the
+    // SAME corpus snapshot — vs_ann_recall's telemetry on
+    // annIvfProbe's layout
+    def recallAt10(qAngle: Double): Double = {
+      val q = Seq(Tuple1(vec(qAngle))).toDF("qe")
+      val idx = spark.read.parquet(idxDir)
+      val approx = VectorSearch.annIvfProbe(idx, q,
+        spark.read.parquet(cbDir), "vec_id", "embedding", "qe", "cell",
+        nprobe = 1, k = 10).select("vec_id")
+      val exact = VectorSearch.denseTopK(
+        idx.select(col("vec_id"), col("embedding")), q,
+        "vec_id", "embedding", "qe", 10).select("vec_id")
+      approx.join(exact, Seq("vec_id"), "left_semi").count() / 10.0
+    }
+    def append(batch: Seq[(Long, Array[Float])]): Unit =
+      VectorSearch.assignCells(batch.toDF("vec_id", "embedding"),
+        spark.read.parquet(cbDir), "vec_id", "embedding", "cell")
+        .write.mode(SaveMode.Append).partitionBy("cell").parquet(idxDir)
+
+    val floor = 0.8
+    // batch 1: in-distribution arrivals near A — the frozen codebook
+    // serves them fine, telemetry stays above the floor
+    append((1000 to 1009).map(i => (i.toLong, vec(0.02 + (i - 1000) * 0.003))))
+    val healthy = recallAt10(0.05)
+    assert(healthy >= floor, s"in-distribution append degraded: $healthy")
+
+    // batch 2: a DRIFTED cluster around 0.785 rad straddling the
+    // frozen A/B boundary — half assigns to each stale cell, so a
+    // drifted query probing nprobe=1 can only ever see half its true
+    // neighbors. id 2 is deliberately in this batch: it becomes the
+    // retrain's third seed.
+    append((Seq(2L -> 0.685) ++
+      (2000 to 2003).map(i => i.toLong -> (0.690 + (i - 2000) * 0.005)) ++
+      (2004 to 2008).map(i => i.toLong -> (0.865 + (i - 2004) * 0.005)))
+      .map { case (id, a) => (id, vec(a)) })
+    val tripped = recallAt10(0.76)
+    assert(tripped < floor,
+      s"drift must trip the telemetry: $tripped") // measured: 0.5
+
+    // the telemetry TRIGGERS the retrain: re-train the codebook on
+    // the full drifted corpus (k grown to 3), re-assign, overwrite
+    // the partitioned index — vs_ann_ivf_srp's periodic-retrain role
+    val corpus = spark.read.parquet(idxDir)
+      .select(col("vec_id"), col("embedding"))
+    val cb1 = VectorSearch.lloydCentroids(corpus, "vec_id", "embedding",
+      k = 3, iters = 2)
+    val reassigned = VectorSearch.assignCells(
+      corpus, cb1, "vec_id", "embedding", "cell")
+      // the index dir is both source and sink of this rewrite — sever
+      // the read-from-what-you-overwrite cycle before the write
+      .localCheckpoint()
+    cb1.write.mode(SaveMode.Overwrite).parquet(cbDir)
+    Corpus.writePartitioned(reassigned, idxDir, Seq("cell"))
+    val recovered = recallAt10(0.76)
+    assert(recovered >= floor && recovered > tripped,
+      s"retrain must recover recall: $tripped -> $recovered")
+  }
+
   test("selection flow: semantic dedup -> DSIR weighting -> compacted snapshot") {
     import graft.operators.Sampling
     import graft.sources.Corpus
