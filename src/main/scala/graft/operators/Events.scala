@@ -265,6 +265,27 @@ object Events {
       .withColumn("events_per_user",
         round(col("n_events").cast("double") / col("dau") + lit(1e-9), 4))
 
+  /** The lake-scale twin of `dailyActiveUsers` AS RUNNABLE CODE (not
+    * just the marked swap point): HLL++ `approx_count_distinct` at
+    * the given relative standard deviation. The sketch merges in
+    * CONSTANT space per day — the shuffle carries one ~1.5/rsd²-byte
+    * sketch per (partition, day) instead of the per-day distinct
+    * user sets, which is the difference between a bounded and an
+    * O(users) exchange at 100 TB. Same output schema as the exact
+    * op; EventsSpec pins the per-day error envelope against the
+    * exact row set on the sf0.1 testdata.
+    */
+  def dailyActiveUsersApprox(
+      events: DataFrame, rsd: Double = 0.02): DataFrame =
+    events
+      .withColumn("day", to_date(timestamp_seconds(tsSecs("ts"))))
+      .groupBy(col("day"))
+      .agg(
+        count(lit(1)).cast("long").as("n_events"),
+        approx_count_distinct(col("user_id"), rsd).as("dau"))
+      .withColumn("events_per_user",
+        round(col("n_events").cast("double") / col("dau") + lit(1e-9), 4))
+
   /** Per-type value-distribution summary: count, mean, and exact
     * linear-interpolation percentiles (p50/p90/p99) — the latency/
     * value SLO rollup of an event pipeline.
@@ -288,6 +309,27 @@ object Events {
         r6(expr(s"percentile($valCol, 0.5)")).as("p50"),
         r6(expr(s"percentile($valCol, 0.9)")).as("p90"),
         r6(expr(s"percentile($valCol, 0.99)")).as("p99"))
+  }
+
+  /** The atlas-scale twin of `valuePercentiles` AS RUNNABLE CODE:
+    * Greenwald-Khanna `percentile_approx` at the given accuracy.
+    * The GK sketch is bounded-size and mergeable, so a group's
+    * values are never buffered — rank error ≤ 1/accuracy of the
+    * group size by the sketch's contract. Same output schema as the
+    * exact op; EventsSpec pins the per-type envelope against the
+    * exact row set on the sf0.1 testdata.
+    */
+  def valuePercentilesApprox(
+      events: DataFrame, typeCol: String, valCol: String,
+      accuracy: Int = 10000): DataFrame = {
+    def r6(c: org.apache.spark.sql.Column) = round(c + lit(1e-9), 6)
+    events.groupBy(col(typeCol))
+      .agg(
+        count(lit(1)).cast("long").as("n_events"),
+        r6(avg(col(valCol))).as("mean_value"),
+        r6(expr(s"percentile_approx($valCol, 0.5, $accuracy)")).as("p50"),
+        r6(expr(s"percentile_approx($valCol, 0.9, $accuracy)")).as("p90"),
+        r6(expr(s"percentile_approx($valCol, 0.99, $accuracy)")).as("p99"))
   }
 
   /** Cohort retention: cohort = a user's first active period (day,
