@@ -44,15 +44,32 @@ object ScaleUp {
     s
   }
 
+  private var repN = Rep
+
   private def rep(df: DataFrame): DataFrame =
-    df.withColumn("__r", explode(sequence(lit(0), lit(Rep - 1))))
+    df.withColumn("__r", explode(sequence(lit(0), lit(repN - 1))))
 
   private def off(c: String, strideV: Long) =
     col(c) + col("__r").cast("long") * lit(strideV)
 
+  /** args: [in] [out] [rep] [mode]. mode `near` (default) perturbs
+    * replicas lightly so they stay NEAR-DUPS of their source (the
+    * dup-amplified direction: clusters get rep× deeper — right for
+    * one decade, but re-applying it compounds cluster sizes until
+    * the dedup guards fire). mode `far` perturbs replicas past every
+    * dup threshold — a marker token spliced after every 4th token
+    * drops cross-replica 3-gram Jaccard to ~0.29 (< the 0.5 ops
+    * threshold) and a 0.35 component-0 nudge drops cosine far below
+    * the 0.999 embedding-dup bar — so the output has rep× as MANY
+    * dup clusters at the SOURCE's cluster sizes: the realistic
+    * bigger-crawl direction for chaining probes (sf1 → sf3 → ...)
+    * without compounding dup depth.
+    */
   def main(args: Array[String]): Unit = {
     val in = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = if (args.length > 1) args(1) else "/root/repo/.scaleprobe/sf1"
+    repN = if (args.length > 2) args(2).toInt else Rep
+    val far = args.length > 3 && args(3) == "far"
     val spark = Sessions.localBuilder(32).appName("graft-scaleup").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -109,11 +126,20 @@ object ScaleUp {
     val docS = stride(maxOf(documents, "doc_id"))
     write(rep(documents)
       .withColumn("doc_id", off("doc_id", docS))
-      // replica 0 keeps the original text; replicas i>0 append a
-      // short variant token -> near-duplicates with high Jaccard
+      // replica 0 keeps the original text; replicas i>0 either append
+      // a short variant token (near: high-Jaccard near-duplicates) or
+      // splice a replica-tagged marker after every 4th token (far:
+      // ~0.29 Jaccard to the source AND to sibling replicas — new
+      // independent documents that carry the source's own dup
+      // structure along verbatim)
       .withColumn("text",
         when(col("__r") === 0, col("text"))
-          .otherwise(concat(col("text"), lit(" variant "),
+          .otherwise(if (far)
+            array_join(transform(split(col("text"), "\\s+"), (t, i) =>
+              when(i % 4 === 3,
+                concat(t, lit(" vvvmark"), col("__r").cast("string")))
+                .otherwise(t)), " ")
+          else concat(col("text"), lit(" variant "),
             col("__r").cast("string"))))
       // keep the derived length column consistent with the perturbed
       // text — n_chars-driven queries (pack/drift/stats) and
@@ -125,11 +151,15 @@ object ScaleUp {
     val vecS = stride(maxOf(embeddings, "vec_id"))
     write(rep(embeddings)
       .withColumn("vec_id", off("vec_id", vecS))
-      // nudge component 0 by r * 1e-3: replicas stay inside their
-      // source's neighborhood but are not bit-identical
+      // near: nudge component 0 by r * 1e-3 — replicas stay inside
+      // their source's dup neighborhood but are not bit-identical.
+      // far: r * 0.35 — replicas leave every dup threshold (cosine
+      // well below 0.999) yet keep the source's LOCAL structure, so
+      // cluster count scales instead of cluster depth.
       .withColumn("embedding",
         transform(col("embedding"), (x, i) =>
-          when(i === 0, x + col("__r").cast("float") * lit(1e-3f))
+          when(i === 0, x + col("__r").cast("float") *
+            (if (far) lit(0.35f) else lit(1e-3f)))
             .otherwise(x)))
       .drop("__r"), "embeddings", 4)
 
