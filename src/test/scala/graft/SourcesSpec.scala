@@ -107,6 +107,51 @@ class SourcesSpec extends SparkSpec {
       4L -> ((2L, 240L)), 6L -> ((0L, 60L))))
   }
 
+  test("compactLog under out-of-order arrival: a straggler delta older " +
+    "than the compaction point stays equivalent for live keys and " +
+    "diverges for a consumed tombstone exactly as the watermark " +
+    "contract documents") {
+    // the concurrent-append interleaving: a delta batch is IN FLIGHT
+    // (already assigned versions BELOW the compaction point) while a
+    // maintenance job compacts the log it hasn't reached yet
+    val dir = Files.createTempDirectory("graft_compact_oo")
+      .toFile.getAbsolutePath
+    val log = Seq(
+      (1L, 0L, "base", 10L, false), (1L, 2L, "delta", 210L, false),
+      (2L, 0L, "base", 20L, false), (2L, 2L, "delta", 20L, true),
+      (3L, 1L, "delta", 130L, false)
+    ).toDF("doc_id", "version", "src", "n_chars", "deleted")
+    Corpus.compactLog(log, Seq("doc_id"), "version", Some("deleted"),
+      dir, targetRowsPerFile = 10L)
+    val base = spark.read.parquet(dir)
+    val stragglers = Seq(
+      (1L, 1L, "late", 110L, false), // stale update, live key
+      (3L, 0L, "late", 30L, false),  // stale base row, live key
+      (2L, 1L, "late", 120L, false)  // stale update, CONSUMED tombstone
+    ).toDF("doc_id", "version", "src", "n_chars", "deleted")
+    def resolve(l: org.apache.spark.sql.DataFrame) =
+      Corpus.mergeLatest(l, Seq("doc_id"), "version", Some("deleted"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3)))
+        .toMap
+    val fromCompacted = resolve(base.unionByName(stragglers))
+    val fromOriginal = resolve(log.unionByName(stragglers))
+    // LIVE keys: compacted rows kept their versions, so latest-wins
+    // still dominates the stale stragglers — bit-identical resolution
+    assert(fromCompacted.view.filterKeys(Set(1L, 3L)).toMap ==
+      fromOriginal.view.filterKeys(Set(1L, 3L)).toMap)
+    assert(fromCompacted(1L) == ((2L, 210L)) &&
+      fromCompacted(3L) == ((1L, 130L)))
+    // CONSUMED tombstone: the original log still holds the v2
+    // tombstone, so key 2 stays dead; the compacted base consumed it,
+    // so the v1 straggler RESURRECTS the key — the precise divergence
+    // the scaladoc's straggler-watermark caveat documents. The
+    // resolution is operational, not code: compaction must not run
+    // past the in-flight writers' version watermark (hold tombstones
+    // newer than min in-flight version out of the fold).
+    assert(!fromOriginal.contains(2L), fromOriginal.toString)
+    assert(fromCompacted.get(2L).contains((1L, 120L)), fromCompacted.toString)
+  }
+
   test("compactLog compacts a log IN PLACE (read from and write to the same dir)") {
     val dir = Files.createTempDirectory("graft_compact_ip").toFile.getAbsolutePath
     Seq(
