@@ -53,6 +53,54 @@ object Sampling {
       .where(col("bucket") < cutoff)
   }
 
+  /** EXACT-k per-stratum sample — the fixed-SIZE split carve (a
+    * 10 k-doc eval set per source, a human-review batch per
+    * language): each stratum keeps its k smallest-hash rows
+    * (md5(id|salt) 32-bit decode, ties by id). `stratifiedSample`
+    * keeps a PROPORTION; this keeps a SIZE — the other half of the
+    * split story, with the same determinism guarantees (reproducible
+    * across runs/engines/partitionings, re-drawable via salt). Note
+    * exact-k is NOT append-stable by nature: a new row hashing into
+    * the top k displaces the current k-th — version the salt per
+    * snapshot when stability matters.
+    *
+    * Scale shape: the selection is a BOUNDED map-side aggregate
+    * (functions.TopKAgg under ObjectHashAggregate — the knnJoin
+    * device), so each map partition contributes at most k rows per
+    * stratum to the exchange and no stratum is ever sorted whole.
+    * The window-rank formulation this replaces shuffles and sorts
+    * every stratum END TO END to emit k rows — at 100 TB that is a
+    * full-corpus sort for a fixed-size sample. Integral ids
+    * (TopKAgg contract); output (stratum, id, skey, rnk) with id
+    * widened to long.
+    */
+  def sampleExactK(
+      df: DataFrame, strataCol: String, idCol: String,
+      k: Int, salt: String): DataFrame = {
+    require(k > 0, s"sampleExactK: k must be positive: $k")
+    df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"sampleExactK id '$idCol' must be integral, got ${other.sql}")
+    }
+    val topk = udaf(new graft.functions.TopKAgg(k))
+    df.select(col(strataCol), col(idCol))
+      .withColumn("skey", TextFns.hexHash32(
+        concat(col(idCol).cast("string"), lit("|" + salt))))
+      // TopKAgg keeps (score DESC, id ASC); smallest hash first via
+      // negation — exact in double for 32-bit hash values
+      .groupBy(col(strataCol))
+      .agg(topk(-col("skey").cast("double"), col(idCol).cast("long"))
+        .as("tk"))
+      .select(col(strataCol), posexplode(col("tk")).as(Seq("pos", "pick")))
+      .select(col(strataCol), col("pick.id").as(idCol),
+        (-col("pick.score")).cast("long").as("skey"),
+        (col("pos") + 1).cast("long").as("rnk"))
+  }
+
   /** Deterministic training-order shuffle + sharding — the global
     * interleave every pre-training pipeline runs before writing
     * training shards: rows get a hash key (md5(id|salt), the same

@@ -289,9 +289,41 @@ object CorpusQueries {
        |GROUP BY dc.doc_id ORDER BY dc.doc_id""".stripMargin
   }
 
+  /* ---------------- sample_exact_k ---------------- */
+
+  private val ExactK = 15
+  private val ExactKSalt = "eval-v1"
+
+  /** Fixed-SIZE split carve: the 15 smallest-hash docs per source —
+    * the held-out eval set a training pipeline pins per stratum.
+    * Rate-based sampling keeps a proportion; this keeps a size. The
+    * operator is a bounded map-side top-k (TopKAgg), never a
+    * stratum-wide sort; the oracle replays it as a hash-ordered
+    * row_number.
+    */
+  private def sampleExactK(s: SparkSession, d: String): DataFrame =
+    Sampling.sampleExactK(
+      Tables.documents(s, d).select(col("source"), col("doc_id")),
+      "source", "doc_id", ExactK, ExactKSalt)
+      .orderBy(col("source"), col("rnk"))
+
+  private val sampleExactKSql = {
+    val dec = SqlSnippets.hexPrefixDecode(
+      s"md5(doc_id::VARCHAR || '|$ExactKSalt')")
+    s"""WITH b AS (SELECT source, doc_id, ($dec)::BIGINT AS skey
+       |  FROM documents),
+       |r AS (SELECT source, doc_id, skey,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY skey, doc_id) AS rnk
+       |  FROM b)
+       |SELECT source, doc_id, skey, rnk::BIGINT AS rnk FROM r
+       |WHERE rnk <= $ExactK ORDER BY source, rnk""".stripMargin
+  }
+
   val defs: Seq[Qdef] = Seq(
     Qdef("corpus_latest", corpusLatest, Some(corpusLatestSql)),
     Qdef("sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
+    Qdef("sample_exact_k", sampleExactK, Some(sampleExactKSql)),
     Qdef("corpus_shuffle", corpusShuffle, Some(corpusShuffleSql)),
     Qdef("corpus_mix", corpusMix, Some(corpusMixSql)),
     Qdef("corpus_drift", corpusDrift, Some(corpusDriftSql)),

@@ -70,6 +70,46 @@ class SamplingSpec extends SparkSpec {
       "stratified sampling must not shuffle")
   }
 
+  test("sampleExactK: exactly k smallest-hash rows per stratum, matching " +
+    "the window-rank formulation, via a bounded aggregate (no Window, " +
+    "no stratum-wide sort)") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextFns
+    val df = ids(300)
+    val out = Sampling.sampleExactK(df, "stratum", "id", 10, "s1")
+    val got = out.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // reference: full window-rank over the same hash
+    val ref = df
+      .withColumn("skey", TextFns.hexHash32(
+        concat(col("id").cast("string"), lit("|s1"))))
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("stratum"))
+        .orderBy(col("skey"), col("id"))).cast("long"))
+      .where(col("rnk") <= 10)
+      .select(col("stratum"), col("id"), col("skey"), col("rnk"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.sorted.toSeq == ref.sorted.toSeq)
+    assert(got.count(_._1 == "a") == 10 && got.count(_._1 == "b") == 10)
+    // k larger than a stratum degrades to the whole stratum
+    assert(Sampling.sampleExactK(df, "stratum", "id", 1000, "s1")
+      .count() == 300)
+    // plan shape: the selection is the bounded ObjectHashAggregate,
+    // never a Window (which would sort every stratum end to end)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(!plan.contains("Window"), s"exact-k must not window-sort:\n$plan")
+    // contract guards
+    intercept[IllegalArgumentException] {
+      Sampling.sampleExactK(df, "stratum", "id", 0, "s1")
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.sampleExactK(
+        df.withColumn("id", col("id").cast("string")),
+        "stratum", "id", 5, "s1")
+    }
+  }
+
   test("shuffleShards: complete, contiguous per-shard positions, partition-invariant") {
     val df = ids(500)
     def run(parts: Int) = Sampling
