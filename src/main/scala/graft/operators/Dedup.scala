@@ -730,6 +730,42 @@ object Dedup {
         .cast("long"))
   }
 
+  /** Survivor selection — the final act of the dedup story: given a
+    * component labeling (`connectedComponents` output, or any
+    * (id, component) frame), keep ONE representative per duplicate
+    * cluster — the argmax of `scoreCol` (keep-the-longest /
+    * keep-the-highest-quality policy), ties to the SMALLEST id —
+    * plus every unclustered doc verbatim (component = null). This is
+    * the row set a pipeline actually writes after dedup; the pair /
+    * component frames are its evidence.
+    *
+    * Scale shape: the per-cluster argmax is ONE map-side-combinable
+    * aggregate — max(struct(score, -id)) carries the winner's
+    * identity through the partial merge, so no window rank over
+    * clusters and no join back for the winner's attributes. The
+    * unclustered side is a left-anti join against the (small,
+    * ≤ clustered-docs) component frame. Integral ids (the -id
+    * tie-break negation).
+    *
+    * Output: (idCol, component, scoreCol) — survivors only.
+    */
+  def selectSurvivors(
+      docs: DataFrame, components: DataFrame,
+      idCol: String, scoreCol: String): DataFrame = {
+    val comp = components.select(col(idCol), col("component"))
+    val labeled = docs.select(col(idCol), col(scoreCol))
+      .join(comp, Seq(idCol), "left")
+    val winners = labeled.where(col("component").isNotNull)
+      .groupBy(col("component"))
+      .agg(max(struct(col(scoreCol), (-col(idCol)).as("nid"))).as("w"))
+      .select((-col("w.nid")).as(idCol), col("component").cast("long"),
+        col("w").getField(scoreCol).as(scoreCol))
+    val singletons = labeled.where(col("component").isNull)
+      .select(col(idCol), lit(null).cast("long").as("component"),
+        col(scoreCol))
+    winners.unionByName(singletons)
+  }
+
   /** Cross-document repeated-passage detection (exact-substring dedup
     * in the style of Lee et al. 2022, "Deduplicating Training Data
     * Makes Language Models Better"): every `windowTokens`-token

@@ -138,6 +138,51 @@ object DedupQueries {
        |  (count(*) OVER (PARTITION BY component))::BIGINT AS cluster_size
        |FROM comp ORDER BY component, doc_id""".stripMargin
 
+  /* ---------------- dedup_select ---------------- */
+
+  /** Survivor selection over the MinHash components — the row set a
+    * pipeline actually WRITES after dedup: one representative per
+    * duplicate cluster (keep-the-longest by n_chars, ties to the
+    * smallest doc_id) plus every unclustered doc verbatim. The
+    * oracle replays the recursive component closure, then a
+    * rank-1-per-component window and an anti-join for singletons.
+    */
+  private def dedupSelect(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Dedup.selectSurvivors(
+      docs.select(col("doc_id"), col("n_chars")),
+      Dedup.connectedComponents(
+        Dedup.minhashLsh(docs, "doc_id", "text",
+          shingleN = 3, numHashes = NumHashes, bandRows = BandRows,
+          minJaccard = 0.5, maxBucket = MaxBucket),
+        "da", "db")
+        .select(col("node").as("doc_id"), col("component")),
+      "doc_id", "n_chars")
+      .orderBy(col("doc_id"))
+  }
+
+  private val dedupSelectSql =
+    s"""WITH RECURSIVE $minhashCtes,
+       |p AS (SELECT da, db FROM j WHERE raw_jac >= 0.5),
+       |e AS (SELECT da AS src, db AS dst FROM p
+       |  UNION SELECT db, da FROM p),
+       |reach AS (
+       |  SELECT src AS node, src AS r FROM e
+       |  UNION
+       |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.node),
+       |comp AS (SELECT node, min(r)::BIGINT AS component
+       |  FROM reach GROUP BY node),
+       |ranked AS (SELECT d.doc_id, comp.component, d.n_chars,
+       |    row_number() OVER (PARTITION BY comp.component
+       |      ORDER BY d.n_chars DESC, d.doc_id) AS rn
+       |  FROM documents d JOIN comp ON d.doc_id = comp.node),
+       |singles AS (SELECT d.doc_id, NULL::BIGINT AS component, d.n_chars
+       |  FROM documents d LEFT JOIN comp ON d.doc_id = comp.node
+       |  WHERE comp.node IS NULL)
+       |SELECT doc_id, component, n_chars FROM ranked WHERE rn = 1
+       |UNION ALL SELECT doc_id, component, n_chars FROM singles
+       |ORDER BY doc_id""".stripMargin
+
   /* ---------------- dedup_ngram_jaccard ---------------- */
 
   private def dedupNgram(s: SparkSession, d: String): DataFrame =
@@ -589,6 +634,7 @@ object DedupQueries {
     Qdef("dedup_semantic", dedupSemantic, Some(dedupSemanticSql)),
     Qdef("decontam_ngram", decontamNgram, Some(decontamNgramSql)),
     Qdef("dedup_cluster", dedupCluster, Some(dedupClusterSql)),
+    Qdef("dedup_select", dedupSelect, Some(dedupSelectSql)),
     Qdef("dedup_spans", dedupSpans, Some(dedupSpansSql)),
     Qdef("decontam_spans", decontamSpans, Some(decontamSpansSql)))
 }

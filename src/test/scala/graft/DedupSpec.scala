@@ -133,6 +133,28 @@ class DedupSpec extends SparkSpec {
       math.max(p._1, p._2))).toSet)
   }
 
+  test("selectSurvivors keeps the best-scored doc per cluster (ties to " +
+    "the smallest id) plus every unclustered doc, with no window sort") {
+    val docs = Seq((1L, 10L), (2L, 30L), (3L, 30L), (4L, 5L), (9L, 7L))
+      .toDF("doc_id", "n_chars")
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L))
+      .toDF("doc_id", "component")
+    val out = Dedup.selectSurvivors(docs, comps, "doc_id", "n_chars")
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getLong(2)))
+      .toSet
+    // cluster 1: lengths 10/30/30 — the 30-tie goes to id 2;
+    // single-member component 4 keeps itself; doc 9 never clustered
+    assert(out == Set((2L, Some(1L), 30L), (4L, Some(4L), 5L),
+      (9L, None, 7L)))
+    // the per-cluster argmax is a map-side-combinable aggregate, not
+    // a window rank over clusters
+    val plan = Dedup.selectSurvivors(docs, comps, "doc_id", "n_chars")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"survivor argmax must not window:\n$plan")
+  }
+
   test("nightly probe over a bkey-bucketed persisted band index plans " +
     "with ZERO exchange on the index side; an unbucketed index does not") {
     import graft.sources.Corpus
