@@ -64,6 +64,29 @@ object StreamingAggs {
   def runningCounts(events: DataFrame): DataFrame =
     events.groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
 
+  /** Streaming DAU: per-tumbling-window user reach via the HLL++
+    * sketch. EXACT distinct aggregation is UNSUPPORTED on streams —
+    * its state would be each open window's entire user set, and
+    * Spark rejects the plan at query start (spec-pinned) — so the
+    * rsd-tunable sketch is not a perf swap here but the only
+    * streaming-legal form: constant state per open window, sketches
+    * merge across micro-batches, and the error envelope is the one
+    * the batch twin (Events.dailyActiveUsersApprox) pins against
+    * exact DAU at sf0.1. The watermark closes windows and bounds the
+    * number of live sketches.
+    */
+  def windowedDau(
+      events: DataFrame, windowDur: String, watermarkDelay: String,
+      rsd: Double = 0.02): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDur))
+      .agg(
+        count(lit(1)).cast("long").as("n_events"),
+        approx_count_distinct(col("user_id"), rsd).as("dau"))
+      .select(col("window.start").as("window_start"),
+        col("n_events"), col("dau"))
+
   /** Streaming twin of Events.propsAgg: typed JSON extraction from
     * the schemaless props payload inside a windowed aggregation —
     * from_json is a pure codegen'd projection, so it composes with

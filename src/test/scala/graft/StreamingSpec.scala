@@ -89,6 +89,58 @@ class StreamingSpec extends SparkSpec {
     assert(rows(("2024-01-01 01:00:00.0", "view")) == (1L, 3.0))
   }
 
+  test("windowedDau sketches per-window distinct users; exact streaming " +
+    "distinct is rejected by Spark (the sketch is the only legal form)") {
+    val sql = spark.sqlContext
+    import spark.implicits._
+    implicit val ctx = sql
+
+    val input = MemoryStream[(Timestamp, Long)]
+    val events = input.toDF().toDF("ts", "user_id")
+    def t(h: Int, m: Int, s: Int = 0) =
+      Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:$s%02d")
+
+    // the claim that makes the sketch load-bearing: EXACT distinct on
+    // a stream does not plan — Spark refuses at query start
+    import org.apache.spark.sql.functions.{col, countDistinct, window}
+    val exact = intercept[org.apache.spark.sql.AnalysisException] {
+      events.withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(countDistinct(col("user_id")).as("dau"))
+        .writeStream.format("memory").queryName("never_runs")
+        .outputMode(OutputMode.Append()).start()
+    }
+    assert(exact.getMessage.toLowerCase.contains("distinct"), exact.getMessage)
+
+    val query = StreamingAggs.windowedDau(events, "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("windowed_dau_test")
+      .outputMode(OutputMode.Append()).start()
+    // window 01: 400 events from 200 distinct users (2 events each),
+    // split across two micro-batches so sketches must MERGE
+    input.addData((0 until 200).map(u => (t(1, u % 60, u / 60), u.toLong)): _*)
+    query.processAllAvailable()
+    input.addData((0 until 200).map(u => (t(1, u % 60, u / 60 + 30), u.toLong)): _*)
+    query.processAllAvailable()
+    // window 03: 3 events, 2 users; then advance the watermark to
+    // close both windows
+    input.addData((t(3, 1), 1L), (t(3, 2), 1L), (t(3, 3), 2L))
+    query.processAllAvailable()
+    input.addData((t(6, 0), 99L))
+    query.processAllAvailable()
+    val rows = spark.table("windowed_dau_test").collect()
+      .map(r => r.getAs[Timestamp]("window_start").toString ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("dau"))).toMap
+    query.stop()
+
+    val (n1, dau1) = rows("2024-01-01 01:00:00.0")
+    assert(n1 == 400L)
+    assert(math.abs(dau1 - 200L) <= 12L,
+      s"window-1 dau $dau1 outside the 6% envelope of 200")
+    val (n3, dau3) = rows("2024-01-01 03:00:00.0")
+    assert(n3 == 3L && dau3 == 2L,
+      s"small window must be exact-range: $n3/$dau3") // HLL sparse regime
+  }
+
   test("windowedPropsAgg extracts typed JSON inside the windowed agg") {
     val sql = spark.sqlContext
     import spark.implicits._
