@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Layout
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zorderKey interleaves bin bits into a Morton code") {
+    // a = 0b11 (even positions), b = 0b01 (odd positions):
+    // pos0 = a.bit0 = 1, pos1 = b.bit0 = 1, pos2 = a.bit1 = 1,
+    // pos3 = b.bit1 = 0 -> 0b0111 = 7
+    val key = spark.range(1)
+      .select(Layout.zorderKey(Seq(lit(3), lit(1)), 2).as("z"))
+      .head.getLong(0)
+    assert(key == 7L)
+    intercept[IllegalArgumentException] {
+      Layout.zorderKey(Seq(lit(1), lit(1)), 32)
+    }
+  }
+
+  test("binByCuts ranks against cut points; nulls land in bin 0") {
+    val out = Seq(Some(5.0), Some(25.0), Some(95.0), None).toDF("x")
+      .select(Layout.binByCuts(col("x"), Array(10.0, 50.0, 90.0)).as("b"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(out == Seq(0, 1, 3, 0))
+  }
+
+  test("writeZordered clusters BOTH columns per file where a single-column " +
+    "sort leaves the other column unprunable") {
+    // two wide-spread dims: a is i scrambled by a unit multiplier,
+    // b wraps a steep line over the square — a small a-range maps to
+    // b values across the full range, the layout-hostile case
+    val n = 40000
+    val df = (0 until n).map { i =>
+      (i.toLong, (i * 35761L % n).toDouble, (i * 40503L % n).toDouble)
+    }.toDF("id", "a", "b")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_layout")
+    val (zdir, sdir) = (s"$tmp/zorder", s"$tmp/asorted")
+    val cuts = Layout.writeZordered(df, zdir, Seq("a", "b"),
+      bits = 5, numFiles = 16)
+    assert(cuts("a").length == 31 && cuts("b").length == 31)
+    df.repartitionByRange(16, col("a")).sortWithinPartitions(col("a"))
+      .write.parquet(sdir)
+
+    // per-file min-max span = what parquet stats expose to a scan's
+    // file/row-group skipping; fraction of the global range
+    def avgSpan(dir: String, c: String): Double = {
+      val files = new java.io.File(dir).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith("."))
+      assert(files.length >= 12, s"expected ~16 data files in $dir")
+      val spans = files.map { f =>
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg(min(col(c)).as("lo"), max(col(c)).as("hi")).head()
+        (r.getDouble(1) - r.getDouble(0)) / n
+      }
+      spans.sum / spans.length
+    }
+    val (sa, sb) = (avgSpan(sdir, "a"), avgSpan(sdir, "b"))
+    val (za, zb) = (avgSpan(zdir, "a"), avgSpan(zdir, "b"))
+    // the a-sort prunes a perfectly and b not at all
+    assert(sa < 0.15, s"a-sorted layout must cluster a: $sa")
+    assert(sb > 0.8, s"a-sorted layout must be blind on b: $sb")
+    // z-order: EVERY file is a small rectangle — both columns narrow,
+    // and b's file spans collapse vs the sorted layout's full-range
+    assert(za < 0.6, s"zorder a-span too wide: $za")
+    assert(zb < 0.6 && zb < sb / 2,
+      s"zorder must make b prunable: $zb vs sorted $sb")
+  }
+}
