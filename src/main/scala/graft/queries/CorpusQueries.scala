@@ -56,6 +56,50 @@ object CorpusQueries {
       |SELECT doc_id, version, src, n_chars FROM r
       |WHERE rn = 1 AND NOT coalesce(deleted, false) ORDER BY doc_id""".stripMargin
 
+  /* ---------------- snapshot_diff ---------------- */
+
+  /** Snapshot-audit binding: tonight's snapshot drops docs ≡ 7
+    * (mod 10) (the delete_paper churn), bumps n_chars for ≡ 3 (the
+    * re-chunk upsert) and crawls new ids (≡ 1 cloned past the key
+    * space) — the diff must classify every key added / removed /
+    * changed / unchanged with both sides' payloads.
+    */
+  private def snapshotDiffQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"), col("source"))
+    val newSnap = docs.where(pmod(col("doc_id"), lit(10)) =!= 7)
+      .withColumn("n_chars",
+        when(pmod(col("doc_id"), lit(10)) === 3, col("n_chars") + 100)
+          .otherwise(col("n_chars")))
+      .unionByName(docs.where(pmod(col("doc_id"), lit(10)) === 1)
+        .withColumn("doc_id", col("doc_id") + 10000000L))
+    Corpus.snapshotDiff(docs, newSnap,
+      Seq("doc_id"), Seq("n_chars", "source"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val snapshotDiffSql =
+    """WITH olds AS (SELECT doc_id, n_chars, source FROM documents),
+      |news AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 10 = 3 THEN n_chars + 100
+      |         ELSE n_chars END AS n_chars,
+      |    source
+      |  FROM documents WHERE doc_id % 10 <> 7
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, n_chars, source
+      |  FROM documents WHERE doc_id % 10 = 1)
+      |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+      |  CASE WHEN o.doc_id IS NULL THEN 'added'
+      |       WHEN n.doc_id IS NULL THEN 'removed'
+      |       WHEN o.n_chars IS NOT DISTINCT FROM n.n_chars
+      |        AND o.source IS NOT DISTINCT FROM n.source THEN 'unchanged'
+      |       ELSE 'changed' END AS status,
+      |  o.n_chars AS old_n_chars, n.n_chars AS new_n_chars,
+      |  o.source AS old_source, n.source AS new_source
+      |FROM olds o FULL OUTER JOIN news n ON o.doc_id = n.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   /* ---------------- sample_stratified ---------------- */
 
   private val MixRates: Map[String, Double] =
@@ -322,6 +366,7 @@ object CorpusQueries {
 
   val defs: Seq[Qdef] = Seq(
     Qdef("corpus_latest", corpusLatest, Some(corpusLatestSql)),
+    Qdef("snapshot_diff", snapshotDiffQ, Some(snapshotDiffSql)),
     Qdef("sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
     Qdef("sample_exact_k", sampleExactK, Some(sampleExactKSql)),
     Qdef("corpus_shuffle", corpusShuffle, Some(corpusShuffleSql)),

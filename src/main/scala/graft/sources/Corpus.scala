@@ -167,6 +167,44 @@ object Corpus {
     n
   }
 
+  /** Keyed diff of two corpus snapshots — the audit a maintenance
+    * job runs after a compaction, backfill, or re-crawl (reference
+    * analog: the add_chunks/delete_paper churn around
+    * backend/app/core/vector_store.py:136/:482, made inspectable):
+    * per key, `added` (new only), `removed` (old only), `changed`
+    * (payload differs under null-safe comparison) or `unchanged`.
+    *
+    * Scale shape: ONE full-outer equi-join on the key columns —
+    * co-partitioned for free when both snapshots are bucketed by key
+    * (writeBucketed), and the payload comparison is a codegen'd
+    * null-safe struct equality in the join's projection; nothing
+    * else shuffles. Output: key columns + status + one old_/new_
+    * column per payload column (null on the absent side).
+    */
+  def snapshotDiff(
+      oldDf: DataFrame, newDf: DataFrame,
+      keyCols: Seq[String], payloadCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "snapshotDiff: at least one key column")
+    val o = oldDf.select((keyCols ++ payloadCols).map(col): _*)
+      .withColumn("_old", lit(true))
+    val n = newDf.select(keyCols.map(col) ++
+      payloadCols.map(c => col(c).as(s"new_$c")): _*)
+      .withColumn("_new", lit(true))
+    val joined = o.join(n, keyCols, "full_outer")
+    val samePayload = payloadCols
+      .map(c => col(c) <=> col(s"new_$c"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    joined
+      .withColumn("status",
+        when(col("_old").isNull, lit("added"))
+          .when(col("_new").isNull, lit("removed"))
+          .when(samePayload, lit("unchanged"))
+          .otherwise(lit("changed")))
+      .select(keyCols.map(col) ++ Seq(col("status")) ++
+        payloadCols.flatMap(c =>
+          Seq(col(c).as(s"old_$c"), col(s"new_$c"))): _*)
+  }
+
   /** Bucketed managed table: both sides of a repeated equi-join
     * bucketed by the join key skip the exchange entirely — the
     * pre-shuffle is paid ONCE at write time instead of per query.

@@ -107,6 +107,34 @@ class SourcesSpec extends SparkSpec {
       4L -> ((2L, 240L)), 6L -> ((0L, 60L))))
   }
 
+  test("snapshotDiff classifies added/removed/changed/unchanged with " +
+    "null-safe payload comparison") {
+    val oldS = Seq(
+      (1L, Some(10L), "a"), (2L, Some(20L), "b"),
+      (3L, None, "c"), (4L, Some(40L), "d")
+    ).toDF("doc_id", "n_chars", "source")
+    val newS = Seq(
+      (1L, Some(10L), "a"),   // unchanged
+      (2L, Some(25L), "b"),   // changed (payload)
+      (3L, None, "c"),        // unchanged — null <=> null must not read as changed
+      (5L, Some(50L), "e")    // added; 4 removed
+    ).toDF("doc_id", "n_chars", "source")
+    val out = Corpus.snapshotDiff(oldS, newS,
+      Seq("doc_id"), Seq("n_chars", "source"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "unchanged", 4L -> "removed", 5L -> "added"))
+    // both sides' payloads ride along (null on the absent side)
+    val row5 = Corpus.snapshotDiff(oldS, newS,
+      Seq("doc_id"), Seq("n_chars", "source"))
+      .where(col("doc_id") === 5).head()
+    assert(row5.isNullAt(row5.fieldIndex("old_n_chars")) &&
+      row5.getAs[Long]("new_n_chars") == 50L)
+    intercept[IllegalArgumentException] {
+      Corpus.snapshotDiff(oldS, newS, Seq(), Seq("n_chars"))
+    }
+  }
+
   test("compactLog under out-of-order arrival: a straggler delta older " +
     "than the compaction point stays equivalent for live keys and " +
     "diverges for a consumed tombstone exactly as the watermark " +
