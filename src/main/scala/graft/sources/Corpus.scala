@@ -185,6 +185,13 @@ object Corpus {
       oldDf: DataFrame, newDf: DataFrame,
       keyCols: Seq[String], payloadCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "snapshotDiff: at least one key column")
+    // the output's status column and the presence markers are claimed
+    // names — a payload column shadowing them would corrupt the diff
+    val reserved = Set("status", "_old", "_new") ++
+      payloadCols.map(c => s"new_$c")
+    val clash = (keyCols ++ payloadCols).filter(reserved)
+    require(clash.isEmpty,
+      s"snapshotDiff: reserved column name(s) ${clash.mkString(", ")}")
     val o = oldDf.select((keyCols ++ payloadCols).map(col): _*)
       .withColumn("_old", lit(true))
     val n = newDf.select(keyCols.map(col) ++

@@ -133,6 +133,11 @@ class SourcesSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Corpus.snapshotDiff(oldS, newS, Seq(), Seq("n_chars"))
     }
+    intercept[IllegalArgumentException] { // reserved output name
+      Corpus.snapshotDiff(oldS.withColumnRenamed("source", "status"),
+        newS.withColumnRenamed("source", "status"),
+        Seq("doc_id"), Seq("n_chars", "status"))
+    }
   }
 
   test("compactLog under out-of-order arrival: a straggler delta older " +
