@@ -752,6 +752,17 @@ object Dedup {
   def selectSurvivors(
       docs: DataFrame, components: DataFrame,
       idCol: String, scoreCol: String): DataFrame = {
+    // the -id tie-break negation is only exact for integral ids; a
+    // string/decimal id would silently cast to double (or null) and
+    // corrupt both the tie-break and the returned ids — fail fast
+    docs.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"selectSurvivors id '$idCol' must be integral, got ${other.sql}")
+    }
     val comp = components.select(col(idCol), col("component"))
     val labeled = docs.select(col(idCol), col(scoreCol))
       .join(comp, Seq(idCol), "left")

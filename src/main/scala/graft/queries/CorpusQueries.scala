@@ -67,12 +67,19 @@ object CorpusQueries {
   private def snapshotDiffQ(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("n_chars"), col("source"))
+    // clone offset = max(doc_id) + 1 so "new crawl" ids can never
+    // collide with surviving ids at ANY scale factor (a fixed
+    // literal breaks once ScaleUp-amplified ids exceed it). One
+    // 1-row max() action — parquet-stats-cheap, same value the
+    // oracle derives with its own scalar subquery.
+    val cloneOffset =
+      docs.agg(max(col("doc_id"))).head.getLong(0) + 1L
     val newSnap = docs.where(pmod(col("doc_id"), lit(10)) =!= 7)
       .withColumn("n_chars",
         when(pmod(col("doc_id"), lit(10)) === 3, col("n_chars") + 100)
           .otherwise(col("n_chars")))
       .unionByName(docs.where(pmod(col("doc_id"), lit(10)) === 1)
-        .withColumn("doc_id", col("doc_id") + 10000000L))
+        .withColumn("doc_id", col("doc_id") + lit(cloneOffset)))
     Corpus.snapshotDiff(docs, newSnap,
       Seq("doc_id"), Seq("n_chars", "source"))
       .orderBy(col("doc_id"))
@@ -87,7 +94,8 @@ object CorpusQueries {
       |    source
       |  FROM documents WHERE doc_id % 10 <> 7
       |  UNION ALL
-      |  SELECT doc_id + 10000000, n_chars, source
+      |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents),
+      |    n_chars, source
       |  FROM documents WHERE doc_id % 10 = 1)
       |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
       |  CASE WHEN o.doc_id IS NULL THEN 'added'

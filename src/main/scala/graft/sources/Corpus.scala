@@ -188,7 +188,7 @@ object Corpus {
     // the output's status column and the presence markers are claimed
     // names — a payload column shadowing them would corrupt the diff
     val reserved = Set("status", "_old", "_new") ++
-      payloadCols.map(c => s"new_$c")
+      payloadCols.flatMap(c => Seq(s"new_$c", s"old_$c"))
     val clash = (keyCols ++ payloadCols).filter(reserved)
     require(clash.isEmpty,
       s"snapshotDiff: reserved column name(s) ${clash.mkString(", ")}")

@@ -33,10 +33,16 @@ object Layout {
     * yields the otherwise-branch), keeping them clustered instead of
     * poisoning the key.
     */
-  def binByCuts(c: Column, cuts: Array[Double]): Column =
+  def binByCuts(c: Column, cuts: Array[Double]): Column = {
+    // each cut is one chained conditional in the generated code;
+    // cap at 8 bits (255 cuts) so a caller can't codegen-bomb the
+    // projection — beyond that the bins stop paying for themselves
+    require(cuts.length <= 255,
+      s"binByCuts: ${cuts.length} cuts exceeds the 8-bit (255) cap")
     cuts.foldLeft(lit(0)) { (acc, cut) =>
       acc + when(c >= cut, 1).otherwise(0)
     }
+  }
 
   /** Morton interleave of per-column bin indexes (each in
     * [0, 2^bits)): bit i of bin j lands at position i·d + j. With
@@ -69,6 +75,8 @@ object Layout {
       df: DataFrame, path: String, zCols: Seq[String],
       bits: Int, numFiles: Int): Map[String, Array[Double]] = {
     require(numFiles > 0, s"writeZordered: numFiles must be positive")
+    require(bits >= 1 && bits <= 8,
+      s"writeZordered: bits must be in [1, 8], got $bits")
     val k = 1 << bits
     val probes = (1 until k).map(_.toDouble / k).toArray
     val cuts = zCols.map { c =>

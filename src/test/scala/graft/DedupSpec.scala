@@ -153,6 +153,14 @@ class DedupSpec extends SparkSpec {
     val plan = Dedup.selectSurvivors(docs, comps, "doc_id", "n_chars")
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"survivor argmax must not window:\n$plan")
+    // the -id tie-break is integral-only; a string id must fail fast,
+    // not silently cast to double
+    intercept[IllegalArgumentException] {
+      Dedup.selectSurvivors(
+        docs.withColumn("doc_id", docs("doc_id").cast("string")),
+        comps.withColumn("doc_id", comps("doc_id").cast("string")),
+        "doc_id", "n_chars")
+    }
   }
 
   test("nightly probe over a bkey-bucketed persisted band index plans " +

@@ -25,6 +25,11 @@ class LayoutSpec extends SparkSpec {
       .select(Layout.binByCuts(col("x"), Array(10.0, 50.0, 90.0)).as("b"))
       .collect().map(_.getInt(0)).toSeq
     assert(out == Seq(0, 1, 3, 0))
+    // > 8 bits of cuts = a 256-branch conditional chain per row;
+    // refused rather than codegen-bombed
+    intercept[IllegalArgumentException] {
+      Layout.binByCuts(col("x"), (1 to 256).map(_.toDouble).toArray)
+    }
   }
 
   test("writeZordered clusters BOTH columns per file where a single-column " +

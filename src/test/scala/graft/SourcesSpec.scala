@@ -138,6 +138,12 @@ class SourcesSpec extends SparkSpec {
         newS.withColumnRenamed("source", "status"),
         Seq("doc_id"), Seq("n_chars", "status"))
     }
+    intercept[IllegalArgumentException] { // old_<payload> is claimed too
+      Corpus.snapshotDiff(
+        oldS.withColumnRenamed("source", "old_n_chars"),
+        newS.withColumnRenamed("source", "old_n_chars"),
+        Seq("doc_id"), Seq("n_chars", "old_n_chars"))
+    }
   }
 
   test("compactLog under out-of-order arrival: a straggler delta older " +
