@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.operators.Sampling
-import graft.sources.Corpus
+import graft.sources.{Corpus, Layout}
 
 /** Corpus-maintenance queries: the reference's mutable store surface
   * (add_chunks / delete_paper / incremental index) re-expressed as a
@@ -107,6 +107,42 @@ object CorpusQueries {
       |  o.source AS old_source, n.source AS new_source
       |FROM olds o FULL OUTER JOIN news n ON o.doc_id = n.doc_id
       |ORDER BY doc_id""".stripMargin
+
+  /* ---------------- layout_scan ---------------- */
+
+  /** Z-order layout-invariance binding: rewrite the documents table
+    * Z-clustered on (doc_id, n_chars), then answer a selective
+    * predicate on the SECOND clustered column through the rewritten
+    * layout. The oracle runs the same query over the ORIGINAL table —
+    * a layout is pure physical design, so the results must be
+    * identical; what the layout buys (row-group skipping on n_chars,
+    * which a doc_id-sorted layout cannot give) is measured in
+    * LayoutSpec's bytes-read test, and this row pins that the
+    * clustering write is lossless end to end.
+    */
+  private def layoutScan(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"), col("source"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_zscan_").toString
+    Layout.writeZordered(docs, dir, Seq("doc_id", "n_chars"),
+      bits = 5, numFiles = 8)
+    s.read.parquet(dir)
+      .where(col("n_chars").between(200, 260))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+      .orderBy(col("source"))
+  }
+
+  private val layoutScanSql =
+    """SELECT source, count(*)::BIGINT AS n_docs,
+      |  sum(n_chars)::BIGINT AS sum_chars,
+      |  min(doc_id) AS min_id, max(doc_id) AS max_id
+      |FROM documents WHERE n_chars BETWEEN 200 AND 260
+      |GROUP BY source ORDER BY source""".stripMargin
 
   /* ---------------- sample_stratified ---------------- */
 
@@ -375,6 +411,7 @@ object CorpusQueries {
   val defs: Seq[Qdef] = Seq(
     Qdef("corpus_latest", corpusLatest, Some(corpusLatestSql)),
     Qdef("snapshot_diff", snapshotDiffQ, Some(snapshotDiffSql)),
+    Qdef("layout_scan", layoutScan, Some(layoutScanSql)),
     Qdef("sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
     Qdef("sample_exact_k", sampleExactK, Some(sampleExactKSql)),
     Qdef("corpus_shuffle", corpusShuffle, Some(corpusShuffleSql)),
