@@ -255,52 +255,68 @@ class PipelineSpec extends SparkSpec {
       s"retrain must recover recall: $tripped -> $recovered")
   }
 
-  test("selection flow: semantic dedup -> DSIR weighting -> compacted snapshot") {
+  test("selection flow: semantic dedup -> components -> DSIR-scored " +
+    "selectSurvivors -> tombstoned losers -> compacted snapshot == " +
+    "survivor set") {
     import graft.operators.Sampling
     import graft.sources.Corpus
 
-    // corpus: doc 4 is an embedding near-dup of doc 1; seeds 1..3
-    // span the three clusters so k=3 recovers them
+    // corpus: {1,4} and {2,5} are embedding near-dup clusters, 3 is
+    // a singleton; seeds 1..3 span the k=3 cells
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),
       (2L, Array(0.0f, 1.0f, 0.0f)),
       (3L, Array(0.0f, 0.0f, 1.0f)),
-      (4L, Array(0.99f, 0.05f, 0.0f))
+      (4L, Array(0.99f, 0.05f, 0.0f)),
+      (5L, Array(0.0f, 0.99f, 0.05f))
     ).toDF("doc_id", "embedding")
-    val dropped = Dedup.semanticDedup(vecs, "doc_id", "embedding",
-      k = 3, iters = 2, minCos = 0.95)
-      .select("doc_id").as[Long].collect().toSet
-    assert(dropped == Set(4L))
+    val sem = Dedup.semanticDedup(vecs, "doc_id", "embedding",
+      k = 3, iters = 2, minCos = 0.95).cache()
+    assert(sem.select("doc_id").as[Long].collect().toSet == Set(4L, 5L))
 
-    // survivors weighted against an English target domain
+    // the (keeper, dropped) attributions ARE an edge list — label
+    // whole dup clusters instead of trusting per-pair attribution
+    val comps = Dedup.connectedComponents(
+      sem.select(col("dup_of"), col("doc_id")), "dup_of", "doc_id")
+      .select(col("node").as("doc_id"), col("component"))
+    assert(comps.as[(Long, Long)].collect().toMap ==
+      Map(1L -> 1L, 4L -> 1L, 2L -> 2L, 5L -> 2L))
+
+    // survivor POLICY = keep the most target-domain-like member per
+    // cluster (DSIR weight as the score), NOT the arbitrary pair
+    // keeper: in cluster {1,4} the attribution kept 1, but 4 is the
+    // target-like text, so selection must flip to 4
     val target = Seq(
       (100L, "spark sql window join table scan"),
       (101L, "table join scan spark sql window")).toDF("doc_id", "text")
     val raw = Seq(
-      (1L, "spark sql join table window merge"),   // target-like
-      (2L, "violet meadow kitten ribbon sunrise"), // unlike
-      (3L, "spark table scan violet meadow rose"), // mixed
-      (4L, "spark sql join table window merge")    // the dup
+      (1L, "spark table scan violet meadow rose"),  // mixed
+      (2L, "spark sql window join table scan"),     // target-like
+      (3L, "violet kitten ribbon sunrise meadow"),  // unlike singleton
+      (4L, "spark sql join table window merge"),    // target-like dup
+      (5L, "violet meadow kitten ribbon sunrise")   // unlike dup
     ).toDF("doc_id", "text")
-    val pool = raw.where(!col("doc_id").isin(dropped.toSeq: _*))
-    val ranked = Sampling.dsirLogWeights(target, pool, "doc_id", "text")
-      .orderBy(col("dsir_logw").desc, col("doc_id"))
-      .select("doc_id").as[Long].collect()
-    assert(ranked.toSeq == Seq(1L, 3L, 2L))
+    val scored = Sampling.dsirLogWeights(target, raw, "doc_id", "text")
+    val survivors = Dedup.selectSurvivors(
+      scored, comps, "doc_id", "dsir_logw")
+    val keep = survivors.select("doc_id").as[Long].collect().toSet
+    assert(keep == Set(4L, 2L, 3L),
+      s"DSIR argmax must pick 4 over the attributed keeper 1: $keep")
 
-    // persist the decision as a latest-wins log (dups + bottom rank
-    // tombstoned) and compact to the training snapshot
-    val keep = ranked.take(2).toSet // {1, 3}
-    val cut = (dropped ++ ranked.drop(2)).toSeq // {4, 2}
+    // persist the decision as a latest-wins log — every non-survivor
+    // tombstoned — and compact to the training snapshot
+    val losers = raw.select("doc_id").as[Long].collect().toSet -- keep
     val log = raw
       .withColumn("version", lit(0L)).withColumn("deleted", lit(false))
-      .unionByName(raw.where(col("doc_id").isin(cut: _*))
+      .unionByName(raw.where(col("doc_id").isin(losers.toSeq: _*))
         .withColumn("version", lit(1L)).withColumn("deleted", lit(true)))
     val dir = java.nio.file.Files
       .createTempDirectory("graft_pipe_sel").toFile.getAbsolutePath
     val n = Corpus.compactLog(log, Seq("doc_id"), "version",
       Some("deleted"), dir, targetRowsPerFile = 10L)
-    assert(n == 2)
+    assert(n == 3)
+    // the compacted snapshot IS the survivor set — the corpus
+    // rebuild a pipeline actually ships
     assert(spark.read.parquet(dir)
       .select("doc_id").as[Long].collect().toSet == keep)
   }
