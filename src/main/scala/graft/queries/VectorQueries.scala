@@ -651,15 +651,25 @@ object VectorQueries {
   private val PqDsub = PqDim / PqM
   private val PqK = 8
 
+  /** The stored vectors' dimension — what a real engine reads from
+    * index metadata. One first-row size() probe (a LIMIT-1 job, ms)
+    * keeps the PQ bindings dimension-agnostic: the testdata runs at
+    * the oracle-pinned d=64, the ScaleUp d=768 probe dir at the
+    * reference embedder's width, with m and iters unchanged.
+    */
+  private def vecDim(emb: DataFrame): Int =
+    emb.select(size(col("embedding"))).head.getInt(0)
+
   private def pqAdc(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"))
+    val dim = vecDim(emb)
     val books = Pq.train(emb, "vec_id", "embedding",
-      PqDim, PqM, PqK, iters = 1)
-    val codes = Pq.encode(emb, books, "vec_id", "embedding", PqDim, PqM)
+      dim, PqM, PqK, iters = 1)
+    val codes = Pq.encode(emb, books, "vec_id", "embedding", dim, PqM)
     val q = Tables.embeddings(s, d).where(col("vec_id") === 0)
       .select(col("embedding").as("qe"))
-    Pq.adcTopK(codes, books, q, "vec_id", "qe", PqDim, PqM, 10)
+    Pq.adcTopK(codes, books, q, "vec_id", "qe", dim, PqM, 10)
   }
 
   private val pqAdcSql =
@@ -743,12 +753,13 @@ object VectorQueries {
   private def ivfPq(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"))
+    val dim = vecDim(emb)
     val (coarse, books, codes) = Pq.ivfPqBuild(emb, "vec_id", "embedding",
-      PqDim, IpCells, IpM, IpK, iters = 1)
+      dim, IpCells, IpM, IpK, iters = 1)
     val q = Tables.embeddings(s, d).where(col("vec_id") === 0)
       .select(col("embedding").as("qe"))
     Pq.ivfPqRefine(codes, coarse, books, emb, q, "vec_id", "embedding",
-      "qe", PqDim, IpM, IpProbe, IpCand, 10)
+      "qe", dim, IpM, IpProbe, IpCand, 10)
   }
 
   private val ivfPqSql =
