@@ -7,6 +7,11 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.localBuilder(cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // opt-in reliable checkpointing (connectedComponents switches
+    // from localCheckpoint blocks to per-round files when set) — the
+    // memory-pressure knob for heap-bound scale probes
+    sys.env.get("SPARK_GRAFT_CKPT_DIR")
+      .foreach(spark.sparkContext.setCheckpointDir)
     // warm up the JVM / codegen / IO paths so per-query times reflect
     // steady state rather than first-job startup
     spark.range(1000000L).selectExpr("sum(id)").collect()

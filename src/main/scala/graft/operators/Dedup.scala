@@ -669,17 +669,31 @@ object Dedup {
     * analyzer re-walks 2ⁿ copies of the whole upstream pair-generator
     * subtree by round n — tens of seconds of driver CPU on a
     * millisecond-sized graph. After truncation every round analyzes a
-    * constant-size plan over the materialized blocks. Trade-off:
-    * localCheckpoint is non-reliable storage — an executor loss fails
-    * the job instead of recomputing lineage; a 100 TB run that wants
-    * mid-algorithm fault recovery should set a checkpoint dir and
-    * swap in reliable checkpoints at the same two call sites.
+    * constant-size plan over the materialized blocks. Storage
+    * strategy (r14): when the session has a checkpoint dir
+    * (`sparkContext.setCheckpointDir`), every truncation uses a
+    * RELIABLE checkpoint — per-round label files on stable storage
+    * instead of executor-memory blocks. That buys (a) mid-algorithm
+    * fault recovery at 100 TB (an executor loss replays from files,
+    * not from scratch) and (b) memory-pressure immunity: under a
+    * heap-bound sf10 run the localCheckpoint block churn (store,
+    * evict to disk, re-fetch each round, racing the ContextCleaner)
+    * is what made iteration walls jitter 75-196 s; label-scale file
+    * writes are a fixed small cost per round instead. Without a
+    * checkpoint dir it falls back to localCheckpoint (right for
+    * interactive/local runs — no files to manage).
     * Output: (node, component, cluster_size) — component = min node
     * id reachable, engine-independent.
     */
   def connectedComponents(
       pairs: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 25): DataFrame = {
+    // eager lineage truncation: reliable when a checkpoint dir is
+    // set, executor-memory blocks otherwise (see scaladoc)
+    def truncate(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint()
+      else df.localCheckpoint()
     // materialize the pair frame ONCE — both direction branches and
     // every round's join read it, and without a checkpoint/cache the
     // entire upstream pair generator would re-plan AND re-run per
@@ -687,8 +701,7 @@ object Dedup {
     // pairs: duplicate or mirrored edges are harmless under an
     // idempotent min, so the defensive distinct (a full shuffle per
     // round budget) buys nothing.
-    val p = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .localCheckpoint()
+    val p = truncate(pairs.select(col(aCol).as("src"), col(bCol).as("dst")))
     val edges = p
       .unionAll(p.select(col("dst").as("src"), col("src").as("dst")))
     def sumOf(labels: DataFrame): java.math.BigDecimal =
@@ -698,20 +711,20 @@ object Dedup {
     // straight off the edge list in one aggregate — the identity
     // labelling plus its propagation round would cost two extra
     // actions for a state every graph leaves immediately
-    var labels = edges.groupBy(col("src").as("node"))
-      .agg(min(least(col("src"), col("dst"))).as("component"))
-      .localCheckpoint() // eager: materializes the seed
+    var labels = truncate(edges.groupBy(col("src").as("node"))
+      .agg(min(least(col("src"), col("dst"))).as("component")))
+      // eager: materializes the seed
     var cert = sumOf(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
-      val next = labels
+      val next = truncate(labels
         .unionAll(edges
           .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
           .select(col("src").as("node"), col("component")))
         .groupBy(col("node"))
-        .agg(min(col("component")).as("component"))
-        .localCheckpoint() // eager: materializes `next`, truncates lineage
+        .agg(min(col("component")).as("component")))
+      // eager: materializes `next`, truncates lineage
       val nextCert = sumOf(next)
       // superseded rounds' checkpoint blocks are label-scale (node,
       // component) rows — reclaimed by the ContextCleaner once the

@@ -12,6 +12,10 @@ object BenchOne {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.localBuilder(32).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // parity with Bench: opt-in reliable checkpointing for the CC
+    // iteration (the sf10 memory-pressure knob)
+    sys.env.get("SPARK_GRAFT_CKPT_DIR")
+      .foreach(spark.sparkContext.setCheckpointDir)
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     val names = if (args.nonEmpty) args.toSeq else Seq("q5_region_revenue")

@@ -133,6 +133,32 @@ class DedupSpec extends SparkSpec {
       math.max(p._1, p._2))).toSet)
   }
 
+  test("connectedComponents switches to RELIABLE per-round checkpoints " +
+    "when the session has a checkpoint dir, with identical labeling") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    def run(): Map[Long, Long] =
+      Dedup.connectedComponents(pairs, "a", "b")
+        .select("node", "component").as[(Long, Long)].collect().toMap
+    val viaLocal = run()
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    try {
+      assert(run() == viaLocal)
+      // the rounds' label RDDs actually landed on stable storage
+      val files = java.nio.file.Files.walk(dir)
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(files > 0, s"no reliable checkpoint files under $dir")
+    } finally {
+      // the fixture session is shared across suites — restore the
+      // no-checkpoint-dir default so later specs keep exercising the
+      // localCheckpoint path
+      val f = classOf[org.apache.spark.SparkContext]
+        .getDeclaredField("checkpointDir")
+      f.setAccessible(true)
+      f.set(spark.sparkContext, None)
+    }
+  }
+
   test("selectSurvivors keeps the best-scored doc per cluster (ties to " +
     "the smallest id) plus every unclustered doc, with no window sort") {
     val docs = Seq((1L, 10L), (2L, 30L), (3L, 30L), (4L, 5L), (9L, 7L))

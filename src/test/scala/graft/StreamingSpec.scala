@@ -798,4 +798,62 @@ class StreamingSpec extends SparkSpec {
 
     assert(rows == Set((1000L, 2000L)))
   }
+
+  test("windowedDau e2e on the sf0.1 events FILE source: every emitted " +
+    "window's sketch sits inside the batch twin's pinned envelope and " +
+    "its event count is exact") {
+    import org.apache.spark.sql.functions._
+    // replay the real sf0.1 events through the parquet file source,
+    // one day-file per micro-batch (the StreamProbe harness shape:
+    // the watermark advances batch by batch, windows close by event
+    // time as in production) — the r13 stretch left the DAU envelope
+    // pinned batch-side only (EventsSpec); this closes it end to end
+    val ev = Tables.events(spark, "/root/testdata/sf0.1")
+      .select(
+        timestamp_micros((col("ts") / 1000L).cast("long")).as("ts"),
+        col("user_id"))
+      .withColumn("day", to_date(col("ts")))
+      .cache()
+    try {
+      val exact = ev.groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("dau_x"),
+          count(lit(1)).as("n_x"))
+        .collect()
+        .map(r => r.getDate(0).toString ->
+          (r.getLong(1), r.getLong(2))).toMap
+      val days = exact.keys.toSeq.sorted
+      val src = java.nio.file.Files
+        .createTempDirectory("graft_dau_stream").toFile.getAbsolutePath
+      days.zipWithIndex.foreach { case (d, i) =>
+        ev.where(col("day") === lit(d)).drop("day").coalesce(1)
+          .write.mode("append").parquet(f"$src/d$i%03d.parquet")
+      }
+      val stream = spark.readStream
+        .schema("ts TIMESTAMP, user_id BIGINT")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$src/*")
+      val query = StreamingAggs.windowedDau(stream, "1 day", "1 hour")
+        .writeStream.format("memory").queryName("dau_e2e_test")
+        .outputMode(OutputMode.Append()).start()
+      query.processAllAvailable()
+      val emitted = spark.table("dau_e2e_test").collect()
+        .map(r => r.getAs[Timestamp]("window_start").toString.take(10) ->
+          (r.getAs[Long]("dau"), r.getAs[Long]("n_events"))).toMap
+      query.stop()
+      // append mode: a window emits once the watermark passes its
+      // end, so every day but the still-open last one must be out
+      assert(emitted.keySet == days.dropRight(1).toSet,
+        s"emitted ${emitted.keySet.toSeq.sorted} vs days $days")
+      emitted.foreach { case (d, (dauA, nA)) =>
+        val (dauX, nX) = exact(d)
+        // the SAME envelope EventsSpec pins for the batch twin:
+        // 3 sigma at rsd=0.02 (6%), 3-count floor for tiny days
+        assert(math.abs(dauA - dauX) <= math.max(dauX * 0.06, 3.0),
+          s"day $d: sketch dau $dauA vs exact $dauX out of envelope")
+        // counts are exact in a streaming agg — any slip is data loss
+        // through the harness, not sketch error
+        assert(nA == nX, s"day $d: streamed $nA events vs $nX")
+      }
+    } finally ev.unpersist(): Unit
+  }
 }
