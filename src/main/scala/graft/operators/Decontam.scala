@@ -59,6 +59,91 @@ object Decontam {
           .as("contamination"))
   }
 
+  /** Bloom-pruned twin of [[contaminated]] — IDENTICAL output, built
+    * for the 100 TB regime where `contaminated`'s corpus-wide
+    * (doc, gram) `.distinct()` is the bottleneck: that distinct
+    * shuffles EVERY corpus n-gram once (O(total grams) exchange rows)
+    * before the broadcast probe ever prunes anything. Here nothing
+    * corpus-sized is shuffled unless it (probably) overlaps the
+    * benchmark:
+    *
+    *  1. per-doc dedup happens INSIDE the row — `array_distinct` on
+    *     the shingle array replaces the corpus-wide distinct exchange,
+    *     and the per-doc gram total rides along as a projected column;
+    *  2. the benchmark's distinct grams (bounded — an eval suite)
+    *     fold into ONE serialized bloom filter via Spark's own
+    *     `BloomFilterAggregate` (a distributed aggregate; only the
+    *     sketch bytes reach the driver), embedded in the plan as a
+    *     binary literal;
+    *  3. the corpus gram stream is pruned map-side by the codegen'd
+    *     `BloomFilterMightContain` — the exact device Spark's runtime
+    *     filter injection uses — so only grams that PROBABLY hit
+    *     (true hits + the fpp tail) survive;
+    *  4. survivors are verified EXACTLY against the broadcast bench
+    *     gram set (bloom false positives drop here — the bloom is a
+    *     prune, never the answer), making the output bit-identical to
+    *     `contaminated` for any fpp;
+    *  5. the only wide exchange left is the per-doc hit aggregate
+    *     over surviving rows — O(hit grams), not O(corpus grams).
+    *
+    * `estimatedNumItems`/`numBits` are clamped by Spark's runtime-
+    * bloom conf maxima (items 4 M / 8 MiB bits by default) — past the
+    * clamp the fpp degrades gracefully and the exact verify absorbs
+    * the extra false positives.
+    */
+  def contaminatedBloom(
+      corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int,
+      fpp: Double = 0.03): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftshim.ColumnShim
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
+    val benchGrams = bench.select(
+      explode(TextFns.shinglesOfTokens(
+        TextFns.wsTokens(col(textCol)), n)).as("g"))
+      .distinct()
+    // the two bench passes (count + bloom build) and the driver-side
+    // sketch are all eval-suite-bounded — the same legitimacy class
+    // as annIvfProbe's nprobe-cell collect
+    val nBench = benchGrams.count()
+    val bloomBytes: Option[Array[Byte]] =
+      if (nBench == 0L) None
+      else {
+        val bits = math.max(64L, math.ceil(
+          -nBench * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+        val agg = new BloomFilterAggregate(
+          new XxHash64(Seq(ColumnShim.expression(col("g")))),
+          Literal(nBench), Literal(bits)).toAggregateExpression()
+        Option(benchGrams.select(ColumnShim.column(agg).as("bf"))
+          .head().getAs[Array[Byte]]("bf"))
+      }
+    val docGrams = corpus
+      .select(col(idCol),
+        array_distinct(TextFns.shinglesOfTokens(
+          TextFns.wsTokens(col(textCol)), n)).as("gs"))
+      .select(col(idCol), size(col("gs")).cast("long").as("n_grams"),
+        explode(col("gs")).as("g"))
+    val probe = bloomBytes match {
+      case None => lit(false) // empty bench: nothing can be contaminated
+      case Some(bytes) => ColumnShim.column(new BloomFilterMightContain(
+        Literal(bytes),
+        new XxHash64(Seq(ColumnShim.expression(col("g"))))))
+    }
+    docGrams.where(probe)
+      .join(broadcast(benchGrams), Seq("g"))
+      .groupBy(col(idCol))
+      // every surviving row of a doc carries the same n_grams — first
+      // is deterministic and map-side combinable
+      .agg(count(lit(1)).cast("long").as("hit_grams"),
+        first(col("n_grams")).as("n_grams"))
+      .select(col(idCol), col("n_grams"), col("hit_grams"),
+        round(col("hit_grams").cast("double") / col("n_grams") + lit(1e-9), 6)
+          .as("contamination"))
+  }
+
   /** SPAN-level decontamination (the positional twin of
     * `contaminated`, Lee et al.-style): instead of distinct-gram set
     * overlap, find the token SPANS of each training document covered

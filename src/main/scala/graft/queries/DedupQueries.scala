@@ -430,6 +430,22 @@ object DedupQueries {
        |FROM ht JOIN pd ON ht.doc_id = pd.doc_id
        |ORDER BY contamination DESC, ht.doc_id""".stripMargin
 
+  /* ---------------- decontam_bloom ---------------- */
+
+  /** Bloom-pruned decontamination: same binding (and same oracle — the
+    * output is bit-identical) as decontam_ngram, but the corpus side
+    * never shuffles a non-overlapping gram: per-doc array_distinct +
+    * codegen'd BloomFilterMightContain prune + exact broadcast verify.
+    */
+  private def decontamBloom(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Decontam.contaminatedBloom(
+      docs.where(!col("doc_id").isin(BenchIds: _*)),
+      docs.where(col("doc_id").isin(BenchIds: _*)),
+      "doc_id", "text", DecontamN)
+      .orderBy(col("contamination").desc, col("doc_id"))
+  }
+
   /* ---------------- decontam_spans ---------------- */
 
   /** Span-level decontamination binding: same fixed eval suite as
@@ -633,6 +649,7 @@ object DedupQueries {
     Qdef("dedup_embcos_mb", dedupEmbCosMb, Some(dedupEmbCosMbSql)),
     Qdef("dedup_semantic", dedupSemantic, Some(dedupSemanticSql)),
     Qdef("decontam_ngram", decontamNgram, Some(decontamNgramSql)),
+    Qdef("decontam_bloom", decontamBloom, Some(decontamNgramSql)),
     Qdef("dedup_cluster", dedupCluster, Some(dedupClusterSql)),
     Qdef("dedup_select", dedupSelect, Some(dedupSelectSql)),
     Qdef("dedup_spans", dedupSpans, Some(dedupSpansSql)),

@@ -455,6 +455,74 @@ class DedupSpec extends SparkSpec {
     assert(!out.contains(2L)) // clean docs are absent
   }
 
+  test("contaminatedBloom equals contaminated exactly — even under an " +
+    "FP-heavy bloom (fpp=0.5) the exact verify absorbs false positives") {
+    import graft.operators.Decontam
+    import org.apache.spark.sql.functions.lit
+    // enough distinct corpus grams that a 0.5-fpp bloom statistically
+    // MUST pass false positives into the verify join
+    val corpus = (1L to 60L).map(i =>
+      (i, s"token$i alpha$i beta$i gamma$i delta$i eps$i zeta$i " +
+        (if (i % 7 == 0) "shared eval phrase here" else s"tail$i end$i")))
+      .toDF("doc_id", "text")
+    val bench = Seq((1000L, "shared eval phrase here plus suite only words"))
+      .toDF("doc_id", "text")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("n_grams"),
+        r.getAs[Long]("hit_grams"), r.getAs[Double]("contamination"))).toSet
+    val exact = key(Decontam.contaminated(corpus, bench, "doc_id", "text", 2))
+    assert(exact.nonEmpty)
+    assert(key(Decontam.contaminatedBloom(corpus, bench, "doc_id", "text", 2,
+      fpp = 0.5)) == exact)
+    assert(key(Decontam.contaminatedBloom(corpus, bench, "doc_id", "text", 2))
+      == exact)
+    // empty bench: nothing is contaminated (and no bloom is built)
+    assert(Decontam.contaminatedBloom(corpus,
+      bench.where(lit(false)), "doc_id", "text", 2).isEmpty)
+  }
+
+  test("contaminatedBloom never shuffles the corpus gram set: every " +
+    "exchange it plans carries bench- or hit-scale rows, while " +
+    "contaminated's distinct exchange carries ALL corpus grams") {
+    import graft.operators.Decontam
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    // 4 distinct 2-grams per doc, exactly one of them ("shared phrase")
+    // overlapping the eval suite -> 160 corpus grams, 40 hit rows
+    val corpus = (1L to 40L).map(i => (i, s"w$i x$i shared phrase y$i"))
+      .toDF("doc_id", "text")
+    val bench = Seq((99L, "shared phrase")).toDF("doc_id", "text")
+    val totalGrams = 160L
+    def shuffleRows(df: org.apache.spark.sql.DataFrame): Seq[Long] = {
+      df.collect() // materialize so AQE finalizes the plan + metrics
+      PlanWalk.expand(df.queryExecution.executedPlan)
+        .collect { case e: ShuffleExchangeLike =>
+          e.metrics("shuffleRecordsWritten").value }
+    }
+    val bloomRows = shuffleRows(
+      Decontam.contaminatedBloom(corpus, bench, "doc_id", "text", 2))
+    val setRows = shuffleRows(
+      Decontam.contaminated(corpus, bench, "doc_id", "text", 2))
+    // bloom path plans exactly two exchanges, BOTH small: the bench
+    // gram distinct (eval-suite-scale) and the hit aggregate over
+    // bloom survivors (map-side combined, <=1 row per doc per
+    // partition) — per-doc distinct is in-row, the probe is a
+    // map-side filter, the verify join broadcasts
+    assert(bloomRows.size == 2, s"bloom path planned $bloomRows")
+    assert(bloomRows.max < totalGrams / 2,
+      s"a bloom-path exchange carried ${bloomRows.max} rows — " +
+        "corpus-scale, the shape this operator exists to avoid")
+    // the set path's corpus-wide (doc, gram) distinct + downstream
+    // aggregates shuffle strictly more rows (exact accounting is
+    // blurred by its corpusGrams cache, whose build plan owns part of
+    // the distinct's metrics — the relational claim is the stable one)
+    assert(setRows.sum > bloomRows.sum,
+      s"expected contaminated to shuffle more rows than the bloom " +
+        s"path: set=$setRows bloom=$bloomRows")
+    assert(setRows.max > bloomRows.max,
+      s"set path's largest exchange should exceed the bloom path's: " +
+        s"set=$setRows bloom=$bloomRows")
+  }
+
   test("repeatedSpans ignores repeats confined to a single document") {
     val docs = Seq(
       (1L, "m n o m n o m n o"), // heavy WITHIN-doc repetition only
