@@ -58,6 +58,37 @@ object Events {
         (max(col("s")) - min(col("s"))).as("duration_secs"))
   }
 
+  /** First-order Markov transition matrix over per-user event-type
+    * sequences: for every consecutive event pair of the same user
+    * (time order, event_id-stable within a second), count
+    * prev_type → next_type and normalize per source state — the
+    * behavioral-model summary (next-action prediction, funnel drift
+    * detection) event pipelines derive from clickstreams.
+    *
+    * Scale shape: ONE shuffle by user_id for the lag window (the
+    * same exchange sessionize uses — at lake scale the two share it
+    * via a common repartition), then a map-side-combined pair count.
+    * The matrix is ≤ |event_types|² rows, so the row-total
+    * normalizer derives from the MATRIX (cached, bounded), never by
+    * re-scanning events, and joins back broadcast.
+    */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("s"), col("event_id"))
+    val matrix = events.withColumn("s", tsSecs("ts"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .where(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n_trans"))
+      .cache()
+    val totals = matrix.groupBy(col("prev_type"))
+      .agg(sum(col("n_trans")).as("tot"))
+    matrix.join(broadcast(totals), Seq("prev_type"))
+      .select(col("prev_type"), col("next_type"), col("n_trans"),
+        round(col("n_trans").cast("double") / col("tot") + lit(1e-9), 6)
+          .as("prob"))
+  }
+
   /** Backward as-of join per user: for each `rightType` event, the
     * most recent `leftType` event time at or before it (inclusive) —
     * the classic event-enrichment operator Spark has no builtin for.

@@ -207,6 +207,67 @@ object Sampling {
           col("total_sel") + lit(1e-9), 6).as("achieved_frac"))
   }
 
+  /** Temperature-scaled mixture (the mT5/XLM-R multilingual sampling
+    * rule): target weights are DERIVED from the observed stratum
+    * counts, w_s ∝ count_s^(1/T), instead of hand-specified — T = 1
+    * reproduces the corpus as-is, T → ∞ approaches uniform across
+    * strata, T = 2 (the common α = 0.5 setting) upsamples the tail
+    * relative to the head. The N*-solve, selection, and audit frame
+    * are `mixToWeights`' exactly; only the weight derivation
+    * differs.
+    *
+    * Cross-engine protocol: the raw exponentiated weight is rounded
+    * to 6 dp (guarded) before ANY arithmetic consumes it, because
+    * pow is the one libm call the two engines may round differently
+    * at the last ulp; every downstream value derives from the
+    * rounded weight with the same operation order. The solve uses
+    * the UNNORMALIZED weights (the N* solve is scale-invariant, and
+    * skipping the Σw division keeps an order-sensitive double sum
+    * out of the filter path); the normalized share appears only in
+    * the rounded display column `target_w`.
+    *
+    * Scale design: identical to mixToWeights — one stratum-count
+    * groupBy, broadcast weight/rate frames, corpus shuffles once
+    * for the selected-count audit.
+    */
+  def mixTemperature(
+      df: DataFrame, strataCol: String, idCol: String,
+      temperature: Double, salt: String): DataFrame = {
+    require(temperature > 0.0,
+      s"mixTemperature: temperature must be positive, got $temperature")
+    val counts = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_docs"))
+    // cached: the N* aggregate, the Σw display normalizer, the rates
+    // derivation and the final output all read it; stratum-cardinality
+    val wc = counts.withColumn("wraw",
+      round(pow(col("n_docs").cast("double"), lit(1.0 / temperature))
+        + lit(1e-12), 6)).cache()
+    val nstar = wc.agg(min(col("n_docs") / col("wraw")).as("nstar"))
+    val wtot = wc.agg(sum(col("wraw")).as("wtot"))
+    val rates = wc.crossJoin(broadcast(nstar))
+      .withColumn("rate_buckets",
+        floor(least(col("nstar") * col("wraw") / col("n_docs"),
+          lit(1.0)) * lit(Buckets) + lit(1e-9)))
+    val sel = df
+      .join(broadcast(rates.select(col(strataCol), col("rate_buckets"))),
+        Seq(strataCol))
+      .where(bucketOf(col(idCol), salt) < col("rate_buckets"))
+      .groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_selected"))
+    val total = sel.agg(sum(col("n_selected")).as("total_sel"))
+    rates.join(broadcast(sel), Seq(strataCol), "left")
+      .crossJoin(broadcast(wtot))
+      .crossJoin(broadcast(total))
+      .select(col(strataCol),
+        col("n_docs").cast("long").as("n_docs"),
+        round(col("wraw") / col("wtot") + lit(1e-9), 6).as("target_w"),
+        col("rate_buckets").cast("long").as("rate_buckets"),
+        coalesce(col("n_selected"), lit(0L)).cast("long")
+          .as("n_selected"),
+        round(coalesce(col("n_selected"), lit(0L)).cast("double") /
+          col("total_sel") + lit(1e-9), 6).as("achieved_frac"))
+  }
+
   /** DSIR importance log-weights (Xie et al. 2023, arXiv:2302.03169,
     * "Data Selection for Language Models via Importance Resampling"):
     * score every raw-pool document by how target-domain-like its

@@ -377,6 +377,104 @@ object TextAnalysis {
       .orderBy(col("avg_logprob"), col(idCol))
   }
 
+  /** Global percentile band gate — the CCNet-style "keep the middle
+    * of the score distribution" filter (drop the bottom tail as
+    * gibberish, the top tail as template spam): thresholds are
+    * DERIVED from the corpus's own score distribution, not
+    * hand-tuned constants, so the gate self-calibrates as the
+    * corpus mix shifts. Returns the kept rows with both cut values
+    * attached (the audit columns a pipeline logs).
+    *
+    * Scale shape: the threshold aggregate is ONE 1-row reduction,
+    * broadcast back over the scan — the corpus is read, never
+    * shuffled. This EXACT form (`percentile`) buffers values per
+    * partial aggregate and exists for oracle parity; at lake scale
+    * use `percentileGateApprox` (Greenwald-Khanna sketch, bounded
+    * memory) — the spec pins the two agree at tested accuracy.
+    *
+    * Integer-valued scores make the gate robust to last-ulp
+    * interpolation drift: a fractional threshold can only flip
+    * membership if it lands exactly on an integer, where both
+    * engines' lo + (hi-lo)·frac arithmetic is exact.
+    */
+  def percentileGate(
+      scored: DataFrame, idCol: String, scoreCol: String,
+      pLow: Double, pHigh: Double): DataFrame = {
+    require(pLow >= 0 && pHigh <= 1 && pLow < pHigh,
+      s"percentileGate: need 0 <= pLow < pHigh <= 1, got $pLow/$pHigh")
+    val thr = scored.agg(
+      expr(s"percentile($scoreCol, $pLow)").as("q_lo"),
+      expr(s"percentile($scoreCol, $pHigh)").as("q_hi"))
+    scored.crossJoin(broadcast(thr))
+      .where(col(scoreCol).between(col("q_lo"), col("q_hi")))
+      .select(col(idCol), col(scoreCol),
+        round(col("q_lo") + lit(1e-9), 4).as("q_lo"),
+        round(col("q_hi") + lit(1e-9), 4).as("q_hi"))
+  }
+
+  /** The lake-scale twin of `percentileGate` AS RUNNABLE CODE:
+    * `percentile_approx` (Greenwald-Khanna, bounded state per
+    * partial) replaces the exact value-buffering percentile. Same
+    * output contract; TextSpec pins agreement at tested accuracy.
+    */
+  def percentileGateApprox(
+      scored: DataFrame, idCol: String, scoreCol: String,
+      pLow: Double, pHigh: Double, accuracy: Int = 10000): DataFrame = {
+    require(pLow >= 0 && pHigh <= 1 && pLow < pHigh,
+      s"percentileGateApprox: need 0 <= pLow < pHigh <= 1, got $pLow/$pHigh")
+    val thr = scored.agg(
+      expr(s"percentile_approx($scoreCol, $pLow, $accuracy)")
+        .cast("double").as("q_lo"),
+      expr(s"percentile_approx($scoreCol, $pHigh, $accuracy)")
+        .cast("double").as("q_hi"))
+    scored.crossJoin(broadcast(thr))
+      .where(col(scoreCol).between(col("q_lo"), col("q_hi")))
+      .select(col(idCol), col(scoreCol),
+        round(col("q_lo") + lit(1e-9), 4).as("q_lo"),
+        round(col("q_hi") + lit(1e-9), 4).as("q_hi"))
+  }
+
+  /** Cross-document boilerplate-gram mining: the top-K word n-grams
+    * by DOCUMENT frequency (each doc votes once per distinct gram —
+    * in-doc repetition is `repetition`'s job, not this one's), then
+    * every document's coverage against that boilerplate set — the
+    * headers/footers/navigation-chrome detector every web-corpus
+    * pipeline runs before tokenization (docs dominated by corpus-
+    * global grams are template chrome, not content).
+    *
+    * Scale shape: two corpus passes, irreducibly — a global top-K
+    * cannot be known until the df pass completes. Pass 1:
+    * distinct-grams-per-doc → map-side-combined df count → top-K via
+    * ORDER BY df LIMIT k (TakeOrdered: per-partition heaps + driver
+    * merge of K rows, never a global sort). Pass 2: re-derive the
+    * per-doc grams (recompute beats caching a corpus-sized gram
+    * frame) and probe the BROADCAST top set; per-doc rollup is one
+    * map-side-combined aggregate. Ties at the df cut break by gram
+    * (the repo's universal determinism rule).
+    */
+  def boilerplateGrams(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int, topK: Int): DataFrame = {
+    require(n >= 1 && topK >= 1,
+      s"boilerplateGrams: need n >= 1 and topK >= 1, got $n/$topK")
+    def docGrams = docs.select(col(idCol),
+      explode(array_distinct(TextFns.wordShingles(col(textCol), n)))
+        .as("g"))
+    val top = docGrams.groupBy(col("g"))
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("g"))
+      .limit(topK)
+    docGrams
+      .join(broadcast(top.select(col("g"), lit(1L).as("hit"))),
+        Seq("g"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_boiler"))
+      .withColumn("boiler_ratio",
+        round(col("n_boiler").cast("double") / col("n_grams")
+          + lit(1e-9), 6))
+  }
+
   def lensClassify(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     def hits(kws: Seq[String]): Column = kws.map(w =>
       when(col(textCol).contains(w), 1).otherwise(0)).reduce(_ + _)

@@ -444,4 +444,44 @@ object VectorSearch {
     }
     out.toSeq.toDF(idCol, "rel", "mmr_score", "pick_order")
   }
+
+  /** Embedding-pipeline health report: per-group vector QC — the
+    * gate an ingest pipeline runs before an encoder batch is allowed
+    * into the index (a broken encoder run shows up as zero vectors,
+    * NaN components, or a norm drift, and catching it here is 1000×
+    * cheaper than re-indexing). Per group: row count, zero-vector
+    * count, NaN-component count, dimension min/max (≠ means a mixed
+    * encoder deploy), and norm stats over the HEALTHY rows only (so
+    * one NaN can't poison the aggregate).
+    *
+    * Scale shape: one narrow projection computes dim / normSq / NaN
+    * flag per row (normSq is the codegen'd VecNormSq fold — linear
+    * in d, no shuffle), then ONE map-side-combined groupBy on the
+    * group key. Nothing leaves the executors but |groups| rows.
+    */
+  def embHealth(
+      embs: DataFrame, idCol: String, vecCol: String,
+      groupCol: String): DataFrame = {
+    val n2 = VectorFns.normSq(col(vecCol))
+    val hasNan = exists(col(vecCol), x => isnan(x.cast("double")))
+    val perRow = embs.select(col(groupCol),
+      size(col(vecCol)).cast("long").as("dim"),
+      hasNan.as("is_nan"),
+      when(!hasNan, sqrt(n2)).as("nrm"))
+      .withColumn("is_zero", !col("is_nan") && col("nrm") === 0.0)
+    val r4 = (c: Column) => round(c + lit(1e-9), 4)
+    perRow.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(when(col("is_zero"), 1L).otherwise(0L)).as("n_zero"),
+        sum(when(col("is_nan"), 1L).otherwise(0L)).as("n_nan"),
+        min(col("dim")).as("dim_min"),
+        max(col("dim")).as("dim_max"),
+        r4(avg(when(!col("is_zero") && !col("is_nan"), col("nrm"))))
+          .as("avg_norm"),
+        r4(min(when(!col("is_zero") && !col("is_nan"), col("nrm"))))
+          .as("min_norm"),
+        r4(max(when(!col("is_zero") && !col("is_nan"), col("nrm"))))
+          .as("max_norm"))
+  }
 }

@@ -209,6 +209,58 @@ object CorpusQueries {
        |SELECT doc_id, shard, pos FROM fin ORDER BY shard, pos""".stripMargin
   }
 
+  /* ---------------- mix_temperature ---------------- */
+
+  private val MixTemp = 2.0
+  private val MixTSalt = "mixt-v1"
+
+  /** Temperature-mix binding: T = 2 (the α = 0.5 multilingual
+    * sampling setting) over the LANG strata — langs are skewed
+    * (en ≈ 2.4× the tail), so the temperature visibly flattens the
+    * mix. Under w ∝ √c the SMALLEST stratum binds (N* = min c/w =
+    * min √c), riding at rate 1.0 while every larger stratum
+    * downsamples at √(c_min/c_s): the achieved composition is
+    * ∝ √c_s — flattened, never upsampled.
+    */
+  private def mixTemperatureQ(s: SparkSession, d: String): DataFrame =
+    Sampling.mixTemperature(
+      Tables.documents(s, d).select(col("doc_id"), col("lang")),
+      "lang", "doc_id", MixTemp, MixTSalt)
+      .orderBy(col("lang"))
+
+  private val mixTemperatureSql = {
+    val dec = SqlSnippets.hexPrefixDecode(
+      s"md5(doc_id::VARCHAR || '|$MixTSalt')")
+    s"""WITH counts AS (SELECT lang, count(*)::BIGINT AS n_docs
+       |  FROM documents GROUP BY lang),
+       |wc AS (SELECT lang, n_docs,
+       |    round(pow(n_docs, ${1.0 / MixTemp}) + 0.000000000001, 6)
+       |      AS wraw
+       |  FROM counts),
+       |ns AS (SELECT min(n_docs / wraw) AS nstar FROM wc),
+       |wt AS (SELECT sum(wraw) AS wtot FROM wc),
+       |rates AS (SELECT lang, n_docs, wraw,
+       |    floor(least(nstar * wraw / n_docs, 1.0)
+       |      * ${Sampling.Buckets} + 0.000000001)::BIGINT AS rate_buckets
+       |  FROM wc, ns),
+       |b AS (SELECT doc_id, lang,
+       |    (($dec) % ${Sampling.Buckets})::BIGINT AS bucket
+       |  FROM documents),
+       |sel AS (SELECT b.lang, count(*)::BIGINT AS n_selected
+       |  FROM b JOIN rates ON b.lang = rates.lang
+       |    AND b.bucket < rates.rate_buckets
+       |  GROUP BY b.lang),
+       |tot AS (SELECT sum(n_selected)::BIGINT AS total_sel FROM sel)
+       |SELECT rates.lang, n_docs,
+       |  round(wraw / wtot + 0.000000001, 6) AS target_w,
+       |  rate_buckets,
+       |  coalesce(n_selected, 0)::BIGINT AS n_selected,
+       |  round(coalesce(n_selected, 0)::DOUBLE / total_sel
+       |    + 0.000000001, 6) AS achieved_frac
+       |FROM rates LEFT JOIN sel ON rates.lang = sel.lang, wt, tot
+       |ORDER BY rates.lang""".stripMargin
+  }
+
   /* ---------------- corpus_mix ---------------- */
 
   private val MixWeights: Map[String, Double] =
@@ -416,6 +468,7 @@ object CorpusQueries {
     Qdef("sample_exact_k", sampleExactK, Some(sampleExactKSql)),
     Qdef("corpus_shuffle", corpusShuffle, Some(corpusShuffleSql)),
     Qdef("corpus_mix", corpusMix, Some(corpusMixSql)),
+    Qdef("mix_temperature", mixTemperatureQ, Some(mixTemperatureSql)),
     Qdef("corpus_drift", corpusDrift, Some(corpusDriftSql)),
     Qdef("corpus_dsir", corpusDsir, Some(corpusDsirSql)))
 }

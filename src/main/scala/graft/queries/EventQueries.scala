@@ -286,6 +286,28 @@ object EventQueries {
       |  round(quantile_cont(value, 0.99) + 0.000000001, 6) AS p99
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /* ---------------- ev_transitions ---------------- */
+
+  private def evTransitions(s: SparkSession, d: String): DataFrame =
+    Events.transitionMatrix(Tables.events(s, d))
+      .orderBy(col("prev_type"), col("next_type"))
+
+  private val evTransitionsSql =
+    s"""WITH e AS (SELECT user_id, event_type, event_id,
+       |    $EpochSecs AS s FROM events),
+       |p AS (SELECT event_type AS next_type,
+       |    lag(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY s, event_id) AS prev_type
+       |  FROM e),
+       |m AS (SELECT prev_type, next_type, count(*)::BIGINT AS n_trans
+       |  FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+       |t AS (SELECT prev_type, sum(n_trans)::BIGINT AS tot
+       |  FROM m GROUP BY 1)
+       |SELECT m.prev_type, m.next_type, n_trans,
+       |  round(n_trans::DOUBLE / tot + 0.000000001, 6) AS prob
+       |FROM m JOIN t ON m.prev_type = t.prev_type
+       |ORDER BY m.prev_type, m.next_type""".stripMargin
+
   /* ---------------- ev_dau ---------------- */
 
   private def evDau(s: SparkSession, d: String): DataFrame =
@@ -305,6 +327,7 @@ object EventQueries {
     Qdef("ev_value_pctl", evValuePctl, Some(evValuePctlSql)),
     Qdef("ev_windowed_agg", evWindowedAgg, Some(evWindowedAggSql)),
     Qdef("ev_sessionize", evSessionize, Some(evSessionizeSql)),
+    Qdef("ev_transitions", evTransitions, Some(evTransitionsSql)),
     Qdef("ev_user_topk", evUserTopK, Some(evUserTopKSql)),
     Qdef("ev_props_agg", evPropsAgg, Some(evPropsAggSql)),
     Qdef("ev_funnel", evFunnel, Some(evFunnelSql)),

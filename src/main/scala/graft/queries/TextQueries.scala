@@ -1086,9 +1086,73 @@ object TextQueries {
        |  bias_risk
        |FROM f ORDER BY doc_id""".stripMargin
 
+  /* ---------------- txt_quality_gate ---------------- */
+
+  private val GateLow = 0.25
+  private val GateHigh = 0.95
+
+  /** CCNet-style distribution-calibrated band gate over the per-doc
+    * quality score: drop the bottom quartile (gibberish tail) and
+    * the top 5% (template-spam tail), thresholds derived from the
+    * corpus itself.
+    */
+  private def txtQualityGate(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.percentileGate(
+      TextAnalysis.qualityScore(Tables.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("quality").cast("long").as("quality")),
+      "doc_id", "quality", GateLow, GateHigh)
+      .orderBy(col("doc_id"))
+
+  private val txtQualityGateSql =
+    s"""WITH $qualityCtes,
+       |q AS (SELECT doc_id,
+       |    (len_score + tok_score + stop_score + div_score)::BIGINT
+       |      AS quality
+       |  FROM sc),
+       |thr AS (SELECT quantile_cont(quality, $GateLow) AS q_lo,
+       |    quantile_cont(quality, $GateHigh) AS q_hi FROM q)
+       |SELECT doc_id, quality,
+       |  round(thr.q_lo + 0.000000001, 4) AS q_lo,
+       |  round(thr.q_hi + 0.000000001, 4) AS q_hi
+       |FROM q, thr WHERE quality BETWEEN thr.q_lo AND thr.q_hi
+       |ORDER BY doc_id""".stripMargin
+
+  /* ---------------- txt_boilerplate ---------------- */
+
+  private val BoilerN = 3
+  private val BoilerTopK = 20
+
+  private def txtBoilerplate(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.boilerplateGrams(
+      Tables.documents(s, d), "doc_id", "text", BoilerN, BoilerTopK)
+      .orderBy(col("doc_id"))
+
+  private val txtBoilerplateSql = {
+    val concat = (0 until BoilerN).map(j => s"t[i+$j]")
+      .mkString(" || ' ' || ")
+    s"""WITH toks AS (SELECT doc_id,
+       |    string_split_regex(lower(trim(text)), '\\s+') AS t
+       |  FROM documents),
+       |ix AS (SELECT doc_id, t,
+       |    unnest(generate_series(1, len(t) - ${BoilerN - 1})) AS i
+       |  FROM toks),
+       |shs AS (SELECT DISTINCT doc_id, $concat AS g FROM ix),
+       |dfc AS (SELECT g, count(*)::BIGINT AS df FROM shs GROUP BY g),
+       |top AS (SELECT g FROM dfc ORDER BY df DESC, g LIMIT $BoilerTopK)
+       |SELECT s.doc_id, count(*)::BIGINT AS n_grams,
+       |  sum(CASE WHEN top.g IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_boiler,
+       |  round(sum(CASE WHEN top.g IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+       |    / count(*) + 0.000000001, 6) AS boiler_ratio
+       |FROM shs s LEFT JOIN top ON s.g = top.g
+       |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
+  }
+
   val defs: Seq[Qdef] = Seq(
     Qdef("txt_stats", txtStats, Some(txtStatsSql)),
     Qdef("txt_quality", txtQuality, Some(txtQualitySql)),
+    Qdef("txt_quality_gate", txtQualityGate, Some(txtQualityGateSql)),
+    Qdef("txt_boilerplate", txtBoilerplate, Some(txtBoilerplateSql)),
     Qdef("txt_langid", txtLangid, Some(txtLangidSql)),
     Qdef("txt_keywords", txtKeywords, Some(txtKeywordsSql)),
     Qdef("txt_entities", txtEntities, Some(txtEntitiesSql)),

@@ -1665,8 +1665,57 @@ object VectorQueries {
        |ORDER BY pick_order""".stripMargin
   }
 
+  /* ---------------- emb_health ---------------- */
+
+  /** Ingest-QC binding: the clean testdata embeddings are all unit
+    * norm, so the scenario injects the two failure modes a broken
+    * encoder run produces — zero vectors (ids ≡ 0 mod 97) and NaN
+    * components (ids ≡ 7 mod 101) — and the report must count each
+    * per label while keeping norm stats over healthy rows only.
+    */
+  private def embHealthQ(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).withColumn("embedding",
+      when(pmod(col("vec_id"), lit(97)) === 0,
+        transform(col("embedding"), _ => lit(0.0f)))
+        .when(pmod(col("vec_id"), lit(101)) === 7,
+          transform(col("embedding"), _ => lit(Float.NaN)))
+        .otherwise(col("embedding")))
+    VectorSearch.embHealth(e, "vec_id", "embedding", "label")
+      .orderBy(col("label"))
+  }
+
+  private val embHealthSql =
+    """WITH e AS (SELECT vec_id, label,
+      |    CASE WHEN vec_id % 97 = 0
+      |           THEN list_transform(embedding, x -> 0.0::FLOAT)
+      |         WHEN vec_id % 101 = 7
+      |           THEN list_transform(embedding, x -> 'NaN'::FLOAT)
+      |         ELSE embedding END AS embedding
+      |  FROM embeddings),
+      |r AS (SELECT label, len(embedding)::BIGINT AS dim,
+      |    len(list_filter(embedding, x -> isnan(x))) > 0 AS is_nan,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> x::DOUBLE * x::DOUBLE))) AS nrm
+      |  FROM e),
+      |f AS (SELECT label, dim, is_nan,
+      |    (NOT is_nan) AND nrm = 0 AS is_zero,
+      |    CASE WHEN is_nan THEN NULL ELSE nrm END AS hnrm
+      |  FROM r)
+      |SELECT label, count(*)::BIGINT AS n_vecs,
+      |  sum(CASE WHEN is_zero THEN 1 ELSE 0 END)::BIGINT AS n_zero,
+      |  sum(CASE WHEN is_nan THEN 1 ELSE 0 END)::BIGINT AS n_nan,
+      |  min(dim) AS dim_min, max(dim) AS dim_max,
+      |  round(avg(CASE WHEN NOT is_zero AND NOT is_nan THEN hnrm END)
+      |    + 0.000000001, 4) AS avg_norm,
+      |  round(min(CASE WHEN NOT is_zero AND NOT is_nan THEN hnrm END)
+      |    + 0.000000001, 4) AS min_norm,
+      |  round(max(CASE WHEN NOT is_zero AND NOT is_nan THEN hnrm END)
+      |    + 0.000000001, 4) AS max_norm
+      |FROM f GROUP BY label ORDER BY label""".stripMargin
+
   val defs: Seq[Qdef] = Seq(
     Qdef("vs_dense_topk", denseTopK, Some(denseTopKSql)),
+    Qdef("emb_health", embHealthQ, Some(embHealthSql)),
     Qdef("vs_sq8_topk", sq8TopK, Some(sq8TopKSql)),
     Qdef("vs_mmr", vsMmr, Some(vsMmrSql)),
     Qdef("vs_filtered_topk", filteredTopK, Some(filteredTopKSql)),

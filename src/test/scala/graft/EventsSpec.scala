@@ -22,6 +22,24 @@ class EventsSpec extends SparkSpec {
     assert(out((8L, 1L)) == (1L, 0L))
   }
 
+  test("transitionMatrix counts consecutive per-user pairs and " +
+    "normalizes per source state") {
+    val ev = Seq(
+      (1L, 7L, ns(0), "view"), (2L, 7L, ns(10), "click"),
+      (3L, 7L, ns(20), "view"), (4L, 7L, ns(30), "click"),
+      (5L, 8L, ns(5), "view"), (6L, 8L, ns(6), "buy")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    // user 7: view→click, click→view, view→click; user 8: view→buy;
+    // no cross-user pair (user 8's view never chains to user 7)
+    val out = Events.transitionMatrix(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n_trans"), r.getAs[Double]("prob")))).toMap
+    assert(out.size == 3)
+    assert(out(("view", "click")) == ((2L, 0.666667)))
+    assert(out(("view", "buy")) == ((1L, 0.333333)))
+    assert(out(("click", "view")) == ((1L, 1.0)))
+  }
+
   test("growth labels rising and declining types") {
     // type A: 1 early, 4 late (rising); type B: 4 early, 1 late (declining)
     val rows = Seq(

@@ -94,19 +94,34 @@ class LayoutSpec extends SparkSpec {
 
     // task-level inputMetrics.bytesRead = bytes the parquet reader
     // actually pulled — skipped row groups never hit the stream, so
-    // this measures the skip itself, not an inference from stats
+    // this measures the skip itself, not an inference from stats.
+    // The sum is scoped to THIS query's stages via a unique job group
+    // (setJobGroup is thread-local): suites share one session and run
+    // in parallel, so an unfiltered listener also counts whatever
+    // another suite happens to scan during the window.
     def bytesReadOf(dir: String): (Long, Long) = {
+      val group = s"layout-skip-${java.util.UUID.randomUUID()}"
+      val stages = java.util.concurrent.ConcurrentHashMap
+        .newKeySet[Int]()
       val acc = new java.util.concurrent.atomic.AtomicLong(0L)
       val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          if (j.properties != null &&
+              group == j.properties.getProperty("spark.jobGroup.id"))
+            j.stageIds.foreach(id => stages.add(id): Unit)
         override def onTaskEnd(
             e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-          if (e.taskMetrics != null)
+          if (e.taskMetrics != null && stages.contains(e.stageId))
             acc.addAndGet(e.taskMetrics.inputMetrics.bytesRead): Unit
       }
       spark.sparkContext.addSparkListener(listener)
       try {
-        val cnt = spark.read.parquet(dir)
-          .where(col("b") >= 100 && col("b") < 600).count()
+        spark.sparkContext.setJobGroup(group, "layout skip measurement")
+        val cnt =
+          try spark.read.parquet(dir)
+            .where(col("b") >= 100 && col("b") < 600).count()
+          finally spark.sparkContext.clearJobGroup()
         // listener delivery is async — poll until the counter settles
         var last = -1L; var stable = 0; var waited = 0
         while (stable < 3 && waited < 10000) {

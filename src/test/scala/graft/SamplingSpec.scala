@@ -198,4 +198,27 @@ class SamplingSpec extends SparkSpec {
       Sampling.dsirLogWeights(d, d, "doc_id", "text", buckets = 0)
     }
   }
+
+  test("mixTemperature at T=2: the smallest stratum binds at rate " +
+    "1.0 and larger strata downsample at sqrt(c_min/c)") {
+    // a = 100 docs, b = 400: w = (10, 20), N* = min(100/10, 400/20)
+    // = 10 → rate_a = 1.0 (1000 buckets), rate_b = 0.5 (500 buckets)
+    val df = ((1 to 100).map(i => (i.toLong, "a")) ++
+      (101 to 500).map(i => (i.toLong, "b"))).toDF("id", "s")
+    val out = Sampling.mixTemperature(df, "s", "id", 2.0, "t-v1")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a").getAs[Long]("rate_buckets") == 1000L)
+    assert(out("b").getAs[Long]("rate_buckets") == 500L)
+    // display weights normalize the raw sqrt weights: 10/30, 20/30
+    assert(out("a").getAs[Double]("target_w") == 0.333333)
+    assert(out("b").getAs[Double]("target_w") == 0.666667)
+    // rate 1.0 keeps the binding stratum whole; b halves (hash split
+    // is deterministic but not exactly 50/50 — envelope, not pin)
+    assert(out("a").getAs[Long]("n_selected") == 100L)
+    val nb = out("b").getAs[Long]("n_selected")
+    assert(nb > 150 && nb < 250, s"b selected $nb of 400 at rate 0.5")
+    intercept[IllegalArgumentException] {
+      Sampling.mixTemperature(df, "s", "id", 0.0, "t-v1")
+    }
+  }
 }

@@ -183,4 +183,52 @@ class TextAnalysisSpec extends SparkSpec {
     // worst (most negative) first
     assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
   }
+
+  test("percentileGate keeps the middle band; the approx twin stays " +
+    "in its envelope") {
+    val scored = (1 to 100).map(i => (i.toLong, i.toLong))
+      .toDF("doc_id", "score")
+    val exact = TextAnalysis
+      .percentileGate(scored, "doc_id", "score", 0.25, 0.95).collect()
+    // percentile over 1..100: 0.25 → 25.75, 0.95 → 95.05 (linear
+    // interpolation), so kept = 26..95 = 70 rows
+    assert(exact.length == 70)
+    assert(exact.forall(r =>
+      r.getAs[Long]("score") >= 26 && r.getAs[Long]("score") <= 95))
+    assert(exact.head.getAs[Double]("q_lo") == 25.75)
+    assert(exact.head.getAs[Double]("q_hi") == 95.05)
+    // the GK sketch returns actual elements (no interpolation), so
+    // the cuts may sit one value off — pin the envelope, not equality
+    val approx = TextAnalysis
+      .percentileGateApprox(scored, "doc_id", "score", 0.25, 0.95)
+      .collect()
+    assert(math.abs(approx.length - exact.length) <= 2,
+      s"approx kept ${approx.length} vs exact ${exact.length}")
+    assert(math.abs(approx.head.getAs[Double]("q_lo") - 25.75) <= 1.0)
+    assert(math.abs(approx.head.getAs[Double]("q_hi") - 95.05) <= 1.0)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.percentileGate(scored, "doc_id", "score", 0.9, 0.1)
+    }
+  }
+
+  test("boilerplateGrams flags corpus-global grams by document " +
+    "frequency, not in-doc repetition") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "the quick brown cat sleeps"),
+      (3L, "the quick brown dog barks"),
+      (4L, "totally unique words here now")
+    ).toDF("doc_id", "text")
+    // df('the quick brown') = 3, every other 3-gram df = 1 → topK=1
+    // selects exactly it (ties below the cut can't displace it)
+    val out = TextAnalysis
+      .boilerplateGrams(docs, "doc_id", "text", n = 3, topK = 1)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_grams") == 3L)
+    assert(out(1L).getAs[Long]("n_boiler") == 1L)
+    assert(out(1L).getAs[Double]("boiler_ratio") == 0.333333)
+    assert(out(4L).getAs[Long]("n_boiler") == 0L)
+    assert(out(4L).getAs[Double]("boiler_ratio") == 0.0)
+    assert(out.size == 4)
+  }
 }
