@@ -138,6 +138,54 @@ object VectorSearch {
       .where(col("centroid_cos").isNotNull)
   }
 
+  /** Embedding-drift monitor between two snapshots (the encoder-
+    * version canary): per group, the cosine between the OLD
+    * snapshot's centroid and the NEW one's, plus both row counts and
+    * a stable/drifted status on the ROUNDED cosine (the repo's
+    * threshold protocol — a last-ulp drift can never flip the flag
+    * between engines). A silently-deployed encoder change shows up
+    * here as a centroid rotation long before recall telemetry
+    * degrades, and the check costs two narrow scans instead of a
+    * re-index.
+    *
+    * Scale shape: each side collapses to (group, pos) centroid rows
+    * via the map-side-combinable long form (groupCentroids — wide
+    * arrays never shuffle), the join/cosine runs on those bounded
+    * |groups|·d frames, and the row counts are two more partial
+    * aggregates broadcast back. Groups present in only one snapshot
+    * have no defined drift and are absent (sparse contract).
+    */
+  def embDrift(
+      oldVecs: DataFrame, newVecs: DataFrame,
+      groupCol: String, vecCol: String, minCos: Double): DataFrame = {
+    require(minCos >= -1.0 && minCos <= 1.0,
+      s"embDrift: minCos must be in [-1, 1], got $minCos")
+    val co = groupCentroids(oldVecs, groupCol, vecCol)
+      .select(col(groupCol), col("pos"), col("v").as("vo"))
+    val cn = groupCentroids(newVecs, groupCol, vecCol)
+      .select(col(groupCol), col("pos"), col("v").as("vn"))
+    val sims = co.join(cn, Seq(groupCol, "pos"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("vo") * col("vn")).as("dot"),
+        sum(col("vo") * col("vo")).as("nso"),
+        sum(col("vn") * col("vn")).as("nsn"))
+      .select(col(groupCol),
+        round(col("dot") /
+          nullif(sqrt(col("nso")) * sqrt(col("nsn")), lit(0.0)), 6)
+          .as("centroid_cos"))
+    val nOld = oldVecs.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_old"))
+    val nNew = newVecs.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_new"))
+    sims.join(broadcast(nOld), Seq(groupCol))
+      .join(broadcast(nNew), Seq(groupCol))
+      .select(col(groupCol), col("n_old"), col("n_new"),
+        col("centroid_cos"),
+        when(col("centroid_cos").isNull, "degenerate")
+          .when(col("centroid_cos") < minCos, "drifted")
+          .otherwise("stable").as("status"))
+  }
+
   /** Centroids as dense arrays (pos-sorted), for broadcasting. */
   def centroidArrays(
       vectors: DataFrame, groupCol: String, vecCol: String): DataFrame =

@@ -1713,9 +1713,68 @@ object VectorQueries {
       |    + 0.000000001, 4) AS max_norm
       |FROM f GROUP BY label ORDER BY label""".stripMargin
 
+  /* ---------------- emb_drift ---------------- */
+
+  private val DriftMinCos = 0.99
+
+  /** Encoder-canary binding: the "new snapshot" re-embeds labels ≡ 0
+    * (mod 3) with a shifted first component (the silently-deployed
+    * encoder change), leaves the rest byte-identical — the monitor
+    * must flag exactly the shifted labels as drifted and report the
+    * untouched ones at cosine 1.0.
+    */
+  private def embDriftQ(s: SparkSession, d: String): DataFrame = {
+    val oldE = Tables.embeddings(s, d)
+    val newE = oldE.withColumn("embedding",
+      when(pmod(col("label"), lit(3)) === 0,
+        concat(array(element_at(col("embedding"), 1) + lit(0.5f)),
+          slice(col("embedding"), lit(2),
+            size(col("embedding")) - 1)))
+        .otherwise(col("embedding")))
+    VectorSearch.embDrift(oldE, newE, "label", "embedding", DriftMinCos)
+      .orderBy(col("label"))
+  }
+
+  private val embDriftSql =
+    s"""WITH ne AS (SELECT vec_id, label,
+       |    CASE WHEN label % 3 = 0
+       |      THEN [embedding[1] + 0.5::FLOAT] || embedding[2:]
+       |      ELSE embedding END AS embedding
+       |  FROM embeddings),
+       |oidx AS (SELECT label, embedding,
+       |    unnest(generate_series(1, len(embedding))) AS i
+       |  FROM embeddings),
+       |ov AS (SELECT label, i, embedding[i]::DOUBLE AS v FROM oidx),
+       |oc AS (SELECT label, i, avg(v) AS vo FROM ov GROUP BY 1, 2),
+       |nidx AS (SELECT label, embedding,
+       |    unnest(generate_series(1, len(embedding))) AS i
+       |  FROM ne),
+       |nv AS (SELECT label, i, embedding[i]::DOUBLE AS v FROM nidx),
+       |nc AS (SELECT label, i, avg(v) AS vn FROM nv GROUP BY 1, 2),
+       |sm AS (SELECT oc.label, sum(vo * vn) AS dot,
+       |    sum(vo * vo) AS nso, sum(vn * vn) AS nsn
+       |  FROM oc JOIN nc ON oc.label = nc.label AND oc.i = nc.i
+       |  GROUP BY 1),
+       |cs AS (SELECT label,
+       |    round(dot / nullif(sqrt(nso) * sqrt(nsn), 0), 6)
+       |      AS centroid_cos
+       |  FROM sm),
+       |co AS (SELECT label, count(*)::BIGINT AS n_old
+       |  FROM embeddings GROUP BY label),
+       |cn2 AS (SELECT label, count(*)::BIGINT AS n_new
+       |  FROM ne GROUP BY label)
+       |SELECT cs.label, n_old, n_new, centroid_cos,
+       |  CASE WHEN centroid_cos IS NULL THEN 'degenerate'
+       |       WHEN centroid_cos < $DriftMinCos THEN 'drifted'
+       |       ELSE 'stable' END AS status
+       |FROM cs JOIN co ON cs.label = co.label
+       |  JOIN cn2 ON cs.label = cn2.label
+       |ORDER BY cs.label""".stripMargin
+
   val defs: Seq[Qdef] = Seq(
     Qdef("vs_dense_topk", denseTopK, Some(denseTopKSql)),
     Qdef("emb_health", embHealthQ, Some(embHealthSql)),
+    Qdef("emb_drift", embDriftQ, Some(embDriftSql)),
     Qdef("vs_sq8_topk", sq8TopK, Some(sq8TopKSql)),
     Qdef("vs_mmr", vsMmr, Some(vsMmrSql)),
     Qdef("vs_filtered_topk", filteredTopK, Some(filteredTopKSql)),

@@ -29,6 +29,16 @@ case class KeyLatest(version: Long, payload: String, deleted: Boolean)
 case class CurrentRow(
     key: Long, version: Long, payload: String, deleted: Boolean)
 
+/** One typed event for streaming transition tracking. */
+case class TypedEvent(
+    user_id: Long, ts: java.sql.Timestamp, event_type: String)
+
+/** Per-user last-seen event kept in the state store. */
+case class LastEvent(secs: Long, event_type: String)
+
+/** One observed prev→next transition emitted downstream. */
+case class TransitionPair(prev_type: String, next_type: String)
+
 /** Structured Streaming twins of the batch event operators
   * (graft.operators.Events). Same logical shapes — tumbling windows,
   * sessionization-ready keyed state — expressed on an unbounded
@@ -188,6 +198,53 @@ object StreamingAggs {
     *    is what bounds state size at 100 TB/day: open sessions only,
     *    keyed by user, expired by watermark, never a full history).
     */
+  /** Streaming twin of Events.transitionMatrix: per-user last-event
+    * state chains each arriving event to its predecessor and emits
+    * the (prev, next) pair immediately; the matrix itself is the
+    * downstream rollup (a windowed count or the sink's aggregation),
+    * because a streaming GLOBAL matrix would be an ever-growing
+    * complete-mode aggregate. State is ONE tiny row per active user;
+    * `idleSecs` evicts users idle past the watermark, so at 100
+    * TB/day of events the store holds only the active-user frontier
+    * (the sessionizeStream bound). An evicted user's chain simply
+    * restarts on return — no pair spans the idle gap, the documented
+    * trade for bounded state. Within a micro-batch events sort by
+    * (event time, type) since batches are not order-guaranteed;
+    * cross-batch disorder beyond the watermark delay chains in
+    * arrival order — sessionizeStream's disorderDelay caveat.
+    */
+  def transitionStream(
+      events: Dataset[TypedEvent], idleSecs: Long,
+      disorderDelay: String = "0 seconds"): Dataset[TransitionPair] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", disorderDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEvent, TransitionPair](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[TypedEvent],
+         state: GroupState[LastEvent]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val evs = it.map(e => (e.ts.getTime / 1000L, e.event_type))
+              .toSeq.sorted
+            val out = Seq.newBuilder[TransitionPair]
+            var last = state.getOption
+            evs.foreach { case (sec, t) =>
+              last.foreach(l => out += TransitionPair(l.event_type, t))
+              last = Some(LastEvent(sec, t))
+            }
+            last.foreach { l =>
+              state.update(l)
+              state.setTimeoutTimestamp((l.secs + idleSecs) * 1000L)
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   def sessionizeStream(
       events: Dataset[SessionEvent], gapSecs: Long,
       disorderDelay: String = "0 seconds"): Dataset[ClosedSession] = {

@@ -76,8 +76,9 @@ class LayoutSpec extends SparkSpec {
   }
 
   test("a selective predicate on the SECOND z-ordered column actually " +
-    "skips row groups: measured bytes read are a fraction of what the " +
-    "single-column-sorted control reads, with identical results") {
+    "skips row groups: rows actually decoded by the scan are a " +
+    "fraction of what the single-column-sorted control decodes, " +
+    "with identical results") {
     // same layout-hostile square as the span test: a-sort clusters a
     // perfectly and leaves b full-range in every file, so a filter on
     // b can skip NOTHING there; z-order gives every file a narrow b
@@ -92,55 +93,41 @@ class LayoutSpec extends SparkSpec {
     df.repartitionByRange(16, col("a")).sortWithinPartitions(col("a"))
       .write.parquet(sdir)
 
-    // task-level inputMetrics.bytesRead = bytes the parquet reader
-    // actually pulled — skipped row groups never hit the stream, so
-    // this measures the skip itself, not an inference from stats.
-    // The sum is scoped to THIS query's stages via a unique job group
-    // (setJobGroup is thread-local): suites share one session and run
-    // in parallel, so an unfiltered listener also counts whatever
-    // another suite happens to scan during the window.
-    def bytesReadOf(dir: String): (Long, Long) = {
-      val group = s"layout-skip-${java.util.UUID.randomUUID()}"
-      val stages = java.util.concurrent.ConcurrentHashMap
-        .newKeySet[Int]()
-      val acc = new java.util.concurrent.atomic.AtomicLong(0L)
-      val listener = new org.apache.spark.scheduler.SparkListener {
-        override def onJobStart(
-            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-          if (j.properties != null &&
-              group == j.properties.getProperty("spark.jobGroup.id"))
-            j.stageIds.foreach(id => stages.add(id): Unit)
-        override def onTaskEnd(
-            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-          if (e.taskMetrics != null && stages.contains(e.stageId))
-            acc.addAndGet(e.taskMetrics.inputMetrics.bytesRead): Unit
+    // the scan node's own numOutputRows SQL metric = rows the parquet
+    // reader actually DECODED — rows in skipped row groups/pages
+    // never increment it, so it measures the skip itself. Unlike a
+    // SparkListener bytes sum, the metric is per-plan and its
+    // accumulators are final when the job returns (merged on task
+    // completion in the scheduler): deterministic under the parallel
+    // full-suite run, where async listener-bus delivery from OTHER
+    // suites' scans made the listener approach flaky.
+    def scanRowsOf(dir: String): (Long, Long) = {
+      val df = spark.read.parquet(dir)
+        .where(col("b") >= 100 && col("b") < 600)
+      val qe = df.queryExecution
+      val cnt = qe.executedPlan.execute().count()
+      val plan = qe.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
       }
-      spark.sparkContext.addSparkListener(listener)
-      try {
-        spark.sparkContext.setJobGroup(group, "layout skip measurement")
-        val cnt =
-          try spark.read.parquet(dir)
-            .where(col("b") >= 100 && col("b") < 600).count()
-          finally spark.sparkContext.clearJobGroup()
-        // listener delivery is async — poll until the counter settles
-        var last = -1L; var stable = 0; var waited = 0
-        while (stable < 3 && waited < 10000) {
-          Thread.sleep(100); waited += 100
-          val v = acc.get
-          if (v == last) stable += 1 else { stable = 0; last = v }
-        }
-        (acc.get, cnt)
-      } finally spark.sparkContext.removeSparkListener(listener)
+      val scanRows = plan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numOutputRows").value
+      }.sum
+      (scanRows, cnt)
     }
-    val (sortedBytes, sortedCnt) = bytesReadOf(sdir)
-    val (zBytes, zCnt) = bytesReadOf(zdir)
+    val (sortedRows, sortedCnt) = scanRowsOf(sdir)
+    val (zRows, zCnt) = scanRowsOf(zdir)
     assert(zCnt == sortedCnt && zCnt == 500L,
       s"layout must not change results: z=$zCnt sorted=$sortedCnt")
-    assert(sortedBytes > 0 && zBytes > 0, "listener captured no metrics")
-    // the a-sorted control must read essentially everything; the
-    // z-ordered layout skips the files whose b-window misses [100,600)
-    assert(zBytes < sortedBytes * 0.7,
-      s"z-order must skip bytes the a-sort cannot: z=$zBytes " +
-        s"vs sorted=$sortedBytes")
+    // the a-sorted control decodes essentially everything (every file
+    // spans b's full range); the z-ordered layout skips the row
+    // groups whose b-window misses [100,600)
+    assert(sortedRows > (n * 9) / 10,
+      s"control must be unprunable on b: decoded $sortedRows of $n")
+    assert(zRows < sortedRows * 0.7,
+      s"z-order must skip rows the a-sort cannot: z=$zRows " +
+        s"vs sorted=$sortedRows")
   }
 }

@@ -31,7 +31,11 @@ class OracleLintSpec extends AnyFunSuite {
     // y = x + sx with x DOUBLE — sum(y*y) is the L2 norm accumulator
     "abs_corr", "y",
     // txt_lm_score: logp = ln(...) DOUBLE; cnt*logp stays DOUBLE
-    "logp")
+    "logp",
+    // emb_drift centroid components: vo/vn = avg(v) DOUBLE
+    "vo", "vn",
+    // mix_temperature: wraw = round(pow(...), 6) DOUBLE
+    "wraw")
 
   /** Reviewed intermediates: HUGEINT result is consumed by float
     * arithmetic or a comparison, never emitted. Key = query name,

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Chunker, Dedup, Embed, Pack, TextAnalysis, VectorSearch}
+import graft.operators.{Chunker, Dedup, Embed, Pack, Sampling, TextAnalysis, VectorSearch}
 
 /** End-to-end integration of the reference's corpus flow on graft
   * operators alone: documents → dedup → chunk → embed → search
@@ -319,5 +319,50 @@ class PipelineSpec extends SparkSpec {
     // rebuild a pipeline actually ships
     assert(spark.read.parquet(dir)
       .select("doc_id").as[Long].collect().toSet == keep)
+  }
+
+  test("calibrated curation flow: percentile quality gate -> " +
+    "temperature mix over the gated corpus -> flattened composition") {
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+
+    // 1. score every doc and gate the middle of the DISTRIBUTION —
+    // thresholds derive from the corpus itself, not constants
+    val scored = TextAnalysis
+      .qualityScore(corpus, "doc_id", "text")
+      .select(col("doc_id"), col("quality").cast("long").as("quality"))
+    val gated = TextAnalysis
+      .percentileGate(scored, "doc_id", "quality", 0.1, 0.99).cache()
+    val nGated = gated.count()
+    val nAll = corpus.count()
+    assert(nGated > 0 && nGated < nAll,
+      s"gate must drop both tails: kept $nGated of $nAll")
+
+    // 2. survivors rejoin their metadata; the temperature mix runs
+    // on the GATED corpus (selection composes with selection: the
+    // mix sees post-gate counts, not raw ones)
+    val survivors = corpus
+      .join(gated.select("doc_id"), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"))
+    val mix = Sampling
+      .mixTemperature(survivors, "lang", "doc_id", 2.0, "flow-v1")
+    val rows = mix.collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nGated,
+      "the mix must audit exactly the gated corpus")
+    // solver invariants: some stratum binds at rate 1.0, nothing
+    // upsamples, the audit fractions close to 1
+    assert(rows.exists(_.getAs[Long]("rate_buckets") == 1000L))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_selected") <= r.getAs[Long]("n_docs")) }
+    assert(math.abs(
+      rows.map(_.getAs[Double]("achieved_frac")).sum - 1.0) < 1e-3)
+    // the point of the temperature: the head stratum's achieved
+    // share must land BELOW its observed share (flattened toward
+    // the tail), within sampling noise of the √c target
+    val tot = rows.map(_.getAs[Long]("n_docs")).sum.toDouble
+    val head = rows.maxBy(_.getAs[Long]("n_docs"))
+    assert(head.getAs[Double]("achieved_frac") <
+      head.getAs[Long]("n_docs") / tot,
+      "temperature must flatten the head stratum's share")
+    gated.unpersist(): Unit
   }
 }

@@ -235,4 +235,32 @@ class SearchSpec extends SparkSpec {
     assert(b.getAs[Long]("n_zero") == 0L && b.getAs[Long]("n_nan") == 0L)
     assert(b.getAs[Double]("avg_norm") == 1.0)
   }
+
+  test("embDrift flags centroid rotation between snapshots; identical " +
+    "groups read stable at cosine 1.0; zero centroids are degenerate") {
+    val oldE = Seq(
+      (1L, Array(1.0f, 0.0f), "a"), (2L, Array(1.0f, 0.2f), "a"),
+      (3L, Array(0.0f, 1.0f), "b"), (4L, Array(0.2f, 1.0f), "b"),
+      (5L, Array(0.0f, 0.0f), "z")
+    ).toDF("vec_id", "embedding", "label")
+    // a unchanged; b rotated 90°; z stays all-zero (no defined cosine)
+    val newE = Seq(
+      (1L, Array(1.0f, 0.0f), "a"), (2L, Array(1.0f, 0.2f), "a"),
+      (3L, Array(1.0f, 0.0f), "b"), (4L, Array(1.0f, -0.2f), "b"),
+      (5L, Array(0.0f, 0.0f), "z")
+    ).toDF("vec_id", "embedding", "label")
+    val out = VectorSearch
+      .embDrift(oldE, newE, "label", "embedding", minCos = 0.9)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a").getAs[String]("status") == "stable")
+    assert(out("a").getAs[Double]("centroid_cos") == 1.0)
+    assert(out("a").getAs[Long]("n_old") == 2L &&
+      out("a").getAs[Long]("n_new") == 2L)
+    assert(out("b").getAs[String]("status") == "drifted")
+    assert(out("b").getAs[Double]("centroid_cos") < 0.2)
+    assert(out("z").getAs[String]("status") == "degenerate")
+    intercept[IllegalArgumentException] {
+      VectorSearch.embDrift(oldE, newE, "label", "embedding", 2.0)
+    }
+  }
 }

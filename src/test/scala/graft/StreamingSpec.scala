@@ -856,4 +856,72 @@ class StreamingSpec extends SparkSpec {
       }
     } finally ev.unpersist(): Unit
   }
+
+  test("transitionStream chains per-user events across batches, " +
+    "matches the batch transitionMatrix, and evicts idle users") {
+    val sql = spark.sqlContext
+    import spark.implicits._
+    implicit val ctx = sql
+    import graft.streaming.TypedEvent
+
+    val input = MemoryStream[TypedEvent]
+    val pairs = StreamingAggs.transitionStream(input.toDS(),
+      idleSecs = 3600L)
+    val query = pairs.writeStream
+      .format("memory")
+      .queryName("transition_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    def ev(uid: Long, sec: Long, t: String) =
+      TypedEvent(uid, new Timestamp(sec * 1000L), t)
+    def counts() = spark.table("transition_test").collect()
+      .groupBy(r => (r.getString(0), r.getString(1)))
+      .view.mapValues(_.length.toLong).toMap
+
+    // b1: user 1 view→click inline; user 2 opens with view
+    input.addData(ev(1L, 100L, "view"), ev(1L, 110L, "click"),
+      ev(2L, 105L, "view"))
+    query.processAllAvailable()
+    // b2: cross-batch chaining — user 1's click chains to view,
+    // user 2's view chains to buy
+    input.addData(ev(1L, 200L, "view"), ev(2L, 210L, "buy"))
+    query.processAllAvailable()
+
+    // parity checkpoint: streamed pair counts == the batch twin on
+    // the identical event set (before any eviction breaks a chain)
+    val streamed = counts()
+    val batchEv = Seq(
+      (1L, 1L, 100L, "view"), (2L, 1L, 110L, "click"),
+      (3L, 2L, 105L, "view"), (4L, 1L, 200L, "view"),
+      (5L, 2L, 210L, "buy")
+    ).map { case (id, uid, sec, t) => (id, uid, sec * 1000000000L, t) }
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val batch = graft.operators.Events.transitionMatrix(batchEv)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Long]("n_trans")).toMap
+    assert(streamed == batch,
+      s"streamed $streamed vs batch twin $batch")
+
+    // b3: user 2 advances the watermark far past user 1's idle
+    // timeout (200 + 3600); user 2 itself has data so it chains on
+    input.addData(ev(2L, 10000L, "view"))
+    query.processAllAvailable()
+    // b4: user 2 again — user 1 has NO data this batch, so its
+    // expired timeout fires and the state is evicted silently
+    input.addData(ev(2L, 10010L, "click"))
+    query.processAllAvailable()
+    // b5: user 1 returns AFTER eviction — a fresh chain, no pair
+    // spanning the idle gap
+    input.addData(ev(1L, 10300L, "search"))
+    query.processAllAvailable()
+    val fin = counts()
+    query.stop()
+    assert(fin.getOrElse(("buy", "view"), 0L) == 1L) // u2 b3 chain
+    assert(fin.getOrElse(("view", "click"), 0L) == 2L) // u1 b1 + u2 b4
+    // the idle gap must NOT produce view→search from user 1
+    assert(!fin.contains(("view", "search")),
+      s"evicted user's chain must restart, got $fin")
+    assert(fin.values.sum == 5L, s"unexpected pair total: $fin")
+  }
 }
