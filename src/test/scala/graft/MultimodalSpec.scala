@@ -76,4 +76,41 @@ class MultimodalSpec extends SparkSpec {
     // nothing lost or reordered
     assert(batches.flatten.map(_.media_id) == (0L until 12L))
   }
+
+  test("near-dup media: decode-path features feed the blocked-cosine " +
+    "dedup; blobs never cross the shuffle") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.functions.VectorFns
+    import graft.operators.{Dedup, Multimodal => MM}
+
+    // re-encoded copy: id 100 is id 0's payload with ONE byte nudged
+    // (a re-compressed upload); id 101 is unrelated content
+    val base = MM.syntheticMedia(spark, 12).collect()
+    val dup = base.head.payload.clone()
+    dup(5) = (dup(5) + 1).toByte
+    val media = (base.toSeq :+
+      MM.MediaRow(100L, "image", dup, 64, 48, 16000) :+
+      MM.MediaRow(101L, "image",
+        Array.tabulate[Byte](96)(j => ((j * j + 13) % 256).toByte),
+        64, 48, 16000)).toDS()
+
+    // 1. the decode boundary: payloads become small feature vectors
+    //    and the BLOB COLUMN IS GONE from everything downstream —
+    //    only (id, kind, n_bytes, features) ever reaches a shuffle
+    val feats = MM.extractFeatures(media, batchSize = 8)
+      .toDF().select(col("media_id"), col("features"))
+    assert(!feats.columns.contains("payload"))
+
+    // 2. the same SRP-blocked cosine dedup the text corpus uses
+    //    (dedup_embcos's operator) runs on the features unchanged
+    val pairs = Dedup.embeddingNearDup(
+      feats, "media_id", "features",
+      VectorFns.signCode(col("features"), 4), minCos = 0.9999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 100L)),
+      s"one-byte re-encode must pair with its original: $pairs")
+    assert(!pairs.exists(p => p._1 == 101L || p._2 == 101L),
+      s"unrelated content must not pair: $pairs")
+  }
 }

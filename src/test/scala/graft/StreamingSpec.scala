@@ -924,4 +924,81 @@ class StreamingSpec extends SparkSpec {
       s"evicted user's chain must restart, got $fin")
     assert(fin.values.sum == 5L, s"unexpected pair total: $fin")
   }
+
+  test("exactly-once upsert sink: merge-on-write partition overwrite " +
+    "is replay-idempotent, straggler-safe, and leaves untouched " +
+    "buckets' files alone") {
+    val sql = spark.sqlContext
+    import spark.implicits._
+    implicit val ctx = sql
+    import graft.streaming.{StreamingSink, UpsertEvent}
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sink").toFile.getAbsolutePath
+    val Buckets = 8
+
+    val input = MemoryStream[UpsertEvent]
+    val query = input.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        StreamingSink.upsertBatch(batch, dir, Seq("key"), "version",
+          Buckets)
+      }.start()
+    // b1: keys 1..3 open at v0
+    input.addData(UpsertEvent(1L, 0L, "a0", false),
+      UpsertEvent(2L, 0L, "b0", false), UpsertEvent(3L, 0L, "c0", false))
+    query.processAllAvailable()
+    // b2: key 1 upserts, key 2 tombstones, key 4 arrives
+    val b2 = Seq(UpsertEvent(1L, 1L, "a1", false),
+      UpsertEvent(2L, 1L, "b0", true), UpsertEvent(4L, 0L, "d0", false))
+    input.addData(b2: _*)
+    query.processAllAvailable()
+    query.stop()
+
+    def view() = StreamingSink.readCurrent(spark, dir, "deleted")
+      .select("key", "version", "payload").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    val expected = Map(1L -> ((1L, "a1")), 3L -> ((0L, "c0")),
+      4L -> ((0L, "d0")))
+    assert(view() == expected)
+
+    // dynamic overwrite names part files uniquely, so a rewritten
+    // partition ALWAYS changes its file-name set — snapshot per
+    // bucket dir, then replay
+    def filesByBucket(): Map[String, Set[String]] = {
+      val base = new java.io.File(dir)
+      base.listFiles().filter(f => f.isDirectory &&
+        f.getName.startsWith("bkt=")).map { d =>
+        d.getName -> d.listFiles().map(_.getName)
+          .filter(_.endsWith(".parquet")).toSet
+      }.toMap
+    }
+    val before = filesByBucket()
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    val touched = b2.toDF()
+      .select(pmod(xxhash64(col("key")), lit(Buckets.toLong)))
+      .distinct().collect().map(r => s"bkt=${r.getLong(0)}").toSet
+
+    // REPLAY b2 (the at-least-once crash-recovery path): the store
+    // must not change — that idempotence IS the exactly-once claim
+    StreamingSink.upsertBatch(b2.toDF(), dir, Seq("key"), "version",
+      Buckets)
+    assert(view() == expected, "replay must be a no-op on the view")
+    val after = filesByBucket()
+    before.keySet.filterNot(touched).foreach { bkt =>
+      assert(after(bkt) == before(bkt),
+        s"untouched $bkt was rewritten: ${before(bkt)} -> ${after(bkt)}")
+    }
+
+    // STRAGGLER: key 2's v0 re-insert arrives after its v1 tombstone
+    // was absorbed — the persisted tombstone must win (no
+    // resurrection), the contract consuming tombstones cannot give
+    StreamingSink.upsertBatch(
+      Seq(UpsertEvent(2L, 0L, "b0-late", false)).toDF(),
+      dir, Seq("key"), "version", Buckets)
+    assert(view() == expected,
+      "a lower-versioned straggler must not resurrect a deleted key")
+    // and an empty replay touches nothing
+    StreamingSink.upsertBatch(
+      Seq.empty[UpsertEvent].toDF(), dir, Seq("key"), "version", Buckets)
+    assert(view() == expected)
+  }
 }
