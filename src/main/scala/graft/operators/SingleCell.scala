@@ -635,8 +635,13 @@ object SingleCell {
         "left_semi")
       .groupBy(col("chrom"), col(geneCol))
       .agg(sum(col("x")).as("s"), sum(col("x") * col("x")).as("ss"))
-    val gstats = broadcast(panelGenes)
-      .join(refSums, Seq("chrom", geneCol), "left")
+    // broadcast the BUILD side: a left join preserves panelGenes, so
+    // only the refSums side can hash-build (Spark ignores — with a
+    // warning — a broadcast hint on the preserved side). refSums is
+    // panel-bounded (one row per panel chrom×gene), so broadcasting
+    // it is the plan the hint always meant.
+    val gstats = panelGenes
+      .join(broadcast(refSums), Seq("chrom", geneCol), "left")
       .crossJoin(broadcast(nRef))
       .select(col("chrom"), col(geneCol),
         r6(coalesce(col("s"), lit(0.0)) / col("n_ref")).as("mu"),
