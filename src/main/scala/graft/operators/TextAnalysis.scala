@@ -434,6 +434,33 @@ object TextAnalysis {
         round(col("q_hi") + lit(1e-9), 4).as("q_hi"))
   }
 
+  /** Per-stratum percentile band gate — the form CCNet actually
+    * ships (per-LANGUAGE perplexity buckets): each stratum gets its
+    * own distribution-derived cuts, so a language whose scores run
+    * systematically low isn't wholesale-dropped by a global
+    * threshold calibrated on the head language. Same contract as
+    * `percentileGate` otherwise.
+    *
+    * Scale shape: the threshold frame is ONE |strata|-row aggregate
+    * (exact percentile buffers per stratum partial — swap
+    * percentile_approx at lake scale, the percentileGateApprox
+    * twin's rule), broadcast back over the scan.
+    */
+  def percentileGateBy(
+      scored: DataFrame, idCol: String, scoreCol: String,
+      strataCol: String, pLow: Double, pHigh: Double): DataFrame = {
+    require(pLow >= 0 && pHigh <= 1 && pLow < pHigh,
+      s"percentileGateBy: need 0 <= pLow < pHigh <= 1, got $pLow/$pHigh")
+    val thr = scored.groupBy(col(strataCol)).agg(
+      expr(s"percentile($scoreCol, $pLow)").as("q_lo"),
+      expr(s"percentile($scoreCol, $pHigh)").as("q_hi"))
+    scored.join(broadcast(thr), Seq(strataCol))
+      .where(col(scoreCol).between(col("q_lo"), col("q_hi")))
+      .select(col(idCol), col(strataCol), col(scoreCol),
+        round(col("q_lo") + lit(1e-9), 4).as("q_lo"),
+        round(col("q_hi") + lit(1e-9), 4).as("q_hi"))
+  }
+
   /** Cross-document boilerplate-gram mining: the top-K word n-grams
     * by DOCUMENT frequency (each doc votes once per distinct gram —
     * in-doc repetition is `repetition`'s job, not this one's), then

@@ -1117,6 +1117,38 @@ object TextQueries {
        |FROM q, thr WHERE quality BETWEEN thr.q_lo AND thr.q_hi
        |ORDER BY doc_id""".stripMargin
 
+  /* ---------------- txt_gate_stratified ---------------- */
+
+  /** The per-LANGUAGE band gate (the form CCNet ships): each lang's
+    * cuts derive from its own score distribution, so a
+    * systematically-lower-scoring language isn't wholesale-dropped
+    * by head-language thresholds.
+    */
+  private def txtGateStratified(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.percentileGateBy(
+      TextAnalysis.qualityScore(Tables.documents(s, d), "doc_id", "text",
+        passThrough = Seq("lang"))
+        .select(col("doc_id"), col("lang"),
+          col("quality").cast("long").as("quality")),
+      "doc_id", "quality", "lang", GateLow, GateHigh)
+      .orderBy(col("doc_id"))
+
+  private val txtGateStratifiedSql =
+    s"""WITH $qualityCtes,
+       |q AS (SELECT sc.doc_id, d.lang,
+       |    (len_score + tok_score + stop_score + div_score)::BIGINT
+       |      AS quality
+       |  FROM sc JOIN documents d ON sc.doc_id = d.doc_id),
+       |thr AS (SELECT lang, quantile_cont(quality, $GateLow) AS q_lo,
+       |    quantile_cont(quality, $GateHigh) AS q_hi
+       |  FROM q GROUP BY lang)
+       |SELECT q.doc_id, q.lang, quality,
+       |  round(thr.q_lo + 0.000000001, 4) AS q_lo,
+       |  round(thr.q_hi + 0.000000001, 4) AS q_hi
+       |FROM q JOIN thr ON q.lang = thr.lang
+       |WHERE quality BETWEEN thr.q_lo AND thr.q_hi
+       |ORDER BY q.doc_id""".stripMargin
+
   /* ---------------- txt_boilerplate ---------------- */
 
   private val BoilerN = 3
@@ -1152,6 +1184,8 @@ object TextQueries {
     Qdef("txt_stats", txtStats, Some(txtStatsSql)),
     Qdef("txt_quality", txtQuality, Some(txtQualitySql)),
     Qdef("txt_quality_gate", txtQualityGate, Some(txtQualityGateSql)),
+    Qdef("txt_gate_stratified", txtGateStratified,
+      Some(txtGateStratifiedSql)),
     Qdef("txt_boilerplate", txtBoilerplate, Some(txtBoilerplateSql)),
     Qdef("txt_langid", txtLangid, Some(txtLangidSql)),
     Qdef("txt_keywords", txtKeywords, Some(txtKeywordsSql)),

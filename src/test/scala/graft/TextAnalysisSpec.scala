@@ -211,6 +211,32 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("percentileGateBy derives per-stratum cuts; the global gate " +
+    "on the same data skews against the low-scoring stratum") {
+    // stratum a scores 1..100; stratum b scores 1001..1100 (a
+    // systematically lower-scoring language)
+    val scored = ((1 to 100).map(i => (i.toLong, "a", i.toLong)) ++
+      (1 to 100).map(i => (100L + i, "b", 1000L + i)))
+      .toDF("doc_id", "s", "score")
+    val strat = TextAnalysis
+      .percentileGateBy(scored, "doc_id", "score", "s", 0.25, 0.95)
+      .collect()
+    val byS = strat.groupBy(_.getString(1))
+    // each stratum keeps ITS OWN middle band: 70 rows each
+    assert(byS("a").length == 70 && byS("b").length == 70)
+    assert(byS("a").head.getAs[Double]("q_lo") == 25.75)
+    assert(byS("b").head.getAs[Double]("q_lo") == 1025.75)
+    // the global gate's head-calibrated cuts (50.75 / 1090.05) keep
+    // only 50 of stratum a vs 90 of b — the skew the stratified
+    // form exists to remove
+    val global = TextAnalysis
+      .percentileGate(scored, "doc_id", "score", 0.25, 0.95)
+      .collect()
+    val ga = global.count(_.getAs[Long]("score") <= 100)
+    val gb = global.count(_.getAs[Long]("score") > 1000)
+    assert(ga == 50 && gb == 90, s"global kept a=$ga b=$gb")
+  }
+
   test("boilerplateGrams flags corpus-global grams by document " +
     "frequency, not in-doc repetition") {
     val docs = Seq(
