@@ -195,4 +195,48 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"plan:\n$plan")
   }
+
+  test("mix_temperature inherits corpus_mix's broadcast-only shape") {
+    val plan = planOf("mix_temperature")
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"plan:\n$plan")
+  }
+
+  test("txt_boilerplate's global top-K is TakeOrdered, never a " +
+    "global sort; the top set joins back broadcast") {
+    val plan = planOf("txt_boilerplate")
+    assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"plan:\n$plan")
+  }
+
+  test("the percentile gates broadcast their threshold frames over " +
+    "the scan (no corpus-side sort-merge, no Window)") {
+    Seq("txt_quality_gate", "txt_gate_stratified").foreach { q =>
+      val plan = planOf(q)
+      assert(plan.contains("BroadcastNestedLoopJoin") ||
+        plan.contains("BroadcastHashJoin"), s"$q plan:\n$plan")
+      assert(!plan.contains("SortMergeJoin"), s"$q plan:\n$plan")
+      assert(!plan.contains("Window"), s"$q plan:\n$plan")
+    }
+  }
+
+  test("emb_health is one scan into one aggregate — no join, no " +
+    "shuffle beyond the group rollup") {
+    val plan = planOf("emb_health")
+    assert(!plan.contains("Join"), s"plan:\n$plan")
+    // one hash agg pair (partial+final) over the single scan; the
+    // only exchanges are the agg's and the output sort's
+    assert(plan.contains("HashAggregate"), s"plan:\n$plan")
+  }
+
+  test("ev_transitions derives the normalizer from the cached " +
+    "matrix, never by re-scanning events") {
+    val plan = planOf("ev_transitions")
+    assert(plan.contains("InMemoryTableScan"), s"plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+    // exactly one Window pass (the per-user lag), inside the cached
+    // subtree — a second would mean the totals re-ran the corpus
+    assert(!plan.contains("SortMergeJoin"), s"plan:\n$plan")
+  }
 }
