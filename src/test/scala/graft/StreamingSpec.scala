@@ -1001,4 +1001,62 @@ class StreamingSpec extends SparkSpec {
       Seq.empty[UpsertEvent].toDF(), dir, Seq("key"), "version", Buckets)
     assert(view() == expected)
   }
+
+  test("checkpointed restart: a stopped windowed query resumes from " +
+    "its offsets and state — open-window counts survive, closed " +
+    "windows never re-emit") {
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_ckpt_restart").toFile.getAbsolutePath
+    val (src, out, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
+    new java.io.File(src).mkdirs()
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    def writeBatch(rows: Seq[(Timestamp, String, Double)]): Unit =
+      rows.toDF("ts", "event_type", "value").coalesce(1)
+        .write.mode("append").parquet(src)
+    // the same query definition both runs — a restart is a NEW query
+    // object recovering offsets + state store from the checkpoint
+    def startQuery() = StreamingAggs.windowedAgg(
+      spark.readStream
+        .schema("ts TIMESTAMP, event_type STRING, value DOUBLE")
+        .parquet(src),
+      "1 hour", "10 minutes")
+      .writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .start()
+
+    writeBatch(Seq((t(1, 5), "click", 1.0), (t(1, 30), "click", 2.0),
+      (t(1, 45), "view", 3.0)))
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    // 03:00 advances the watermark past 02:00 → the 01:00 windows
+    // CLOSE and land in the sink; the 03:00 window opens (state only)
+    writeBatch(Seq((t(3, 0), "click", 1.0)))
+    q1.processAllAvailable()
+    q1.stop() // crash/deploy point: open 03:00 state is checkpointed
+
+    val q2 = startQuery() // fresh query, same checkpoint
+    // 05:00 closes the 03:00 window — whose COUNT accumulated before
+    // the stop: only the recovered state store can emit it correctly
+    writeBatch(Seq((t(5, 0), "click", 1.0)))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val rows = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Timestamp]("window_start").toString,
+        r.getAs[String]("event_type")) ->
+        ((r.getAs[Long]("cnt"), r.getAs[Double]("sum_value"))))
+    // exactly-once across the restart: each closed window appears
+    // ONCE (a re-emit would surface as a duplicate key here)
+    assert(rows.length == rows.toMap.size, s"duplicate emits: ${rows.toSeq}")
+    val m = rows.toMap
+    assert(m(("2024-01-01 01:00:00.0", "click")) == ((2L, 3.0)))
+    assert(m(("2024-01-01 01:00:00.0", "view")) == ((1L, 3.0)))
+    assert(m(("2024-01-01 03:00:00.0", "click")) == ((1L, 1.0)),
+      "the open window's pre-restart state must survive recovery")
+    assert(m.size == 3, s"unexpected windows: $m") // 05:00 still open
+  }
 }
