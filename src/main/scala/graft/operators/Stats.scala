@@ -294,6 +294,78 @@ object Stats {
     * makes the bound explicit; above it, rank hubs with `centrality`
     * (the reference does the same).
     */
+  /** Synchronous label-propagation communities over an undirected
+    * edge list — the density-based complement to
+    * `Dedup.connectedComponents` (CC answers "what is REACHABLE";
+    * LPA answers "what is DENSELY knit": one bridge edge between two
+    * cliques keeps CC's single component but LPA splits them). Fully
+    * deterministic where textbook LPA is not: updates are
+    * SYNCHRONOUS (no visit order), plurality ties break to the
+    * SMALLEST label, labels init to node ids.
+    *
+    * Scale design per iteration (the CC template): labels join to
+    * the edge frame on the node key (the one corpus-scale shuffle),
+    * a map-side-combined (node, label) count, and a max(struct)
+    * argmax — no windows. Lineage truncates every round via the r14
+    * storage rule (reliable checkpoint when a dir is set, else
+    * localCheckpoint); convergence check is one node-scale join with
+    * an early-out limit(1). Oscillation (LPA's known failure on
+    * symmetric bipartite-ish structures under synchronous updates)
+    * is bounded by maxIters — callers get the last sync state, the
+    * standard LPA contract.
+    * Output: (node, community, community_size).
+    */
+  def labelPropagation(
+      edges: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 10): DataFrame = {
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.ByteType,
+      org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.LongType)
+    Seq(aCol, bCol).foreach { c =>
+      require(integral.contains(edges.schema(c).dataType),
+        s"labelPropagation: $c must be integral (label argmax " +
+          s"negates ids), got ${edges.schema(c).dataType}") }
+    def truncate(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint()
+      else df.localCheckpoint()
+    val und = truncate(edges
+      .select(col(aCol).cast("long").as("src"),
+        col(bCol).cast("long").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .unionAll(edges.select(col(bCol).cast("long").as("src"),
+        col(aCol).cast("long").as("dst"))
+        .where(col("src") =!= col("dst")))
+      .distinct())
+    var labels = truncate(
+      und.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node")))
+    var iter = 0
+    var changed = true
+    while (iter < maxIters && changed) {
+      val next = truncate(und
+        .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
+        .groupBy(col("src"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("src"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+        .select(col("src").as("node"), (-col("m.nl")).as("label")))
+      changed = next
+        .join(labels.withColumnRenamed("label", "old"), Seq("node"))
+        .where(col("label") =!= col("old"))
+        .limit(1).count() > 0
+      labels = next
+      iter += 1
+    }
+    val sizes = labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("community_size"))
+    labels.join(broadcast(sizes), Seq("label"))
+      .select(col("node"), col("label").as("community"),
+        col("community_size"))
+  }
+
   def closenessCentrality(
       edges: DataFrame, aCol: String, bCol: String,
       maxNodes: Int = 2000): DataFrame = {

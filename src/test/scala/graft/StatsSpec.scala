@@ -357,4 +357,36 @@ class StatsSpec extends SparkSpec {
     assert(out.getAs[String]("recommended_pipeline") ==
       "SingleCellAgent (Scanpy 1-Step)")
   }
+
+  test("labelPropagation splits bridged cliques that " +
+    "connectedComponents cannot, deterministically") {
+    import spark.implicits._
+    // two triangles joined by ONE bridge edge: reachability says one
+    // component; density says two communities
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+      .toDF("a", "b")
+    val out = Stats.labelPropagation(edges, "a", "b")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val (cA, cB) = (out(1L)._1, out(4L)._1)
+    assert(cA != cB, s"bridged cliques must split: $out")
+    assert(Seq(1L, 2L, 3L).forall(n => out(n) == ((cA, 3L))), s"$out")
+    assert(Seq(4L, 5L, 6L).forall(n => out(n) == ((cB, 3L))), s"$out")
+    // CC on the same edges: ONE component — the contrast is the op
+    val cc = graft.operators.Dedup
+      .connectedComponents(edges, "a", "b")
+      .select("component").distinct().count()
+    assert(cc == 1L)
+    // determinism: partition layout must not change the labeling
+    val again = Stats.labelPropagation(edges.repartition(7), "a", "b")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(again == out)
+    // non-integral ids are refused (the argmax negates labels)
+    intercept[IllegalArgumentException] {
+      Stats.labelPropagation(
+        Seq(("x", "y")).toDF("a", "b"), "a", "b")
+    }
+  }
 }
