@@ -114,7 +114,72 @@ object GraphQueries {
        |JOIN f n2 ON l.kw2 = n2.keyword
        |ORDER BY strength DESC, kw1, kw2""".stripMargin
 
+  /* ---------------- kg_communities ---------------- */
+
+  private val LpaRounds = 6
+
+  /** Community-detection binding: a deterministic clique-bridge graph
+    * tiled over the doc-id space — each 6-id group forms two
+    * triangles {0,1,2} / {3,4,5} joined by the 2-3 bridge, groups
+    * disconnected — so LPA must SPLIT every group into its two
+    * triangles (reachability would merge them). Trailing partial
+    * groups degrade to chains/pairs; a 2-node pair oscillates under
+    * synchronous updates with period 2, so after the fixed EVEN
+    * round count both engines land on the same parity — the
+    * determinism contract, not an accident.
+    *
+    * Oracle parity does not need the engine's early-stop mirrored:
+    * a converged labeling is a fixpoint of the synchronous update,
+    * so unrolling the full `LpaRounds` in SQL equals the engine's
+    * stop-when-stable result whenever it converges sooner, and
+    * matches round-for-round when it doesn't.
+    */
+  private def kgCommunities(s: SparkSession, d: String): DataFrame = {
+    val ids = Tables.documents(s, d).select(col("doc_id"))
+    def shifted(ms: Seq[Int], delta: Int) = ids
+      .where(pmod(col("doc_id"), lit(6)).isin(ms.map(_.toLong): _*))
+      .select(col("doc_id").as("a"), (col("doc_id") + delta).as("b"))
+    val raw = shifted(Seq(0, 1, 2, 3, 4), 1)
+      .unionAll(shifted(Seq(0, 3), 2))
+    // keep only edges whose far endpoint exists (trailing groups)
+    val edges = raw.join(
+      ids.withColumnRenamed("doc_id", "b"), Seq("b"))
+      .select(col("a"), col("b"))
+    graft.operators.Stats.labelPropagation(edges, "a", "b", LpaRounds)
+      .orderBy(col("node"))
+  }
+
+  private val kgCommunitiesSql = {
+    val rounds = (1 to LpaRounds).map { r =>
+      s"""nl$r AS (SELECT e.src, l${r - 1}.label, count(*) AS cnt
+         |  FROM e JOIN l${r - 1} ON e.dst = l${r - 1}.node
+         |  GROUP BY 1, 2),
+         |l$r AS (SELECT src AS node, label FROM (
+         |    SELECT src, label, row_number() OVER (PARTITION BY src
+         |      ORDER BY cnt DESC, label) AS rn FROM nl$r)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ids AS (SELECT doc_id FROM documents),
+       |e0 AS (
+       |  SELECT a.doc_id AS a, a.doc_id + 1 AS b FROM ids a
+       |  WHERE a.doc_id % 6 IN (0, 1, 2, 3, 4)
+       |  UNION ALL
+       |  SELECT a.doc_id, a.doc_id + 2 FROM ids a
+       |  WHERE a.doc_id % 6 IN (0, 3)),
+       |e1 AS (SELECT e0.a, e0.b FROM e0 JOIN ids ON e0.b = ids.doc_id),
+       |e AS (SELECT a AS src, b AS dst FROM e1
+       |  UNION SELECT b, a FROM e1),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+       |$rounds,
+       |sz AS (SELECT label, count(*)::BIGINT AS community_size
+       |  FROM l$LpaRounds GROUP BY label)
+       |SELECT lf.node, lf.label AS community, sz.community_size
+       |FROM l$LpaRounds lf JOIN sz ON lf.label = sz.label
+       |ORDER BY lf.node""".stripMargin
+  }
+
   val defs: Seq[Qdef] = Seq(
     Qdef("kg_nodes", kgNodes, Some(kgNodesSql)),
-    Qdef("kg_links", kgLinks, Some(kgLinksSql)))
+    Qdef("kg_links", kgLinks, Some(kgLinksSql)),
+    Qdef("kg_communities", kgCommunities, Some(kgCommunitiesSql)))
 }
