@@ -28,7 +28,9 @@ class CacheLifecycleSpec extends SparkSpec {
     "txt_lm_score", // lmScore's dbg + cg caches (r10)
     "dedup_incremental", // incrementalLsh's index/cand/shingle caches (r12)
     "dedup_semantic", // semanticDedup's assigned + pruned caches (r12)
-    "corpus_dsir") // dsirLogWeights' model + per-doc count caches (r12)
+    "corpus_dsir", // dsirLogWeights' model + per-doc count caches (r12)
+    "ev_transitions", // transitionMatrix's matrix cache (r14)
+    "mix_temperature") // mixTemperature's weighted-counts cache (r14)
 
   test("each caching operator leaves zero net cached plans after the " +
     "documented lifecycle call") {
