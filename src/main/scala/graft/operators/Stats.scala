@@ -359,9 +359,19 @@ object Stats {
       labels = next
       iter += 1
     }
-    val sizes = labels.groupBy(col("label"))
-      .agg(count(lit(1)).as("community_size"))
-    labels.join(broadcast(sizes), Seq("label"))
+    // Community sizes via ONE window count over the label key — NOT a
+    // broadcast join: |communities| is O(|nodes|) on sparse/fragmented
+    // graphs (many tiny communities is the TYPICAL LPA outcome), so a
+    // broadcast of the size frame is node-scale and blows the driver
+    // at exactly the lake scale this operator targets. The window is
+    // one exchange of the (node, label) frame by label — the same
+    // volume a shuffled size join would move, minus the second
+    // exchange and the join itself. No per-label ordering → no sort
+    // spill risk; count(*) over the whole label partition is
+    // map-side-combinable within the window exec.
+    labels
+      .withColumn("community_size",
+        count(lit(1)).over(Window.partitionBy(col("label"))))
       .select(col("node"), col("label").as("community"),
         col("community_size"))
   }

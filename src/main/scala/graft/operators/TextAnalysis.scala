@@ -478,14 +478,27 @@ object TextAnalysis {
     * frame) and probe the BROADCAST top set; per-doc rollup is one
     * map-side-combined aggregate. Ties at the df cut break by gram
     * (the repo's universal determinism rule).
+    *
+    * `maxTokensPerDoc` bounds BOTH passes' per-row gram arrays: a
+    * pathological multi-GB document would otherwise materialize an
+    * unbounded in-memory token/gram array per row in each pass (r14
+    * advice — the same guard the shingle-family dedup ops carry via
+    * their stop-shingle caps). Boilerplate chrome lives in headers/
+    * footers/navigation — overwhelmingly in a document's head — so
+    * truncating the tail changes which CONTENT grams a monster doc
+    * contributes, not the chrome the operator mines.
     */
   def boilerplateGrams(
       docs: DataFrame, idCol: String, textCol: String,
-      n: Int, topK: Int): DataFrame = {
+      n: Int, topK: Int, maxTokensPerDoc: Int = 50000): DataFrame = {
     require(n >= 1 && topK >= 1,
       s"boilerplateGrams: need n >= 1 and topK >= 1, got $n/$topK")
+    require(maxTokensPerDoc >= n,
+      s"boilerplateGrams: maxTokensPerDoc ($maxTokensPerDoc) must be " +
+        s">= n ($n) or no doc yields any gram")
     def docGrams = docs.select(col(idCol),
-      explode(array_distinct(TextFns.wordShingles(col(textCol), n)))
+      explode(array_distinct(TextFns.shinglesOfTokens(
+        slice(TextFns.wsTokens(col(textCol)), 1, maxTokensPerDoc), n)))
         .as("g"))
     val top = docGrams.groupBy(col("g"))
       .agg(count(lit(1)).as("df"))

@@ -496,14 +496,19 @@ object VectorSearch {
   /** Embedding-pipeline health report: per-group vector QC — the
     * gate an ingest pipeline runs before an encoder batch is allowed
     * into the index (a broken encoder run shows up as zero vectors,
-    * NaN components, or a norm drift, and catching it here is 1000×
-    * cheaper than re-indexing). Per group: row count, zero-vector
-    * count, NaN-component count, dimension min/max (≠ means a mixed
-    * encoder deploy), and norm stats over the HEALTHY rows only (so
-    * one NaN can't poison the aggregate).
+    * NaN or NULL components, or a norm drift, and catching it here is
+    * 1000× cheaper than re-indexing). Per group: row count,
+    * zero-vector count, NaN-component count, null count (a NULL
+    * vector or any NULL component — r14 advice: a bare
+    * `exists(isnan)` returns NULL on such rows, silently dropping
+    * exactly the malformed rows the gate exists to catch), dimension
+    * min/max (≠ means a mixed encoder deploy), and norm stats over
+    * the HEALTHY rows only (so one bad row can't poison the
+    * aggregate). Classification is exclusive and ordered:
+    * null → nan → zero → healthy; every row lands in exactly one.
     *
-    * Scale shape: one narrow projection computes dim / normSq / NaN
-    * flag per row (normSq is the codegen'd VecNormSq fold — linear
+    * Scale shape: one narrow projection computes dim / normSq / flag
+    * per row (normSq is the codegen'd VecNormSq fold — linear
     * in d, no shuffle), then ONE map-side-combined groupBy on the
     * group key. Nothing leaves the executors but |groups| rows.
     */
@@ -511,25 +516,31 @@ object VectorSearch {
       embs: DataFrame, idCol: String, vecCol: String,
       groupCol: String): DataFrame = {
     val n2 = VectorFns.normSq(col(vecCol))
-    val hasNan = exists(col(vecCol), x => isnan(x.cast("double")))
+    // exists() propagates NULL (no true hit + null element → NULL),
+    // so null-detection must come first and be coalesced explicitly
+    val isNull = col(vecCol).isNull ||
+      coalesce(exists(col(vecCol), x => x.isNull), lit(false))
+    val hasNan = !isNull &&
+      exists(col(vecCol), x => isnan(x.cast("double")))
     val perRow = embs.select(col(groupCol),
       size(col(vecCol)).cast("long").as("dim"),
+      isNull.as("is_null"),
       hasNan.as("is_nan"),
-      when(!hasNan, sqrt(n2)).as("nrm"))
-      .withColumn("is_zero", !col("is_nan") && col("nrm") === 0.0)
+      when(!isNull && !hasNan, sqrt(n2)).as("nrm"))
+      .withColumn("is_zero",
+        !col("is_null") && !col("is_nan") && col("nrm") === 0.0)
     val r4 = (c: Column) => round(c + lit(1e-9), 4)
+    val healthy = !col("is_null") && !col("is_nan") && !col("is_zero")
     perRow.groupBy(col(groupCol))
       .agg(
         count(lit(1)).as("n_vecs"),
         sum(when(col("is_zero"), 1L).otherwise(0L)).as("n_zero"),
         sum(when(col("is_nan"), 1L).otherwise(0L)).as("n_nan"),
+        sum(when(col("is_null"), 1L).otherwise(0L)).as("n_null"),
         min(col("dim")).as("dim_min"),
         max(col("dim")).as("dim_max"),
-        r4(avg(when(!col("is_zero") && !col("is_nan"), col("nrm"))))
-          .as("avg_norm"),
-        r4(min(when(!col("is_zero") && !col("is_nan"), col("nrm"))))
-          .as("min_norm"),
-        r4(max(when(!col("is_zero") && !col("is_nan"), col("nrm"))))
-          .as("max_norm"))
+        r4(avg(when(healthy, col("nrm")))).as("avg_norm"),
+        r4(min(when(healthy, col("nrm")))).as("min_norm"),
+        r4(max(when(healthy, col("nrm")))).as("max_norm"))
   }
 }

@@ -1668,10 +1668,14 @@ object VectorQueries {
   /* ---------------- emb_health ---------------- */
 
   /** Ingest-QC binding: the clean testdata embeddings are all unit
-    * norm, so the scenario injects the two failure modes a broken
-    * encoder run produces — zero vectors (ids ≡ 0 mod 97) and NaN
-    * components (ids ≡ 7 mod 101) — and the report must count each
-    * per label while keeping norm stats over healthy rows only.
+    * norm, so the scenario injects the three failure modes a broken
+    * encoder run produces — zero vectors (ids ≡ 0 mod 97), NaN
+    * components (ids ≡ 7 mod 101), and NULL components (ids ≡ 3 mod
+    * 103 — a serialization bug / missing field) — and the report
+    * must count each per label while keeping norm stats over healthy
+    * rows only. The null mode exercises the r14-advice path: rows
+    * where a bare `exists(isnan)` would return NULL and vanish from
+    * every counter.
     */
   private def embHealthQ(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d).withColumn("embedding",
@@ -1679,6 +1683,8 @@ object VectorQueries {
         transform(col("embedding"), _ => lit(0.0f)))
         .when(pmod(col("vec_id"), lit(101)) === 7,
           transform(col("embedding"), _ => lit(Float.NaN)))
+        .when(pmod(col("vec_id"), lit(103)) === 3,
+          transform(col("embedding"), _ => lit(null).cast("float")))
         .otherwise(col("embedding")))
     VectorSearch.embHealth(e, "vec_id", "embedding", "label")
       .orderBy(col("label"))
@@ -1690,27 +1696,33 @@ object VectorQueries {
       |           THEN list_transform(embedding, x -> 0.0::FLOAT)
       |         WHEN vec_id % 101 = 7
       |           THEN list_transform(embedding, x -> 'NaN'::FLOAT)
+      |         WHEN vec_id % 103 = 3
+      |           THEN list_transform(embedding, x -> NULL::FLOAT)
       |         ELSE embedding END AS embedding
       |  FROM embeddings),
       |r AS (SELECT label, len(embedding)::BIGINT AS dim,
-      |    len(list_filter(embedding, x -> isnan(x))) > 0 AS is_nan,
+      |    embedding IS NULL OR
+      |      len(list_filter(embedding, x -> x IS NULL)) > 0 AS is_null,
+      |    len(list_filter(embedding, x -> isnan(x))) > 0 AS is_nan_raw,
       |    sqrt(list_sum(list_transform(embedding,
       |      x -> x::DOUBLE * x::DOUBLE))) AS nrm
       |  FROM e),
-      |f AS (SELECT label, dim, is_nan,
-      |    (NOT is_nan) AND nrm = 0 AS is_zero,
-      |    CASE WHEN is_nan THEN NULL ELSE nrm END AS hnrm
+      |f AS (SELECT label, dim, is_null,
+      |    (NOT is_null) AND is_nan_raw AS is_nan,
+      |    (NOT is_null) AND (NOT is_nan_raw) AND nrm = 0 AS is_zero,
+      |    CASE WHEN is_null OR is_nan_raw THEN NULL ELSE nrm END AS hnrm
       |  FROM r)
       |SELECT label, count(*)::BIGINT AS n_vecs,
       |  sum(CASE WHEN is_zero THEN 1 ELSE 0 END)::BIGINT AS n_zero,
       |  sum(CASE WHEN is_nan THEN 1 ELSE 0 END)::BIGINT AS n_nan,
+      |  sum(CASE WHEN is_null THEN 1 ELSE 0 END)::BIGINT AS n_null,
       |  min(dim) AS dim_min, max(dim) AS dim_max,
-      |  round(avg(CASE WHEN NOT is_zero AND NOT is_nan THEN hnrm END)
-      |    + 0.000000001, 4) AS avg_norm,
-      |  round(min(CASE WHEN NOT is_zero AND NOT is_nan THEN hnrm END)
-      |    + 0.000000001, 4) AS min_norm,
-      |  round(max(CASE WHEN NOT is_zero AND NOT is_nan THEN hnrm END)
-      |    + 0.000000001, 4) AS max_norm
+      |  round(avg(CASE WHEN NOT is_zero AND NOT is_nan AND NOT is_null
+      |    THEN hnrm END) + 0.000000001, 4) AS avg_norm,
+      |  round(min(CASE WHEN NOT is_zero AND NOT is_nan AND NOT is_null
+      |    THEN hnrm END) + 0.000000001, 4) AS min_norm,
+      |  round(max(CASE WHEN NOT is_zero AND NOT is_nan AND NOT is_null
+      |    THEN hnrm END) + 0.000000001, 4) AS max_norm
       |FROM f GROUP BY label ORDER BY label""".stripMargin
 
   /* ---------------- emb_drift ---------------- */

@@ -29,9 +29,15 @@ case class KeyLatest(version: Long, payload: String, deleted: Boolean)
 case class CurrentRow(
     key: Long, version: Long, payload: String, deleted: Boolean)
 
-/** One typed event for streaming transition tracking. */
+/** One typed event for streaming transition tracking. `event_id`
+  * carries the batch twin's tiebreak: Events.transitionMatrix chains
+  * same-second events by (ts, event_id), and the stream must chain
+  * identically or same-second multi-event users diverge between the
+  * batch and streaming matrices (r14 advice).
+  */
 case class TypedEvent(
-    user_id: Long, ts: java.sql.Timestamp, event_type: String)
+    user_id: Long, ts: java.sql.Timestamp, event_type: String,
+    event_id: Long)
 
 /** Per-user last-seen event kept in the state store. */
 case class LastEvent(secs: Long, event_type: String)
@@ -209,13 +215,25 @@ object StreamingAggs {
     * (the sessionizeStream bound). An evicted user's chain simply
     * restarts on return — no pair spans the idle gap, the documented
     * trade for bounded state. Within a micro-batch events sort by
-    * (event time, type) since batches are not order-guaranteed;
-    * cross-batch disorder beyond the watermark delay chains in
-    * arrival order — sessionizeStream's disorderDelay caveat.
+    * (event time, event_id) — the IDENTICAL tiebreak to the batch
+    * twin's lag window, so same-second multi-event users chain the
+    * same way in both engines; cross-batch disorder beyond the
+    * watermark delay chains in arrival order — sessionizeStream's
+    * disorderDelay caveat.
+    *
+    * `idleSecs` must be strictly positive: a zero timeout lands the
+    * state's timeout timestamp exactly AT the last event's time,
+    * which can be <= the current watermark — Spark rejects that with
+    * an IllegalArgumentException mid-batch (r14 advice), so refuse
+    * it at plan time instead.
     */
   def transitionStream(
       events: Dataset[TypedEvent], idleSecs: Long,
       disorderDelay: String = "0 seconds"): Dataset[TransitionPair] = {
+    require(idleSecs > 0,
+      s"transitionStream: idleSecs must be > 0 (a zero timeout can " +
+        s"land at-or-before the watermark and fail mid-batch), " +
+        s"got $idleSecs")
     import events.sparkSession.implicits._
     events
       .withWatermark("ts", disorderDelay)
@@ -228,11 +246,13 @@ object StreamingAggs {
             state.remove()
             Iterator.empty
           } else {
-            val evs = it.map(e => (e.ts.getTime / 1000L, e.event_type))
-              .toSeq.sorted
+            // (sec, event_id) — the batch lag window's exact ordering
+            val evs = it
+              .map(e => (e.ts.getTime / 1000L, e.event_id, e.event_type))
+              .toSeq.sortBy(e => (e._1, e._2))
             val out = Seq.newBuilder[TransitionPair]
             var last = state.getOption
-            evs.foreach { case (sec, t) =>
+            evs.foreach { case (sec, _, t) =>
               last.foreach(l => out += TransitionPair(l.event_type, t))
               last = Some(LastEvent(sec, t))
             }

@@ -29,6 +29,23 @@ import graft.sources.Corpus
   * reclaimed by a normal `compactLog` maintenance pass once the
   * straggler window genuinely closes.
   *
+  * DURABILITY CAVEAT (r14 advice) — the exactly-once contract covers
+  * foreachBatch REPLAYS (executor loss, query restart, redelivered
+  * batches), not a driver crash INSIDE the dynamic-partition-
+  * overwrite job commit: plain-parquet overwrite deletes a touched
+  * partition's old files before the staged files land, so a crash in
+  * that window leaves the partition partially written, and the
+  * replayed batch then merges against the corrupted store — rows
+  * that lived only in the lost files are gone. The window is the
+  * file-move portion of ONE job commit (milliseconds per touched
+  * bucket, not the batch duration), but it is real: plain parquet
+  * has no atomic multi-file swap. Production deployments that need
+  * crash-proof durability should point the store at a table format
+  * with atomic commits (Delta/Iceberg — same merge logic, their
+  * writers replace this sink's overwrite) or snapshot the store
+  * path. The failure-injection spec covers the replay half of the
+  * contract; this caveat is the documented limit of the other half.
+  *
   * Scale shape per micro-batch: the batch's touched-bucket list is a
   * ≤`buckets`-row distinct (the legitimate bounded collect — it
   * becomes the partition-pruning predicate), the store side reads

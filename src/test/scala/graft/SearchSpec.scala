@@ -212,28 +212,43 @@ class SearchSpec extends SparkSpec {
     assert(mmr.head == 2L && mmr(1) == 10L, s"unexpected order: $mmr")
   }
 
-  test("embHealth counts zero/NaN vectors per group and keeps norm " +
-    "stats over healthy rows only") {
+  test("embHealth counts zero/NaN/null vectors per group and keeps " +
+    "norm stats over healthy rows only") {
     val rows = Seq(
       (1L, Array(3.0f, 4.0f), "a"), // norm 5, healthy
       (2L, Array(0.0f, 0.0f), "a"), // zero vector
       (3L, Array(Float.NaN, 1.0f), "a"), // NaN component
       (4L, Array(1.0f, 0.0f), "b") // norm 1, healthy
     ).toDF("vec_id", "embedding", "label")
+      // null component (exists(isnan) alone returns NULL here — the
+      // r14-advice silent-drop row) and a NULL vector outright
+      .unionByName(Seq((5L, "a"), (6L, "b")).toDF("vec_id", "label")
+        .withColumn("embedding",
+          when(col("vec_id") === 5L,
+            array(lit(null).cast("float"), lit(2.0f)))))
+      .select("vec_id", "embedding", "label")
     val out = VectorSearch.embHealth(rows, "vec_id", "embedding", "label")
       .collect().map(r => r.getString(0) -> r).toMap
     val a = out("a")
-    assert(a.getAs[Long]("n_vecs") == 3L)
+    assert(a.getAs[Long]("n_vecs") == 4L)
     assert(a.getAs[Long]("n_zero") == 1L && a.getAs[Long]("n_nan") == 1L)
+    assert(a.getAs[Long]("n_null") == 1L)
     assert(a.getAs[Long]("dim_min") == 2L && a.getAs[Long]("dim_max") == 2L)
-    // the zero and NaN rows must NOT drag the norm stats: only the
-    // healthy (3,4) vector contributes
+    // the zero, NaN, and null rows must NOT drag the norm stats:
+    // only the healthy (3,4) vector contributes
     assert(a.getAs[Double]("avg_norm") == 5.0)
     assert(a.getAs[Double]("min_norm") == 5.0)
     assert(a.getAs[Double]("max_norm") == 5.0)
     val b = out("b")
+    assert(b.getAs[Long]("n_vecs") == 2L)
     assert(b.getAs[Long]("n_zero") == 0L && b.getAs[Long]("n_nan") == 0L)
+    assert(b.getAs[Long]("n_null") == 1L) // the NULL-vector row
     assert(b.getAs[Double]("avg_norm") == 1.0)
+    // every row lands in exactly one class: healthy = n_vecs - others
+    Seq(a, b).foreach { r =>
+      assert(r.getAs[Long]("n_zero") + r.getAs[Long]("n_nan") +
+        r.getAs[Long]("n_null") < r.getAs[Long]("n_vecs"))
+    }
   }
 
   test("embDrift flags centroid rotation between snapshots; identical " +

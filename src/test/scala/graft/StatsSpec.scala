@@ -366,7 +366,15 @@ class StatsSpec extends SparkSpec {
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
       (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
       .toDF("a", "b")
-    val out = Stats.labelPropagation(edges, "a", "b")
+    val lpa = Stats.labelPropagation(edges, "a", "b")
+    // scale pin: community sizes come from a window over the label
+    // key, NEVER a broadcast of the size frame — |communities| is
+    // O(|nodes|) on fragmented graphs, so a BroadcastExchange here
+    // would be the repo's one node-scale broadcast (r14 advice)
+    val phys = lpa.queryExecution.executedPlan.toString
+    assert(!phys.contains("BroadcastExchange"),
+      s"community-size attach must not broadcast a node-scale frame:\n$phys")
+    val out = lpa
       .collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     val (cA, cB) = (out(1L)._1, out(4L)._1)

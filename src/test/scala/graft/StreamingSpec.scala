@@ -872,26 +872,29 @@ class StreamingSpec extends SparkSpec {
       .queryName("transition_test")
       .outputMode(OutputMode.Append())
       .start()
-    def ev(uid: Long, sec: Long, t: String) =
-      TypedEvent(uid, new Timestamp(sec * 1000L), t)
+    def ev(uid: Long, sec: Long, t: String, id: Long) =
+      TypedEvent(uid, new Timestamp(sec * 1000L), t, id)
     def counts() = spark.table("transition_test").collect()
       .groupBy(r => (r.getString(0), r.getString(1)))
       .view.mapValues(_.length.toLong).toMap
 
-    // b1: user 1 view→click inline; user 2 opens with view
-    input.addData(ev(1L, 100L, "view"), ev(1L, 110L, "click"),
-      ev(2L, 105L, "view"))
+    // b1: user 1 view→click inline; user 2 opens with view. User 1's
+    // first two events share second 100 — the same-second chain must
+    // resolve by event_id exactly like the batch twin's lag window
+    // (added out of id order in the batch to prove the sort is real)
+    input.addData(ev(1L, 100L, "click", 2L), ev(1L, 100L, "view", 1L),
+      ev(2L, 105L, "view", 3L))
     query.processAllAvailable()
     // b2: cross-batch chaining — user 1's click chains to view,
     // user 2's view chains to buy
-    input.addData(ev(1L, 200L, "view"), ev(2L, 210L, "buy"))
+    input.addData(ev(1L, 200L, "view", 4L), ev(2L, 210L, "buy", 5L))
     query.processAllAvailable()
 
     // parity checkpoint: streamed pair counts == the batch twin on
     // the identical event set (before any eviction breaks a chain)
     val streamed = counts()
     val batchEv = Seq(
-      (1L, 1L, 100L, "view"), (2L, 1L, 110L, "click"),
+      (1L, 1L, 100L, "view"), (2L, 1L, 100L, "click"),
       (3L, 2L, 105L, "view"), (4L, 1L, 200L, "view"),
       (5L, 2L, 210L, "buy")
     ).map { case (id, uid, sec, t) => (id, uid, sec * 1000000000L, t) }
@@ -905,15 +908,15 @@ class StreamingSpec extends SparkSpec {
 
     // b3: user 2 advances the watermark far past user 1's idle
     // timeout (200 + 3600); user 2 itself has data so it chains on
-    input.addData(ev(2L, 10000L, "view"))
+    input.addData(ev(2L, 10000L, "view", 6L))
     query.processAllAvailable()
     // b4: user 2 again — user 1 has NO data this batch, so its
     // expired timeout fires and the state is evicted silently
-    input.addData(ev(2L, 10010L, "click"))
+    input.addData(ev(2L, 10010L, "click", 7L))
     query.processAllAvailable()
     // b5: user 1 returns AFTER eviction — a fresh chain, no pair
     // spanning the idle gap
-    input.addData(ev(1L, 10300L, "search"))
+    input.addData(ev(1L, 10300L, "search", 8L))
     query.processAllAvailable()
     val fin = counts()
     query.stop()
@@ -1000,6 +1003,69 @@ class StreamingSpec extends SparkSpec {
     StreamingSink.upsertBatch(
       Seq.empty[UpsertEvent].toDF(), dir, Seq("key"), "version", Buckets)
     assert(view() == expected)
+  }
+
+  test("failure injection: a crash BETWEEN the sink write and the " +
+    "checkpoint commit redelivers the batch, and the replayed merge " +
+    "converges to the no-failure result") {
+    import spark.implicits._
+    import graft.streaming.{StreamingSink, UpsertEvent}
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_sink_crash").toFile.getAbsolutePath
+    val (src, store, ckpt) = (s"$base/src", s"$base/store", s"$base/ckpt")
+    new java.io.File(src).mkdirs()
+    val Buckets = 8
+    def writeBatch(rows: Seq[UpsertEvent]): Unit =
+      rows.toDF().coalesce(1).write.mode("append").parquet(src)
+    // the injection arms once: the SECOND micro-batch crashes AFTER
+    // upsertBatch returns (sink write durable) but BEFORE foreachBatch
+    // returns (checkpoint offset never committed) — the exact window
+    // the exactly-once claim has to survive
+    val armed = new java.util.concurrent.atomic.AtomicBoolean(true)
+    def startQuery() = spark.readStream
+      .schema("key LONG, version LONG, payload STRING, deleted BOOLEAN")
+      .parquet(src)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        StreamingSink.upsertBatch(batch, store, Seq("key"), "version",
+          Buckets)
+        if (id == 1L && armed.getAndSet(false))
+          throw new RuntimeException("injected crash before ckpt commit")
+      }.start()
+    def view() = StreamingSink.readCurrent(spark, store, "deleted")
+      .select("key", "version", "payload").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+
+    writeBatch(Seq(UpsertEvent(1L, 0L, "a0", false),
+      UpsertEvent(2L, 0L, "b0", false), UpsertEvent(3L, 0L, "c0", false)))
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    writeBatch(Seq(UpsertEvent(1L, 1L, "a1", false),
+      UpsertEvent(2L, 1L, "b0", true), UpsertEvent(4L, 0L, "d0", false)))
+    try q1.processAllAvailable() catch { case _: Throwable => () }
+    try q1.awaitTermination() catch { case _: Throwable => () }
+    assert(!q1.isActive, "injected crash must terminate the query")
+    assert(q1.exception.exists(_.toString.contains("injected crash")),
+      s"unexpected termination cause: ${q1.exception}")
+    val expected = Map(1L -> ((1L, "a1")), 3L -> ((0L, "c0")),
+      4L -> ((0L, "d0")))
+    // the sink write preceded the crash: the store ALREADY holds the
+    // batch — so the restart below replays against an absorbed batch,
+    // the hard half of the idempotence claim
+    assert(view() == expected, "sink write must precede the crash")
+
+    // restart from the same checkpoint: batch 1's offset was never
+    // committed, so Structured Streaming REDELIVERS it; the re-merge
+    // must be a no-op and the query then processes new data normally
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    assert(view() == expected, "replayed batch must converge")
+    writeBatch(Seq(UpsertEvent(3L, 1L, "c1", false)))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(view() == expected + (3L -> ((1L, "c1"))),
+      "post-recovery batches must keep flowing")
   }
 
   test("checkpointed restart: a stopped windowed query resumes from " +
