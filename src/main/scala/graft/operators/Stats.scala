@@ -366,9 +366,16 @@ object Stats {
     // at exactly the lake scale this operator targets. The window is
     // one exchange of the (node, label) frame by label — the same
     // volume a shuffled size join would move, minus the second
-    // exchange and the join itself. No per-label ordering → no sort
-    // spill risk; count(*) over the whole label partition is
-    // map-side-combinable within the window exec.
+    // exchange and the join itself. Cost model, honestly: WindowExec
+    // still SORTS each partition by the partitionBy key (label) and
+    // buffers one label's rows at a time, so a giant community is an
+    // un-splittable straggler task (AQE skew-splits joins, not
+    // windows). That bound is acceptable here because LPA communities
+    // on the target graphs are panel-/cluster-sized; if mega
+    // components were in-contract the right shape is the two-step
+    // alternative — map-side-combined groupBy(label).count (tiny
+    // exchange) + an UNHINTED label-keyed join, which AQE CAN
+    // skew-split.
     labels
       .withColumn("community_size",
         count(lit(1)).over(Window.partitionBy(col("label"))))
@@ -381,14 +388,26 @@ object Stats {
       maxNodes: Int = 2000): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val rows = edges.select(
-      col(aCol).cast("string"), col(bCol).cast("string")).collect()
+    // Guard BEFORE any collect: the node count is a distributed
+    // aggregate, so an oversized graph is refused without ever
+    // materializing its edges on the driver (the refusal is the
+    // whole point of the bound — collecting first would defeat it).
+    val typed = edges.select(
+      col(aCol).cast("string").as("a"), col(bCol).cast("string").as("b"))
+    val nDistributed = typed.select(explode(array(col("a"), col("b"))))
+      .distinct().count()
+    require(nDistributed <= maxNodes,
+      s"closenessCentrality: $nDistributed nodes exceeds " +
+        s"maxNodes=$maxNodes — use centrality() (the large-graph " +
+        "path) instead")
+    // ≤ maxNodes nodes → ≤ maxNodes² distinct edges; dedup before the
+    // collect so multi-edges never inflate the driver payload
+    // (duplicate adjacency entries would not change BFS distances,
+    // but there is no reason to ship them)
+    val rows = typed.distinct().collect()
     val nodes = rows.flatMap(r => Seq(r.getString(0), r.getString(1)))
       .distinct.sorted
     val n = nodes.length
-    require(n <= maxNodes,
-      s"closenessCentrality: $n nodes exceeds maxNodes=$maxNodes — " +
-        "use centrality() (the large-graph path) instead")
     val idx = nodes.zipWithIndex.toMap
     val adj = Array.fill(n)(List.empty[Int])
     rows.foreach { r =>

@@ -1153,17 +1153,25 @@ object TextQueries {
 
   private val BoilerN = 3
   private val BoilerTopK = 20
+  // ONE shared constant for the per-doc token cap so the Spark
+  // binding and the DuckDB twin can never drift (r15 advice: the
+  // operator capped at 50 k while the SQL shingled the full array —
+  // silent divergence on any >50 k-token doc)
+  private val BoilerMaxTokens = 50000
 
   private def txtBoilerplate(s: SparkSession, d: String): DataFrame =
     TextAnalysis.boilerplateGrams(
-      Tables.documents(s, d), "doc_id", "text", BoilerN, BoilerTopK)
+      Tables.documents(s, d), "doc_id", "text", BoilerN, BoilerTopK,
+      maxTokensPerDoc = BoilerMaxTokens)
       .orderBy(col("doc_id"))
 
   private val txtBoilerplateSql = {
     val concat = (0 until BoilerN).map(j => s"t[i+$j]")
       .mkString(" || ' ' || ")
+    // t[1:$BoilerMaxTokens] = DuckDB list slice (clamped on short
+    // lists) — the exact twin of the operator's slice(tokens, 1, cap)
     s"""WITH toks AS (SELECT doc_id,
-       |    string_split_regex(lower(trim(text)), '\\s+') AS t
+       |    (string_split_regex(lower(trim(text)), '\\s+'))[1:$BoilerMaxTokens] AS t
        |  FROM documents),
        |ix AS (SELECT doc_id, t,
        |    unnest(generate_series(1, len(t) - ${BoilerN - 1})) AS i

@@ -214,12 +214,19 @@ object StreamingAggs {
     * TB/day of events the store holds only the active-user frontier
     * (the sessionizeStream bound). An evicted user's chain simply
     * restarts on return — no pair spans the idle gap, the documented
-    * trade for bounded state. Within a micro-batch events sort by
-    * (event time, event_id) — the IDENTICAL tiebreak to the batch
-    * twin's lag window, so same-second multi-event users chain the
-    * same way in both engines; cross-batch disorder beyond the
-    * watermark delay chains in arrival order — sessionizeStream's
-    * disorderDelay caveat.
+    * trade for bounded state. Ordering parity with the batch twin is
+    * scoped to WITHIN a micro-batch: events sort by
+    * (event time, event_id) — the batch lag window's tiebreak — so
+    * same-second multi-event users chain identically whenever their
+    * same-second events land in one micro-batch. Same-second events
+    * SPLIT ACROSS micro-batches chain in arrival order: the earlier
+    * batch's pair is already emitted (Append mode cannot retract), so
+    * a later-arriving smaller event_id cannot be re-ordered ahead of
+    * the stored last event — carrying event_id in the state would not
+    * change this, which is why the state stores only (secs, type).
+    * That residual divergence folds into the same disorder caveat as
+    * sessionizeStream's disorderDelay: it is exactly a cross-batch
+    * disorder phenomenon, bounded by one pair per split.
     *
     * `idleSecs` must be strictly positive: a zero timeout lands the
     * state's timeout timestamp exactly AT the last event's time,

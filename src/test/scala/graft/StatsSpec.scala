@@ -289,6 +289,29 @@ class StatsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Stats.closenessCentrality(p3, "ga", "gb", maxNodes = 2)
     }
+    // multi-edges must not change the result (they are deduped before
+    // the driver collect; duplicate adjacency would not alter BFS
+    // distances either way)
+    val p3dup = p3.union(p3.limit(1))
+    val outDup = Stats.closenessCentrality(p3dup, "ga", "gb")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(outDup == outP3)
+  }
+
+  test("closeness: oversized graph refused via the distributed count, " +
+    "before any driver collect") {
+    // 2001-node chain — over the default maxNodes=2000. The require
+    // now precedes the edge collect and its message interpolates the
+    // DISTRIBUTED distinct-node count, so seeing the exact count in
+    // the refusal proves the guard ran without materializing the
+    // graph on the driver.
+    val chain = spark.range(2000)
+      .selectExpr("cast(id as string) as ga", "cast(id + 1 as string) as gb")
+    val e = intercept[IllegalArgumentException] {
+      Stats.closenessCentrality(chain, "ga", "gb")
+    }
+    assert(e.getMessage.contains("2001 nodes"))
+    assert(e.getMessage.contains("maxNodes=2000"))
   }
 
   test("centrality: two components rank independently of each other") {
