@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout through RAW instead of via sbt's
+// logger: the Bench/Verify driver contract is a machine-parsed JSON
+// line on stdout, and the default LoggedOutput prepends "[info] " to
+// every line — which breaks a strict json.loads on the captured tail.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -44,6 +44,48 @@ object Projection {
         ((col("rx") - col("mx")) / (col("sx") + 1e-8)).as("x"),
         ((col("ry") - col("my")) / (col("sy") + 1e-8)).as("y"))
   }
+
+  /** [[pca2d]] with the eigenvector SIGN ambiguity pinned by
+    * convention: output axis 1 (x) is oriented so its population
+    * covariance with `refCols(0)` is non-negative, axis 2 (y) against
+    * `refCols(1)` — the caller names two input columns whose
+    * direction defines "positive". Eigenvectors of a symmetric
+    * matrix are unique up to sign when eigenvalues are distinct, so
+    * this removes the LAST implementation-defined degree of freedom
+    * and makes the coordinates themselves deterministic — which is
+    * what graduates the projection from spec-only invariants to an
+    * oracle-checkable row (r15 verdict item 2): at d=2 the
+    * eigenproblem has a closed form DuckDB can replay in plain SQL.
+    *
+    * Scale shape identical to pca2d plus one 1-row aggregate and one
+    * broadcast: the orientation stats are two covariances over the
+    * projected frame, never a second fit.
+    *
+    * `refCols` must be columns OF `vectors` (carried alongside the
+    * vector column); a ref whose covariance with its axis is ~0 gives
+    * an arbitrary (but still deterministic: ties orient positive)
+    * sign — pick refs correlated with the expected principal
+    * directions, e.g. the raw components themselves.
+    */
+  def pca2dSignedTo(
+      vectors: DataFrame, idCol: String, vecCol: String,
+      refCols: Seq[String]): DataFrame = {
+    require(refCols.size == 2,
+      s"pca2dSignedTo: need exactly 2 orientation columns, " +
+        s"got ${refCols.size}")
+    val coords = pca2d(vectors, idCol, vecCol)
+    val joined = coords.join(
+      vectors.select(col(idCol),
+        col(refCols.head).as("ref_x"), col(refCols(1)).as("ref_y")),
+      Seq(idCol))
+    val signs = joined.agg(
+      covar_pop(col("x"), col("ref_x")).as("cx"),
+      covar_pop(col("y"), col("ref_y")).as("cy"))
+    joined.crossJoin(broadcast(signs))
+      .select(col(idCol),
+        (col("x") * when(col("cx") < 0, -1.0).otherwise(1.0)).as("x"),
+        (col("y") * when(col("cy") < 0, -1.0).otherwise(1.0)).as("y"))
+  }
 }
 
 /** Cast helper kept separate so Projection's MLlib imports stay

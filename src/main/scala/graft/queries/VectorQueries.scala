@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFns
-import graft.operators.{Bm25, Fusion, Pq, Precision, RankEval, Validate, VectorSearch}
+import graft.operators.{Bm25, Fusion, Pq, Precision, Projection, RankEval, Validate, VectorSearch}
 
 /** Vector + sparse + hybrid search queries (the reference's retrieval
   * surface re-expressed on Spark). All scores double-precision,
@@ -1783,7 +1783,75 @@ object VectorQueries {
        |  JOIN cn2 ON cs.label = cn2.label
        |ORDER BY cs.label""".stripMargin
 
+  /* ---------------- proj_pca2d ---------------- */
+
+  /** PCA-projection oracle row — the RESTRICTED-oracle device that
+    * graduates Projection.pca2d from spec-only invariants to a
+    * cross-engine hash row (r15 verdict item 2). The general operator
+    * runs at any d, but only a d=2 eigenproblem has a closed form
+    * DuckDB can replay, so the row feeds pca2d a DERIVED 2-D input
+    * built from the stored embeddings:
+    *
+    *   p = e[1] + 0.3·e[33]   (variance ≈ 0.017)
+    *   q = 0.5·e[2]           (variance ≈ 0.0035)
+    *
+    * The 0.3/0.5 mix forces a ~5× eigenvalue gap on the
+    * near-isotropic synthetic embeddings — distinct eigenvalues make
+    * the eigenvectors unique up to sign (pinned by pca2dSignedTo
+    * against p/q), and the wide gap keeps the eigenvector angle
+    * well-conditioned in BOTH engines, so 6dp rounding has ~6 orders
+    * of margin over the cross-engine float noise. What the row pins:
+    * the full production pipeline — MLlib covariance + eigenvectors,
+    * uncentered projection, mean/stddev_pop standardization, the
+    * 1e-8 guard, sign orientation — against an independent
+    * closed-form 2×2 eigen replay (well-conditioned (λ1−c, b) form,
+    * y-axis as the exact perpendicular).
+    */
+  private def projPca2d(s: SparkSession, d: String): DataFrame = {
+    val in = Tables.embeddings(s, d).select(col("vec_id"),
+      (element_at(col("embedding"), 1).cast("double")
+        + element_at(col("embedding"), 33).cast("double") * 0.3).as("p"),
+      (element_at(col("embedding"), 2).cast("double") * 0.5).as("q"))
+      .withColumn("v", array(col("p"), col("q")))
+    Projection.pca2dSignedTo(in, "vec_id", "v", Seq("p", "q"))
+      .select(col("vec_id"),
+        round(col("x"), 6).as("x"), round(col("y"), 6).as("y"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val projPca2dSql =
+    """WITH base AS (SELECT vec_id,
+      |    embedding[1]::DOUBLE + 0.3 * embedding[33]::DOUBLE AS p,
+      |    0.5 * embedding[2]::DOUBLE AS q
+      |  FROM embeddings),
+      |cov AS (SELECT var_pop(p) AS a, covar_pop(p, q) AS b,
+      |    var_pop(q) AS c FROM base),
+      |eig AS (SELECT a, b, c,
+      |    (a + c) / 2 + sqrt((a - c) * (a - c) / 4 + b * b) AS l1
+      |  FROM cov),
+      |v AS (SELECT
+      |    (l1 - c) / sqrt((l1 - c) * (l1 - c) + b * b) AS u1x,
+      |    b / sqrt((l1 - c) * (l1 - c) + b * b) AS u1y
+      |  FROM eig),
+      |prj AS (SELECT vec_id, p, q,
+      |    p * u1x + q * u1y AS rx,
+      |    p * (-u1y) + q * u1x AS ry
+      |  FROM base CROSS JOIN v),
+      |st AS (SELECT avg(rx) AS mx, stddev_pop(rx) AS sx,
+      |    avg(ry) AS my, stddev_pop(ry) AS sy FROM prj),
+      |sc AS (SELECT vec_id, p, q,
+      |    (rx - mx) / (sx + 0.00000001) AS x0,
+      |    (ry - my) / (sy + 0.00000001) AS y0
+      |  FROM prj CROSS JOIN st),
+      |sg AS (SELECT
+      |    CASE WHEN covar_pop(x0, p) < 0 THEN -1.0 ELSE 1.0 END AS fx,
+      |    CASE WHEN covar_pop(y0, q) < 0 THEN -1.0 ELSE 1.0 END AS fy
+      |  FROM sc)
+      |SELECT vec_id, round(x0 * fx, 6) AS x, round(y0 * fy, 6) AS y
+      |FROM sc CROSS JOIN sg ORDER BY vec_id""".stripMargin
+
   val defs: Seq[Qdef] = Seq(
+    Qdef("proj_pca2d", projPca2d, Some(projPca2dSql)),
     Qdef("vs_dense_topk", denseTopK, Some(denseTopKSql)),
     Qdef("emb_health", embHealthQ, Some(embHealthSql)),
     Qdef("emb_drift", embDriftQ, Some(embDriftSql)),

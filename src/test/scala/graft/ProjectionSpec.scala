@@ -46,4 +46,43 @@ class ProjectionSpec extends SparkSpec {
       .orderBy("vec_id").collect().map(r => (r.getDouble(1), r.getDouble(2)))
     assert(a.sameElements(b))
   }
+
+  test("pca2dSignedTo pins the eigenvector sign by the ref columns") {
+    // 2-D input with a clear gap: p spread ~10x q's. x must track p
+    // (dominant axis), y must track q — POSITIVELY for both, because
+    // the orientation covariances are pinned non-negative. And the
+    // pin makes the output EQUIVARIANT under data negation: coords of
+    // -X are exactly -(coords of X), because the refs flip with the
+    // data — whereas unpinned PCA would leave the relation to the
+    // solver's arbitrary eigenvector sign.
+    val base = (0 until 50).map { i =>
+      val t = (i - 25).toDouble
+      val w = math.sin(i.toDouble) // decorrelated wiggle
+      (i.toLong, t + 0.1 * w, 0.1 * t - 0.3 * w)
+    }.toDF("vec_id", "p", "q")
+      .withColumn("v", array(col("p"), col("q")))
+    val out = Projection.pca2dSignedTo(base, "vec_id", "v", Seq("p", "q"))
+      .join(base.select(col("vec_id"), col("p"), col("q")), Seq("vec_id"))
+    val Array(cx, cy) = out
+      .agg(covar_pop(col("x"), col("p")), covar_pop(col("y"), col("q")))
+      .collect().head.toSeq.map(_.asInstanceOf[Double]).toArray
+    assert(cx > 0.0 && cy > 0.0)
+
+    val neg = base.select(col("vec_id"), (-col("p")).as("p"),
+      (-col("q")).as("q"))
+      .withColumn("v", array(col("p"), col("q")))
+    val a = Projection.pca2dSignedTo(base, "vec_id", "v", Seq("p", "q"))
+      .orderBy("vec_id").collect()
+      .map(r => (math.rint(r.getDouble(1) * 1e9),
+        math.rint(r.getDouble(2) * 1e9)))
+    val b = Projection.pca2dSignedTo(neg, "vec_id", "v", Seq("p", "q"))
+      .orderBy("vec_id").collect()
+      .map(r => (math.rint(-r.getDouble(1) * 1e9),
+        math.rint(-r.getDouble(2) * 1e9)))
+    assert(a.sameElements(b))
+
+    intercept[IllegalArgumentException] {
+      Projection.pca2dSignedTo(base, "vec_id", "v", Seq("p"))
+    }
+  }
 }
