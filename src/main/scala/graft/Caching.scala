@@ -32,6 +32,21 @@ import org.apache.spark.sql.graftshim.SessionShim
   * CacheManager holds them strongly until `clearCache`/`unpersist` —
   * which is why the lifecycle must be explicit rather than left to GC.
   *
+  * CONCURRENCY: the contract assumes ONE active pipeline per
+  * SparkContext. The CacheManager is SHARED STATE across every
+  * session of a context (`spark.newSession()` clones the session
+  * state, not the cache), so a lifecycle clear issued by one
+  * pipeline unpersists a concurrently-running pipeline's internal
+  * frames too. Violating the contract degrades PERFORMANCE, never
+  * correctness: an unpersisted frame recomputes from lineage, so the
+  * victim's self-join sides each pay the upstream pipeline again —
+  * exactly the cost the cache existed to avoid — but the rows are
+  * identical (`CacheLifecycleSpec`'s interleaved-pipelines case pins
+  * this). Callers that genuinely need concurrent graft pipelines
+  * must isolate them in separate SparkContexts (separate JVMs in
+  * practice — one context per JVM), or run them serially and clear
+  * between.
+  *
   * One deliberate exception: ITERATIVE operators
   * (Dedup.connectedComponents) materialize per-round state via eager
   * `localCheckpoint` instead of `cache()` — checkpointing is what

@@ -36,4 +36,12 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     allDefs.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** `oracleSql` rebound to a non-default stored-vector dimension —
+    * the d=768 verify harness (the reference embedder's real width).
+    * Identical to `oracleSql` except the two PQ rows whose subspace
+    * arithmetic bakes in dim/m. NOT part of the driver contract.
+    */
+  def oracleSqlAt(dim: Int): Map[String, String] =
+    oracleSql ++ VectorQueries.oracleOverridesAt(dim)
 }

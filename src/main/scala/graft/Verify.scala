@@ -48,7 +48,13 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // local-harness dim override (d=768 vector verify); the driver
+    // never sets it, so its runs always dump the published d=64 map
+    val oracle = sys.env.get("SPARK_GRAFT_ORACLE_DIM") match {
+      case Some(dim) => SparkEntry.oracleSqlAt(dim.toInt)
+      case None => SparkEntry.oracleSql
+    }
+    val json = oracle
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

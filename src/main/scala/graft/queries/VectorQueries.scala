@@ -648,7 +648,6 @@ object VectorQueries {
     */
   private val PqDim = 64
   private val PqM = 4
-  private val PqDsub = PqDim / PqM
   private val PqK = 8
 
   /** The stored vectors' dimension — what a real engine reads from
@@ -672,11 +671,12 @@ object VectorQueries {
     Pq.adcTopK(codes, books, q, "vec_id", "qe", dim, PqM, 10)
   }
 
-  private val pqAdcSql =
+  private def pqAdcSqlAt(dim: Int): String = {
+    val dsub = dim / PqM
     s"""WITH subs AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS sub),
-       |di AS (SELECT unnest(generate_series(1, $PqDsub)) AS i),
+       |di AS (SELECT unnest(generate_series(1, $dsub)) AS i),
        |sv AS (SELECT e.vec_id, s.sub, d.i,
-       |    e.embedding[s.sub * $PqDsub + d.i]::DOUBLE AS v
+       |    e.embedding[s.sub * $dsub + d.i]::DOUBLE AS v
        |  FROM embeddings e CROSS JOIN subs s CROSS JOIN di d),
        |sd AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cell
        |  FROM embeddings ORDER BY vec_id LIMIT $PqK),
@@ -710,7 +710,7 @@ object VectorQueries {
        |        ORDER BY s DESC, cell) AS rn
        |    FROM e1) WHERE rn = 1),
        |q AS (SELECT s.sub, d.i,
-       |    e.embedding[s.sub * $PqDsub + d.i]::DOUBLE AS v
+       |    e.embedding[s.sub * $dsub + d.i]::DOUBLE AS v
        |  FROM embeddings e CROSS JOIN subs s CROSS JOIN di d
        |  WHERE e.vec_id = 0),
        |qn AS (SELECT sqrt(sum(x::DOUBLE * x::DOUBLE)) AS qnrm
@@ -727,6 +727,9 @@ object VectorQueries {
        |SELECT vec_id, round(dsum / (qn.qnrm * sqrt(sc.nsum)), 6) AS adc_sim
        |FROM sc CROSS JOIN qn
        |ORDER BY adc_sim DESC, vec_id LIMIT 10""".stripMargin
+  }
+
+  private val pqAdcSql = pqAdcSqlAt(PqDim)
 
   /* ---------------- vs_ivf_pq ---------------- */
 
@@ -745,7 +748,6 @@ object VectorQueries {
     */
   private val IpCells = 4
   private val IpM = 4
-  private val IpDsub = PqDim / IpM
   private val IpK = 8
   private val IpProbe = 2
   private val IpCand = 20
@@ -762,13 +764,14 @@ object VectorQueries {
       "qe", dim, IpM, IpProbe, IpCand, 10)
   }
 
-  private val ivfPqSql =
+  private def ivfPqSqlAt(dim: Int): String = {
+    val dsub = dim / IpM
     s"""WITH ${SqlSnippets.lloydSphericalCtes(IpCells, "cc")},
        |rv AS (SELECT sv.vec_id, sv.i, sv.v - cc.v AS v
        |  FROM sv JOIN asg ON sv.vec_id = asg.vec_id
        |  JOIN cc ON asg.cell = cc.cell AND cc.i = sv.i),
-       |rsv AS (SELECT vec_id, ((i - 1) // $IpDsub)::INT AS sub,
-       |    ((i - 1) % $IpDsub) + 1 AS j, v FROM rv),
+       |rsv AS (SELECT vec_id, ((i - 1) // $dsub)::INT AS sub,
+       |    ((i - 1) % $dsub) + 1 AS j, v FROM rv),
        |pd AS (SELECT vec_id,
        |    (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cell
        |  FROM embeddings ORDER BY vec_id LIMIT $IpK),
@@ -801,8 +804,8 @@ object VectorQueries {
        |        ORDER BY s DESC, cell) AS rn FROM e1) WHERE rn = 1),
        |qsv AS (SELECT i, v FROM sv WHERE vec_id = 0),
        |qn AS (SELECT sqrt(sum(v * v)) AS qnrm FROM qsv),
-       |qrs AS (SELECT ((i - 1) // $IpDsub)::INT AS sub,
-       |    ((i - 1) % $IpDsub) + 1 AS j, v FROM qsv),
+       |qrs AS (SELECT ((i - 1) // $dsub)::INT AS sub,
+       |    ((i - 1) % $dsub) + 1 AS j, v FROM qsv),
        |pq0 AS (SELECT cc.cell, sum(cc.v * qsv.v) AS dot
        |  FROM cc JOIN qsv ON cc.i = qsv.i GROUP BY cc.cell),
        |probe AS (SELECT cell, qc, cnsq FROM (
@@ -813,8 +816,8 @@ object VectorQueries {
        |tdq AS (SELECT bk.sub, bk.cell AS code, sum(bk.v * qrs.v) AS dotq
        |  FROM bk JOIN qrs ON bk.sub = qrs.sub AND bk.j = qrs.j
        |  GROUP BY 1, 2),
-       |csl AS (SELECT probe.cell AS pcell, ((cc.i - 1) // $IpDsub)::INT AS sub,
-       |    ((cc.i - 1) % $IpDsub) + 1 AS j, cc.v
+       |csl AS (SELECT probe.cell AS pcell, ((cc.i - 1) // $dsub)::INT AS sub,
+       |    ((cc.i - 1) % $dsub) + 1 AS j, cc.v
        |  FROM cc JOIN probe ON cc.cell = probe.cell),
        |tcr AS (SELECT csl.pcell, bk.sub, bk.cell AS code,
        |    sum(bk.v * csl.v) AS crossc
@@ -843,6 +846,9 @@ object VectorQueries {
        |    AS refined_sim
        |FROM rf JOIN en ON rf.vec_id = en.vec_id CROSS JOIN qn
        |ORDER BY refined_sim DESC, rf.vec_id LIMIT 10""".stripMargin
+  }
+
+  private val ivfPqSql = ivfPqSqlAt(PqDim)
 
   /* ---------------- bm25_search ---------------- */
 
@@ -1849,6 +1855,19 @@ object VectorQueries {
       |  FROM sc)
       |SELECT vec_id, round(x0 * fx, 6) AS x, round(y0 * fy, 6) AS y
       |FROM sc CROSS JOIN sg ORDER BY vec_id""".stripMargin
+
+  /** Oracle-SQL overrides for a NON-default stored-vector dimension.
+    * Every vector oracle except the two PQ rows derives the dimension
+    * from the data itself (`generate_series(1, len(embedding))`); the
+    * PQ twins bake the subspace width dim/m into their index
+    * arithmetic, so a d=768 verify pass (the reference embedder's
+    * real width — reference embeddings.py:70-72) regenerates exactly
+    * these two strings. The driver's published oracleSql stays bound
+    * to the testdata's d=64.
+    */
+  def oracleOverridesAt(dim: Int): Map[String, String] = Map(
+    "vs_pq_adc" -> pqAdcSqlAt(dim),
+    "vs_ivf_pq" -> ivfPqSqlAt(dim))
 
   val defs: Seq[Qdef] = Seq(
     Qdef("proj_pca2d", projPca2d, Some(projPca2dSql)),

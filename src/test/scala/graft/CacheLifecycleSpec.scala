@@ -55,4 +55,36 @@ class CacheLifecycleSpec extends SparkSpec {
     Caching.clearOperatorCaches(spark)
     assert(Caching.noCachedPlans(spark))
   }
+
+  test("interleaved pipelines: a concurrent clear costs recompute, " +
+    "never correctness") {
+    // The contract is ONE active pipeline per SparkContext: the cache
+    // manager is SHARED STATE (even spark.newSession() sessions share
+    // it), so pipeline B's lifecycle clear unpersists pipeline A's
+    // internal frames mid-flight. This pins the FAILURE MODE of
+    // violating the contract: the victim's plan recomputes the
+    // unpersisted frames from lineage — each self-join side pays the
+    // upstream pipeline again (the cost the cache existed to avoid) —
+    // but the ROWS are identical. Performance degradation, not wrong
+    // results.
+    Caching.clearOperatorCaches(spark)
+    val isolatedA = SparkEntry.queries("dedup_minhash_lsh")(spark, d)
+      .collect().map(_.toString).sorted
+    Caching.clearOperatorCaches(spark)
+
+    // pipeline A: plan built (its internal cache() calls registered)…
+    val planA = SparkEntry.queries("dedup_minhash_lsh")(spark, d)
+    // …pipeline B runs its full documented lifecycle in between,
+    // clearing EVERY cached plan in the context, A's internals
+    // included
+    SparkEntry.queries("vs_centroid_sim")(spark, d).collect()
+    Caching.clearOperatorCaches(spark)
+    assert(Caching.noCachedPlans(spark))
+    // A's action after the hostile clear: full recompute, same rows
+    val interleavedA = planA.collect().map(_.toString).sorted
+    assert(interleavedA.sameElements(isolatedA),
+      "interleaved clear changed dedup_minhash_lsh's ROWS — the " +
+        "cache must be a pure performance hint")
+    Caching.clearOperatorCaches(spark)
+  }
 }
