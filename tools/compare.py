@@ -26,8 +26,11 @@ def main() -> None:
     only = set(sys.argv[3:])
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver testdata tables are single files; harness-written ones
+        # (e.g. WidenVecs output) are Spark directories of part files
+        path = Path(sf_dir, f"{t}.parquet")
+        pat = f"{path}/*.parquet" if path.is_dir() else str(path)
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{pat}'")
     oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
