@@ -52,11 +52,17 @@ object ClusterSmoke {
     val qs = SparkEntry.queries
     val times = names.map { name =>
       require(qs.contains(name), s"unknown query $name")
+      var checksum: String = "null"
       val runs = (0 to 2).map { _ =>
         val t0 = System.nanoTime()
         val df = qs(name)(spark, sfDir)
-        df.agg(sum(xxhash64(df.columns.map(col): _*)
-          .cast("decimal(38,0)"))).collect()
+        // the checksum doubles as the RESULT-PARITY witness across
+        // masters: identical rows → identical sum-of-row-hashes, so
+        // diffing two smoke JSONs pins that the cluster computed the
+        // same answer, not just a fast one
+        val row = df.agg(sum(xxhash64(df.columns.map(col): _*)
+          .cast("decimal(38,0)"))).collect().head
+        checksum = if (row.isNullAt(0)) "null" else row.get(0).toString
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
         System.gc()
@@ -66,11 +72,11 @@ object ClusterSmoke {
       System.err.println(String.format(java.util.Locale.ROOT,
         "[smoke] %s %.2f s (warmup %.2f)", name,
         Double.box(t), Double.box(runs.head)))
-      name -> t
+      (name, t, checksum)
     }
     val master = spark.sparkContext.master
     val execs = spark.sparkContext.statusTracker.getExecutorInfos.length
-    println(s"""{"metric":"cluster_smoke","master":"$master","executors":$execs,"sf":"$sfDir","queries":{${times.map { case (n, t) => s"\"$n\":${fmt(t)}" }.mkString(",")}},"total":${fmt(times.map(_._2).sum)}}""")
+    println(s"""{"metric":"cluster_smoke","master":"$master","executors":$execs,"sf":"$sfDir","queries":{${times.map { case (n, t, _) => s"\"$n\":${fmt(t)}" }.mkString(",")}},"checksums":{${times.map { case (n, _, c) => s"\"$n\":$c" }.mkString(",")}},"total":${fmt(times.map(_._2).sum)}}""")
     spark.stop()
   }
 }
