@@ -127,4 +127,23 @@ class OracleLintSpec extends AnyFunSuite {
         "which the driver compares as float64; add ::BIGINT. " +
         violations.mkString("; "))
   }
+
+  test("the d=768 oracle rebind lints clean and changes ONLY the two " +
+    "PQ rows") {
+    val base = SparkEntry.oracleSql
+    val at768 = SparkEntry.oracleSqlAt(768)
+    assert(at768.keySet == base.keySet)
+    val changed = at768.keys.filter(k => at768(k) != base(k)).toSet
+    assert(changed == Set("vs_pq_adc", "vs_ivf_pq"),
+      s"dim rebind leaked beyond the PQ rows: $changed")
+    // the rebound strings must carry the d=768 subspace width and
+    // pass the same HUGEINT lint as the published map
+    changed.foreach { k =>
+      assert(at768(k).contains("192"), s"$k: dsub 192 missing at d=768")
+      assert(uncastIntegerSums(at768(k)) == allowlist.getOrElse(k, 0))
+    }
+    // identity at the published dim — the rebind is a pure function
+    // of its argument, not a second source of truth
+    assert(SparkEntry.oracleSqlAt(64) == base)
+  }
 }
