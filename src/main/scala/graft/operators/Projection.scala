@@ -30,10 +30,18 @@ object Projection {
     val fv = vectors.select(col(idCol),
       array_to_vector(VectorFnsCast.toDoubleArray(col(vecCol))).as("fv"))
     val model = new PCA().setK(2).setInputCol("fv").setOutputCol("pc").fit(fv)
+    // cache: the projected frame feeds BOTH the standardization
+    // aggregate and the output probe side (and, under pca2dSignedTo,
+    // the orientation aggregate too) — uncached, each consumer
+    // re-scans the caller's `vectors` lineage and re-runs the
+    // transform, which at lake scale multiplies the dominant scan
+    // cost 3-4×. (id, rx, ry) is three columns — the narrow shape
+    // the graft.Caching caller-owned lifecycle exists for.
     val coords = model.transform(fv)
       .select(col(idCol), vector_to_array(col("pc")).as("c"))
       .select(col(idCol),
         element_at(col("c"), 1).as("rx"), element_at(col("c"), 2).as("ry"))
+      .cache()
     // standardize like the reference: (coord - mean) / (std + 1e-8);
     // stats are a 1-row broadcast aggregate
     val stats = coords.agg(
@@ -74,10 +82,17 @@ object Projection {
       s"pca2dSignedTo: need exactly 2 orientation columns, " +
         s"got ${refCols.size}")
     val coords = pca2d(vectors, idCol, vecCol)
+    // joined feeds both the orientation aggregate and the output —
+    // the same double-consumer shape as pca2d's coords. coords is
+    // cached upstream, but the REFS side of this join scans the
+    // caller's `vectors` lineage; caching the five narrow joined
+    // columns keeps that to one scan per operator call (the
+    // graft.Caching caller-owned lifecycle applies).
     val joined = coords.join(
       vectors.select(col(idCol),
         col(refCols.head).as("ref_x"), col(refCols(1)).as("ref_y")),
       Seq(idCol))
+      .cache()
     val signs = joined.agg(
       covar_pop(col("x"), col("ref_x")).as("cx"),
       covar_pop(col("y"), col("ref_y")).as("cy"))

@@ -30,7 +30,8 @@ class CacheLifecycleSpec extends SparkSpec {
     "dedup_semantic", // semanticDedup's assigned + pruned caches (r12)
     "corpus_dsir", // dsirLogWeights' model + per-doc count caches (r12)
     "ev_transitions", // transitionMatrix's matrix cache (r14)
-    "mix_temperature") // mixTemperature's weighted-counts cache (r14)
+    "mix_temperature", // mixTemperature's weighted-counts cache (r14)
+    "proj_pca2d") // pca2d coords + pca2dSignedTo joined caches (r16)
 
   test("each caching operator leaves zero net cached plans after the " +
     "documented lifecycle call") {
