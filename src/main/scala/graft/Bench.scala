@@ -105,8 +105,15 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$Runs,"agg":"min-after-warmup","warmup_times":$warmups,"run_times":$allRuns,"failed":[${failed.mkString(",")}]}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json)
-    println(s"[bench] full json written to $outPath")
+    // guarded: a failed file write (bad path, full disk) must never
+    // cost the stdout contract line below — after a multi-hour sweep
+    // the compact line is the only surviving record
+    try {
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json)
+      println(s"[bench] full json written to $outPath")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] WARN: could not write $outPath: $e")
+    }
     // STDOUT gets a COMPACT line, printed LAST: the driver captures
     // only a ~1.9 KB log tail, and the full 162-query named JSON is
     // ~14 KB — every round through r15 it arrived truncated and
@@ -124,9 +131,20 @@ object Bench {
       .sortBy(-_._2).take(5)
       .map { case (n, t) => s"\"$n\":${fmt3(t)}" }
       .mkString("{", ",", "}")
-    val compact =
-      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$slowest,"queries_note":"5 slowest of n_queries; all timings in qtimes; full named maps in detail_file","sf":"$sfDir","runs":$Runs,"agg":"min-after-warmup","n_queries":${mins.size},"queries_order":"name-asc","qtimes":$qtimes,"failed":[${failed.mkString(",")}],"detail_file":"$outPath"}"""
-    println(compact)
+    def compactLine(times: String) =
+      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$slowest,"queries_note":"5 slowest of n_queries; all timings in qtimes; full named maps in detail_file","sf":"$sfDir","runs":$Runs,"agg":"min-after-warmup","n_queries":${mins.size},"queries_order":"name-asc","qtimes":$times,"failed":[${failed.mkString(",")}],"detail_file":"$outPath"}"""
+    val compact = compactLine(qtimes)
+    // size guard against the ~1.9 KB driver tail window this line
+    // exists to fit into: qtimes grows ~7 bytes/query, so at roughly
+    // 230+ queries the full array would silently reintroduce the
+    // truncation this format fixed — degrade to the summary (the
+    // file still has everything) and say so on stderr
+    if (compact.length <= 1600) println(compact)
+    else {
+      System.err.println(s"[bench] WARN: compact line ${compact.length}" +
+        " B exceeds the tail-window budget; omitting qtimes")
+      println(compactLine("\"omitted-over-budget\""))
+    }
     spark.stop()
   }
 }

@@ -51,7 +51,10 @@ object Verify {
     // local-harness dim override (d=768 vector verify); the driver
     // never sets it, so its runs always dump the published d=64 map
     val oracle = sys.env.get("SPARK_GRAFT_ORACLE_DIM") match {
-      case Some(dim) => SparkEntry.oracleSqlAt(dim.toInt)
+      case Some(dim) =>
+        val d = dim.trim.toIntOption.getOrElse(sys.error(
+          s"SPARK_GRAFT_ORACLE_DIM must be an integer, got '$dim'"))
+        SparkEntry.oracleSqlAt(d)
       case None => SparkEntry.oracleSql
     }
     val json = oracle

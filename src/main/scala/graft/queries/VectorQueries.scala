@@ -1865,9 +1865,18 @@ object VectorQueries {
     * these two strings. The driver's published oracleSql stays bound
     * to the testdata's d=64.
     */
-  def oracleOverridesAt(dim: Int): Map[String, String] = Map(
-    "vs_pq_adc" -> pqAdcSqlAt(dim),
-    "vs_ivf_pq" -> ivfPqSqlAt(dim))
+  def oracleOverridesAt(dim: Int): Map[String, String] = {
+    // mirror Pq.train's contract: an indivisible dim would generate
+    // SQL that silently indexes past the stored vectors (DuckDB list
+    // indexing returns NULL out of range) and fail as opaque DIFF
+    // rows instead of a clear refusal
+    require(dim > 0 && dim % PqM == 0 && dim % IpM == 0,
+      s"oracleOverridesAt: dim $dim must be positive and divisible " +
+        s"by m (PQ m=$PqM, IVF-PQ m=$IpM)")
+    Map(
+      "vs_pq_adc" -> pqAdcSqlAt(dim),
+      "vs_ivf_pq" -> ivfPqSqlAt(dim))
+  }
 
   val defs: Seq[Qdef] = Seq(
     Qdef("proj_pca2d", projPca2d, Some(projPca2dSql)),

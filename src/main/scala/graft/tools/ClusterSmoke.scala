@@ -53,30 +53,45 @@ object ClusterSmoke {
     val times = names.map { name =>
       require(qs.contains(name), s"unknown query $name")
       var checksum: String = "null"
+      // Bench's per-query failure guard: one query failing (e.g. a
+      // cluster-only misconfiguration — exactly what a smoke exists
+      // to surface) must cost that ROW, never the whole run's JSON
       val runs = (0 to 2).map { _ =>
         val t0 = System.nanoTime()
-        val df = qs(name)(spark, sfDir)
-        // the checksum doubles as the RESULT-PARITY witness across
-        // masters: identical rows → identical sum-of-row-hashes, so
-        // diffing two smoke JSONs pins that the cluster computed the
-        // same answer, not just a fast one
-        val row = df.agg(sum(xxhash64(df.columns.map(col): _*)
-          .cast("decimal(38,0)"))).collect().head
-        checksum = if (row.isNullAt(0)) "null" else row.get(0).toString
+        val ok = try {
+          val df = qs(name)(spark, sfDir)
+          // the checksum doubles as the RESULT-PARITY witness across
+          // masters: identical rows → identical sum-of-row-hashes, so
+          // diffing two smoke JSONs pins that the cluster computed
+          // the same answer, not just a fast one
+          val row = df.agg(sum(xxhash64(df.columns.map(col): _*)
+            .cast("decimal(38,0)"))).collect().head
+          checksum = if (row.isNullAt(0)) "null" else row.get(0).toString
+          true
+        } catch { case e: Throwable =>
+          System.err.println(s"[smoke] $name FAILED: ${e.getMessage}")
+          checksum = "null"
+          false
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
         System.gc()
-        dt
+        (dt, ok)
       }
-      val t = runs.drop(1).min
-      System.err.println(String.format(java.util.Locale.ROOT,
-        "[smoke] %s %.2f s (warmup %.2f)", name,
-        Double.box(t), Double.box(runs.head)))
+      val okTimes = runs.drop(1).collect { case (dt, true) => dt }
+      val t = if (okTimes.nonEmpty && runs.drop(1).forall(_._2))
+        Some(okTimes.min) else None
+      System.err.println(t match {
+        case Some(v) => String.format(java.util.Locale.ROOT,
+          "[smoke] %s %.2f s (warmup %.2f)", name,
+          Double.box(v), Double.box(runs.head._1))
+        case None => s"[smoke] $name FAILED"
+      })
       (name, t, checksum)
     }
     val master = spark.sparkContext.master
     val execs = spark.sparkContext.statusTracker.getExecutorInfos.length
-    println(s"""{"metric":"cluster_smoke","master":"$master","executors":$execs,"sf":"$sfDir","queries":{${times.map { case (n, t, _) => s"\"$n\":${fmt(t)}" }.mkString(",")}},"checksums":{${times.map { case (n, _, c) => s"\"$n\":$c" }.mkString(",")}},"total":${fmt(times.map(_._2).sum)}}""")
+    println(s"""{"metric":"cluster_smoke","master":"$master","executors":$execs,"sf":"$sfDir","queries":{${times.map { case (n, t, _) => s"\"$n\":${t.map(fmt).getOrElse("null")}" }.mkString(",")}},"checksums":{${times.map { case (n, _, c) => s"\"$n\":$c" }.mkString(",")}},"failed":[${times.collect { case (n, None, _) => s"\"$n\"" }.mkString(",")}],"total":${fmt(times.flatMap(_._2).sum)}}""")
     spark.stop()
   }
 }
