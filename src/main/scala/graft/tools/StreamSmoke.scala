@@ -1,0 +1,163 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{Dataset, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.Sessions
+import graft.operators.Events
+import graft.streaming.{ClosedSession, SessionEvent, StreamingAggs}
+
+/** Dev harness: drive the STATEFUL streaming path (sessionizeStream —
+  * flatMapGroupsWithState, event-time timeouts, the HDFS-backed state
+  * store) end to end on WHATEVER master spark-submit provides, against
+  * the real events table, with a built-in batch-twin equality check.
+  * The multi-executor companion to ClusterSmoke: the specs pin the
+  * streaming SEMANTICS in one JVM; this pins the EXECUTION REGIME —
+  * state store partitions living on separate executor processes,
+  * checkpoint/offset commits over the shared filesystem, the file
+  * source's listing path — and emits a checksum so a spark:// run can
+  * be diffed against a local[n] run. NOT part of the library surface.
+  *
+  * Shape: the events table is re-written as K time-range input files
+  * (all rows in file k precede file k+1), appended one per micro-batch
+  * — so cross-batch arrival order matches event-time order and the
+  * stream/batch session parity is exact by construction (the spec's
+  * disorder caveat does not trigger). Two far-future SENTINEL events
+  * (user_id = -1) then advance the watermark and fire the event-time
+  * timeouts: the first moves the watermark past every real session's
+  * last+gap, the second triggers the batch in which those timeouts
+  * actually fire (timeouts are evaluated against the PREVIOUS batch's
+  * watermark). Every real session therefore closes and is emitted to
+  * the parquet sink; the sentinel's own session never closes and its
+  * user never reaches the output.
+  */
+object StreamSmoke {
+
+  private val GapSecs = 1800L
+  private val InputFiles = 6
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val work = if (args.length > 1) args(1) else "/tmp/graft_streamsmoke"
+    val spark = Sessions
+      .clusterBuilder(
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "16").toInt,
+        "graft-stream-smoke")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // fresh work dirs per run (the checkpoint must not resume a
+    // previous run's offsets, or the batch count diverges)
+    def rmrf(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles.foreach(rmrf)
+      p.delete(): Unit
+    }
+    rmrf(new java.io.File(work))
+    val (inDir, outDir, ckptDir) =
+      (s"$work/input", s"$work/out", s"$work/ckpt")
+    Files.createDirectories(Paths.get(inDir))
+
+    // events table: raw frame (Tables.events normalizes ts to LONG
+    // nanos — what the batch sessionize's tsSecs expects) + typed
+    // stream view (ts cast to timestamp; getTime/1000 floors to the
+    // same seconds as the batch's `div 1e9`)
+    val rawEv = graft.Tables.events(spark, sfDir)
+      .select(col("user_id").cast("long").as("user_id"),
+        col("ts"), col("value").cast("double").as("value"))
+      .cache()
+    val ev = rawEv
+      .select(col("user_id"),
+        (col("ts") / lit(1000000000L)).cast("timestamp").as("ts"),
+        col("value"))
+      .as[SessionEvent]
+    val (minS, maxS) = ev.agg(
+      min(unix_timestamp(col("ts"))), max(unix_timestamp(col("ts"))))
+      .as[(Long, Long)].head()
+
+    // K contiguous time-range slices, written as input-file payloads
+    // up front (appended to the watched dir one at a time below)
+    val step = math.max(1L, (maxS - minS) / InputFiles + 1)
+    val slices = (0 until InputFiles).map { k =>
+      val lo = minS + k * step
+      val hi = lo + step
+      s"$work/slice_$k" -> ev.where(
+        unix_timestamp(col("ts")) >= lo && unix_timestamp(col("ts")) < hi)
+    }
+    slices.foreach { case (p, df) =>
+      df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(p)
+    }
+    def appendSlice(src: String): Unit = {
+      val files = new java.io.File(src).listFiles
+        .filter(_.getName.endsWith(".parquet"))
+      files.foreach { f =>
+        Files.copy(f.toPath,
+          Paths.get(inDir, s"${f.getParentFile.getName}_${f.getName}")): Unit
+      }
+    }
+    def appendSentinel(name: String, secs: Long): Unit =
+      Seq((-1L, new java.sql.Timestamp(secs * 1000L), 0.0))
+        .toDF("user_id", "ts", "value").coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$work/$name")
+
+    val stream = spark.readStream
+      .schema("user_id LONG, ts TIMESTAMP, value DOUBLE")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+      .as[SessionEvent]
+    val sessions: Dataset[ClosedSession] =
+      StreamingAggs.sessionizeStream(stream, GapSecs)
+    val query = sessions.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckptDir)
+      .outputMode(OutputMode.Append())
+      .start()
+
+    // one micro-batch per time-range slice, in event-time order
+    slices.foreach { case (p, _) =>
+      appendSlice(p)
+      query.processAllAvailable()
+    }
+    // sentinel 1 advances the watermark past every last+gap; sentinel
+    // 2 triggers the batch in which those timeouts fire
+    appendSentinel("sent1", maxS + 2L * 86400)
+    appendSlice(s"$work/sent1")
+    query.processAllAvailable()
+    appendSentinel("sent2", maxS + 4L * 86400)
+    appendSlice(s"$work/sent2")
+    query.processAllAvailable()
+    query.stop()
+
+    def canon(rows: Seq[(Long, Long, Double, Long)]) = rows.sorted
+    val streamed = canon(spark.read.parquet(outDir)
+      .where(col("user_id") >= 0)
+      .select(col("user_id"), col("n_events"),
+        round(col("sum_value"), 2).as("sv"), col("duration_secs"))
+      .as[(Long, Long, Double, Long)].collect().toSeq)
+    val batch = canon(Events.sessionize(
+      rawEv.withColumn("event_id", lit(0L)), GapSecs)
+      .select(col("user_id"), col("n_events"),
+        round(col("sum_value"), 2).as("sv"), col("duration_secs"))
+      .as[(Long, Long, Double, Long)].collect().toSeq)
+    val matches = streamed == batch
+    val checksum = streamed.map { case (u, n, sv, d) =>
+      java.util.Objects.hash(Long.box(u), Long.box(n),
+        Double.box(sv), Long.box(d)).toLong
+    }.sum
+    val master = spark.sparkContext.master
+    val execs = spark.sparkContext.statusTracker.getExecutorInfos.length
+    println(s"""{"metric":"stream_smoke","master":"$master","executors":$execs,"sf":"$sfDir","sessions":${streamed.size},"batch_sessions":${batch.size},"batch_match":$matches,"checksum":$checksum}""")
+    if (!matches) {
+      System.err.println(s"[stream-smoke] MISMATCH: streamed=" +
+        s"${streamed.size} batch=${batch.size}; first diffs: " +
+        (streamed.diff(batch).take(3), batch.diff(streamed).take(3)))
+      sys.exit(1)
+    }
+    spark.stop()
+  }
+}
