@@ -104,22 +104,34 @@ object StreamSmoke {
         .toDF("user_id", "ts", "value").coalesce(1)
         .write.mode(SaveMode.Overwrite).parquet(s"$work/$name")
 
-    val stream = spark.readStream
-      .schema("user_id LONG, ts TIMESTAMP, value DOUBLE")
-      .option("maxFilesPerTrigger", "1")
-      .parquet(inDir)
-      .as[SessionEvent]
-    val sessions: Dataset[ClosedSession] =
+    def startQuery() = {
+      val stream = spark.readStream
+        .schema("user_id LONG, ts TIMESTAMP, value DOUBLE")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir)
+        .as[SessionEvent]
       StreamingAggs.sessionizeStream(stream, GapSecs)
-    val query = sessions.writeStream
-      .format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", ckptDir)
-      .outputMode(OutputMode.Append())
-      .start()
-
-    // one micro-batch per time-range slice, in event-time order
-    slices.foreach { case (p, _) =>
+        .writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckptDir)
+        .outputMode(OutputMode.Append())
+        .start()
+    }
+    // optional third arg "restart": STOP the query mid-corpus and
+    // start a FRESH one from the same checkpoint — the production
+    // recovery path (offset log + state store restore) exercised on
+    // whatever master this runs under. The final output must be
+    // byte-for-byte the no-restart run's (same checksum), because the
+    // checkpoint carries both the processed-file offsets and every
+    // open session's state across the process boundary.
+    val restart = args.length > 2 && args(2) == "restart"
+    var query = startQuery()
+    slices.zipWithIndex.foreach { case ((p, _), k) =>
+      if (restart && k == InputFiles / 2) {
+        query.stop()
+        query = startQuery()
+      }
       appendSlice(p)
       query.processAllAvailable()
     }
@@ -151,7 +163,7 @@ object StreamSmoke {
     }.sum
     val master = spark.sparkContext.master
     val execs = spark.sparkContext.statusTracker.getExecutorInfos.length
-    println(s"""{"metric":"stream_smoke","master":"$master","executors":$execs,"sf":"$sfDir","sessions":${streamed.size},"batch_sessions":${batch.size},"batch_match":$matches,"checksum":$checksum}""")
+    println(s"""{"metric":"stream_smoke","master":"$master","executors":$execs,"sf":"$sfDir","restart":$restart,"sessions":${streamed.size},"batch_sessions":${batch.size},"batch_match":$matches,"checksum":$checksum}""")
     if (!matches) {
       System.err.println(s"[stream-smoke] MISMATCH: streamed=" +
         s"${streamed.size} batch=${batch.size}; first diffs: " +
