@@ -131,20 +131,27 @@ object Bench {
       .sortBy(-_._2).take(5)
       .map { case (n, t) => s"\"$n\":${fmt3(t)}" }
       .mkString("{", ",", "}")
-    def compactLine(times: String) =
-      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$slowest,"queries_note":"5 slowest of n_queries; all timings in qtimes; full named maps in detail_file","sf":"$sfDir","runs":$Runs,"agg":"min-after-warmup","n_queries":${mins.size},"queries_order":"name-asc","qtimes":$times,"failed":[${failed.mkString(",")}],"detail_file":"$outPath"}"""
-    val compact = compactLine(qtimes)
+    def compactLine(times: String, failedRepr: String) =
+      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":$slowest,"queries_note":"5 slowest of n_queries; all timings in qtimes; full named maps in detail_file","sf":"$sfDir","runs":$Runs,"agg":"min-after-warmup","n_queries":${mins.size},"queries_order":"name-asc","qtimes":$times,"failed":$failedRepr,"detail_file":"$outPath"}"""
     // size guard against the ~1.9 KB driver tail window this line
-    // exists to fit into: qtimes grows ~7 bytes/query, so at roughly
-    // 230+ queries the full array would silently reintroduce the
-    // truncation this format fixed — degrade to the summary (the
-    // file still has everything) and say so on stderr
-    if (compact.length <= 1600) println(compact)
-    else {
-      System.err.println(s"[bench] WARN: compact line ${compact.length}" +
-        " B exceeds the tail-window budget; omitting qtimes")
-      println(compactLine("\"omitted-over-budget\""))
-    }
+    // exists to fit into: qtimes grows ~7 bytes/query (230+ queries
+    // would silently reintroduce the truncation this format fixed),
+    // and a sweep with MANY failures grows the failed-names array
+    // unboundedly — so degrade stepwise (drop qtimes, then collapse
+    // failed names to a count; the file still has everything) until
+    // the line fits, and say so on stderr
+    val failedArr = s"[${failed.mkString(",")}]"
+    val candidates = Seq(
+      compactLine(qtimes, failedArr),
+      compactLine("\"omitted-over-budget\"", failedArr),
+      compactLine("\"omitted-over-budget\"",
+        s"""{"n_failed":${failed.size},"names":"see detail_file"}"""))
+    val emit = candidates.find(_.length <= 1600).getOrElse(candidates.last)
+    if (emit ne candidates.head)
+      System.err.println(s"[bench] WARN: compact line " +
+        s"${candidates.head.length} B exceeds the tail-window budget; " +
+        "degraded (qtimes and/or failed names omitted)")
+    println(emit)
     spark.stop()
   }
 }

@@ -14,10 +14,13 @@ import org.apache.spark.sql.functions._
   * eigendecomposition runs on the driver — legitimate because d=64
   * makes the covariance broadcast-sized at ANY corpus size.
   *
-  * Spec-only surface (like streaming/multimodal): eigenvector signs
-  * are implementation-defined, so coordinates are not
-  * oracle-checkable; the spec asserts the invariants instead
-  * (variance ordering, standardization, determinism).
+  * Oracle status is split by entry point: the base `pca2d` leaves
+  * eigenvector signs implementation-defined (MLlib's SVD convention),
+  * so its raw coordinates are spec-only — the spec asserts the
+  * invariants (variance ordering, standardization, determinism).
+  * `pca2dSignedTo` pins the sign by covariance convention and IS
+  * oracle-checked at d=2 (`proj_pca2d`: DuckDB replays the
+  * closed-form 2×2 eigenproblem and hash-matches the coordinates).
   */
 object Projection {
 

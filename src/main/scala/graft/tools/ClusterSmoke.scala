@@ -24,6 +24,23 @@ import graft.{Sessions, SparkEntry}
   * mirrors Bench: one discarded warm-up, then min of 2 timed runs,
   * checksum-aggregated over every output column, cache cleared
   * between runs. NOT part of the library surface or driver contract.
+  *
+  * FAULT-INJECTION mode (r17): with `SPARK_GRAFT_KILL_PID=<worker
+  * jvm pid>` (and optionally `SPARK_GRAFT_KILL_AFTER_STAGES=<n>`,
+  * default 8), the smoke runs exactly ONE query ONCE, and a stage
+  * listener SIGKILLs that worker the moment the n-th stage of the
+  * query completes — i.e. mid-job, deterministically, not by a
+  * sleep race. Spark must then reschedule onto the surviving
+  * worker(s): lost shuffle blocks recompute via FetchFailed stage
+  * resubmission, lost cache blocks recompute from lineage, and
+  * reliable-checkpoint files (SPARK_GRAFT_CKPT_DIR on shared
+  * storage) survive the dead executor outright. The emitted checksum
+  * must equal the uninterrupted run's — that equality IS the
+  * fault-tolerance witness. (Negative control: the same kill with
+  * localCheckpoint lineage truncation is EXPECTED to fail the query
+  * — executor-local checkpoint blocks die with the executor — which
+  * is why iterative operators switch to reliable checkpoints when a
+  * checkpoint dir is set.)
   */
 object ClusterSmoke {
 
@@ -44,8 +61,41 @@ object ClusterSmoke {
     spark.sparkContext.setLogLevel("WARN")
     // reliable checkpoints must be on shared storage under a real
     // cluster; localCheckpoint (the default) is executor-local and
-    // works on both shapes
+    // works on both shapes — the env knob mirrors Bench's
+    sys.env.get("SPARK_GRAFT_CKPT_DIR")
+      .foreach(spark.sparkContext.setCheckpointDir)
     spark.range(1000000L).selectExpr("sum(id)").collect()
+
+    // fault-injection arm (see object doc): kill the given worker JVM
+    // after the n-th completed stage of the measured query
+    val killPid = sys.env.get("SPARK_GRAFT_KILL_PID").map(_.trim.toLong)
+    val killAfter =
+      sys.env.getOrElse("SPARK_GRAFT_KILL_AFTER_STAGES", "8").toInt
+    val killFired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val stageCount = new java.util.concurrent.atomic.AtomicInteger(0)
+    killPid.foreach { pid =>
+      require(names.size == 1,
+        "kill mode runs exactly one query (stage counting is global)")
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              ev: org.apache.spark.scheduler.SparkListenerStageCompleted)
+              : Unit = {
+            if (stageCount.incrementAndGet() == killAfter &&
+              killFired.compareAndSet(false, true)) {
+              System.err.println(
+                s"[smoke] KILL: SIGKILL worker pid $pid (+ child " +
+                  s"executors) after $killAfter completed stages")
+              // the worker's executors are CHILD processes — a bare
+              // SIGKILL of the worker would orphan them still serving
+              // tasks, simulating nothing; kill the children first
+              new ProcessBuilder("bash", "-c",
+                s"pkill -9 -P $pid; kill -9 $pid")
+                .start().waitFor(): Unit
+            }
+          }
+        })
+    }
 
     def fmt(d: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
@@ -55,8 +105,12 @@ object ClusterSmoke {
       var checksum: String = "null"
       // Bench's per-query failure guard: one query failing (e.g. a
       // cluster-only misconfiguration — exactly what a smoke exists
-      // to surface) must cost that ROW, never the whole run's JSON
-      val runs = (0 to 2).map { _ =>
+      // to surface) must cost that ROW, never the whole run's JSON.
+      // Kill mode runs the query ONCE: a warm-up would consume the
+      // stage budget (and recover the fault before the timed run),
+      // defeating the injection.
+      val runIdxs = if (killPid.isDefined) 0 to 0 else 0 to 2
+      val runs = runIdxs.map { _ =>
         val t0 = System.nanoTime()
         val ok = try {
           val df = qs(name)(spark, sfDir)
@@ -78,8 +132,10 @@ object ClusterSmoke {
         System.gc()
         (dt, ok)
       }
-      val okTimes = runs.drop(1).collect { case (dt, true) => dt }
-      val t = if (okTimes.nonEmpty && runs.drop(1).forall(_._2))
+      // kill mode has no discarded warm-up — its single run IS timed
+      val timed = if (killPid.isDefined) runs else runs.drop(1)
+      val okTimes = timed.collect { case (dt, true) => dt }
+      val t = if (okTimes.nonEmpty && timed.forall(_._2))
         Some(okTimes.min) else None
       System.err.println(t match {
         case Some(v) => String.format(java.util.Locale.ROOT,
@@ -91,7 +147,12 @@ object ClusterSmoke {
     }
     val master = spark.sparkContext.master
     val execs = spark.sparkContext.statusTracker.getExecutorInfos.length
-    println(s"""{"metric":"cluster_smoke","master":"$master","executors":$execs,"sf":"$sfDir","queries":{${times.map { case (n, t, _) => s"\"$n\":${t.map(fmt).getOrElse("null")}" }.mkString(",")}},"checksums":{${times.map { case (n, _, c) => s"\"$n\":$c" }.mkString(",")}},"failed":[${times.collect { case (n, None, _) => s"\"$n\"" }.mkString(",")}],"total":${fmt(times.flatMap(_._2).sum)}}""")
+    val killJson = killPid match {
+      case Some(pid) =>
+        s""","kill":{"pid":$pid,"after_stages":$killAfter,"fired":${killFired.get()},"stages_seen":${stageCount.get()}}"""
+      case None => ""
+    }
+    println(s"""{"metric":"cluster_smoke","master":"$master","executors":$execs,"sf":"$sfDir","queries":{${times.map { case (n, t, _) => s"\"$n\":${t.map(fmt).getOrElse("null")}" }.mkString(",")}},"checksums":{${times.map { case (n, _, c) => s"\"$n\":$c" }.mkString(",")}},"failed":[${times.collect { case (n, None, _) => s"\"$n\"" }.mkString(",")}],"total":${fmt(times.flatMap(_._2).sum)}$killJson}""")
     spark.stop()
   }
 }

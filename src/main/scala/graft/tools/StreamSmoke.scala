@@ -57,7 +57,19 @@ object StreamSmoke {
       if (p.isDirectory) p.listFiles.foreach(rmrf)
       p.delete(): Unit
     }
-    rmrf(new java.io.File(work))
+    // refuse to wipe a directory that is not a previous run's work dir
+    // — a mistyped second CLI arg (e.g. a data directory) must fail
+    // loudly, not be silently destroyed before the run starts
+    val workDir = new java.io.File(work)
+    if (workDir.exists()) {
+      val looksLikeOurs = work.contains("streamsmoke") ||
+        new java.io.File(workDir, "input").isDirectory ||
+        new java.io.File(workDir, "ckpt").isDirectory
+      require(looksLikeOurs, s"refusing to delete '$work': not a prior " +
+        "stream-smoke work dir (no input/ or ckpt/ marker and the path " +
+        "does not contain 'streamsmoke')")
+    }
+    rmrf(workDir)
     val (inDir, outDir, ckptDir) =
       (s"$work/input", s"$work/out", s"$work/ckpt")
     Files.createDirectories(Paths.get(inDir))
@@ -118,19 +130,42 @@ object StreamSmoke {
         .outputMode(OutputMode.Append())
         .start()
     }
-    // optional third arg "restart": STOP the query mid-corpus and
-    // start a FRESH one from the same checkpoint — the production
-    // recovery path (offset log + state store restore) exercised on
-    // whatever master this runs under. The final output must be
-    // byte-for-byte the no-restart run's (same checksum), because the
-    // checkpoint carries both the processed-file offsets and every
-    // open session's state across the process boundary.
-    val restart = args.length > 2 && args(2) == "restart"
+    // optional third arg:
+    //  - "restart": STOP the query mid-corpus and start a FRESH one
+    //    from the same checkpoint — the production recovery path
+    //    (offset log + state store restore) exercised on whatever
+    //    master this runs under.
+    //  - "kill" (r17, needs SPARK_GRAFT_KILL_PID=<worker jvm pid>):
+    //    SIGKILL one WORKER mid-corpus without touching the driver or
+    //    the query — the executor-loss path. In-flight tasks retry on
+    //    the surviving executor, and the state store provider reloads
+    //    every partition's session state from the checkpoint delta
+    //    files; no state may be lost or double-emitted.
+    // Either way the final output must be byte-for-byte the
+    // uninterrupted run's (same checksum), because the checkpoint
+    // carries both the processed-file offsets and every open
+    // session's state across the process/executor boundary.
+    val mode = if (args.length > 2) args(2) else "plain"
+    require(Set("plain", "restart", "kill")(mode), s"unknown mode '$mode'")
+    val killPid = sys.env.get("SPARK_GRAFT_KILL_PID").map(_.trim.toLong)
+    if (mode == "kill") require(killPid.isDefined,
+      "kill mode needs SPARK_GRAFT_KILL_PID=<worker jvm pid>")
     var query = startQuery()
     slices.zipWithIndex.foreach { case ((p, _), k) =>
-      if (restart && k == InputFiles / 2) {
-        query.stop()
-        query = startQuery()
+      if (k == InputFiles / 2) mode match {
+        case "restart" =>
+          query.stop()
+          query = startQuery()
+        case "kill" =>
+          System.err.println(
+            s"[stream-smoke] KILL: SIGKILL worker pid ${killPid.get} " +
+              s"(+ child executors) before slice $k")
+          // kill the worker's executor CHILDREN too — a bare worker
+          // SIGKILL orphans them still serving tasks
+          new ProcessBuilder("bash", "-c",
+            s"pkill -9 -P ${killPid.get}; kill -9 ${killPid.get}")
+            .start().waitFor(): Unit
+        case _ => ()
       }
       appendSlice(p)
       query.processAllAvailable()
@@ -145,25 +180,38 @@ object StreamSmoke {
     query.processAllAvailable()
     query.stop()
 
-    def canon(rows: Seq[(Long, Long, Double, Long)]) = rows.sorted
-    val streamed = canon(spark.read.parquet(outDir)
-      .where(col("user_id") >= 0)
+    // parity compare: integer fields exact; sum_value under a small
+    // tolerance — the stream sums per-event in arrival order while
+    // the batch twin sums in Spark's partial-aggregation order, so a
+    // session sum landing within 1 ulp of a .005 rounding boundary
+    // could round to different 2dp values and fail a round-then-
+    // compare check spuriously (same data, same math)
+    def canon(rows: Seq[(Long, Long, Double, Long)]) =
+      rows.sortBy { case (u, n, sv, d) => (u, n, d, sv) }
+    def pull(rows: Dataset[_]) = canon(rows
       .select(col("user_id"), col("n_events"),
-        round(col("sum_value"), 2).as("sv"), col("duration_secs"))
+        col("sum_value").cast("double").as("sv"), col("duration_secs"))
       .as[(Long, Long, Double, Long)].collect().toSeq)
-    val batch = canon(Events.sessionize(
-      rawEv.withColumn("event_id", lit(0L)), GapSecs)
-      .select(col("user_id"), col("n_events"),
-        round(col("sum_value"), 2).as("sv"), col("duration_secs"))
-      .as[(Long, Long, Double, Long)].collect().toSeq)
-    val matches = streamed == batch
+    val streamed = pull(
+      spark.read.parquet(outDir).where(col("user_id") >= 0))
+    val batch = pull(
+      Events.sessionize(rawEv.withColumn("event_id", lit(0L)), GapSecs))
+    val matches = streamed.size == batch.size &&
+      streamed.zip(batch).forall { case ((u1, n1, s1, d1), (u2, n2, s2, d2)) =>
+        u1 == u2 && n1 == n2 && d1 == d2 &&
+          math.abs(s1 - s2) <= 1e-6 * math.max(1.0, math.abs(s1))
+      }
+    // checksum keeps the r16 formula (HALF_UP 2dp, as round() emitted)
+    // so cross-master / restart-parity checksums stay comparable
     val checksum = streamed.map { case (u, n, sv, d) =>
+      val r = BigDecimal(sv)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
       java.util.Objects.hash(Long.box(u), Long.box(n),
-        Double.box(sv), Long.box(d)).toLong
+        Double.box(r), Long.box(d)).toLong
     }.sum
     val master = spark.sparkContext.master
     val execs = spark.sparkContext.statusTracker.getExecutorInfos.length
-    println(s"""{"metric":"stream_smoke","master":"$master","executors":$execs,"sf":"$sfDir","restart":$restart,"sessions":${streamed.size},"batch_sessions":${batch.size},"batch_match":$matches,"checksum":$checksum}""")
+    println(s"""{"metric":"stream_smoke","master":"$master","executors":$execs,"sf":"$sfDir","mode":"$mode","sessions":${streamed.size},"batch_sessions":${batch.size},"batch_match":$matches,"checksum":$checksum}""")
     if (!matches) {
       System.err.println(s"[stream-smoke] MISMATCH: streamed=" +
         s"${streamed.size} batch=${batch.size}; first diffs: " +

@@ -117,6 +117,82 @@ class PlanAuditSpec extends SparkSpec {
       s"raw fact scan under BroadcastExchange: ${offenders.mkString(", ")}")
   }
 
+  test("every unpartitioned WindowExec sits above a whitelisted " +
+    "bounded frame (measured input rows)") {
+    // The WARN class "No Partition Defined for Window operation!
+    // Moving all data to a single partition" is acceptable ONLY over
+    // frames whose size is a corpus-independent design constant — a
+    // panel (genes, stages, phases), a k-bounded shortlist, or the
+    // numPartitions-row offsets frame. This sweep makes that a pinned
+    // CONTRACT: any query outside the whitelist with an unpartitioned
+    // window fails structurally, and every whitelisted query's
+    // windows must measure under the documented bound (via the
+    // executed plan's row metrics / static limit nodes — see
+    // PlanWalk.windowInputRows). Bounds were measured with
+    // WindowProbe at sf0.001 AND sf0.01 (identical values at 10× the
+    // corpus — that flatness is the corpus-independence evidence);
+    // each carries ~2× headroom over the measurement, far below any
+    // corpus table's cardinality.
+    val bounded: Map[String, (Long, String)] = Map(
+      "brief_predef" -> (16L, "predefined-brief panel (5)"),
+      "cite_related" -> (32L, "k-bounded related-paper take (10)"),
+      "deg_direction" -> (128L, "gene panel (40)"),
+      "deg_enrich" -> (128L, "gene panel + signature rows (41)"),
+      "deg_stats" -> (128L, "gene panel (40)"),
+      "deg_validate" -> (128L, "gene panel (40)"),
+      "ev_funnel" -> (16L, "one row per funnel stage (3)"),
+      "ev_user_topk" -> (32L, "top-k user take (20)"),
+      "gap_matrix" -> (32L, "topic-axis panel (4)"),
+      "hybrid_rrf" -> (128L, "fused top-k shortlist (50)"),
+      "integrated_driver" -> (128L, "gene panel (40)"),
+      "pack_audit" -> (64L, "per-partition offset rows (32)"),
+      "pack_shards" -> (64L, "per-partition offset rows (32)"),
+      "rank_ndcg" -> (64L, "k-bounded ranked list (20)"),
+      "reco_enhanced" -> (64L, "k-bounded recommendation list (18)"),
+      "reco_paper" -> (32L, "k-bounded recommendation take (8)"),
+      "rerank_fused" -> (128L, "candidate shortlist (50)"),
+      "sc_cellcycle" -> (256L, "cluster x phase panel (60)"),
+      "sc_hvg" -> (256L, "HVG panel take (60)"),
+      "sc_pathways" -> (256L, "cluster x pathway panel (65)"),
+      "sc_pseudobulk" -> (256L, "cluster x gene panel (64)"),
+      "sc_tme" -> (256L, "cluster x cell-type panel (60)"),
+      "sc_traj_dynamics" -> (256L, "pseudotime-bin panel (101)"),
+      "sc_traj_root" -> (32L, "cluster panel (6)"),
+      "trend_topics" -> (32L, "topic panel (8)"))
+    val seen = scala.collection.mutable.Set[String]()
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, d)
+      val pre = PlanWalk.unpartitionedWindows(df.queryExecution.executedPlan)
+      if (pre.nonEmpty) {
+        seen += name
+        assert(bounded.contains(name),
+          s"$name plans an unpartitioned WindowExec but is NOT in the " +
+            "bounded-window whitelist — either partition the window or " +
+            "whitelist it here with a documented corpus-independent bound")
+        df.collect() // materialize so row metrics / AQE stages finalize
+        val (bound, reason) = bounded(name)
+        val wins =
+          PlanWalk.unpartitionedWindows(df.queryExecution.executedPlan)
+        assert(wins.nonEmpty, s"$name: windows vanished after execution?")
+        wins.foreach { w =>
+          val rows = PlanWalk.windowInputRows(w)
+          assert(rows.isDefined,
+            s"$name: cannot resolve an input-row bound for an " +
+              s"unpartitioned window — extend PlanWalk.windowInputRows:\n$w")
+          assert(rows.get <= bound,
+            s"$name: unpartitioned window saw ${rows.get} input rows, " +
+              s"over the whitelisted bound $bound ($reason)")
+        }
+      }
+      spark.catalog.clearCache()
+    }
+    // the whitelist must not rot: an entry whose query no longer plans
+    // an unpartitioned window is stale documentation
+    val stale = bounded.keySet -- seen
+    assert(stale.isEmpty,
+      s"stale bounded-window whitelist entries: ${stale.toSeq.sorted.mkString(", ")}")
+  }
+
   test("q5 keeps dim joins broadcast (nation/region/customer side)") {
     val df = SparkEntry.queries("q5_region_revenue")(spark, d)
     df.collect()

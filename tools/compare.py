@@ -4,6 +4,7 @@ against the DuckDB oracle SQL and diff. Usage:
   python3 tools/compare.py <sfDir> <verifyOutDir> [query ...]
 """
 import json
+import os
 import sys
 from pathlib import Path
 
@@ -25,6 +26,17 @@ def main() -> None:
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    # bound the oracle's resources: an output-superlinear oracle at a
+    # large SF (the pairwise dedup verifiers) can otherwise spill cwd
+    # temp files until the DISK fills (observed: 78 GB at sf1).
+    # DUCKDB_MEM caps RAM (spill beyond it), DUCKDB_TMP moves the
+    # spill off the repo volume; both overridable per run.
+    con.execute(f"SET memory_limit='{os.environ.get('DUCKDB_MEM', '24GB')}'")
+    tmp = os.environ.get("DUCKDB_TMP", "/tmp/duckdb_spill")
+    Path(tmp).mkdir(parents=True, exist_ok=True)
+    con.execute(f"SET temp_directory='{tmp}'")
+    con.execute(
+        f"SET max_temp_directory_size='{os.environ.get('DUCKDB_TMP_MAX', '40GB')}'")
     for t in TABLES:
         # driver testdata tables are single files; harness-written ones
         # (e.g. WidenVecs output) are Spark directories of part files
