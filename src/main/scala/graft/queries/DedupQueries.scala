@@ -110,9 +110,17 @@ object DedupQueries {
   /** Duplicate-cluster canonicalization over the MinHash pair output:
     * Spark side runs Pregel-style min-label propagation
     * (Dedup.connectedComponents); the oracle computes the same
-    * components as a recursive transitive closure — tiny for the
-    * oracle's pair counts, while the Spark path scales to corpus-size
-    * graphs.
+    * components as a recursive closure. The recursive term carries
+    * `WHERE reach.r < e.src` (r17): only DECREASING labels propagate,
+    * which leaves min(r) per node exactly unchanged — the component's
+    * global-min label g satisfies g < v for every other member v, so
+    * (v, g) survives the filter along every path and still reaches
+    * every node, while any pruned label r > v could never have been a
+    * node's min (the base row (v, v) already beats it). Without the
+    * filter the CTE materializes each node's FULL reachable set —
+    * O(sum of component²) rows, which at sf1's dup-amplified corpus
+    * spilled DuckDB past 65 GB; with it the closure is the same
+    * near-linear shape as the Spark side's label propagation.
     */
   private def dedupCluster(s: SparkSession, d: String): DataFrame =
     Dedup.connectedComponents(
@@ -131,7 +139,8 @@ object DedupQueries {
        |reach AS (
        |  SELECT src AS node, src AS r FROM e
        |  UNION
-       |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.node),
+       |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.node
+       |    WHERE reach.r < e.src),
        |comp AS (SELECT node, min(r)::BIGINT AS component
        |  FROM reach GROUP BY node)
        |SELECT node AS doc_id, component,
@@ -169,7 +178,8 @@ object DedupQueries {
        |reach AS (
        |  SELECT src AS node, src AS r FROM e
        |  UNION
-       |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.node),
+       |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.node
+       |    WHERE reach.r < e.src),
        |comp AS (SELECT node, min(r)::BIGINT AS component
        |  FROM reach GROUP BY node),
        |ranked AS (SELECT d.doc_id, comp.component, d.n_chars,

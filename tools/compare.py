@@ -37,6 +37,14 @@ def main() -> None:
     con.execute(f"SET temp_directory='{tmp}'")
     con.execute(
         f"SET max_temp_directory_size='{os.environ.get('DUCKDB_TMP_MAX', '40GB')}'")
+    # DUCKDB_THREADS: DuckDB 1.0 on this box fails spuriously at 32
+    # threads on some tiny-output/big-scan shapes ("Failed to allocate
+    # block of 16384 bytes" with tens of GB genuinely free — a
+    # per-thread buffer-reservation artifact, deterministic per thread
+    # count: the same query passes at 8). Fewer threads also shrink
+    # peak spill for the pairwise-dedup oracles.
+    if os.environ.get("DUCKDB_THREADS"):
+        con.execute(f"SET threads={int(os.environ['DUCKDB_THREADS'])}")
     for t in TABLES:
         # driver testdata tables are single files; harness-written ones
         # (e.g. WidenVecs output) are Spark directories of part files
