@@ -180,7 +180,7 @@ object DedupQueries {
        |  UNION
        |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.node
        |    WHERE reach.r < e.src),
-       |comp AS (SELECT node, min(r)::BIGINT AS component
+       |comp AS MATERIALIZED (SELECT node, min(r)::BIGINT AS component
        |  FROM reach GROUP BY node),
        |ranked AS (SELECT d.doc_id, comp.component, d.n_chars,
        |    row_number() OVER (PARTITION BY comp.component
