@@ -59,20 +59,23 @@ object StreamSmoke {
     }
     // refuse to wipe a directory that is not a previous run's work dir
     // — a mistyped second CLI arg (e.g. a data directory) must fail
-    // loudly, not be silently destroyed before the run starts
+    // loudly, not be silently destroyed before the run starts. The
+    // check is a marker FILE this tool itself writes (`.stream-smoke`)
+    // — an input/ or ckpt/ subdirectory is not proof of ownership (an
+    // unrelated dataset could carry those names), the marker is.
     val workDir = new java.io.File(work)
     if (workDir.exists()) {
       val looksLikeOurs = work.contains("streamsmoke") ||
-        new java.io.File(workDir, "input").isDirectory ||
-        new java.io.File(workDir, "ckpt").isDirectory
+        new java.io.File(workDir, ".stream-smoke").isFile
       require(looksLikeOurs, s"refusing to delete '$work': not a prior " +
-        "stream-smoke work dir (no input/ or ckpt/ marker and the path " +
-        "does not contain 'streamsmoke')")
+        "stream-smoke work dir (no .stream-smoke marker file and the " +
+        "path does not contain 'streamsmoke')")
     }
     rmrf(workDir)
     val (inDir, outDir, ckptDir) =
       (s"$work/input", s"$work/out", s"$work/ckpt")
     Files.createDirectories(Paths.get(inDir))
+    Files.createFile(Paths.get(work, ".stream-smoke")): Unit
 
     // events table: raw frame (Tables.events normalizes ts to LONG
     // nanos — what the batch sessionize's tsSecs expects) + typed
@@ -145,61 +148,140 @@ object StreamSmoke {
     // uninterrupted run's (same checksum), because the checkpoint
     // carries both the processed-file offsets and every open
     // session's state across the process/executor boundary.
+    //  - "killmid" (r18, same env): SIGKILL the worker DURING the
+    //    middle slice's micro-batch — a SparkListener armed just
+    //    before that slice fires the kill on the Nth task START
+    //    (SPARK_GRAFT_KILL_AFTER_TASKS, default 8 — inside the 16-task
+    //    state-store stage), so the executor dies while a batch is
+    //    actively updating state, not between batches. The output's
+    //    "kill_mid_batch" field records query.status.isTriggerActive
+    //    at kill time — the claim is checkable, not asserted.
     val mode = if (args.length > 2) args(2) else "plain"
-    require(Set("plain", "restart", "kill")(mode), s"unknown mode '$mode'")
+    require(Set("plain", "restart", "kill", "killmid")(mode),
+      s"unknown mode '$mode'")
     val killPid = sys.env.get("SPARK_GRAFT_KILL_PID").map(_.trim.toLong)
-    if (mode == "kill") require(killPid.isDefined,
-      "kill mode needs SPARK_GRAFT_KILL_PID=<worker jvm pid>")
-    var query = startQuery()
+    val killModes = Set("kill", "killmid")
+    if (killModes(mode)) require(killPid.isDefined,
+      s"$mode mode needs SPARK_GRAFT_KILL_PID=<worker jvm pid>")
+    var query: org.apache.spark.sql.streaming.StreamingQuery = null
+    def sigkillWorker(why: String): Unit = {
+      System.err.println(s"[stream-smoke] KILL: SIGKILL worker pid " +
+        s"${killPid.get} (+ child executors) $why")
+      // kill the worker's executor CHILDREN too — a bare worker
+      // SIGKILL orphans them still serving tasks
+      new ProcessBuilder("bash", "-c",
+        s"pkill -9 -P ${killPid.get}; kill -9 ${killPid.get}")
+        .start().waitFor(): Unit
+    }
+    // mid-batch trigger: counts task STARTS once armed; the kill fires
+    // from the listener-bus thread while the batch's tasks are running
+    val killMidArmed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val killMidDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+    @volatile var killedMidBatch = false
+    val killAfterTasks =
+      sys.env.get("SPARK_GRAFT_KILL_AFTER_TASKS").map(_.trim.toInt)
+        .getOrElse(8)
+    if (mode == "killmid") {
+      val started = new java.util.concurrent.atomic.AtomicInteger(0)
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onTaskStart(
+              t: org.apache.spark.scheduler.SparkListenerTaskStart): Unit =
+            if (killMidArmed.get() &&
+                started.incrementAndGet() == killAfterTasks &&
+                killMidDone.compareAndSet(false, true)) {
+              killedMidBatch = query != null && query.status.isTriggerActive
+              sigkillWorker(s"on task-start #$killAfterTasks (mid-batch; " +
+                s"triggerActive=$killedMidBatch)")
+            }
+        })
+    }
+    // a kill needs a SURVIVOR: if the targeted worker hosts the only
+    // executor, the post-kill drain can never finish (standalone
+    // masters re-register nothing on this box) — fail fast instead
+    def requireSurvivor(): Unit = {
+      val n = spark.sparkContext.statusTracker.getExecutorInfos.length
+      require(n > 2, // getExecutorInfos includes the driver
+        s"$mode mode needs >1 executor so a survivor can take over " +
+          s"(saw ${n - 1}); start a second worker before killing")
+    }
+    // post-kill drains are BOUNDED: a hung recovery (e.g. no surviving
+    // executor after all) must report a timed-out verdict, not hang
+    // the harness indefinitely
+    @volatile var killFired = false
+    def drain(): Unit =
+      if (!killFired) query.processAllAvailable()
+      else {
+        import scala.concurrent.{Await, Future, TimeoutException}
+        import scala.concurrent.duration._
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val q = query
+        try Await.result(Future(q.processAllAvailable()), 10.minutes)
+        catch {
+          case _: TimeoutException =>
+            println(s"""{"metric":"stream_smoke","mode":"$mode","verdict":"post-kill drain timed out after 600s"}""")
+            sys.exit(2)
+        }
+      }
+    query = startQuery()
     slices.zipWithIndex.foreach { case ((p, _), k) =>
       if (k == InputFiles / 2) mode match {
         case "restart" =>
           query.stop()
           query = startQuery()
         case "kill" =>
-          System.err.println(
-            s"[stream-smoke] KILL: SIGKILL worker pid ${killPid.get} " +
-              s"(+ child executors) before slice $k")
-          // kill the worker's executor CHILDREN too — a bare worker
-          // SIGKILL orphans them still serving tasks
-          new ProcessBuilder("bash", "-c",
-            s"pkill -9 -P ${killPid.get}; kill -9 ${killPid.get}")
-            .start().waitFor(): Unit
+          requireSurvivor()
+          sigkillWorker(s"before slice $k")
+          killFired = true
+        case "killmid" =>
+          requireSurvivor()
+          killMidArmed.set(true)
+          killFired = true
         case _ => ()
       }
       appendSlice(p)
-      query.processAllAvailable()
+      drain()
     }
     // sentinel 1 advances the watermark past every last+gap; sentinel
     // 2 triggers the batch in which those timeouts fire
     appendSentinel("sent1", maxS + 2L * 86400)
     appendSlice(s"$work/sent1")
-    query.processAllAvailable()
+    drain()
     appendSentinel("sent2", maxS + 4L * 86400)
     appendSlice(s"$work/sent2")
-    query.processAllAvailable()
+    drain()
     query.stop()
+    if (mode == "killmid") require(killMidDone.get(),
+      s"killmid armed but the task-start trigger never fired " +
+        s"(killAfterTasks=$killAfterTasks too high for this batch?)")
 
-    // parity compare: integer fields exact; sum_value under a small
+    // parity compare: MULTISETS keyed on the exact integer fields
+    // (user_id, n_events, duration_secs), sum_value under a small
     // tolerance — the stream sums per-event in arrival order while
     // the batch twin sums in Spark's partial-aggregation order, so a
-    // session sum landing within 1 ulp of a .005 rounding boundary
-    // could round to different 2dp values and fail a round-then-
-    // compare check spuriously (same data, same math)
-    def canon(rows: Seq[(Long, Long, Double, Long)]) =
-      rows.sortBy { case (u, n, sv, d) => (u, n, d, sv) }
-    def pull(rows: Dataset[_]) = canon(rows
+    // session sum carries float jitter: it can neither be compared
+    // exactly nor used as a SORT key for a positional zip (two
+    // sessions sharing (u,n,d) could order differently per side on
+    // jittered sums). Grouping by (u,n,d) and zipping each group's
+    // sorted sums with tolerance is order-flip-proof: a flip needs
+    // |a-b| < jitter << tolerance, so the crossed compare still passes.
+    def pull(rows: Dataset[_]) = rows
       .select(col("user_id"), col("n_events"),
         col("sum_value").cast("double").as("sv"), col("duration_secs"))
-      .as[(Long, Long, Double, Long)].collect().toSeq)
+      .as[(Long, Long, Double, Long)].collect().toSeq
     val streamed = pull(
       spark.read.parquet(outDir).where(col("user_id") >= 0))
     val batch = pull(
       Events.sessionize(rawEv.withColumn("event_id", lit(0L)), GapSecs))
-    val matches = streamed.size == batch.size &&
-      streamed.zip(batch).forall { case ((u1, n1, s1, d1), (u2, n2, s2, d2)) =>
-        u1 == u2 && n1 == n2 && d1 == d2 &&
-          math.abs(s1 - s2) <= 1e-6 * math.max(1.0, math.abs(s1))
+    def grouped(rows: Seq[(Long, Long, Double, Long)]) =
+      rows.groupBy { case (u, n, _, d) => (u, n, d) }
+        .view.mapValues(_.map(_._3).sorted).toMap
+    val (sg, bg) = (grouped(streamed), grouped(batch))
+    val matches = streamed.size == batch.size && sg.keySet == bg.keySet &&
+      sg.forall { case (k, svs) =>
+        val o = bg(k)
+        svs.size == o.size && svs.zip(o).forall { case (a, b) =>
+          math.abs(a - b) <= 1e-6 * math.max(1.0, math.abs(a)) }
       }
     // checksum keeps the r16 formula (HALF_UP 2dp, as round() emitted)
     // so cross-master / restart-parity checksums stay comparable
@@ -211,11 +293,13 @@ object StreamSmoke {
     }.sum
     val master = spark.sparkContext.master
     val execs = spark.sparkContext.statusTracker.getExecutorInfos.length
-    println(s"""{"metric":"stream_smoke","master":"$master","executors":$execs,"sf":"$sfDir","mode":"$mode","sessions":${streamed.size},"batch_sessions":${batch.size},"batch_match":$matches,"checksum":$checksum}""")
+    val midField =
+      if (mode == "killmid") s""","kill_mid_batch":$killedMidBatch""" else ""
+    println(s"""{"metric":"stream_smoke","master":"$master","executors":$execs,"sf":"$sfDir","mode":"$mode","sessions":${streamed.size},"batch_sessions":${batch.size},"batch_match":$matches$midField,"checksum":$checksum}""")
     if (!matches) {
       System.err.println(s"[stream-smoke] MISMATCH: streamed=" +
-        s"${streamed.size} batch=${batch.size}; first diffs: " +
-        (streamed.diff(batch).take(3), batch.diff(streamed).take(3)))
+        s"${streamed.size} batch=${batch.size}; first key diffs: " +
+        ((sg.keySet -- bg.keySet).take(3), (bg.keySet -- sg.keySet).take(3)))
       sys.exit(1)
     }
     spark.stop()

@@ -25,21 +25,35 @@ object AqeProbe {
     val sfDir = sys.env.getOrElse(
       "SPARK_GRAFT_SF_DIR", "/root/repo/.scaleprobe/sf1")
     val names = if (args.nonEmpty) args.toSeq else Headliners
-    val regimes = Seq(
+    // over-partition-then-coalesce regime at N initial partitions
+    def aqeAt(n: Int) = Map(
+      "spark.sql.shuffle.partitions" -> n.toString,
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+        -> n.toString)
+    val allRegimes = Seq(
       // the shipped local shape: partitions = cores
       ("shipped-32", Map.empty[String, String]),
-      // the lake shape: heavy over-partitioning, AQE coalesces
-      ("aqe-512", Map(
-        "spark.sql.shuffle.partitions" -> "512",
-        "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
-          -> "512")),
-      // AQE's own recommendation mode: no fixed number at all, AQE
-      // sizes post-shuffle partitions by advisory byte target
-      ("aqe-auto", Map(
-        "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
-          -> "512",
-        "spark.sql.shuffle.partitions" -> "512",
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64m")))
+      // the §4 doctrine's recommendation: 2-3× total cores
+      ("aqe-64", aqeAt(64)),
+      ("aqe-96", aqeAt(96)),
+      // the exaggerated 16× shape (r17's probe point)
+      ("aqe-512", aqeAt(512)),
+      // NOT AQE's unpinned mode: partitions stay pinned at 512, the
+      // advisory byte target is layered ON TOP — AQE coalesces toward
+      // ~64 MB post-shuffle partitions but never exceeds the pin.
+      // (r17 ran this as "aqe-auto"; relabeled — the SURVEY row it fed
+      // is the 512+advisory point, not an unpinned measurement.)
+      ("aqe-advisory-512", aqeAt(512) +
+        ("spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64m")))
+    // SPARK_GRAFT_REGIMES=aqe-64,aqe-96 selects a subset (probe runs
+    // at sf1 are minutes per regime; stretch runs need only the new
+    // points next to shipped-32)
+    val regimes = sys.env.get("SPARK_GRAFT_REGIMES") match {
+      case Some(sel) =>
+        val want = sel.split(",").map(_.trim).toSet
+        allRegimes.filter { case (n, _) => want(n) }
+      case None => allRegimes
+    }
     regimes.foreach { case (regime, extra) =>
       val b = Sessions.localBuilder(32)
       extra.foreach { case (k, v) => b.config(k, v) }

@@ -91,30 +91,45 @@ class PlanAuditSpec extends SparkSpec {
   // under a BroadcastExchange is the regression the audit below pins
   // out (see PlanWalk.broadcastsRawScan for the traversal rules).
 
-  test("NO oracle query broadcasts a raw lineitem scan (fact never builds)") {
-    // every query that reads the fact table is audited — not just the
+  test("NO oracle query broadcasts a raw fact scan (lineitem/documents/events)") {
+    // every query that reads a fact table is audited — not just the
     // OLAP headliners. A raw (un-aggregated) fact subtree under a
     // BroadcastExchange only looks cheap at test scale; at production
     // volume the build side OOMs or AQE silently flips the join, so
     // the shipped plan must already be the one you'd want at 100×.
-    // Queries that never scan lineitem are skipped by plan inspection
-    // (cheap), not by a hand-kept list that could rot.
+    // All three corpus-scale facts are swept — lineitem (relational),
+    // documents (text corpus) and events (clickstream); dimension
+    // tables (nation, driver_db panels, …) are legitimately broadcast.
+    // The audit runs with AUTO-broadcast disabled (both the static
+    // threshold and AQE's runtime flip): a size-based broadcast at
+    // sf0.001 is scale-ADAPTIVE — the same plan picks a shuffle join
+    // the moment the stats outgrow the threshold, so it is not a
+    // 100 TB defect. What cannot flip at scale is an explicit
+    // broadcast() hint, and hints are exactly what survives this
+    // regime — the audited plan is the plan a 100 TB run would
+    // produce. Queries that never scan a fact are skipped by plan
+    // inspection (cheap), not by a hand-kept list that could rot.
     // ONE DataFrame per query: sc_* bindings run eager localCheckpoint
     // jobs at construction time, so building the frame twice (once for
     // the touches-fact probe, once for the broadcast audit) doubles
     // real Spark work across ~100 queries
-    val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
-      val df = SparkEntry.queries(name)(spark, d)
-      val touchesFact = df.queryExecution.executedPlan.toString
-        .contains("lineitem.parquet")
-      if (touchesFact) {
+    val atScale = spark.newSession()
+    atScale.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    atScale.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    val facts = Seq("lineitem.parquet", "documents.parquet", "events.parquet")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val df = SparkEntry.queries(name)(atScale, d)
+      val planStr = df.queryExecution.executedPlan.toString
+      val touched = facts.filter(planStr.contains)
+      if (touched.nonEmpty) {
         df.collect() // materialize so AQE finalizes the physical plan
-        PlanWalk.broadcastsRawScan(df.queryExecution.executedPlan,
-          "lineitem.parquet")
-      } else false
+        val finalPlan = df.queryExecution.executedPlan
+        touched.filter(PlanWalk.broadcastsRawScan(finalPlan, _))
+          .map(f => s"$name[$f]")
+      } else Nil
     }
     assert(offenders.isEmpty,
-      s"raw fact scan under BroadcastExchange: ${offenders.mkString(", ")}")
+      s"hint-forced raw fact scan under BroadcastExchange: ${offenders.mkString(", ")}")
   }
 
   test("every unpartitioned WindowExec sits above a whitelisted " +

@@ -96,17 +96,25 @@ object PlanWalk {
   }
 
   /** True iff some broadcast exchange's build relation contains a raw
-    * (not aggregated) scan of `table` — the shape that inverts a join
-    * the moment the fact side outgrows the broadcast threshold. An
-    * aggregate between the scan and the broadcast means the broadcast
-    * relation is the (small) aggregate output: allowed. Query stages
-    * are descended into, not string-matched — a stage's toString
-    * prints its whole subtree and would misclassify an aggregated
-    * relation wrapped in a reused stage.
+    * (not aggregated, not k-bounded) scan of `table` — the shape that
+    * inverts a join the moment the fact side outgrows the broadcast
+    * threshold. An aggregate between the scan and the broadcast means
+    * the broadcast relation is the (small) aggregate output: allowed.
+    * A LIMIT / top-k node bounds the subtree the same way — the
+    * broadcast relation is at most k rows no matter how large the
+    * scan below it grows, so a broadcast(topK(fact)) shortlist is a
+    * legitimate 100 TB plan. Query stages are descended into, not
+    * string-matched — a stage's toString prints its whole subtree and
+    * would misclassify an aggregated relation wrapped in a reused
+    * stage.
     */
   def broadcastsRawScan(plan: SparkPlan, table: String): Boolean = {
     def rawScan(p: SparkPlan): Boolean = p match {
       case _: BaseAggregateExec => false
+      case _: org.apache.spark.sql.execution.GlobalLimitExec => false
+      case _: org.apache.spark.sql.execution.CollectLimitExec => false
+      case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec =>
+        false
       case a: AdaptiveSparkPlanExec => rawScan(a.executedPlan)
       case q: QueryStageExec => rawScan(q.plan)
       // a cache read is as raw as its BUILD plan: descend and apply

@@ -31,12 +31,23 @@ def main() -> None:
     # temp files until the DISK fills (observed: 78 GB at sf1).
     # DUCKDB_MEM caps RAM (spill beyond it), DUCKDB_TMP moves the
     # spill off the repo volume; both overridable per run.
-    con.execute(f"SET memory_limit='{os.environ.get('DUCKDB_MEM', '24GB')}'")
+    mem = os.environ.get("DUCKDB_MEM", "24GB")
+    con.execute(f"SET memory_limit='{mem}'")
     tmp = os.environ.get("DUCKDB_TMP", "/tmp/duckdb_spill")
     Path(tmp).mkdir(parents=True, exist_ok=True)
     con.execute(f"SET temp_directory='{tmp}'")
-    con.execute(
-        f"SET max_temp_directory_size='{os.environ.get('DUCKDB_TMP_MAX', '40GB')}'")
+    # spill cap scales with the memory cap (max(40, 4*mem) GB): legit
+    # large-SF oracles spill several times their RAM budget (observed
+    # 78 GB at sf1 under the 24 GB default), so a fixed cap would make
+    # a raised DUCKDB_MEM run abort on temp space the box can afford.
+    # DUCKDB_TMP_MAX still overrides outright.
+    try:
+        mem_gb = float("".join(c for c in mem if c.isdigit() or c == "."))
+    except ValueError:
+        mem_gb = 24.0
+    tmp_max = os.environ.get(
+        "DUCKDB_TMP_MAX", f"{max(40, int(4 * mem_gb))}GB")
+    con.execute(f"SET max_temp_directory_size='{tmp_max}'")
     # DUCKDB_THREADS: DuckDB 1.0 on this box fails spuriously at 32
     # threads on some tiny-output/big-scan shapes ("Failed to allocate
     # block of 16384 bytes" with tens of GB genuinely free — a
