@@ -7,10 +7,24 @@ import org.apache.spark.sql.functions._
   * keys (the classic 100 TB failure mode: one reducer gets the hot
   * key's entire partition while the rest idle).
   *
-  * AQE's skew-join splitting (on by default) handles sort-merge skew
-  * at runtime; explicit salting is still the right tool when (a) the
-  * skewed side feeds an AGGREGATION rather than a join, or (b) the
-  * dim side is small enough to replicate but too large to broadcast.
+  * Measured guidance (SkewProbe, r13 + r18 correction): AQE's
+  * skew-join split is the FIRST tool for join-side hot keys — when
+  * it fires, it beats explicit salting outright (no dim replication,
+  * no wider shuffle; probe: unsplit 8.1 s → split 2.5-3.8 s vs
+  * salted 3.0-3.7 s at 30-60% hot share). It has two preconditions,
+  * both probe-measured as silent no-ops when unmet: the hot
+  * partition must exceed `skewedPartitionThresholdInBytes` (256 MB
+  * default — sized for lake scale; smaller corpora must lower it),
+  * and the split unit is a contiguous MAP-INDEX range, so a hot
+  * partition fed by few map tasks cannot be split at all (one
+  * mapper → no split ever). Explicit salting is the static
+  * insurance when those preconditions fail — replicable-but-not-
+  * broadcastable dims, coalesced scans with few mappers — winning
+  * 1.2-1.7× there. For ALGEBRAIC aggregations (count/sum), salting
+  * is a measured pure loss (0.64-0.74×): map-side partial
+  * aggregation already reduces a hot key to one row per mapper.
+  * The two-phase salt pattern pays off only where map-side combine
+  * cannot reduce (holistic aggs: exact per-key distincts, collects).
   */
 object Skew {
 
@@ -37,10 +51,13 @@ object Skew {
 
   /** Two-phase (partial → final) aggregation for hot GROUP BY keys:
     * count/sum first over (key, salt), then re-aggregate over key.
-    * Spark's own partial aggregation already does this per-partition;
-    * the explicit salt ALSO splits the post-shuffle reduce of a hot
-    * key across `saltBuckets` reducers — use when one key dominates
-    * the corpus (empty-string text, null-ish defaults).
+    * NOTE (r18, probe-measured): for algebraic aggregates this is a
+    * pure LOSS (0.64-0.74× vs plain groupBy) — Spark's map-side
+    * partial aggregation already reduces a hot key to one row per
+    * mapper, so the salt only adds a shuffle. Keep this as the
+    * pattern for HOLISTIC per-key aggregations (exact distincts,
+    * collect_list) where map-side combine cannot shrink the hot
+    * key's state and one reducer would otherwise hold it all.
     */
   def saltedCountSum(
       df: DataFrame, key: String, valueCol: String,

@@ -97,11 +97,29 @@ object ClusterSmoke {
         })
     }
 
+    // spill telemetry (r18): memory-pressure runs must PROVE the
+    // squeeze spilled, not just that it survived — a "passed at 4g"
+    // row with zero spill would mean the squeeze never bit. Summed
+    // across every task of a query's timed reps.
+    val memSpilled = new java.util.concurrent.atomic.AtomicLong(0)
+    val diskSpilled = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null) {
+            memSpilled.addAndGet(t.taskMetrics.memoryBytesSpilled): Unit
+            diskSpilled.addAndGet(t.taskMetrics.diskBytesSpilled): Unit
+          }
+      })
+
     def fmt(d: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val qs = SparkEntry.queries
     val times = names.map { name =>
       require(qs.contains(name), s"unknown query $name")
+      memSpilled.set(0)
+      diskSpilled.set(0)
       var checksum: String = "null"
       // Bench's per-query failure guard: one query failing (e.g. a
       // cluster-only misconfiguration — exactly what a smoke exists
@@ -143,7 +161,7 @@ object ClusterSmoke {
           Double.box(v), Double.box(runs.head._1))
         case None => s"[smoke] $name FAILED"
       })
-      (name, t, checksum)
+      (name, t, checksum, memSpilled.get(), diskSpilled.get())
     }
     val master = spark.sparkContext.master
     val execs = spark.sparkContext.statusTracker.getExecutorInfos.length
@@ -152,7 +170,7 @@ object ClusterSmoke {
         s""","kill":{"pid":$pid,"after_stages":$killAfter,"fired":${killFired.get()},"stages_seen":${stageCount.get()}}"""
       case None => ""
     }
-    println(s"""{"metric":"cluster_smoke","master":"$master","executors":$execs,"sf":"$sfDir","queries":{${times.map { case (n, t, _) => s"\"$n\":${t.map(fmt).getOrElse("null")}" }.mkString(",")}},"checksums":{${times.map { case (n, _, c) => s"\"$n\":$c" }.mkString(",")}},"failed":[${times.collect { case (n, None, _) => s"\"$n\"" }.mkString(",")}],"total":${fmt(times.flatMap(_._2).sum)}$killJson}""")
+    println(s"""{"metric":"cluster_smoke","master":"$master","executors":$execs,"sf":"$sfDir","queries":{${times.map { case (n, t, _, _, _) => s"\"$n\":${t.map(fmt).getOrElse("null")}" }.mkString(",")}},"checksums":{${times.map { case (n, _, c, _, _) => s"\"$n\":$c" }.mkString(",")}},"spill_mb":{${times.map { case (n, _, _, m, dk) => s"\"$n\":[${m / 1048576},${dk / 1048576}]" }.mkString(",")}},"failed":[${times.collect { case (n, None, _, _, _) => s"\"$n\"" }.mkString(",")}],"total":${fmt(times.flatMap(_._2).sum)}$killJson}""")
     spark.stop()
   }
 }

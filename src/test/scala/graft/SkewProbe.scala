@@ -1,14 +1,37 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** One-off r13 probe: Skew.saltedJoin under a REAL hot key at scale.
-  * Builds a 20 M-row fact from sf1 events with 30% of rows remapped
-  * to one user, joins a ~100 k-row per-user dim (too large to
-  * broadcast by scenario — broadcast disabled, the 100 TB dim
-  * regime), and measures unsalted vs salted (32 buckets) wall with
-  * AQE's skew-join splitting off and on. Not part of the API.
+/** Probe: Skew.saltedJoin / AQE skew-split under a REAL hot key.
+  * Builds a 20 M-row fact from sf1 events with a configurable share
+  * of rows remapped to one user, joins a ~100 k-row per-user dim
+  * (too large to broadcast by scenario — broadcast disabled, the
+  * 100 TB dim regime), and measures plain vs salted (32 buckets)
+  * wall. Not part of the API.
+  *
+  * v2 (r18) — the r13 run compared aqe_off vs aqe_on and concluded
+  * AQE's skew-join splitting "did not close the gap"; that run left
+  * `skewedPartitionThresholdInBytes` at its 256 MB default while the
+  * probe's hot partition is only ~100-150 MB post-shuffle, so AQE
+  * never CLASSIFIED the partition as skewed — the conclusion was a
+  * threshold artifact of the probe SF, not a property of the shape.
+  * At lake scale a hot key's partition dwarfs 256 MB and the default
+  * config fires. v2 adds:
+  *   - an `aqe_tuned` regime with the trigger scaled to the probe SF
+  *     (threshold 16 MB, factor 2, advisory 16 MB) — what the DEFAULT
+  *     config does to a lake-scale hot key;
+  *   - a MAX-TASK witness per measurement (TaskEnd listener): the
+  *     straggler itself, which mitigation must shrink — wall alone
+  *     can hide a straggler behind parallel siblings;
+  *   - checksum parity REQUIRED across all regimes and variants;
+  *   - the aggregation scenario: plain groupBy(hot).agg(count,sum)
+  *     vs Skew.saltedCountSum — expected parity (map-side partial
+  *     aggregation already absorbs algebraic-agg skew), bounding
+  *     where the extra salting shuffle is worth paying.
   */
 object SkewProbe {
   def main(args: Array[String]): Unit = {
@@ -19,12 +42,30 @@ object SkewProbe {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // many MAP tasks on the fact scan (~64 at this SF, see the
+      // repartition(64) write below): AQE's skew split operates on
+      // contiguous MAP-INDEX ranges of the hot reduce partition, so
+      // its split granularity is bounded by mapper count — with the
+      // default 128 MB bin-packing this probe's 24 MB fact collapses
+      // to ONE mapper and a skewed partition becomes UNSPLITTABLE
+      // (the rule silently no-ops; r13 hit this without noticing).
+      // At lake scale a hot key arrives from thousands of mappers;
+      // 8 MB bins model that regime at probe SF.
+      .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import graft.operators.Skew
 
-    // 20M-row fact: sf1 events ×20, 30% of rows on hot user 42
+    // straggler witness: longest single task of the current measurement
+    val maxTaskMs = new AtomicLong(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        if (t.taskInfo != null)
+          maxTaskMs.getAndAccumulate(t.taskInfo.duration, math.max)
+    })
+
+    // 20M-row fact: sf1 events ×20, hotTenths/10 of rows on hot user 42
     val ev = Tables.events(spark, sfDir)
       .select(col("event_id"), col("user_id"), col("value"))
     val fact = ev
@@ -35,9 +76,14 @@ object SkewProbe {
       .select(col("user_id"), col("value"))
     val dim = ev.select(col("user_id")).distinct()
       .withColumn("segment", concat(lit("seg_"), pmod(col("user_id"), lit(7))))
-    fact.write.mode("overwrite").parquet("/tmp/skew_fact")
+    fact.repartition(64).write.mode("overwrite").parquet("/tmp/skew_fact")
     dim.write.mode("overwrite").parquet("/tmp/skew_dim")
+    // dvalue: the summed measure as DECIMAL — double sums are
+    // order-dependent in their low bits, so the parity checksums
+    // would spuriously differ between plain and salted row orders;
+    // decimal addition is exact and order-free
     val f = spark.read.parquet("/tmp/skew_fact")
+      .withColumn("dvalue", col("value").cast("decimal(18,3)"))
     val d = spark.read.parquet("/tmp/skew_dim")
     println(s"SKEWPROBE hotTenths=$hotTenths fact=${f.count()} dim=${d.count()} " +
       s"hot=${f.where(col("user_id") === 42).count()}")
@@ -45,20 +91,41 @@ object SkewProbe {
     // the 100 TB dim regime: never broadcastable
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
 
-    def timeIt(tag: String)(mk: => DataFrame): Double = {
+    // every timed consumption is ALSO the parity witness: identical
+    // rows → identical sum-of-row-hashes across regimes and variants
+    var sums = Map.empty[String, String]
+    def timeIt(tag: String, parityKey: String)(mk: => DataFrame): Double = {
+      maxTaskMs.set(0)
       val t0 = System.nanoTime()
-      val n = mk.groupBy(col("segment"))
-        .agg(sum(col("value")).as("sv")).collect().length
+      val df = mk
+      val agg = df.agg(sum(xxhash64(df.columns.sorted.map(col): _*)
+        .cast("decimal(38,0)")))
+      val row = agg.collect().head
       val secs = (System.nanoTime() - t0) / 1e9
-      println(f"SKEWPROBE $tag segments=$n wall=$secs%.2f s")
+      val cs = if (row.isNullAt(0)) "null" else row.get(0).toString
+      sums.get(parityKey).foreach(prev => require(prev == cs,
+        s"checksum mismatch for $parityKey at $tag: $prev vs $cs"))
+      sums += parityKey -> cs
+      // did AQE actually CLASSIFY a partition as skewed? The final
+      // adaptive plan marks the join `skew=true` — without this
+      // witness, "AQE didn't help" is indistinguishable from "AQE
+      // never fired" (the r13 conclusion's failure mode)
+      val split = agg.queryExecution.executedPlan.toString.contains("skew=true")
+      println(f"SKEWPROBE $tag wall=$secs%.2f s " +
+        f"max_task=${maxTaskMs.get() / 1e3}%.1f s skew_split=$split")
       secs
     }
+    def joinOut(j: DataFrame): DataFrame =
+      j.groupBy(col("segment"))
+        .agg(sum(col("dvalue")).cast("decimal(38,3)").as("sv"),
+          count(lit(1)).as("cnt"))
     def sweep(regime: String): Unit = {
-      timeIt(s"$regime warmup")(f.join(d, Seq("user_id")))
-      val plainW = (1 to 2).map(_ =>
-        timeIt(s"$regime plain")(f.join(d, Seq("user_id")))).min
-      val saltW = (1 to 2).map(_ => timeIt(s"$regime salted")(
-        Skew.saltedJoin(f, d, "user_id", col("value") * 1e6, 32))).min
+      timeIt(s"$regime warmup", "join")(joinOut(f.join(d, Seq("user_id"))))
+      val plainW = (1 to 3).map(_ =>
+        timeIt(s"$regime plain", "join")(
+          joinOut(f.join(d, Seq("user_id"))))).min
+      val saltW = (1 to 3).map(_ => timeIt(s"$regime salted", "join")(
+        joinOut(Skew.saltedJoin(f, d, "user_id", col("value") * 1e6, 32)))).min
       println(f"SKEWPROBE $regime min_plain=$plainW%.2f " +
         f"min_salted=$saltW%.2f ratio=${plainW / saltW}%.2f")
     }
@@ -66,6 +133,29 @@ object SkewProbe {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     sweep("aqe_off")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
-    sweep("aqe_on")
+    // r13's regime: defaults — the 256 MB trigger never fires at this SF
+    sweep("aqe_default")
+    // trigger scaled to the probe SF: what defaults do at lake scale
+    spark.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16m")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+    sweep("aqe_tuned")
+
+    // aggregation path: partial aggregation vs explicit two-phase salt
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    def norm(df: DataFrame) = df.select(col("user_id"),
+      col("cnt").cast("long"),
+      col("sum_value").cast("decimal(38,3)").as("sum_value"))
+    def aggPlain() = norm(f.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("cnt"), sum(col("dvalue")).as("sum_value")))
+    def aggSalted() = norm(
+      Skew.saltedCountSum(f, "user_id", "dvalue", col("value") * 1e6, 32))
+    timeIt("agg warmup", "agg")(aggPlain())
+    val aggP = (1 to 3).map(_ => timeIt("agg plain", "agg")(aggPlain())).min
+    val aggS = (1 to 3).map(_ => timeIt("agg salted", "agg")(aggSalted())).min
+    println(f"SKEWPROBE agg min_plain=$aggP%.2f min_salted=$aggS%.2f " +
+      f"ratio=${aggP / aggS}%.2f")
+    println("SKEWPROBE checksums identical across all regimes/variants")
   }
 }
