@@ -64,6 +64,15 @@ object ClusterSmoke {
     // works on both shapes — the env knob mirrors Bench's
     sys.env.get("SPARK_GRAFT_CKPT_DIR")
       .foreach(spark.sparkContext.setCheckpointDir)
+    // memory-pressure runs (r18): the builder's 64m broadcast
+    // threshold assumes multi-GB executors — under a squeezed heap
+    // the FIRST casualty is the broadcast hash-relation build (an
+    // explicit SparkOutOfMemory, measured at 2g/sf3), long before
+    // the sort/agg paths need to spill. The deployment knob for
+    // small executors is scaling the threshold down with the heap;
+    // this env override is that knob for the smoke.
+    sys.env.get("SPARK_GRAFT_BCAST").foreach(v =>
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v))
     spark.range(1000000L).selectExpr("sum(id)").collect()
 
     // fault-injection arm (see object doc): kill the given worker JVM
