@@ -119,6 +119,28 @@ object StreamSmoke {
         .toDF("user_id", "ts", "value").coalesce(1)
         .write.mode(SaveMode.Overwrite).parquet(s"$work/$name")
 
+    // throughput telemetry (r18): the smoke has always verified
+    // PARITY; this records RATE — per-micro-batch input rows and
+    // trigger wall from the progress stream, so the JSON can report
+    // sustained rows/s through the full stateful path (file source →
+    // flatMapGroupsWithState state store → parquet sink commit) and
+    // the batch-latency distribution, not just a final checksum.
+    val batchStats =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit = {
+          val p = e.progress
+          val trig = Option(p.durationMs.get("triggerExecution"))
+            .map(_.longValue).getOrElse(0L)
+          if (p.numInputRows > 0)
+            batchStats.add((p.numInputRows, trig)): Unit
+        }
+      })
+
     def startQuery() = {
       val stream = spark.readStream
         .schema("user_id LONG, ts TIMESTAMP, value DOUBLE")
@@ -295,7 +317,23 @@ object StreamSmoke {
     val execs = spark.sparkContext.statusTracker.getExecutorInfos.length
     val midField =
       if (mode == "killmid") s""","kill_mid_batch":$killedMidBatch""" else ""
-    println(s"""{"metric":"stream_smoke","master":"$master","executors":$execs,"sf":"$sfDir","mode":"$mode","sessions":${streamed.size},"batch_sessions":${batch.size},"batch_match":$matches$midField,"checksum":$checksum}""")
+    // rate report: input rows vs summed trigger wall (busy time, not
+    // harness wall — the appendSlice/drain choreography idles between
+    // batches by design), plus the batch-latency distribution
+    val stats = {
+      import scala.jdk.CollectionConverters._
+      batchStats.asScala.toSeq
+    }
+    val rateField = if (stats.nonEmpty) {
+      val rows = stats.map(_._1).sum
+      val busyMs = stats.map(_._2).sum
+      val lat = stats.map(_._2).sorted
+      def pct(q: Double) =
+        lat((q * (lat.size - 1)).round.toInt)
+      val rps = if (busyMs > 0) rows * 1000L / busyMs else 0L
+      s""","throughput":{"batches":${stats.size},"input_rows":$rows,"busy_secs":${busyMs / 1000.0},"rows_per_sec":$rps,"p50_batch_ms":${pct(0.5)},"p95_batch_ms":${pct(0.95)},"max_batch_ms":${lat.last}}"""
+    } else ""
+    println(s"""{"metric":"stream_smoke","master":"$master","executors":$execs,"sf":"$sfDir","mode":"$mode","sessions":${streamed.size},"batch_sessions":${batch.size},"batch_match":$matches$midField$rateField,"checksum":$checksum}""")
     if (!matches) {
       System.err.println(s"[stream-smoke] MISMATCH: streamed=" +
         s"${streamed.size} batch=${batch.size}; first key diffs: " +
