@@ -13,9 +13,13 @@ import org.apache.spark.sql.functions._
   * no wider shuffle; probe: unsplit 8.1 s → split 2.5-3.8 s vs
   * salted 3.0-3.7 s at 30-60% hot share). It has two preconditions,
   * both probe-measured as silent no-ops when unmet: the hot
-  * partition must exceed `skewedPartitionThresholdInBytes` (256 MB
-  * default — sized for lake scale; smaller corpora must lower it),
-  * and the split unit is a contiguous MAP-INDEX range, so a hot
+  * partition's COMPRESSED map-output bytes must exceed
+  * `skewedPartitionThresholdInBytes` (256 MB default — note it is
+  * compared against compressed shuffle bytes, and a hot KEY is a
+  * constant that compresses extremely well: even an 18M-row hot
+  * partition stayed under the default in the probe, so size the
+  * threshold from observed shuffle-partition bytes, not row
+  * counts), and the split unit is a contiguous MAP-INDEX range, so a hot
   * partition fed by few map tasks cannot be split at all (one
   * mapper → no split ever). Explicit salting is the static
   * insurance when those preconditions fail — replicable-but-not-
