@@ -69,4 +69,37 @@ object Sessions {
       .config("spark.ui.enabled", "false")
       .config("spark.cleaner.periodicGC.interval", "1min")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  /** `autoBroadcastJoinThreshold` sized from the executor heap —
+    * the shipped form of the r18 spill-probe doctrine. Under memory
+    * pressure the FIRST casualty is the broadcast hash-relation
+    * build (an explicit `Not enough memory to build and broadcast`,
+    * measured at 2 g executors on the sf3 dedup set), long before
+    * the sort/agg paths need to spill: a threshold-sized relation
+    * hydrates to several× its serialized estimate on-heap, and more
+    * than one can be live per query. The threshold is a plan-choice
+    * knob, not a safety limit, so it must scale DOWN with the heap:
+    *
+    *   threshold = clamp(heap / 128, 1 MiB, 64 MiB)
+    *
+    * Anchors (ClusterSmoke heavy-3): 64 m at ≥8 g heap is the
+    * shipped default with 18 rounds of bench evidence (8 g/128 =
+    * exactly 64 m); at 2 g, 64 m OOMs every query while the rule's
+    * 16 m passes with checksums identical to the 64 m control's
+    * (r19 measurement) — the forced broadcast→SMJ flips never
+    * change results, so erring small costs only a sort-merge.
+    */
+  def broadcastThresholdFor(executorHeapBytes: Long): Long =
+    math.min(64L << 20, math.max(1L << 20, executorHeapBytes / 128))
+
+  /** The heap `broadcastThresholdFor` should be sized from, for a
+    * running session: local masters run tasks in the driver JVM
+    * (its -Xmx IS the executor heap); cluster masters declare it in
+    * `spark.executor.memory` (Spark's default 1 g when unset).
+    */
+  def executorHeapBytes(spark: SparkSession): Long =
+    if (spark.sparkContext.isLocal) Runtime.getRuntime.maxMemory
+    else spark.conf.getOption("spark.executor.memory")
+      .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+      .getOrElse(1L << 30)
 }

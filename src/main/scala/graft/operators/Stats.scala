@@ -317,7 +317,10 @@ object Stats {
     */
   def labelPropagation(
       edges: DataFrame, aCol: String, bCol: String,
-      maxIters: Int = 10): DataFrame = {
+      maxIters: Int = 10, sizeAttach: String = "window"): DataFrame = {
+    require(Set("window", "join")(sizeAttach),
+      s"labelPropagation: sizeAttach must be 'window' or 'join', " +
+        s"got '$sizeAttach'")
     val integral = Set[org.apache.spark.sql.types.DataType](
       org.apache.spark.sql.types.ByteType,
       org.apache.spark.sql.types.ShortType,
@@ -359,28 +362,44 @@ object Stats {
       labels = next
       iter += 1
     }
-    // Community sizes via ONE window count over the label key — NOT a
-    // broadcast join: |communities| is O(|nodes|) on sparse/fragmented
-    // graphs (many tiny communities is the TYPICAL LPA outcome), so a
-    // broadcast of the size frame is node-scale and blows the driver
-    // at exactly the lake scale this operator targets. The window is
-    // one exchange of the (node, label) frame by label — the same
-    // volume a shuffled size join would move, minus the second
-    // exchange and the join itself. Cost model, honestly: WindowExec
-    // still SORTS each partition by the partitionBy key (label) and
-    // buffers one label's rows at a time, so a giant community is an
-    // un-splittable straggler task (AQE skew-splits joins, not
-    // windows). That bound is acceptable here because LPA communities
-    // on the target graphs are panel-/cluster-sized; if mega
-    // components were in-contract the right shape is the two-step
-    // alternative — map-side-combined groupBy(label).count (tiny
-    // exchange) + an UNHINTED label-keyed join, which AQE CAN
-    // skew-split.
-    labels
-      .withColumn("community_size",
-        count(lit(1)).over(Window.partitionBy(col("label"))))
-      .select(col("node"), col("label").as("community"),
-        col("community_size"))
+    // Community sizes, two shipped shapes (sizeAttach):
+    //
+    //  - "window" (default): ONE window count over the label key —
+    //    NOT a broadcast join: |communities| is O(|nodes|) on sparse/
+    //    fragmented graphs (many tiny communities is the TYPICAL LPA
+    //    outcome), so a hinted broadcast of the size frame is
+    //    node-scale and blows the driver at exactly the lake scale
+    //    this operator targets. One exchange of the (node, label)
+    //    frame by label — the volume a shuffled size join would
+    //    move, minus the second exchange and the join. Cost model,
+    //    honestly: WindowExec SORTS each partition by label and
+    //    buffers one label's rows at a time, so a giant community is
+    //    an un-splittable straggler task (AQE skew-splits joins, not
+    //    windows). Right for the target graphs, whose communities
+    //    are panel-/cluster-sized.
+    //  - "join" (r19, the mega-community shape): map-side-combined
+    //    groupBy(label).count (tiny exchange — one row per label per
+    //    mapper) + an UNHINTED label-keyed join back. Unhinted is
+    //    load-bearing twice over: when the size frame is genuinely
+    //    small AQE converts to broadcast from MEASURED runtime bytes
+    //    (safe, unlike a row-count guess at plan time), and when it
+    //    is node-scale the sort-merge join's skewed label partition
+    //    is splittable by AQE — the exact mitigation WindowExec
+    //    cannot have. Use for dup-cluster-style graphs where one
+    //    community can hold a constant fraction of the corpus
+    //    (LpaProbe measures the straggler delta).
+    val sized = sizeAttach match {
+      case "window" =>
+        labels.withColumn("community_size",
+          count(lit(1)).over(Window.partitionBy(col("label"))))
+      case "join" =>
+        labels.join(
+          labels.groupBy(col("label"))
+            .agg(count(lit(1)).as("community_size")),
+          Seq("label"))
+    }
+    sized.select(col("node"), col("label").as("community"),
+      col("community_size"))
   }
 
   def closenessCentrality(

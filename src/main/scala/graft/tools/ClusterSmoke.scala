@@ -64,15 +64,20 @@ object ClusterSmoke {
     // works on both shapes — the env knob mirrors Bench's
     sys.env.get("SPARK_GRAFT_CKPT_DIR")
       .foreach(spark.sparkContext.setCheckpointDir)
-    // memory-pressure runs (r18): the builder's 64m broadcast
-    // threshold assumes multi-GB executors — under a squeezed heap
-    // the FIRST casualty is the broadcast hash-relation build (an
+    // memory-pressure doctrine (r18→r19): under a squeezed heap the
+    // FIRST casualty is the broadcast hash-relation build (an
     // explicit SparkOutOfMemory, measured at 2g/sf3), long before
-    // the sort/agg paths need to spill. The deployment knob for
-    // small executors is scaling the threshold down with the heap;
-    // this env override is that knob for the smoke.
-    sys.env.get("SPARK_GRAFT_BCAST").foreach(v =>
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v))
+    // the sort/agg paths need to spill — so the threshold is now
+    // AUTO-SIZED from the executor heap (Sessions' clamp(heap/128)
+    // rule) instead of requiring the operator to know the rule. The
+    // env override remains for probes that measure the rule itself.
+    val autoBcast =
+      Sessions.broadcastThresholdFor(Sessions.executorHeapBytes(spark))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+      sys.env.getOrElse("SPARK_GRAFT_BCAST", autoBcast.toString))
+    System.err.println(s"[smoke] broadcast threshold: " +
+      s"${spark.conf.get("spark.sql.autoBroadcastJoinThreshold")} " +
+      s"(auto=$autoBcast, heap=${Sessions.executorHeapBytes(spark)})")
     spark.range(1000000L).selectExpr("sum(id)").collect()
 
     // fault-injection arm (see object doc): kill the given worker JVM
@@ -109,7 +114,10 @@ object ClusterSmoke {
     // spill telemetry (r18): memory-pressure runs must PROVE the
     // squeeze spilled, not just that it survived — a "passed at 4g"
     // row with zero spill would mean the squeeze never bit. Summed
-    // across every task of a query's timed reps.
+    // across every task of a query's TIMED reps (counters reset
+    // after the discarded warm-up, behind a listener-bus flush so
+    // the warm-up's async TaskEnd tail can't leak into the timed
+    // window — r18 over-reported ~1.5x by counting the warm-up).
     val memSpilled = new java.util.concurrent.atomic.AtomicLong(0)
     val diskSpilled = new java.util.concurrent.atomic.AtomicLong(0)
     spark.sparkContext.addSparkListener(
@@ -125,10 +133,17 @@ object ClusterSmoke {
     def fmt(d: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val qs = SparkEntry.queries
-    val times = names.map { name =>
-      require(qs.contains(name), s"unknown query $name")
+    def resetSpill(): Unit = {
+      // drain the bus first: set(0) with events still in flight
+      // attributes the previous job's spill tail to the next window
+      org.apache.spark.sql.graftshim.ListenerBusShim
+        .flush(spark.sparkContext): Unit
       memSpilled.set(0)
       diskSpilled.set(0)
+    }
+    val times = names.map { name =>
+      require(qs.contains(name), s"unknown query $name")
+      resetSpill()
       var checksum: String = "null"
       // Bench's per-query failure guard: one query failing (e.g. a
       // cluster-only misconfiguration — exactly what a smoke exists
@@ -137,7 +152,10 @@ object ClusterSmoke {
       // stage budget (and recover the fault before the timed run),
       // defeating the injection.
       val runIdxs = if (killPid.isDefined) 0 to 0 else 0 to 2
-      val runs = runIdxs.map { _ =>
+      val runs = runIdxs.map { i =>
+        // spill_mb covers the TIMED reps only: zero the counters at
+        // the first timed run, after the warm-up's events drained
+        if (i == 1) resetSpill()
         val t0 = System.nanoTime()
         val ok = try {
           val df = qs(name)(spark, sfDir)
@@ -170,6 +188,10 @@ object ClusterSmoke {
           Double.box(v), Double.box(runs.head._1))
         case None => s"[smoke] $name FAILED"
       })
+      // flush before the read, too: the last rep's TaskEnd tail is
+      // still async at this point
+      org.apache.spark.sql.graftshim.ListenerBusShim
+        .flush(spark.sparkContext): Unit
       (name, t, checksum, memSpilled.get(), diskSpilled.get())
     }
     val master = spark.sparkContext.master

@@ -37,9 +37,24 @@ import graft.streaming.{ClosedSession, SessionEvent, StreamingAggs}
 object StreamSmoke {
 
   private val GapSecs = 1800L
-  private val InputFiles = 6
 
   def main(args: Array[String]): Unit = {
+    // batch-size knobs (r19): the r18 throughput doctrine ("micro-
+    // batch cost is constant-dominated — size batches to amortize
+    // the trigger constant") was inferred from ONE point; these let
+    // the throughput run MEASURE rows/s against per-batch input.
+    // SPARK_GRAFT_SLICES controls how many time-range input files
+    // the corpus becomes; SPARK_GRAFT_MAXFILES is both the source's
+    // maxFilesPerTrigger and the append stride (slices land in
+    // chunks of this size, in time order, so each drain is ~one
+    // batch of that many files and event-time order across batches
+    // is preserved — the parity construction is unchanged).
+    val InputFiles =
+      sys.env.getOrElse("SPARK_GRAFT_SLICES", "6").toInt
+    val maxFiles =
+      sys.env.getOrElse("SPARK_GRAFT_MAXFILES", "1").toInt
+    require(InputFiles >= 2 && maxFiles >= 1,
+      s"need >=2 slices (got $InputFiles) and >=1 maxFiles ($maxFiles)")
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val work = if (args.length > 1) args(1) else "/tmp/graft_streamsmoke"
     val spark = Sessions
@@ -144,7 +159,7 @@ object StreamSmoke {
     def startQuery() = {
       val stream = spark.readStream
         .schema("user_id LONG, ts TIMESTAMP, value DOUBLE")
-        .option("maxFilesPerTrigger", "1")
+        .option("maxFilesPerTrigger", maxFiles.toString)
         .parquet(inDir)
         .as[SessionEvent]
       StreamingAggs.sessionizeStream(stream, GapSecs)
@@ -246,14 +261,20 @@ object StreamSmoke {
         }
       }
     query = startQuery()
-    slices.zipWithIndex.foreach { case ((p, _), k) =>
-      if (k == InputFiles / 2) mode match {
+    // slices land in chunks of maxFiles (1 = the historical shape):
+    // appended in time order, drained per chunk, so the file source
+    // groups exactly one chunk per micro-batch and cross-batch
+    // arrival order still matches event-time order
+    slices.grouped(maxFiles).foreach { chunk =>
+      val ks = chunk.map { case (p, _) =>
+        slices.indexWhere(_._1 == p) }
+      if (ks.contains(InputFiles / 2)) mode match {
         case "restart" =>
           query.stop()
           query = startQuery()
         case "kill" =>
           requireSurvivor()
-          sigkillWorker(s"before slice $k")
+          sigkillWorker(s"before slice ${InputFiles / 2}")
           killFired = true
         case "killmid" =>
           requireSurvivor()
@@ -261,7 +282,7 @@ object StreamSmoke {
           killFired = true
         case _ => ()
       }
-      appendSlice(p)
+      chunk.foreach { case (p, _) => appendSlice(p) }
       drain()
     }
     // sentinel 1 advances the watermark past every last+gap; sentinel
@@ -324,14 +345,18 @@ object StreamSmoke {
       import scala.jdk.CollectionConverters._
       batchStats.asScala.toSeq
     }
-    val rateField = if (stats.nonEmpty) {
+    // plain mode only: restart/kill modes REPLAY micro-batches after
+    // recovery, and the progress listener counts the replays again —
+    // an inflated rate that must never be compared against a
+    // plain-mode baseline (ADVICE r18)
+    val rateField = if (mode == "plain" && stats.nonEmpty) {
       val rows = stats.map(_._1).sum
       val busyMs = stats.map(_._2).sum
       val lat = stats.map(_._2).sorted
       def pct(q: Double) =
         lat((q * (lat.size - 1)).round.toInt)
       val rps = if (busyMs > 0) rows * 1000L / busyMs else 0L
-      s""","throughput":{"batches":${stats.size},"input_rows":$rows,"busy_secs":${busyMs / 1000.0},"rows_per_sec":$rps,"p50_batch_ms":${pct(0.5)},"p95_batch_ms":${pct(0.95)},"max_batch_ms":${lat.last}}"""
+      s""","throughput":{"batches":${stats.size},"max_files_per_trigger":$maxFiles,"slices":$InputFiles,"input_rows":$rows,"busy_secs":${busyMs / 1000.0},"rows_per_sec":$rps,"p50_batch_ms":${pct(0.5)},"p95_batch_ms":${pct(0.95)},"max_batch_ms":${lat.last}}"""
     } else ""
     println(s"""{"metric":"stream_smoke","master":"$master","executors":$execs,"sf":"$sfDir","mode":"$mode","sessions":${streamed.size},"batch_sessions":${batch.size},"batch_match":$matches$midField$rateField,"checksum":$checksum}""")
     if (!matches) {

@@ -49,6 +49,12 @@ object BenchOne {
         .count(_.isInstanceOf[
           org.apache.spark.sql.execution.exchange.BroadcastExchangeExec])
       println(s"BCASTS $name: $bcasts")
+      // the audit collect above is UNCOUNTED — clear its cache so it
+      // cannot flatter the next group's first rep (the r18 sc_grn
+      // adjudication measured a warm refill at ~55% of a cleared
+      // rep's wall; leaking it widens every adjudication band)
+      spark.catalog.clearCache()
+      System.gc()
     }
     spark.stop()
   }

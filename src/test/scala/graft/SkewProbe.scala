@@ -94,7 +94,20 @@ object SkewProbe {
     // every timed consumption is ALSO the parity witness: identical
     // rows → identical sum-of-row-hashes across regimes and variants
     var sums = Map.empty[String, String]
+    // the last measurement's materialized agg frame + skew verdict,
+    // for the advisor regime below (reads mapStats off the executed
+    // adaptive plan) and its assertions
+    var lastAgg: DataFrame = null
+    var lastSplit = false
+    // TaskEnd delivery is async on the listener bus: reset/read the
+    // straggler witness only behind a bounded bus flush, or the
+    // straggler's own event (the one the witness exists to capture)
+    // can arrive after the read — or after the NEXT measurement's
+    // reset (r18 ran without this; ADVICE item)
+    def flushBus(): Unit = org.apache.spark.sql.graftshim
+      .ListenerBusShim.flush(spark.sparkContext): Unit
     def timeIt(tag: String, parityKey: String)(mk: => DataFrame): Double = {
+      flushBus()
       maxTaskMs.set(0)
       val t0 = System.nanoTime()
       val df = mk
@@ -111,6 +124,9 @@ object SkewProbe {
       // witness, "AQE didn't help" is indistinguishable from "AQE
       // never fired" (the r13 conclusion's failure mode)
       val split = agg.queryExecution.executedPlan.toString.contains("skew=true")
+      lastAgg = agg
+      lastSplit = split
+      flushBus()
       println(f"SKEWPROBE $tag wall=$secs%.2f s " +
         f"max_task=${maxTaskMs.get() / 1e3}%.1f s skew_split=$split")
       secs
@@ -141,6 +157,41 @@ object SkewProbe {
     spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
     spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
     sweep("aqe_tuned")
+
+    // r19: the SHIPPED advisor closes the loop the aqe_tuned regime
+    // tuned BY HAND — defaults silently no-op, SkewAdvisor reads the
+    // materialized plan's per-partition compressed bytes and mapper
+    // counts (the exact inputs AQE's classifier compares), and its
+    // recommended confs make the split FIRE on the re-run. Asserted,
+    // not just printed.
+    import graft.operators.SkewAdvisor
+    val skewConfs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    skewConfs.foreach(spark.conf.unset)
+    timeIt("aqe_advised defaults", "join")(joinOut(f.join(d, Seq("user_id"))))
+    require(!lastSplit, "SKEWPROBE: defaults split at probe SF — the " +
+      "silent-no-op regime the advisor exists for no longer reproduces")
+    val rec = SkewAdvisor.recommend(lastAgg)
+    println(s"SKEWPROBE advisor: ${rec.note}")
+    rec.profiles.foreach(p => println(
+      s"SKEWPROBE advisor shuffle=${p.shuffleId} mappers=${p.numMappers} " +
+        s"parts=${p.numPartitions} max=${p.maxBytes} med=${p.medianBytes} " +
+        f"ratio=${p.skewRatio}%.1f splittable=${p.splittable}"))
+    require(rec.thresholdBytes.isDefined,
+      "SKEWPROBE: advisor found no skewed splittable shuffle in a " +
+        "probe BUILT around one")
+    spark.conf.set(skewConfs(0), rec.thresholdBytes.get.toString)
+    spark.conf.set(skewConfs(2), rec.advisoryBytes.get.toString)
+    val advisedW = (1 to 3).map(_ => timeIt("aqe_advised plain", "join")(
+      joinOut(f.join(d, Seq("user_id"))))).min
+    require(lastSplit,
+      "SKEWPROBE: advisor-recommended threshold did not fire skew_split")
+    println(f"SKEWPROBE aqe_advised min_plain=$advisedW%.2f " +
+      s"(threshold=${rec.thresholdBytes.get} " +
+      s"advisory=${rec.advisoryBytes.get}, skew_split asserted)")
+    skewConfs.foreach(spark.conf.unset)
 
     // aggregation path: partial aggregation vs explicit two-phase salt
     spark.conf.set("spark.sql.adaptive.enabled", "false")

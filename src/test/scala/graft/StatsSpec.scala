@@ -420,4 +420,39 @@ class StatsSpec extends SparkSpec {
         Seq(("x", "y")).toDF("a", "b"), "a", "b")
     }
   }
+
+  test("labelPropagation size-attach paths are equal: join (the " +
+    "mega-community shape) == window (the default)") {
+    import spark.implicits._
+    // bridged cliques + a dominant star community + an isolated pair:
+    // the join path must reproduce the window path exactly, including
+    // on a graph where one label holds most of the nodes (the regime
+    // the join path exists for; LpaProbe measures the straggler delta
+    // at scale)
+    val star = (101L to 160L).map(l => (100L, l))
+    val edges = (Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L), (70L, 71L)) ++ star)
+      .toDF("a", "b")
+    def pull(sizeAttach: String) =
+      Stats.labelPropagation(edges, "a", "b", sizeAttach = sizeAttach)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    val window = pull("window")
+    val join = pull("join")
+    assert(join == window)
+    // and on a repartitioned input (layout independence holds for
+    // the join path too)
+    val joinRepart = Stats
+      .labelPropagation(edges.repartition(7), "a", "b",
+        sizeAttach = "join")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(joinRepart == window)
+    // unknown shapes are refused, not silently defaulted
+    intercept[IllegalArgumentException] {
+      Stats.labelPropagation(edges, "a", "b", sizeAttach = "broadcast")
+    }
+  }
 }
