@@ -80,17 +80,20 @@ object Sessions {
     * than one can be live per query. The threshold is a plan-choice
     * knob, not a safety limit, so it must scale DOWN with the heap:
     *
-    *   threshold = clamp(heap / 128, 1 MiB, 64 MiB)
+    *   threshold = clamp(heap / 256, 1 MiB, 64 MiB)
     *
-    * Anchors (ClusterSmoke heavy-3): 64 m at ≥8 g heap is the
-    * shipped default with 18 rounds of bench evidence (8 g/128 =
-    * exactly 64 m); at 2 g, 64 m OOMs every query while the rule's
-    * 16 m passes with checksums identical to the 64 m control's
-    * (r19 measurement) — the forced broadcast→SMJ flips never
-    * change results, so erring small costs only a sort-merge.
+    * The divisor is measured, not derived (ClusterSmoke heavy-3 at
+    * sf3): at 2 g heap, 64 m OOMs every query, and so does heap/128
+    * = 16 m (r19 — a threshold-sized relation hydrates to well over
+    * 8× its serialized estimate once BytesToBytesMap overhead and
+    * concurrent builds stack); heap/256 = 8 m passes with checksums
+    * identical to the 64 m comfortable-heap control's. The forced
+    * broadcast→SMJ flips never change results, so erring small
+    * costs only a sort-merge; 64 m stays the cap because beyond
+    * customer-scale dims SMJ is the right plan anyway.
     */
   def broadcastThresholdFor(executorHeapBytes: Long): Long =
-    math.min(64L << 20, math.max(1L << 20, executorHeapBytes / 128))
+    math.min(64L << 20, math.max(1L << 20, executorHeapBytes / 256))
 
   /** The heap `broadcastThresholdFor` should be sized from, for a
     * running session: local masters run tasks in the driver JVM

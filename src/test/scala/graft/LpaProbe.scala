@@ -32,7 +32,10 @@ import graft.operators.Stats
   */
 object LpaProbe {
   def main(args: Array[String]): Unit = {
-    val n = args.headOption.map(_.toLong).getOrElse(2000000L)
+    val n = args.headOption.map(_.toLong).getOrElse(8000000L)
+    // 2 sync iterations suffice to form the mega label; fewer iters =
+    // less loop wall diluting the size-attach delta being measured
+    val iters = if (args.length > 1) args(1).toInt else 2
     val spark = Sessions.localBuilder(32).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -62,7 +65,7 @@ object LpaProbe {
       maxTaskMs.set(0)
       val t0 = System.nanoTime()
       val df = Stats.labelPropagation(e, "a", "b",
-        maxIters = 2, sizeAttach = sizeAttach)
+        maxIters = iters, sizeAttach = sizeAttach)
       val row = df.agg(sum(xxhash64(df.columns.sorted.map(col): _*)
         .cast("decimal(38,0)"))).collect().head
       val secs = (System.nanoTime() - t0) / 1e9

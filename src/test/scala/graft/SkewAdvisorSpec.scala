@@ -99,15 +99,16 @@ class SkewAdvisorSpec extends SparkSpec {
     assert(rec.note.contains("defaults are fine"))
   }
 
-  test("broadcast threshold heap rule: clamp(heap/128, 1m, 64m) " +
+  test("broadcast threshold heap rule: clamp(heap/256, 1m, 64m) " +
     "reproduces the measured anchors") {
     def gb(n: Long) = n << 30
-    // 2 g: 64 m OOMs (r18), 16 m passes (r19 measurement)
-    assert(Sessions.broadcastThresholdFor(gb(2)) == (16L << 20))
-    // 8 g: the bench JVM's 18-round 64 m regime is the rule's cap
-    assert(Sessions.broadcastThresholdFor(gb(8)) == (64L << 20))
-    // big heaps stay at the plan-choice cap, tiny heaps at the floor
+    // 2 g: 64 m AND 16 m (heap/128) OOM the broadcast build; 8 m
+    // passes checksum-identical to the comfortable control (r18+r19)
+    assert(Sessions.broadcastThresholdFor(gb(2)) == (8L << 20))
+    // ≥16 g reaches the plan-choice cap; tiny heaps hit the floor
+    assert(Sessions.broadcastThresholdFor(gb(16)) == (64L << 20))
     assert(Sessions.broadcastThresholdFor(gb(28)) == (64L << 20))
+    assert(Sessions.broadcastThresholdFor(gb(8)) == (32L << 20))
     assert(Sessions.broadcastThresholdFor(64L << 20) == (1L << 20))
   }
 }
