@@ -18,29 +18,57 @@ case class Qdef(
   */
 object OlapQueries {
 
-  private def q1(s: SparkSession, d: String): DataFrame =
+  private def q1(s: SparkSession, d: String): DataFrame = {
+    // Money SUMS aggregate in LONG cents, not double (r19): the money
+    // columns are exactly-2dp by generation, so the ×100 rounds below
+    // are lossless and the sums are exact integer arithmetic —
+    // bit-identical to the oracle at every corpus scale. Double sums
+    // pass the gate up to sf3 but diverge in the 14th significant
+    // digit at sf10 (totals ~4e11 over 33M rows), and rounding the
+    // OUTPUT cannot absorb accumulation error of the sum itself.
+    // Long, not decimal: a decimal(24,6) sum is exact too but drops
+    // the aggregation out of the primitive hash-agg fast path (6×
+    // wall, measured); long cents stay whole-stage-codegen-fast. The
+    // charge sum peaks ~1.4e18 at sf10 (micros scale) — exact
+    // through ~sf70, and ANSI mode makes the eventual overflow an
+    // ERROR, never silent corruption. The final /10^k divisions are
+    // IEEE-identical on both engines. Averages stay double: their
+    // magnitude is scale-invariant, so 4/6dp rounding absorbs
+    // summation noise at any sf.
+    // floor(x*100 + 0.5), not round(): Spark's Round on double goes
+    // through BigDecimal per row (measured ~2x on this scan); floor
+    // stays primitive and the +0.5 nudge is exact for 2dp inputs
+    // whose *100 lands within one ulp of an integer
+    val cents = floor(col("l_extendedprice") * 100 + 0.5)
+    val discC = lit(100L) - floor(col("l_discount") * 100 + 0.5)
+    val taxC = lit(100L) + floor(col("l_tax") * 100 + 0.5)
     Tables.lineitem(s, d)
       .where(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-          .as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-          * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+        (sum(cents) / 100.0).as("sum_base_price"),
+        (sum(cents * discC) / 10000.0).as("sum_disc_price"),
+        (sum(cents * discC * taxC) / 1000000.0).as("sum_charge"),
         round(avg(col("l_quantity")) + lit(1e-9), 4).as("avg_qty"),
         round(avg(col("l_extendedprice")) + lit(1e-9), 4).as("avg_price"),
         round(avg(col("l_discount")) + lit(1e-9), 6).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
 
   private val q1Sql =
     """SELECT l_returnflag, l_linestatus,
       | round(sum(l_quantity), 2) AS sum_qty,
-      | round(sum(l_extendedprice), 2) AS sum_base_price,
-      | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-      | round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+      | sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0
+      |   AS sum_base_price,
+      | sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+      |   * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+      |   / 10000.0 AS sum_disc_price,
+      | sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+      |   * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+      |   * (100 + CAST(floor(l_tax * 100 + 0.5) AS BIGINT)))
+      |   / 1000000.0 AS sum_charge,
       | round(avg(l_quantity) + 0.000000001, 4) AS avg_qty,
       | round(avg(l_extendedprice) + 0.000000001, 4) AS avg_price,
       | round(avg(l_discount) + 0.000000001, 6) AS avg_disc,
