@@ -644,7 +644,9 @@ object Stats {
     * one broadcast array of `universe`+1 doubles — so the only
     * shuffles are two panel-scale hash aggregates; nothing
     * corpus-scale moves. The tail sum is a per-row strict left fold
-    * (`aggregate` over `sequence(k, min(K, n))`, at most n terms) —
+    * (`aggregate` over `sequence(max(k, K+n-N), min(K, n))` — the
+    * hypergeometric SUPPORT; r19: arguments left of the support floor
+    * would need factorials of negatives, the d=768 sf1 crash) —
     * no explode/regroup, and the fold order is deterministic so both
     * engines sum identically-ordered terms.
     *
@@ -687,7 +689,7 @@ object Stats {
     val n = col("list_size")
     val lnChooseN = lf(bigN) - lf(n) - lf(bigN - n)
     val tailP = aggregate(
-      sequence(k, least(bigK, n)), lit(0.0),
+      sequence(greatest(k, bigK + n - bigN), least(bigK, n)), lit(0.0),
       (acc, i) => acc + exp(
         lf(bigK) - lf(i) - lf(bigK - i) +
           lf(bigN - bigK) - lf(n - i) - lf(bigN - bigK - n + i) -
@@ -762,7 +764,7 @@ object Stats {
     val n = col("list_size")
     val lnChooseN = lf(bigN) - lf(n) - lf(bigN - n)
     val tailP = aggregate(
-      sequence(k, least(bigK, n)), lit(0.0),
+      sequence(greatest(k, bigK + n - bigN), least(bigK, n)), lit(0.0),
       (acc, i) => acc + exp(
         lf(bigK) - lf(i) - lf(bigK - i) +
           lf(bigN - bigK) - lf(n - i) - lf(bigN - bigK - n + i) -

@@ -374,7 +374,9 @@ object StatsQueries {
        |  FROM ov JOIN szs USING (pathway) CROSS JOIN ls CROSS JOIN lfv),
        |sc2 AS (SELECT pathway, gene_count, pathway_size, list_size, universe,
        |    round(least(list_sum(list_transform(
-       |      generate_series(gene_count, least(pathway_size, list_size)),
+       |      generate_series(
+      |        greatest(gene_count, pathway_size + list_size - universe),
+      |        least(pathway_size, list_size)),
        |      i -> exp(arr[pathway_size+1] - arr[i+1] - arr[pathway_size-i+1]
        |        + arr[universe-pathway_size+1] - arr[list_size-i+1]
        |        - arr[universe-pathway_size-list_size+i+1]
@@ -1370,7 +1372,9 @@ object StatsQueries {
        |sc4 AS (SELECT cluster, pathway, gene_count, pathway_size,
        |    list_size, universe,
        |    round(least(list_sum(list_transform(
-       |      generate_series(gene_count, least(pathway_size, list_size)),
+       |      generate_series(
+      |        greatest(gene_count, pathway_size + list_size - universe),
+      |        least(pathway_size, list_size)),
        |      i -> exp(arr[pathway_size+1] - arr[i+1] - arr[pathway_size-i+1]
        |        + arr[universe-pathway_size+1] - arr[list_size-i+1]
        |        - arr[universe-pathway_size-list_size+i+1]
