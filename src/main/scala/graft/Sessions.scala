@@ -57,7 +57,11 @@ object Sessions {
 
   /** Local test/bench shape (what Bench/Verify use): one partition
     * per core — at local scale the shuffle constant matters more
-    * than headroom. periodicGC drops from the 30-min default to 1
+    * than headroom. The bench/smoke mains re-size this at runtime
+    * via [[shufflePartitionsFor]] once they know the corpus size
+    * (partitions = cores IS the setting that paid the sf30 spill
+    * tax; the builder can't know the input yet, the tools can).
+    * periodicGC drops from the 30-min default to 1
     * min: single-JVM bench sessions run hundreds of tiny jobs whose
     * shuffle/broadcast bookkeeping is reclaimed only after their weak
     * refs are collected, and a multi-minute session otherwise never
@@ -94,6 +98,58 @@ object Sessions {
     */
   def broadcastThresholdFor(executorHeapBytes: Long): Long =
     math.min(64L << 20, math.max(1L << 20, executorHeapBytes / 256))
+
+  /** `spark.sql.shuffle.partitions` sized with the corpus decade —
+    * the shipped form of the r19 sf30 spill-probe doctrine ("per-task
+    * state, not total data, sets the spill tax; size shuffle
+    * partitions with the decade and the superlinearity disappears").
+    * Both anchor points are MEASURED, not derived (sf30 probe,
+    * local[32], 28 g heap, dedup scale-critical set):
+    *
+    *  - sf10 (2.0 GB corpus) at 32 partitions = 62.5 MB of corpus per
+    *    reduce partition: ZERO spill, ratios linear — the good regime;
+    *  - sf30 (6.3 GB) at the same 32 = 197 MB per partition: ~223 GB
+    *    execution spill PER dedup query, minhash 4.55× per 3× data;
+    *    re-partitioned so per-task input returns to the measured-good
+    *    level (128 → 49 MB), the SAME query reads 295 s vs 457 s and
+    *    the ratio is exactly linear (2.94×/3× data), checksum
+    *    identical.
+    *
+    * So the rule caps per-reduce-partition INPUT bytes at 64 MiB —
+    * the measured zero-spill level — and rounds UP to a whole number
+    * of task waves (a multiple of `cores`; a fractional last wave is
+    * pure straggler tail). Input bytes (compressed parquet on disk)
+    * are the proxy, not shuffle bytes: the dedup shuffles carry
+    * shingle expansions several× the input, but proportionally so,
+    * and input size is the one number available BEFORE the run.
+    * Floor at `cores` (one full wave); no upper cap — oversizing
+    * costs a per-partition constant that AQE's coalescing reclaims,
+    * while undersizing is the direction AQE cannot fix (it can split
+    * only already-skewed join partitions, not a uniformly-overfull
+    * hash-agg), and at lake scale `cores` grows with the cluster so
+    * the quotient stays sane.
+    */
+  def shufflePartitionsFor(inputBytes: Long, cores: Int): Int = {
+    require(cores > 0, s"cores must be positive (got $cores)")
+    val perPartition = 64L << 20
+    val want = (math.max(0L, inputBytes) + perPartition - 1) / perPartition
+    val waves = math.max(1L, (want + cores - 1) / cores)
+    math.min(Int.MaxValue.toLong, waves * cores.toLong).toInt
+  }
+
+  /** Recursive on-disk byte size of a LOCAL data directory (or single
+    * file) — the `inputBytes` feed for [[shufflePartitionsFor]] in
+    * the local tools. 0 when the path doesn't exist (callers then get
+    * the one-wave floor). Cluster deployments should feed the catalog
+    * /FileStatus size of the actual input tables instead.
+    */
+  def localDataBytes(path: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles).map(_.map(walk).sum).getOrElse(0L)
+      else if (f.isFile) f.length
+      else 0L
+    walk(new java.io.File(path))
+  }
 
   /** The heap `broadcastThresholdFor` should be sized from, for a
     * running session: local masters run tasks in the driver JVM

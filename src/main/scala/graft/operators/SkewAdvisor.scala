@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
 import org.apache.spark.sql.graftshim.ShuffleStatsShim
 
 /** Sizes AQE's skew-join trigger from OBSERVED shuffle bytes instead
@@ -78,16 +79,40 @@ object SkewAdvisor {
 
   private val MinBytes = 1L << 20 // 1 MiB floor on recommended confs
 
+  /** The recommended `skewedPartitionThresholdInBytes` for an
+    * observed hot partition of `maxBytes`: half the hot size (so
+    * run-to-run variation still trips the trigger), floored at
+    * [[MinBytes]], and ALWAYS strictly below `maxBytes` — AQE
+    * classifies on size > threshold, so a threshold equal to the hot
+    * size (possible at the floor boundary: a candidate at exactly
+    * 1 MiB) would never fire, the precise silent no-op the advisor
+    * exists to end.
+    */
+  private[graft] def thresholdFor(maxBytes: Long): Long =
+    math.min(maxBytes - 1, math.max(MinBytes, maxBytes / 2))
+
   private def expand(p: SparkPlan): Seq[SparkPlan] = p match {
     case a: AdaptiveSparkPlanExec => expand(a.executedPlan)
     case q: QueryStageExec => p +: expand(q.plan)
+    // descend CACHED builds too (r20): a pipeline that caches an
+    // intermediate materializes that subtree's shuffles under the
+    // InMemoryRelation — the profiler that stops at the cache
+    // boundary silently misses what is often the pipeline's heaviest
+    // shuffle (the cached side is cached precisely because it was
+    // expensive). The cached plan executed once, at fill, so its
+    // stage statistics are as real as the outer plan's.
+    case c: InMemoryTableScanExec =>
+      p +: expand(c.relation.cachedPlan)
     case _ => p +: p.children.flatMap(expand)
   }
 
   /** Per-shuffle reduce-partition profiles of a df that has already
     * RUN (AQE materializes stage statistics at execution; an
     * un-executed plan yields no profiles). Subquery plans included —
-    * a skewed shuffle can hide in a scalar-subquery branch.
+    * a skewed shuffle can hide in a scalar-subquery branch — and
+    * CACHED subtrees are descended (r20): the shuffles a pipeline
+    * materialized while filling an InMemoryRelation are profiled
+    * through the cache boundary, not silently skipped.
     */
   def observe(df: DataFrame): Seq[ShuffleProfile] = {
     val root = df.queryExecution.executedPlan
@@ -121,7 +146,7 @@ object SkewAdvisor {
       case Some(p) =>
         Recommendation(
           profiles, pick,
-          thresholdBytes = Some(math.max(MinBytes, p.maxBytes / 2)),
+          thresholdBytes = Some(thresholdFor(p.maxBytes)),
           advisoryBytes = Some(math.max(MinBytes, p.medianBytes)),
           note = s"shuffle ${p.shuffleId}: max partition ${p.maxBytes} B " +
             f"= ${p.skewRatio}%.1fx median over ${p.numMappers} mappers; " +

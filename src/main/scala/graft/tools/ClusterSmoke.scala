@@ -59,6 +59,18 @@ object ClusterSmoke {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // shuffle partitions AUTO-SIZED with the corpus decade (r19 sf30
+    // doctrine, shipped r20): per-reduce-partition input capped at
+    // the measured zero-spill level, rounded to whole task waves.
+    // The env override remains for probes that measure the rule.
+    val autoShuffle = Sessions.shufflePartitionsFor(
+      Sessions.localDataBytes(sfDir),
+      spark.sparkContext.defaultParallelism)
+    spark.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", autoShuffle.toString))
+    System.err.println(s"[smoke] shuffle partitions: " +
+      s"${spark.conf.get("spark.sql.shuffle.partitions")} " +
+      s"(auto=$autoShuffle, bytes=${Sessions.localDataBytes(sfDir)})")
     // reliable checkpoints must be on shared storage under a real
     // cluster; localCheckpoint (the default) is executor-local and
     // works on both shapes — the env knob mirrors Bench's
@@ -68,8 +80,9 @@ object ClusterSmoke {
     // FIRST casualty is the broadcast hash-relation build (an
     // explicit SparkOutOfMemory, measured at 2g/sf3), long before
     // the sort/agg paths need to spill — so the threshold is now
-    // AUTO-SIZED from the executor heap (Sessions' clamp(heap/128)
-    // rule) instead of requiring the operator to know the rule. The
+    // AUTO-SIZED from the executor heap (Sessions' clamp(heap/256)
+    // rule; heap/128 was measured to still OOM the hash-relation
+    // build at 2 g) instead of requiring the operator to know it. The
     // env override remains for probes that measure the rule itself.
     val autoBcast =
       Sessions.broadcastThresholdFor(Sessions.executorHeapBytes(spark))

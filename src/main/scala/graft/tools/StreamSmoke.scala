@@ -265,25 +265,43 @@ object StreamSmoke {
     // appended in time order, drained per chunk, so the file source
     // groups exactly one chunk per micro-batch and cross-batch
     // arrival order still matches event-time order
+    val midSlice = InputFiles / 2
     slices.grouped(maxFiles).foreach { chunk =>
       val ks = chunk.map { case (p, _) =>
         slices.indexWhere(_._1 == p) }
-      if (ks.contains(InputFiles / 2)) mode match {
-        case "restart" =>
-          query.stop()
-          query = startQuery()
-        case "kill" =>
-          requireSurvivor()
-          sigkillWorker(s"before slice ${InputFiles / 2}")
-          killFired = true
-        case "killmid" =>
-          requireSurvivor()
-          killMidArmed.set(true)
-          killFired = true
-        case _ => ()
+      // injection modes split the chunk AT the mid slice: with
+      // maxFiles > 1 the fault would otherwise fire before the whole
+      // chunk, i.e. up to maxFiles-1 slices earlier than the logged
+      // "before slice N" point. Pre-mid slices are appended and
+      // drained first so the fault lands exactly at the claimed input
+      // fraction. Plain mode never splits — its chunking is the
+      // throughput measurement's batch size and must stay untouched.
+      val inject = mode != "plain" && ks.contains(midSlice)
+      if (inject) {
+        val (pre, rest) = chunk.splitAt(ks.indexOf(midSlice))
+        if (pre.nonEmpty) {
+          pre.foreach { case (p, _) => appendSlice(p) }
+          drain()
+        }
+        mode match {
+          case "restart" =>
+            query.stop()
+            query = startQuery()
+          case "kill" =>
+            requireSurvivor()
+            sigkillWorker(s"before slice $midSlice")
+            killFired = true
+          case _ => // killmid
+            requireSurvivor()
+            killMidArmed.set(true)
+            killFired = true
+        }
+        rest.foreach { case (p, _) => appendSlice(p) }
+        drain()
+      } else {
+        chunk.foreach { case (p, _) => appendSlice(p) }
+        drain()
       }
-      chunk.foreach { case (p, _) => appendSlice(p) }
-      drain()
     }
     // sentinel 1 advances the watermark past every last+gap; sentinel
     // 2 triggers the batch in which those timeouts fire

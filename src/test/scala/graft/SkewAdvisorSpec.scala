@@ -99,6 +99,44 @@ class SkewAdvisorSpec extends SparkSpec {
     assert(rec.note.contains("defaults are fine"))
   }
 
+  test("recommended threshold is strictly below the hot size even " +
+    "at the 1 MiB floor boundary (AQE fires on size > threshold)") {
+    val m = 1L << 20
+    // the boundary defect: a candidate at exactly the floor used to
+    // get threshold == maxBytes — a conf AQE's strict > never fires
+    assert(SkewAdvisor.thresholdFor(m) == m - 1)
+    assert(SkewAdvisor.thresholdFor(m + 1) == m)
+    // floor regime (maxBytes < 2 MiB): threshold pinned just under
+    assert(SkewAdvisor.thresholdFor(2 * m - 1) == m)
+    // half-of-hot regime above 2 MiB
+    assert(SkewAdvisor.thresholdFor(2 * m) == m)
+    assert(SkewAdvisor.thresholdFor(100 * m) == 50 * m)
+    for (b <- Seq(m, m + 1, 3 * m / 2, 2 * m, 7 * m, 1000 * m))
+      assert(SkewAdvisor.thresholdFor(b) < b, s"maxBytes=$b")
+  }
+
+  test("observe descends cached subtrees: a shuffle materialized " +
+    "while filling an InMemoryRelation is still profiled") {
+    val base = skewedFrame(parallelism = 8)
+      .repartition(4, col("k")).cache()
+    try {
+      // the outer action fills the cache; the skewed repartition now
+      // lives UNDER the InMemoryRelation — the r19 advisor stopped at
+      // the cache boundary and missed it
+      val outer = base.agg(sum(length(col("payload"))).as("s"))
+      outer.collect()
+      val profiles = SkewAdvisor.observe(outer)
+      val inner = profiles.filter(p => p.numPartitions == 4)
+      assert(inner.nonEmpty,
+        s"cached subtree's 4-partition shuffle not profiled " +
+          s"(saw ${profiles.map(p => (p.shuffleId, p.numPartitions))})")
+      val p = inner.maxBy(_.maxBytes)
+      assert(p.skewRatio >= 5.0 && p.maxBytes > (1L << 20),
+        s"cached shuffle profile lost its skew shape: $p")
+      assert(SkewAdvisor.recommend(outer).thresholdBytes.isDefined)
+    } finally { base.unpersist(); () }
+  }
+
   test("broadcast threshold heap rule: clamp(heap/256, 1m, 64m) " +
     "reproduces the measured anchors") {
     def gb(n: Long) = n << 30
@@ -110,5 +148,29 @@ class SkewAdvisorSpec extends SparkSpec {
     assert(Sessions.broadcastThresholdFor(gb(28)) == (64L << 20))
     assert(Sessions.broadcastThresholdFor(gb(8)) == (32L << 20))
     assert(Sessions.broadcastThresholdFor(64L << 20) == (1L << 20))
+  }
+
+  test("shuffle partition decade rule reproduces the sf30 probe's " +
+    "measured anchors and floors at one wave of cores") {
+    // sf10 anchor (2.0 GB corpus, 32 cores): the zero-spill decade
+    // stays at partitions = cores — the rule changes NOTHING through
+    // sf10, so every committed bench/oracle reference is undisturbed
+    assert(Sessions.shufflePartitionsFor(2000000000L, 32) == 32)
+    // sf30 anchor (6.3 GB): per-task input returns to the measured
+    // zero-spill level (~66 MB) instead of the 197 MB that paid the
+    // 1.55x spill tax; whole task waves, so a multiple of cores
+    assert(Sessions.shufflePartitionsFor(6300000000L, 32) == 96)
+    // floor: empty/missing/small input = one full wave
+    assert(Sessions.shufflePartitionsFor(0L, 32) == 32)
+    assert(Sessions.shufflePartitionsFor(1L, 16) == 16)
+    // always whole waves, monotone in bytes
+    val sizes = Seq(1L << 20, 1L << 30, 5L << 30, 50L << 30, 1L << 40)
+    val parts = sizes.map(Sessions.shufflePartitionsFor(_, 32))
+    assert(parts.forall(_ % 32 == 0))
+    assert(parts == parts.sorted)
+    // 100 TB at a 4000-core cluster: ~1.6 M wanted partitions round
+    // to the next wave — the quotient stays sane because cores grow
+    // with the cluster, and AQE coalescing reclaims any oversizing
+    assert(Sessions.shufflePartitionsFor(100L << 40, 4000) % 4000 == 0)
   }
 }
