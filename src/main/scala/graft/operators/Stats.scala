@@ -317,10 +317,11 @@ object Stats {
     */
   def labelPropagation(
       edges: DataFrame, aCol: String, bCol: String,
-      maxIters: Int = 10, sizeAttach: String = "window"): DataFrame = {
-    require(Set("window", "join")(sizeAttach),
-      s"labelPropagation: sizeAttach must be 'window' or 'join', " +
-        s"got '$sizeAttach'")
+      maxIters: Int = 10, sizeAttach: String = "window",
+      autoJoinThreshold: Long = 1L << 20): DataFrame = {
+    require(Set("window", "join", "auto")(sizeAttach),
+      s"labelPropagation: sizeAttach must be 'window', 'join' or " +
+        s"'auto', got '$sizeAttach'")
     val integral = Set[org.apache.spark.sql.types.DataType](
       org.apache.spark.sql.types.ByteType,
       org.apache.spark.sql.types.ShortType,
@@ -388,15 +389,33 @@ object Stats {
     //    cannot have. Use for dup-cluster-style graphs where one
     //    community can hold a constant fraction of the corpus
     //    (LpaProbe measures the straggler delta).
-    val sized = sizeAttach match {
+    //  - "auto" (r20): DATA-DERIVED pick between the two. The join
+    //    path's own build side — the map-side-combined
+    //    groupBy(label).count — is aggregated once more to its max
+    //    (an O(|labels|) job over the already-checkpointed labels;
+    //    LPA has run a convergence-check job per iteration, one more
+    //    decision job is in character). A max community at or above
+    //    `autoJoinThreshold` rows picks "join" (past ~1 M buffered
+    //    rows the window's un-splittable straggler task dominates —
+    //    LpaProbe's 8 M-node star measures the delta); below it,
+    //    "window" (one exchange, no join, right for panel-sized
+    //    communities). The threshold is a row count, not bytes,
+    //    because WindowExec's buffer cost is per-row.
+    def labelSizes = labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("community_size"))
+    val attach = sizeAttach match {
+      case "auto" =>
+        val r = labelSizes.agg(max(col("community_size"))).head()
+        val biggest = if (r.isNullAt(0)) 0L else r.getLong(0)
+        if (biggest >= autoJoinThreshold) "join" else "window"
+      case s => s
+    }
+    val sized = attach match {
       case "window" =>
         labels.withColumn("community_size",
           count(lit(1)).over(Window.partitionBy(col("label"))))
-      case "join" =>
-        labels.join(
-          labels.groupBy(col("label"))
-            .agg(count(lit(1)).as("community_size")),
-          Seq("label"))
+      case _ =>
+        labels.join(labelSizes, Seq("label"))
     }
     sized.select(col("node"), col("label").as("community"),
       col("community_size"))

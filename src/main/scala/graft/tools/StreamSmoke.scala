@@ -156,10 +156,10 @@ object StreamSmoke {
         }
       })
 
-    def startQuery() = {
+    def startQueryWith(mf: Int) = {
       val stream = spark.readStream
         .schema("user_id LONG, ts TIMESTAMP, value DOUBLE")
-        .option("maxFilesPerTrigger", maxFiles.toString)
+        .option("maxFilesPerTrigger", mf.toString)
         .parquet(inDir)
         .as[SessionEvent]
       StreamingAggs.sessionizeStream(stream, GapSecs)
@@ -170,6 +170,7 @@ object StreamSmoke {
         .outputMode(OutputMode.Append())
         .start()
     }
+    def startQuery() = startQueryWith(maxFiles)
     // optional third arg:
     //  - "restart": STOP the query mid-corpus and start a FRESH one
     //    from the same checkpoint — the production recovery path
@@ -193,8 +194,21 @@ object StreamSmoke {
     //    actively updating state, not between batches. The output's
     //    "kill_mid_batch" field records query.status.isTriggerActive
     //    at kill time — the claim is checkable, not asserted.
+    //  - "advise" (r20): the batch-size advisor loop, shipped from
+    //    the r19 throughput curve's doctrine. Calibrates the trigger
+    //    model batchWall = C + r·rows from its own progress telemetry
+    //    (3 batches at stride 1, then 2 at stride 2 — two DISTINCT
+    //    sizes, which one-point measurement can't fit), derives the
+    //    maxFilesPerTrigger that puts per-batch row work at the
+    //    curve's knee (BatchSize.rowsPerTrigger), RESTARTS the query
+    //    from the same checkpoint with the recommendation applied
+    //    (maxFilesPerTrigger is a source option, read at start — the
+    //    production re-size path), and reports predicted vs achieved
+    //    rows/s for the recommended phase. Parity check unchanged —
+    //    the full corpus still flows through. Needs >=9 slices (run
+    //    with SPARK_GRAFT_SLICES=12).
     val mode = if (args.length > 2) args(2) else "plain"
-    require(Set("plain", "restart", "kill", "killmid")(mode),
+    require(Set("plain", "restart", "kill", "killmid", "advise")(mode),
       s"unknown mode '$mode'")
     val killPid = sys.env.get("SPARK_GRAFT_KILL_PID").map(_.trim.toLong)
     val killModes = Set("kill", "killmid")
@@ -260,6 +274,94 @@ object StreamSmoke {
             sys.exit(2)
         }
       }
+    // advisor telemetry helpers: progress events are delivered on the
+    // streams listener bus asynchronously, so phase snapshots wait for
+    // the batch count to settle before reading
+    def statsNow(): Seq[(Long, Long)] = {
+      import scala.jdk.CollectionConverters._
+      batchStats.asScala.toSeq
+    }
+    def settledStats(): Seq[(Long, Long)] = {
+      var prev = -1
+      var cur = statsNow().size
+      while (cur != prev) {
+        Thread.sleep(200); prev = cur; cur = statsNow().size
+      }
+      statsNow()
+    }
+    var advisorField = ""
+
+    if (mode == "advise") {
+      require(InputFiles >= 9, s"advise mode needs >=9 slices (3 " +
+        s"calibration batches at stride 1, 2 at stride 2, >=2 slices " +
+        s"to apply the recommendation); got $InputFiles — run with " +
+        "SPARK_GRAFT_SLICES=12")
+      // phase 1: three 1-file batches
+      query = startQueryWith(1)
+      slices.take(3).foreach { case (p, _) => appendSlice(p); drain() }
+      query.stop()
+      val s1 = settledStats()
+      // phase 2: two 2-file batches (the second DISTINCT size — a
+      // one-size sample cannot separate the constant from the
+      // marginal cost, the r18 one-point trap)
+      query = startQueryWith(2)
+      slices.slice(3, 7).foreach { case (p, _) => appendSlice(p) }
+      drain()
+      query.stop()
+      val s2 = settledStats().drop(s1.size)
+      val fitted = graft.streaming.BatchSize.fit(s1 ++ s2)
+      require(fitted.isDefined,
+        s"calibration fit degenerated (phase1=$s1 phase2=$s2)")
+      val (cFit, rFit) = fitted.get
+      val rowsPerFile =
+        math.max(1L, s1.map(_._1).sum / math.max(1, s1.size))
+      val targetRows =
+        graft.streaming.BatchSize.rowsPerTrigger(cFit, rFit)
+      val recRaw = graft.streaming.BatchSize.maxFilesFor(
+        targetRows, rowsPerFile)
+      val remaining = InputFiles - 7
+      val rec = math.min(recRaw, remaining)
+      System.err.println(String.format(java.util.Locale.ROOT,
+        "[stream-smoke] advisor: C=%.3f s, r=%.2f us/row, target=%d " +
+          "rows -> maxFiles=%d (raw %d, %d slices left)",
+        Double.box(cFit), Double.box(rFit * 1e6), Long.box(targetRows),
+        Int.box(rec), Int.box(recRaw), Int.box(remaining)))
+      // phase 3: the recommendation applied via checkpoint restart
+      // (maxFilesPerTrigger is a source option, read at query start —
+      // this IS the production re-size path)
+      val before = settledStats().size
+      query = startQueryWith(rec)
+      slices.drop(7).grouped(rec).foreach { chunk =>
+        chunk.foreach { case (p, _) => appendSlice(p) }
+        drain()
+      }
+      val s3 = settledStats().drop(before)
+      // sentinels AFTER the phase-3 snapshot: their 1-row batches
+      // close the sessions but must not dilute the measured rate
+      appendSentinel("sent1", maxS + 2L * 86400)
+      appendSlice(s"$work/sent1")
+      drain()
+      appendSentinel("sent2", maxS + 4L * 86400)
+      appendSlice(s"$work/sent2")
+      drain()
+      query.stop()
+      val rows3 = s3.map(_._1).sum
+      val busy3 = s3.map(_._2).sum
+      val achieved = if (busy3 > 0) rows3 * 1000.0 / busy3 else 0.0
+      val predicted = graft.streaming.BatchSize
+        .predictedRowsPerSec(cFit, rFit, rowsPerFile * rec)
+      def fd(d: Double) =
+        String.format(java.util.Locale.ROOT, "%.1f", Double.box(d))
+      advisorField =
+        s""","advisor":{"fit_constant_ms":${fd(cFit * 1000)},""" +
+        s""""fit_us_per_row":${fd(rFit * 1e6)},""" +
+        s""""rows_per_file":$rowsPerFile,"target_rows":$targetRows,""" +
+        s""""recommended_files":$recRaw,"applied_files":$rec,""" +
+        s""""phase3_batches":${s3.size},""" +
+        s""""predicted_rows_per_sec":${fd(predicted)},""" +
+        s""""achieved_rows_per_sec":${fd(achieved)}}"""
+    } else {
+
     query = startQuery()
     // slices land in chunks of maxFiles (1 = the historical shape):
     // appended in time order, drained per chunk, so the file source
@@ -312,6 +414,7 @@ object StreamSmoke {
     appendSlice(s"$work/sent2")
     drain()
     query.stop()
+    } // end non-advise flow
     if (mode == "killmid") require(killMidDone.get(),
       s"killmid armed but the task-start trigger never fired " +
         s"(killAfterTasks=$killAfterTasks too high for this batch?)")
@@ -376,7 +479,7 @@ object StreamSmoke {
       val rps = if (busyMs > 0) rows * 1000L / busyMs else 0L
       s""","throughput":{"batches":${stats.size},"max_files_per_trigger":$maxFiles,"slices":$InputFiles,"input_rows":$rows,"busy_secs":${busyMs / 1000.0},"rows_per_sec":$rps,"p50_batch_ms":${pct(0.5)},"p95_batch_ms":${pct(0.95)},"max_batch_ms":${lat.last}}"""
     } else ""
-    println(s"""{"metric":"stream_smoke","master":"$master","executors":$execs,"sf":"$sfDir","mode":"$mode","sessions":${streamed.size},"batch_sessions":${batch.size},"batch_match":$matches$midField$rateField,"checksum":$checksum}""")
+    println(s"""{"metric":"stream_smoke","master":"$master","executors":$execs,"sf":"$sfDir","mode":"$mode","sessions":${streamed.size},"batch_sessions":${batch.size},"batch_match":$matches$midField$rateField$advisorField,"checksum":$checksum}""")
     if (!matches) {
       System.err.println(s"[stream-smoke] MISMATCH: streamed=" +
         s"${streamed.size} batch=${batch.size}; first key diffs: " +

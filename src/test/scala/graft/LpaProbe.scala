@@ -87,6 +87,31 @@ object LpaProbe {
     val j = (1 to 3).map(i => run(s"join $i", "join")).min
     println(f"LPAPROBE n=$n min_window=$w%.2f min_join=$j%.2f " +
       f"ratio=${w / j}%.2f (checksums identical)")
+
+    // auto-mode regime assertion (r20): the data-derived pick must
+    // choose join on THIS graph (the star's mega community crosses
+    // the 1 M-row default threshold) and window on the panel-sized
+    // clique-bridge graph — same checksum either way (run() enforces
+    // it for the star via the shared key)
+    def usesWindow(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case wd: org.apache.spark.sql.catalyst.plans.logical.Window => wd
+      }.nonEmpty
+    run("auto (star)", "auto")
+    val autoStar = Stats.labelPropagation(e, "a", "b",
+      maxIters = iters, sizeAttach = "auto")
+    require(!usesWindow(autoStar),
+      "auto must pick the join path on the mega-community star")
+    val cliques = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+      .map { case (a, b) => (a, b) }
+    import spark.implicits._
+    val autoClique = Stats.labelPropagation(
+      cliques.toDF("a", "b"), "a", "b", sizeAttach = "auto")
+    require(usesWindow(autoClique),
+      "auto must pick the window path on the clique-bridge graph")
+    println("LPAPROBE auto: join on the star, window on the " +
+      "clique-bridge (plan-asserted)")
     spark.stop()
   }
 }

@@ -450,6 +450,27 @@ class StatsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._1).toSeq
     assert(joinRepart == window)
+    // auto (r20): the pick is DATA-DERIVED from the converged labels'
+    // max community size, output equal either way; the chosen path is
+    // observable as a Window node in the plan (or its absence)
+    def usesWindow(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }.nonEmpty
+    val autoSmall =
+      Stats.labelPropagation(edges, "a", "b", sizeAttach = "auto")
+    assert(usesWindow(autoSmall),
+      "62-row max community is panel-sized — auto must pick window")
+    assert(autoSmall.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq == window)
+    val autoBig = Stats.labelPropagation(edges, "a", "b",
+      sizeAttach = "auto", autoJoinThreshold = 10L)
+    assert(!usesWindow(autoBig),
+      "star community above the threshold — auto must pick join")
+    assert(autoBig.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq == window)
     // unknown shapes are refused, not silently defaulted
     intercept[IllegalArgumentException] {
       Stats.labelPropagation(edges, "a", "b", sizeAttach = "broadcast")
