@@ -164,7 +164,18 @@ object ClusterSmoke {
       // Kill mode runs the query ONCE: a warm-up would consume the
       // stage budget (and recover the fault before the timed run),
       // defeating the injection.
-      val runIdxs = if (killPid.isDefined) 0 to 0 else 0 to 2
+      // Protocol knobs (r20): SPARK_GRAFT_REPS = timed runs (default
+      // 2, min-of-N), SPARK_GRAFT_WARMUP=0 skips the discarded
+      // warm-up — for 250-450 s/query scale probes the ~2-5 s JIT
+      // constant is noise and a 3-run protocol triples a half-hour
+      // measurement for nothing; defaults unchanged for the
+      // sub-minute smokes where JIT is NOT noise.
+      val timedReps =
+        math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt)
+      val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0"
+      val runIdxs =
+        if (killPid.isDefined) 0 to 0
+        else (if (warmup) 0 else 1) to timedReps
       val runs = runIdxs.map { i =>
         // spill_mb covers the TIMED reps only: zero the counters at
         // the first timed run, after the warm-up's events drained
@@ -191,13 +202,14 @@ object ClusterSmoke {
         (dt, ok)
       }
       // kill mode has no discarded warm-up — its single run IS timed
-      val timed = if (killPid.isDefined) runs else runs.drop(1)
+      val timed =
+        if (killPid.isDefined || !warmup) runs else runs.drop(1)
       val okTimes = timed.collect { case (dt, true) => dt }
       val t = if (okTimes.nonEmpty && timed.forall(_._2))
         Some(okTimes.min) else None
       System.err.println(t match {
         case Some(v) => String.format(java.util.Locale.ROOT,
-          "[smoke] %s %.2f s (warmup %.2f)", name,
+          "[smoke] %s %.2f s (first %.2f)", name,
           Double.box(v), Double.box(runs.head._1))
         case None => s"[smoke] $name FAILED"
       })
