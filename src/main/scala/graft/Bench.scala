@@ -7,15 +7,11 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.localBuilder(cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // shuffle partitions sized with the corpus decade (r19 sf30
-    // doctrine): identical to the old partitions-=-cores pin through
-    // sf10 (the rule floors at one wave), but a scale probe pointed
-    // at an sf30-shaped dir no longer pays the measured 1.55× spill
-    // tax by default. SPARK_GRAFT_SHUFFLE overrides for rule probes.
-    spark.conf.set("spark.sql.shuffle.partitions",
-      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
-        Sessions.shufflePartitionsFor(
-          Sessions.localDataBytes(sfDir), cpus.toInt).toString))
+    // decade-scaled AQE initialPartitionNum (r19 sf30 doctrine, r20
+    // application point): identical to the old partitions-=-cores pin
+    // through sf10, wide-plan + AQE-coalesce above it.
+    // SPARK_GRAFT_SHUFFLE pins raw partitions for rule probes.
+    Sessions.applyShufflePartitions(spark, sfDir, cpus.toInt): Unit
     // opt-in reliable checkpointing (connectedComponents switches
     // from localCheckpoint blocks to per-round files when set) — the
     // memory-pressure knob for heap-bound scale probes

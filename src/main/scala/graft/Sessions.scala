@@ -128,6 +128,20 @@ object Sessions {
     * only already-skewed join partitions, not a uniformly-overfull
     * hash-agg), and at lake scale `cores` grows with the cluster so
     * the quotient stays sane.
+    *
+    * APPLICATION POINT (r20, measured): set the result as
+    * `spark.sql.adaptive.coalescePartitions.initialPartitionNum`,
+    * NOT as raw `spark.sql.shuffle.partitions`. The r20 paired probe
+    * (sf30, fresh JVM per arm, 28 g) found the raw form is
+    * query-shape-dependent: the heavily-spilling dedup shapes are
+    * indifferent-to-better at 128 (and r19's heavier-spill corpus
+    * measured 1.55× better), but a NON-spilling mid-size aggregate
+    * (corpus_dsir) pays 1.6× for reduce-side constants it never
+    * needed. Planning shuffles wide and letting AQE coalesce the
+    * small ones keeps both regimes: minhash 364 s ≈ the best arm's
+    * 361, dsir's penalty halved, checksums identical across all
+    * three configs. The canonical AQE pattern, now measured on this
+    * library's own shapes.
     */
   def shufflePartitionsFor(inputBytes: Long, cores: Int): Int = {
     require(cores > 0, s"cores must be positive (got $cores)")
@@ -136,6 +150,29 @@ object Sessions {
     val waves = math.max(1L, (want + cores - 1) / cores)
     math.min(Int.MaxValue.toLong, waves * cores.toLong).toInt
   }
+
+  /** Apply the decade rule to a RUNNING session (one shared
+    * implementation for the Bench/Verify/smoke mains): sets AQE's
+    * `initialPartitionNum` from the measured input bytes per
+    * [[shufflePartitionsFor]]'s application note. A
+    * SPARK_GRAFT_SHUFFLE env override instead pins RAW
+    * `spark.sql.shuffle.partitions` and skips the auto rule — manual
+    * probe mode, where the probe owns every partition knob. Returns
+    * the applied value for telemetry.
+    */
+  def applyShufflePartitions(
+      spark: SparkSession, inputPath: String, cores: Int): Int =
+    sys.env.get("SPARK_GRAFT_SHUFFLE") match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.shuffle.partitions", v)
+        v.trim.toInt
+      case None =>
+        val n = shufflePartitionsFor(localDataBytes(inputPath), cores)
+        spark.conf.set(
+          "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+          n.toString)
+        n
+    }
 
   /** Recursive on-disk byte size of a LOCAL data directory (or single
     * file) — the `inputBytes` feed for [[shufflePartitionsFor]] in

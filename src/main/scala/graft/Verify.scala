@@ -9,12 +9,9 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.localBuilder(cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // shuffle partitions sized with the corpus decade (identical to
-    // cores at every driver SF; only >sf10 probe dirs scale it up)
-    spark.conf.set("spark.sql.shuffle.partitions",
-      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
-        Sessions.shufflePartitionsFor(
-          Sessions.localDataBytes(sfDir), cpus.toInt).toString))
+    // decade-scaled AQE initialPartitionNum (identical to the old
+    // behavior at every driver SF; only >sf10 probe dirs scale it up)
+    Sessions.applyShufflePartitions(spark, sfDir, cpus.toInt): Unit
     new java.io.File(outDir).mkdirs()
     // local-iteration filter; the driver never sets this, so the
     // contract (dump every query) is unchanged in driver runs

@@ -59,18 +59,17 @@ object ClusterSmoke {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // shuffle partitions AUTO-SIZED with the corpus decade (r19 sf30
-    // doctrine, shipped r20): per-reduce-partition input capped at
-    // the measured zero-spill level, rounded to whole task waves.
-    // The env override remains for probes that measure the rule.
-    val autoShuffle = Sessions.shufflePartitionsFor(
-      Sessions.localDataBytes(sfDir),
-      spark.sparkContext.defaultParallelism)
-    spark.conf.set("spark.sql.shuffle.partitions",
-      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", autoShuffle.toString))
-    System.err.println(s"[smoke] shuffle partitions: " +
+    // decade-scaled AQE initialPartitionNum (r19 sf30 doctrine, r20
+    // application point — see Sessions.shufflePartitionsFor):
+    // shuffles plan wide, AQE coalesces the small ones back.
+    // SPARK_GRAFT_SHUFFLE pins raw partitions for rule probes.
+    val applied = Sessions.applyShufflePartitions(
+      spark, sfDir, spark.sparkContext.defaultParallelism)
+    System.err.println(s"[smoke] partitions: raw=" +
       s"${spark.conf.get("spark.sql.shuffle.partitions")} " +
-      s"(auto=$autoShuffle, bytes=${Sessions.localDataBytes(sfDir)})")
+      s"applied=$applied " +
+      s"(manual=${sys.env.contains("SPARK_GRAFT_SHUFFLE")}, " +
+      s"bytes=${Sessions.localDataBytes(sfDir)})")
     // reliable checkpoints must be on shared storage under a real
     // cluster; localCheckpoint (the default) is executor-local and
     // works on both shapes — the env knob mirrors Bench's

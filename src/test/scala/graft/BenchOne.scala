@@ -12,12 +12,9 @@ object BenchOne {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.localBuilder(32).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // parity with Bench: decade-scaled shuffle partitions (identical
-    // to cores through sf10; env-overridable for rule probes)
-    spark.conf.set("spark.sql.shuffle.partitions",
-      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
-        Sessions.shufflePartitionsFor(
-          Sessions.localDataBytes(sfDir), 32).toString))
+    // parity with Bench: decade-scaled AQE initialPartitionNum
+    // (identical through sf10; SPARK_GRAFT_SHUFFLE = probe mode)
+    Sessions.applyShufflePartitions(spark, sfDir, 32): Unit
     // parity with Bench: opt-in reliable checkpointing for the CC
     // iteration (the sf10 memory-pressure knob)
     sys.env.get("SPARK_GRAFT_CKPT_DIR")

@@ -15,13 +15,10 @@ object VerifyOne {
     val names = args.tail.toSeq
     val spark = Sessions.localBuilder(32).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // decade-scaled shuffle partitions: VerifyOne is the tool that
-    // points at sf10/sf30-shaped dirs for oracle ladder extensions,
-    // exactly where partitions-=-cores pays the measured spill tax
-    spark.conf.set("spark.sql.shuffle.partitions",
-      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
-        Sessions.shufflePartitionsFor(
-          Sessions.localDataBytes(sfDir), 32).toString))
+    // decade-scaled AQE initialPartitionNum: VerifyOne is the tool
+    // that points at sf10/sf30-shaped dirs for oracle ladder
+    // extensions, where partitions-=-cores pays the spill tax
+    Sessions.applyShufflePartitions(spark, sfDir, 32): Unit
     new java.io.File(outDir).mkdirs()
     names.foreach { name =>
       val t0 = System.nanoTime()
