@@ -265,7 +265,12 @@ object StreamingAggs {
             }
             last.foreach { l =>
               state.update(l)
-              state.setTimeoutTimestamp((l.secs + idleSecs) * 1000L)
+              // same late-group clamp as sessionizeStream: a timeout
+              // below the watermark is an API error that kills the
+              // query, not a droppable row
+              state.setTimeoutTimestamp(math.max(
+                (l.secs + idleSecs) * 1000L,
+                state.getCurrentWatermarkMs() + 1000L))
             }
             out.result().iterator
           }
@@ -310,7 +315,20 @@ object StreamingAggs {
             }
             open.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp((s.last + gapSecs) * 1000L)
+              // flatMapGroupsWithState does NOT pre-filter late rows
+              // (the watermark only drives timeouts/eviction), so a
+              // group touched by BELOW-watermark events — arrival
+              // disorder past disorderDelay — computes a timeout in
+              // the past, which the API rejects and the whole QUERY
+              // dies (r20, found by the advise-mode smoke's
+              // tie-broken file ordering). Clamp to just past the
+              // watermark: the late-touched session then closes at
+              // the next watermark advance — the same best-possible
+              // answer a correct-delay stream would give it, and a
+              // one-group degradation instead of a query failure.
+              state.setTimeoutTimestamp(math.max(
+                (s.last + gapSecs) * 1000L,
+                state.getCurrentWatermarkMs() + 1000L))
             }
             closed.result().iterator
           }

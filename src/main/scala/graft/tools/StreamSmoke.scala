@@ -197,8 +197,9 @@ object StreamSmoke {
     //  - "advise" (r20): the batch-size advisor loop, shipped from
     //    the r19 throughput curve's doctrine. Calibrates the trigger
     //    model batchWall = C + r·rows from its own progress telemetry
-    //    (3 batches at stride 1, then 2 at stride 2 — two DISTINCT
-    //    sizes, which one-point measurement can't fit), derives the
+    //    (6 batches at stride 1, then 3 at stride 4 — two DISTINCT
+    //    sizes far enough apart to clear the per-batch jitter floor,
+    //    each phase's first batch discarded as warm-up), derives the
     //    maxFilesPerTrigger that puts per-batch row work at the
     //    curve's knee (BatchSize.rowsPerTrigger), RESTARTS the query
     //    from the same checkpoint with the recommendation applied
@@ -292,46 +293,77 @@ object StreamSmoke {
     var advisorField = ""
 
     if (mode == "advise") {
-      require(InputFiles >= 9, s"advise mode needs >=9 slices (3 " +
-        s"calibration batches at stride 1, 2 at stride 2, >=2 slices " +
+      require(InputFiles >= 20, s"advise mode needs >=20 slices (6 " +
+        s"calibration batches at stride 1, 3 at stride 4, >=2 slices " +
         s"to apply the recommendation); got $InputFiles — run with " +
-        "SPARK_GRAFT_SLICES=12")
-      // phase 1: three 1-file batches
+        "SPARK_GRAFT_SLICES=24")
+      // phase 1: six 1-file batches
       query = startQueryWith(1)
-      slices.take(3).foreach { case (p, _) => appendSlice(p); drain() }
+      slices.take(6).foreach { case (p, _) => appendSlice(p); drain() }
       query.stop()
       val s1 = settledStats()
-      // phase 2: two 2-file batches (the second DISTINCT size — a
-      // one-size sample cannot separate the constant from the
-      // marginal cost, the r18 one-point trap)
-      query = startQueryWith(2)
-      slices.slice(3, 7).foreach { case (p, _) => appendSlice(p) }
-      drain()
+      // phase 2: three 4-file batches. Stride 4, not 2: the first
+      // advise run measured 1-vs-2-file walls INSIDE the per-batch
+      // noise floor (~±100 ms of state-store/GC jitter on a ~650 ms
+      // batch) — the second size must move row work by enough to
+      // clear it. Still a second DISTINCT size (the r18 one-point
+      // trap).
+      // drain per 4-slice chunk, like the plain flow: appending all
+      // 12 at once gives same-millisecond modTimes, the file source
+      // tie-breaks by PATH (slice_10 < slice_6 lexicographically),
+      // and cross-BATCH time order breaks — below-watermark batches
+      // are exactly the disorder the parity construction excludes
+      query = startQueryWith(4)
+      slices.slice(6, 18).grouped(4).foreach { chunk =>
+        chunk.foreach { case (p, _) => appendSlice(p) }
+        drain()
+      }
       query.stop()
       val s2 = settledStats().drop(s1.size)
-      val fitted = graft.streaming.BatchSize.fit(s1 ++ s2)
-      require(fitted.isDefined,
-        s"calibration fit degenerated (phase1=$s1 phase2=$s2)")
-      val (cFit, rFit) = fitted.get
+      // each phase's FIRST batch is discarded from the fit, the
+      // repo-wide warm-up doctrine: a fresh query's first batch pays
+      // JIT/codegen (measured 2.0 s vs 0.65 s steady) and a
+      // restarted query's first batch pays the state-store reload —
+      // neither is the marginal cost being fitted
+      val fitted = graft.streaming.BatchSize.fit(s1.drop(1) ++ s2.drop(1))
       val rowsPerFile =
         math.max(1L, s1.map(_._1).sum / math.max(1, s1.size))
-      val targetRows =
-        graft.streaming.BatchSize.rowsPerTrigger(cFit, rFit)
-      val recRaw = graft.streaming.BatchSize.maxFilesFor(
-        targetRows, rowsPerFile)
-      val remaining = InputFiles - 7
-      val rec = math.min(recRaw, remaining)
-      System.err.println(String.format(java.util.Locale.ROOT,
-        "[stream-smoke] advisor: C=%.3f s, r=%.2f us/row, target=%d " +
-          "rows -> maxFiles=%d (raw %d, %d slices left)",
-        Double.box(cFit), Double.box(rFit * 1e6), Long.box(targetRows),
-        Int.box(rec), Int.box(recRaw), Int.box(remaining)))
+      val remaining = InputFiles - 18
+      val (recRaw, fitJson) = fitted match {
+        case Some((cFit, rFit)) =>
+          val targetRows =
+            graft.streaming.BatchSize.rowsPerTrigger(cFit, rFit)
+          def fd(d: Double) =
+            String.format(java.util.Locale.ROOT, "%.1f", Double.box(d))
+          (graft.streaming.BatchSize.maxFilesFor(targetRows, rowsPerFile),
+            s""""fit_constant_ms":${fd(cFit * 1000)},""" +
+            s""""fit_us_per_row":${fd(rFit * 1e6)},""" +
+            s""""target_rows":$targetRows,""" +
+            s""""predicted_rows_per_sec":${fd(graft.streaming.BatchSize
+              .predictedRowsPerSec(cFit, rFit,
+                rowsPerFile * math.min(
+                  graft.streaming.BatchSize
+                    .maxFilesFor(targetRows, rowsPerFile),
+                  remaining)))},""")
+        case None =>
+          // a FLAT curve is information, not an error: row work never
+          // reached the trigger constant across the measured sizes,
+          // so every measured batch is constant-dominated and the
+          // doctrine says keep growing — recommend the recovery-unit
+          // cap (here: whatever one drain can absorb)
+          (64, s""""fit_constant_ms":null,"fit_us_per_row":null,""" +
+            s""""flat_curve":true,""")
+      }
+      val rec = math.max(1, math.min(recRaw, remaining))
+      System.err.println(s"[stream-smoke] advisor: " +
+        s"rec maxFiles=$rec (raw $recRaw, $remaining slices left); " +
+        s"calib p1=${s1.mkString(",")} p2=${s2.mkString(",")}")
       // phase 3: the recommendation applied via checkpoint restart
       // (maxFilesPerTrigger is a source option, read at query start —
       // this IS the production re-size path)
       val before = settledStats().size
       query = startQueryWith(rec)
-      slices.drop(7).grouped(rec).foreach { chunk =>
+      slices.drop(18).grouped(rec).foreach { chunk =>
         chunk.foreach { case (p, _) => appendSlice(p) }
         drain()
       }
@@ -348,18 +380,14 @@ object StreamSmoke {
       val rows3 = s3.map(_._1).sum
       val busy3 = s3.map(_._2).sum
       val achieved = if (busy3 > 0) rows3 * 1000.0 / busy3 else 0.0
-      val predicted = graft.streaming.BatchSize
-        .predictedRowsPerSec(cFit, rFit, rowsPerFile * rec)
-      def fd(d: Double) =
+      def fr(d: Double) =
         String.format(java.util.Locale.ROOT, "%.1f", Double.box(d))
       advisorField =
-        s""","advisor":{"fit_constant_ms":${fd(cFit * 1000)},""" +
-        s""""fit_us_per_row":${fd(rFit * 1e6)},""" +
-        s""""rows_per_file":$rowsPerFile,"target_rows":$targetRows,""" +
+        s""","advisor":{$fitJson""" +
+        s""""rows_per_file":$rowsPerFile,""" +
         s""""recommended_files":$recRaw,"applied_files":$rec,""" +
         s""""phase3_batches":${s3.size},""" +
-        s""""predicted_rows_per_sec":${fd(predicted)},""" +
-        s""""achieved_rows_per_sec":${fd(achieved)}}"""
+        s""""achieved_rows_per_sec":${fr(achieved)}}"""
     } else {
 
     query = startQuery()

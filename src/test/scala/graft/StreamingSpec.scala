@@ -222,6 +222,75 @@ class StreamingSpec extends SparkSpec {
     assert(rows((1L, 100L)) == (2L, 3.0, 10L))  // closed by timeout
   }
 
+  test("sessionizeStream survives time-disordered file batches: the " +
+    "late-group timeout clamps to the watermark, not a query kill") {
+    // The r20 advise-mode smoke crash shape: a multi-batch file-source
+    // drain processes a LATE batch after the watermark advanced, and
+    // the late-row filter uses the lagged (previous batch's)
+    // watermark while setTimeoutTimestamp validates against the
+    // advanced one — so a late-only group reaches the user function
+    // and its natural timeout (last+gap) is in the past, which the
+    // API rejects by KILLING THE QUERY. The clamp degrades it to
+    // closing at the next watermark advance. (A MemoryStream can't
+    // pin this: its one-batch-per-drain shape filters the late rows
+    // with the same watermark the validator uses.)
+    import spark.implicits._
+    import graft.streaming.SessionEvent
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_latefile").toString
+    val inDir = s"$work/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+    def slice(name: String, rows: Seq[(Long, Long, Double)]): String = {
+      val p = s"$work/$name"
+      rows.map { case (u, sec, v) =>
+        SessionEvent(u, new Timestamp(sec * 1000L), v) }
+        .toDF().coalesce(1).write.mode("overwrite").parquet(p)
+      p
+    }
+    def append(src: String): Unit =
+      new java.io.File(src).listFiles
+        .filter(_.getName.endsWith(".parquet")).foreach { f =>
+          java.nio.file.Files.copy(f.toPath, java.nio.file.Paths.get(
+            inDir, s"${f.getParentFile.getName}_${f.getName}")): Unit
+        }
+    val late = slice("b_late", Seq((1L, 100000L, 1.0)))
+    val early = slice("a_early", Seq((2L, 50000L, 7.0)))
+    val sent = slice("c_sent", Seq((-1L, 400000L, 0.0)))
+    val stream = spark.readStream
+      .schema("user_id LONG, ts TIMESTAMP, value DOUBLE")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir).as[SessionEvent]
+    val query = StreamingAggs.sessionizeStream(stream, gapSecs = 1800L)
+      .writeStream.format("memory").queryName("sessionize_disorder")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1 = the late-times slice (watermark -> 100000s), batch 2
+      // = the early slice (user 2 at 50000s, 50000s below); modTime
+      // order pins the batch order, one file per trigger
+      append(late)
+      Thread.sleep(20)
+      append(early)
+      query.processAllAvailable()
+      // sentinel advances the watermark past every timeout; one more
+      // pass lets the timeouts fire against it
+      Thread.sleep(20)
+      append(sent)
+      query.processAllAvailable()
+      query.processAllAvailable()
+      val rows = spark.table("sessionize_disorder").collect()
+        .map(r => r.getAs[Long]("user_id") ->
+          (r.getAs[Long]("session_start"), r.getAs[Long]("n_events")))
+        .toMap
+      // pre-clamp this query DIED in batch 2
+      // (FLATMAPGROUPSWITHSTATE_USER_FUNCTION_ERROR); post-clamp the
+      // late group survives and both sessions close by timeout
+      assert(query.exception.isEmpty, s"query died: ${query.exception}")
+      assert(rows.get(1L).contains((100000L, 1L)), s"$rows")
+      assert(rows.get(2L).contains((50000L, 1L)),
+        s"late-only group's session lost: $rows")
+    } finally query.stop()
+  }
+
   test("sessionizeStream end to end over a parquet FILE source — the " +
     "stateful flatMapGroupsWithState path on the real read wiring") {
     import spark.implicits._
