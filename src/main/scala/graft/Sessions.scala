@@ -167,7 +167,17 @@ object Sessions {
         spark.conf.set("spark.sql.shuffle.partitions", v)
         v.trim.toInt
       case None =>
-        val n = shufflePartitionsFor(localDataBytes(inputPath), cores)
+        // floor at the session's RAW shuffle.partitions: on a cluster
+        // master, defaultParallelism reads 2 until executors register
+        // (measured on the r20 2-worker smoke: applied=2 when called
+        // before the warm-up job), and initialPartitionNum BELOW the
+        // raw conf would under-plan every shuffle — the one direction
+        // AQE cannot repair. initialPartitionNum only ever raises the
+        // initial plan above the configured width, never lowers it.
+        val raw = spark.conf.get("spark.sql.shuffle.partitions").toInt
+        val n = math.max(raw,
+          shufflePartitionsFor(localDataBytes(inputPath),
+            math.max(1, cores)))
         spark.conf.set(
           "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
           n.toString)

@@ -59,17 +59,6 @@ object ClusterSmoke {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // decade-scaled AQE initialPartitionNum (r19 sf30 doctrine, r20
-    // application point — see Sessions.shufflePartitionsFor):
-    // shuffles plan wide, AQE coalesces the small ones back.
-    // SPARK_GRAFT_SHUFFLE pins raw partitions for rule probes.
-    val applied = Sessions.applyShufflePartitions(
-      spark, sfDir, spark.sparkContext.defaultParallelism)
-    System.err.println(s"[smoke] partitions: raw=" +
-      s"${spark.conf.get("spark.sql.shuffle.partitions")} " +
-      s"applied=$applied " +
-      s"(manual=${sys.env.contains("SPARK_GRAFT_SHUFFLE")}, " +
-      s"bytes=${Sessions.localDataBytes(sfDir)})")
     // reliable checkpoints must be on shared storage under a real
     // cluster; localCheckpoint (the default) is executor-local and
     // works on both shapes — the env knob mirrors Bench's
@@ -91,6 +80,21 @@ object ClusterSmoke {
       s"${spark.conf.get("spark.sql.autoBroadcastJoinThreshold")} " +
       s"(auto=$autoBcast, heap=${Sessions.executorHeapBytes(spark)})")
     spark.range(1000000L).selectExpr("sum(id)").collect()
+    // decade-scaled AQE initialPartitionNum (r19 sf30 doctrine, r20
+    // application point — see Sessions.shufflePartitionsFor):
+    // shuffles plan wide, AQE coalesces the small ones back.
+    // SPARK_GRAFT_SHUFFLE pins raw partitions for rule probes.
+    // AFTER the warm-up job: on a cluster master defaultParallelism
+    // reads 2 until executors register (the r20 2-worker smoke
+    // measured applied=2 before the first job), and the helper's
+    // raw-conf floor is the backstop, not the sizing path.
+    val applied = Sessions.applyShufflePartitions(
+      spark, sfDir, spark.sparkContext.defaultParallelism)
+    System.err.println(s"[smoke] partitions: raw=" +
+      s"${spark.conf.get("spark.sql.shuffle.partitions")} " +
+      s"applied=$applied " +
+      s"(manual=${sys.env.contains("SPARK_GRAFT_SHUFFLE")}, " +
+      s"bytes=${Sessions.localDataBytes(sfDir)})")
 
     // fault-injection arm (see object doc): kill the given worker JVM
     // after the n-th completed stage of the measured query

@@ -173,4 +173,24 @@ class SkewAdvisorSpec extends SparkSpec {
     // with the cluster, and AQE coalescing reclaims any oversizing
     assert(Sessions.shufflePartitionsFor(100L << 40, 4000) % 4000 == 0)
   }
+
+  test("applyShufflePartitions floors at the raw conf: a pre-register " +
+    "defaultParallelism of 2 must never under-plan the shuffles") {
+    // the r20 2-worker smoke measured applied=2 when the helper ran
+    // before the first job (defaultParallelism reads 2 until
+    // executors register) — initialPartitionNum below the raw conf
+    // under-plans every shuffle, the one direction AQE cannot fix
+    val raw = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val applied = Sessions.applyShufflePartitions(
+      spark, "/root/testdata/sf0.01", cores = 2)
+    try {
+      assert(applied >= raw, s"applied=$applied below raw=$raw")
+      assert(spark.conf
+        .get("spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+        .toInt == applied)
+      // and a big corpus still scales above the floor
+      assert(Sessions.shufflePartitionsFor(6700000000L, 2) > 2)
+    } finally spark.conf
+      .unset("spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+  }
 }
