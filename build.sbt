@@ -28,8 +28,16 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Driver/executor heap for the forked local[N] JVM. 8g was measured
+// under-provisioned for the 163-query bench session at local[32]
+// (250 MB/core): GC pressure from accumulated broadcast/checkpoint
+// bookkeeping contaminated later queries' times by multiple seconds
+// each (r21 paired sweeps, identical code: 8g = 177.8 s total with
+// ±8 s per-query swings, 24g = 149.7 s and stable). 24g on the
+// 128 GiB box is 750 MB/core — ordinary executor sizing (guide §5),
+// parameterised for smaller hosts via SPARK_DRIVER_MEM.
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

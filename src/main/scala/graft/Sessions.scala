@@ -53,6 +53,19 @@ object Sessions {
       // backlog on long-lived cluster sessions (local sessions pin
       // 1 min below for the same reason)
       .config("spark.cleaner.periodicGC.interval", "5min")
+      // let AQE coalesce partitions UNDER cached plans too (off by
+      // default for output-partitioning stability; r21 measured): the
+      // operator-internal caches here are panel-/bucket-bounded frames
+      // (400-row variant panels, 40-row gene stats) whose upstream
+      // exchanges plan wide — without this flag every downstream stage
+      // over such a cache runs one task per un-coalesced partition,
+      // and each task pays the full projection-initialization cost of
+      // the expression trees above the cache (measured: var_driver's
+      // 400-row annotate projection burned ~46 s of executor CPU
+      // across 32 near-empty tasks per run; wall 2.9-9.8 s → 1.6-1.8 s
+      // with the flag on; checksums identical).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
 
   /** Local test/bench shape (what Bench/Verify use): one partition

@@ -694,6 +694,20 @@ object Dedup {
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
         df.checkpoint()
       else df.localCheckpoint()
+    // LAZY lineage truncation for the per-round label frames (r21):
+    // every round's frame is materialized by its own sumOf action
+    // immediately after creation, so a non-eager localCheckpoint
+    // persists the blocks as a side effect of the certificate job —
+    // one action per round instead of two (the checkpoint job + the
+    // certificate job), halving the round-trip count of the whole
+    // iteration. The reliable-checkpoint branch stays EAGER: a lazy
+    // reliable checkpoint re-computes the frame in a second job to
+    // write the files (ReliableCheckpointRDD), which would undo the
+    // saving exactly where rounds are most expensive.
+    def truncateLazy(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint()
+      else df.localCheckpoint(false)
     // materialize the pair frame ONCE — both direction branches and
     // every round's join read it, and without a checkpoint/cache the
     // entire upstream pair generator would re-plan AND re-run per
@@ -702,6 +716,12 @@ object Dedup {
     // idempotent min, so the defensive distinct (a full shuffle per
     // round budget) buys nothing.
     val p = truncate(pairs.select(col(aCol).as("src"), col(bCol).as("dst")))
+    // NOTE (r21, measured): pre-partitioning edges on the per-round
+    // join key (repartition("dst") before the checkpoint) does NOT
+    // remove the per-round edge-side Exchange under AQE — AQE re-plans
+    // from the logical plan and ignores LogicalRDD's preserved
+    // outputPartitioning (probe: 1 dst-exchange with AQE off, edge
+    // side re-exchanges with AQE on). The narrow union stays.
     val edges = p
       .unionAll(p.select(col("dst").as("src"), col("src").as("dst")))
     def sumOf(labels: DataFrame): java.math.BigDecimal =
@@ -711,20 +731,23 @@ object Dedup {
     // straight off the edge list in one aggregate — the identity
     // labelling plus its propagation round would cost two extra
     // actions for a state every graph leaves immediately
-    var labels = truncate(edges.groupBy(col("src").as("node"))
+    var labels = truncateLazy(edges.groupBy(col("src").as("node"))
       .agg(min(least(col("src"), col("dst"))).as("component")))
-      // eager: materializes the seed
+    // materializes the seed AND computes its certificate in one job
     var cert = sumOf(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
-      val next = truncate(labels
+      val next = truncateLazy(labels
         .unionAll(edges
           .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
           .select(col("src").as("node"), col("component")))
         .groupBy(col("node"))
         .agg(min(col("component")).as("component")))
-      // eager: materializes `next`, truncates lineage
+      // ONE action: materializes `next` (persisting its blocks via
+      // the lazy checkpoint) and computes the certificate. `labels`
+      // appears twice in next's plan but is already materialized by
+      // the previous round's action, so both references read blocks.
       val nextCert = sumOf(next)
       // superseded rounds' checkpoint blocks are label-scale (node,
       // component) rows — reclaimed by the ContextCleaner once the

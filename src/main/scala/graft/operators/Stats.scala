@@ -335,6 +335,21 @@ object Stats {
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
         df.checkpoint()
       else df.localCheckpoint()
+    // LAZY truncation for per-round label frames (r21, the
+    // connectedComponents device): each round's frame is materialized
+    // by the convergence-check action right after creation, so a
+    // non-eager localCheckpoint persists blocks as a side effect of
+    // that job — one action per round instead of two. The
+    // reliable-checkpoint branch stays eager (a lazy reliable
+    // checkpoint recomputes the frame to write its files).
+    def truncateLazy(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint()
+      else df.localCheckpoint(false)
+    // NOTE (r21, measured): pre-partitioning und on the per-round join
+    // key does NOT remove the per-round edge-side Exchange under AQE —
+    // AQE re-plans from the logical plan and ignores LogicalRDD's
+    // preserved outputPartitioning (probe: works only with AQE off).
     val und = truncate(edges
       .select(col(aCol).cast("long").as("src"),
         col(bCol).cast("long").as("dst"))
@@ -349,13 +364,18 @@ object Stats {
     var iter = 0
     var changed = true
     while (iter < maxIters && changed) {
-      val next = truncate(und
+      val next = truncateLazy(und
         .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
         .groupBy(col("src"), col("label"))
         .agg(count(lit(1)).as("cnt"))
         .groupBy(col("src"))
         .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
         .select(col("src").as("node"), (-col("m.nl")).as("label")))
+      // ONE action per round: the convergence check materializes
+      // `next` (persisting its blocks via the lazy checkpoint) while
+      // it runs. The limit's early exit can leave partitions
+      // uncomputed; the checkpoint machinery fills those in at job
+      // end, so the next round still reads blocks only.
       changed = next
         .join(labels.withColumnRenamed("label", "old"), Seq("node"))
         .where(col("label") =!= col("old"))

@@ -85,6 +85,12 @@ object IntegratedQueries {
     val summary = ann.where(col("gene") =!= "")
       .groupBy(col("gene"))
       .agg(count(lit(1)).cast("long").as("total_mutations"))
+    // NOTE (r21, measured): pre-filling the three evidence caches as
+    // concurrent count() jobs (the Pq.train futures device) made this
+    // query STRICTLY WORSE at sf0.1 (40/15.7/11.5 s vs 12.3/11.4/8.4
+    // min-of-3) — the concurrent fills contend on the shared lineitem
+    // scan, codegen and the driver; left alone, the terminal action
+    // fills them inside one stage DAG. Kept serial.
     IntegratedDriver.integrate(probeDeg(s, d), probeHub(s, d),
       drivers, summary)
       .orderBy(desc("confidence_score"), col("gene_symbol"))
