@@ -66,6 +66,40 @@ object Pq {
         col("best").getField("cell").as("cell"))
   }
 
+  /** All m codebooks as ONE broadcastable row: books[sub] = the
+    * sub's cells sorted ascending (cell, centroid, cnsq) — the
+    * array_sort(struct(cell, …)) order is what resolves assignment
+    * ties to the smallest cell, exactly like assignL2's centsArr.
+    * Requires every sub 0..m−1 present (true by construction: seeds
+    * exist per sub and a sub can never lose all its vectors).
+    */
+  private def booksArray(codebooks: DataFrame): DataFrame =
+    codebooks
+      .select(col("sub"), struct(col("cell"), col("centroid"),
+        VectorFns.normSq(col("centroid")).as("cnsq")).as("c"))
+      .groupBy(col("sub"))
+      .agg(array_sort(collect_list(col("c"))).as("cents"))
+      .agg(array_sort(collect_list(struct(col("sub"), col("cents"))))
+        .as("books"))
+
+  /** The L2 argmax fold of assignL2 over one sub's sorted cents
+    * array — shared by the batched trainer and the one-pass encoder
+    * so both run the byte-identical scoring expression
+    * (round(dot − ‖c‖²/2, 6), strict >, ties to smallest cell).
+    */
+  private def bestCell(subv: Column, cents: Column): Column =
+    aggregate(
+      cents,
+      struct(lit(Double.NegativeInfinity).as("score"),
+        lit(null).cast("int").as("cell")),
+      (acc, c) => {
+        val score = round(VectorFns.dot(subv, c.getField("centroid"))
+          - c.getField("cnsq") / 2.0, 6)
+        when(score > acc.getField("score"),
+          struct(score.as("score"), c.getField("cell").as("cell")))
+          .otherwise(acc)
+      }).getField("cell")
+
   /** Deterministic L2 Lloyd for one subspace: id-ordered seeds, then
     * `iters` rounds of narrow fold-assignment + long-form mean —
     * lloydCentroids' loop with the L2 objective above (incl. the
@@ -92,6 +126,20 @@ object Pq {
   /** Per-subspace codebooks: (sub, cell, centroid) — subspace `s`
     * covers vector positions [s·d/m, (s+1)·d/m). Deterministic
     * (id-seeded L2 Lloyd). k ≤ 256 keeps a code one byte.
+    *
+    * The m subspace trainings are independent chains of small eager
+    * actions (seed limit + per-iter localCheckpoint), run as
+    * CONCURRENT Spark jobs — the scheduler interleaves their stages
+    * instead of paying m sequential action latencies (job submission
+    * is thread-safe; results deterministic because each future
+    * touches only its own slice). Wall ≈ slowest subspace, not the
+    * sum. NOTE (r21, measured): batching all m chains into ONE long
+    * (sub, id, subv) frame (one action + one corpus scan per round,
+    * jobs 59 → 34 on vs_ivf_pq) was measured SLOWER end to end
+    * (vs_ivf_pq min 2.5 → 3.4 s at sf0.1) — the single chain loses
+    * the futures' overlap, and training at production runs on a
+    * sample anyway, so the m-scans-per-round cost never meets the
+    * full corpus. Kept concurrent.
     */
   def train(
       vectors: DataFrame, idCol: String, vecCol: String,
@@ -99,21 +147,9 @@ object Pq {
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     require(k <= 256, s"k=$k exceeds one-byte codes")
     val dsub = dim / m
-    // the m subspace trainings are independent chains of small
-    // eager actions (seed limit + per-iter localCheckpoint), so run
-    // them as CONCURRENT Spark jobs — the scheduler interleaves
-    // their stages instead of paying m sequential action latencies
-    // (job submission is thread-safe; results are deterministic
-    // because each future touches only its own slice). Wall ≈
-    // slowest subspace instead of the sum.
     import scala.concurrent.{Await, Future, blocking}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    // blocking{} tells the global fork-join pool these futures park on
-    // Spark actions, so it grows past the CPU-count default instead of
-    // silently serialising subspaces m+1..n behind the first batch;
-    // Future.sequence (vs awaiting one by one) propagates the FIRST
-    // failure promptly instead of after every earlier await returns.
     val trained = Await.result(
       Future.sequence((0 until m).map { s =>
         Future {
@@ -128,28 +164,30 @@ object Pq {
     trained.reduce(_ unionAll _)
   }
 
-  /** Encode each vector to its m-code array (id, codes). One narrow
-    * assignment pass per subspace (broadcast codebook fold — the
-    * assignCells device), then one (id)-keyed shuffle of the m-byte
-    * payloads to assemble arrays. The vectors themselves never
-    * shuffle.
+  /** Encode each vector to its m-code array (id, codes) in ONE
+    * narrow zero-exchange pass (r21): the m codebooks broadcast as
+    * one books array, and every row computes all m argmax folds via
+    * a transform over sub = 0..m−1 — same scoring expression as
+    * training (bestCell). The previous shape ran one assignment scan
+    * per subspace plus an (id)-keyed shuffle to assemble the code
+    * arrays; this reads the vectors once and shuffles nothing
+    * (guide §2.4 — remove shuffles outright). `extraCols` ride along
+    * so callers (ivfPqBuild) need no join to re-attach row metadata.
     */
   def encode(
       vectors: DataFrame, codebooks: DataFrame, idCol: String,
-      vecCol: String, dim: Int, m: Int): DataFrame = {
+      vecCol: String, dim: Int, m: Int,
+      extraCols: Seq[String] = Nil): DataFrame = {
     val dsub = dim / m
-    (0 until m).map { s =>
-      val sub = vectors.select(col(idCol),
-        slice(col(vecCol), s * dsub + 1, dsub).as("subv"))
-      assignL2(sub,
-        codebooks.where(col("sub") === s).select(col("cell"), col("centroid")),
-        idCol, "subv")
-        .select(col(idCol), lit(s).as("sub"), col("cell").as("code"))
-    }.reduce(_ unionAll _)
-      .groupBy(col(idCol))
-      .agg(transform(
-        array_sort(collect_list(struct(col("sub"), col("code")))),
-        x => x.getField("code")).as("codes"))
+    vectors
+      .crossJoin(broadcast(booksArray(codebooks)))
+      .select(col(idCol) +: extraCols.map(col) :+
+        transform(sequence(lit(0), lit(m - 1)), s =>
+          bestCell(
+            slice(VectorFns.asDouble(col(vecCol)), s * lit(dsub) + 1,
+              lit(dsub)),
+            element_at(col("books"), s + 1).getField("cents")))
+          .as("codes"): _*)
   }
 
   /** Asymmetric-distance top-k: score every code row against ONE
@@ -347,8 +385,11 @@ object Pq {
           (x, c) => x - c).as("resid"))
       .localCheckpoint()
     val books = train(residuals, idCol, "resid", dim, m, k, iters)
-    val codes = encode(residuals, books, idCol, "resid", dim, m)
-      .join(residuals.select(col(idCol), col("cell")), Seq(idCol))
+    // cell rides through the one-pass encoder (r21) — the previous
+    // (id)-keyed join back to residuals was a corpus-scale shuffle
+    // that re-attached a column the encoder's input already carried
+    val codes = encode(residuals, books, idCol, "resid", dim, m,
+      extraCols = Seq("cell"))
     (coarse, books, codes)
   }
 
