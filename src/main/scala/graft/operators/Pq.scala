@@ -110,15 +110,18 @@ object Pq {
       k: Int, iters: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy(col(idCol))
+    // lazy checkpoints — the lloydCentroids r21 rationale: plan-level
+    // truncation happens at creation, no per-round driver decision
+    // exists, so no round needs an eager materialization action
     var cents = vectors.orderBy(col(idCol)).limit(k)
       .withColumn("cell", (row_number().over(w) - 1).cast("int"))
       .select(col("cell"), VectorFns.asDouble(col(vecCol)).as("centroid"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     for (_ <- 1 to iters) {
       val assigned = assignL2(vectors, cents, idCol, vecCol)
       cents = VectorSearch.centroidArrays(assigned, "cell", vecCol)
         .select(col("cell"), col("centroid"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     cents
   }

@@ -265,16 +265,26 @@ object VectorSearch {
       k: Int, iters: Int): DataFrame = {
     val w = Window.orderBy(col(idCol))
     // k rows — driver-scale window; the WindowExec single-partition
-    // warning is expected and harmless here
+    // warning is expected and harmless here.
+    // Checkpoints are LAZY (r21): localCheckpoint(false) truncates the
+    // LOGICAL plan immediately (each round plans over a LogicalRDD, so
+    // no 2ⁿ nesting), while execution defers to the caller's terminal
+    // action — Lloyd has no per-round driver decision (fixed iters, no
+    // convergence read), so nothing needs eager materialization and
+    // the iters+1 driver actions disappear; each round's codebook RDD
+    // still persists at first compute and each round is referenced
+    // exactly once (the next round's broadcast centsArr build).
+    // Wall at sf0.1 measured a wash (the per-round broadcast builds
+    // dominate either way) — kept for the action-count reduction.
     var cents = vectors.orderBy(col(idCol)).limit(k)
       .withColumn("cell", (row_number().over(w) - 1).cast("int"))
       .select(col("cell"), VectorFns.asDouble(col(vecCol)).as("centroid"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     for (_ <- 1 to iters) {
       val assigned = assignCells(vectors, cents, idCol, vecCol, "cell")
       cents = centroidArrays(assigned, "cell", vecCol)
         .select(col("cell"), col("centroid"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     cents
   }

@@ -1031,11 +1031,13 @@ object StatsQueries {
     * ploidy_by_celltype.csv shape.
     */
   private def scPloidy(s: SparkSession, d: String): DataFrame = {
-    // NOT cached (measured, r21): the lognorm matrix feeds ~7
-    // consumers, but they execute as INDEPENDENT broadcast subtrees
-    // in parallel (the grnEdges precedent) — a cache() here
-    // serialized the whole query behind one fill and measured 9.7 →
-    // 33 s per rep at sf0.1 vs ~4 s uncached.
+    // NOT cached (measured twice, r21): the lognorm matrix feeds ~7
+    // consumers, but they execute as independent broadcast subtrees
+    // in parallel (the grnEdges precedent). cache() here measured
+    // 9.7→33 s/rep under un-coalesced cached-plan partitioning, and a
+    // wash (3.2-3.4 s vs 3.4 s) even after
+    // canChangeCachedPlanOutputPartitioning — the fill barrier costs
+    // what the saved replays buy back.
     val ex = scLogEx(s, d)
     val panel = s.range(5, 45).select(
       concat(lit("chr"), pmod(col("id") - 5, lit(PloidyChroms))
