@@ -177,8 +177,12 @@ object Sessions {
       spark: SparkSession, inputPath: String, cores: Int): Int =
     sys.env.get("SPARK_GRAFT_SHUFFLE") match {
       case Some(v) =>
-        spark.conf.set("spark.sql.shuffle.partitions", v)
-        v.trim.toInt
+        // parse FIRST (ADVICE r20): setting the conf from the raw env
+        // value and then parsing would leave the session half-
+        // configured when a padded/non-numeric value throws
+        val n = v.trim.toInt
+        spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+        n
       case None =>
         // floor at the session's RAW shuffle.partitions: on a cluster
         // master, defaultParallelism reads 2 until executors register
