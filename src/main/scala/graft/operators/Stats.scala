@@ -565,6 +565,59 @@ object Stats {
         avg(arm(cohortB)).as("raw_mean_b"),
         var_samp(arm(cohortA)).as("var_a"),
         var_samp(arm(cohortB)).as("var_b"))
+    diffTail(agg, featureCol)
+  }
+
+  /** diffStats over PRE-AGGREGATED per-cohort moments instead of raw
+    * sample rows: `moments` carries (featureCol, cohortCol, n, s, ss)
+    * rows — count, sum and sum-of-squares of the values — at any
+    * grouping at least as fine as (feature, cohort); the function
+    * re-aggregates to (feature, cohort) and derives mean = s/n and
+    * var = (ss − s²/n)/(n−1) explicitly (the markerStats moment
+    * arithmetic). Exists so a caller that ALREADY pays a finer
+    * moment aggregate for another consumer (IntegratedQueries' shared
+    * per-(gene, sample, cohort) frame — one corpus scan feeding both
+    * DEG evidence probes, guide §6 read-once) can reuse it here
+    * instead of a second corpus scan.
+    *
+    * Equivalence contract with diffStats (verified by
+    * IntegratedDriverSpec at every shipped SF): identical to the
+    * rounded 6dp output when the value sums are exact in double
+    * (integral values — l_quantity here); the explicit moment formula
+    * and var_samp then differ by ulps, orders below the suite's
+    * round(+1e-9, 6) protocol.
+    */
+  def diffStatsFromMoments(
+      moments: DataFrame, featureCol: String, cohortCol: String,
+      cohortA: String, cohortB: String): DataFrame = {
+    def arm(c: String, v: Column) = sum(when(col(cohortCol) === c, v))
+    val agg = moments
+      .where(col(cohortCol).isin(cohortA, cohortB))
+      .groupBy(col(featureCol))
+      .agg(
+        coalesce(arm(cohortA, col("n")), lit(0L)).cast("long").as("n_a"),
+        coalesce(arm(cohortB, col("n")), lit(0L)).cast("long").as("n_b"),
+        arm(cohortA, col("s")).as("s_a"), arm(cohortB, col("s")).as("s_b"),
+        arm(cohortA, col("ss")).as("ss_a"), arm(cohortB, col("ss")).as("ss_b"))
+    def meanOf(s: Column, n: Column) = s / nullif(n.cast("double"), lit(0.0))
+    // sample variance from exact moments; n−1 = 0 nulls out exactly
+    // like var_samp over a single row
+    def varOf(s: Column, ss: Column, n: Column) = {
+      val nd = n.cast("double")
+      (ss - s * s / nd) / nullif(nd - 1.0, lit(0.0))
+    }
+    diffTail(agg.select(col(featureCol), col("n_a"), col("n_b"),
+      meanOf(col("s_a"), col("n_a")).as("raw_mean_a"),
+      meanOf(col("s_b"), col("n_b")).as("raw_mean_b"),
+      varOf(col("s_a"), col("ss_a"), col("n_a")).as("var_a"),
+      varOf(col("s_b"), col("ss_b"), col("n_b")).as("var_b")), featureCol)
+  }
+
+  /** The shared scoring tail of diffStats/diffStatsFromMoments over a
+    * per-feature frame carrying (n_a, n_b, raw_mean_a, raw_mean_b,
+    * var_a, var_b).
+    */
+  private def diffTail(agg: DataFrame, featureCol: String): DataFrame = {
     val se = sqrt(col("var_a") / col("n_a") + col("var_b") / col("n_b"))
     val t = (col("raw_mean_a") - col("raw_mean_b")) / nullif(se, lit(0.0))
     def r6(c: Column) = round(c + lit(1e-9), 6)

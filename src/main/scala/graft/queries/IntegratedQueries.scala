@@ -51,23 +51,56 @@ object IntegratedQueries {
       when(idx === i, lit(n)).otherwise(rest)
     }
 
+  /** ONE lineitem pass feeds BOTH DEG evidence probes (r22, guide §6
+    * read-once; previously degStats and degHub each re-scanned
+    * lineitem inside this query): the shared per-(gene, sample,
+    * cohort) moment frame is 40 × 20 × 3 rows, cached. The deg probe
+    * re-aggregates it to per-cohort moments
+    * (Stats.diffStatsFromMoments — 6dp-equal to degStats, proved by
+    * IntegratedDriverSpec's moment-equivalence row); the hub probe
+    * re-aggregates it to the (sample_id, gene) count matrix, whose
+    * sums of integral quantities are EXACT in double, so the
+    * cpm/correlation pipeline downstream is bit-identical to degHub's.
+    */
+  private[graft] def degMoments(s: SparkSession, d: String): DataFrame =
+    graft.Tables.lineitem(s, d).select(
+      pmod(col("l_partkey"), lit(NGenes)).cast("long").as("gene"),
+      pmod(col("l_suppkey"), lit(StatsQueries.NSamples)).cast("long")
+        .as("sample_id"),
+      col("l_returnflag").as("cohort"),
+      col("l_quantity").cast("double").as("v"))
+      .groupBy(col("gene"), col("sample_id"), col("cohort"))
+      .agg(count(col("v")).as("n"), sum(col("v")).as("s"),
+        sum(col("v") * col("v")).as("ss"))
+      .cache()
+
   /** The two DEG evidence probes barrier their panel-scale upstream
     * aggregates with cache() — without it the integrate stage's
     * gene_symbol predicates push the 40-branch pickSym CASE through
-    * the aggregate onto the lineitem scan and evaluate it per FACT
-    * row (the driver_db/var_summary defect class, seen in the scan
-    * DataFilters). The cached frames are 40/10 rows.
+    * the aggregate onto the moment frame and re-derive the diff/hub
+    * arithmetic per predicate (the driver_db/var_summary defect
+    * class). The cached frames are 40/10 rows.
     */
   private[queries] def probeDeg(s: SparkSession, d: String): DataFrame =
-    StatsQueries.degStats(s, d).cache().select(
-      pickSym(col("gene")).as("gene_symbol"),
-      round(col("log2_fc") * 20.0 + lit(1e-9), 6).as("log2fc"),
-      round(col("p_value") * col("p_value") + lit(1e-9), 6).as("padj"))
+    probeDegFrom(degMoments(s, d))
+
+  private[queries] def probeDegFrom(moments: DataFrame): DataFrame =
+    Stats.diffStatsFromMoments(moments, "gene", "cohort", "A", "R")
+      .cache().select(
+        pickSym(col("gene")).as("gene_symbol"),
+        round(col("log2_fc") * 20.0 + lit(1e-9), 6).as("log2fc"),
+        round(col("p_value") * col("p_value") + lit(1e-9), 6).as("padj"))
 
   private[queries] def probeHub(s: SparkSession, d: String): DataFrame =
-    StatsQueries.degHub(s, d).cache().select(
-      pickSym(col("gene")).as("gene_symbol"),
-      (col("degree") / NGenes.toDouble).as("hub_score"))
+    probeHubFrom(degMoments(s, d))
+
+  private[queries] def probeHubFrom(moments: DataFrame): DataFrame =
+    StatsQueries.degHubFromCounts(
+      moments.groupBy(col("sample_id"), col("gene"))
+        .agg(sum(col("s")).as("raw_count")))
+      .cache().select(
+        pickSym(col("gene")).as("gene_symbol"),
+        (col("degree") / NGenes.toDouble).as("hub_score"))
 
   private def integratedDriver(s: SparkSession, d: String): DataFrame = {
     // ONE variant-annotate chain feeds BOTH mutation evidence frames.
@@ -91,7 +124,10 @@ object IntegratedQueries {
     // min-of-3) — the concurrent fills contend on the shared lineitem
     // scan, codegen and the driver; left alone, the terminal action
     // fills them inside one stage DAG. Kept serial.
-    IntegratedDriver.integrate(probeDeg(s, d), probeHub(s, d),
+    // ONE shared moment frame for both DEG evidence probes — the
+    // r22 read-once device (see degMoments)
+    val m = degMoments(s, d)
+    IntegratedDriver.integrate(probeDegFrom(m), probeHubFrom(m),
       drivers, summary)
       .orderBy(desc("confidence_score"), col("gene_symbol"))
   }

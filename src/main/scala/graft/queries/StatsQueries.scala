@@ -24,7 +24,7 @@ object StatsQueries {
     * per gene at sf0.01, the large-sample regime the normal
     * approximation expects.
     */
-  private[queries] def degStats(s: SparkSession, d: String): DataFrame =
+  private[graft] def degStats(s: SparkSession, d: String): DataFrame =
     Stats.diffStats(
       Tables.lineitem(s, d).select(
         pmod(col("l_partkey"), lit(NGenes)).cast("long").as("gene"),
@@ -98,7 +98,7 @@ object StatsQueries {
 
   /* ---------------- deg_cpm ---------------- */
 
-  private val NSamples = 20
+  private[queries] val NSamples = 20
 
   /** Count-matrix binding: sample = supplier mod 20, gene = part mod
     * 40, count = summed quantity. Counts are integral doubles, so
@@ -200,9 +200,20 @@ object StatsQueries {
   /** Hub genes by degree centrality over the thresholded edges
     * (agent2_network.py:207/:257 analog).
     */
-  private[queries] def degHub(s: SparkSession, d: String): DataFrame =
+  private[graft] def degHub(s: SparkSession, d: String): DataFrame =
+    degHubFromCounts(countMatrix(s, d))
+
+  /** deg_hub below the count aggregate, over a PRE-AGGREGATED count
+    * matrix (sample_id, gene, raw_count) — shared by the standalone
+    * query above and IntegratedQueries' one-scan moment frame (whose
+    * re-aggregated counts are EXACT sums of integral quantities, so
+    * the cpm/correlation arithmetic downstream is bit-identical).
+    */
+  private[graft] def degHubFromCounts(counts: DataFrame): DataFrame =
     Stats.hubFeatures(
-      Stats.correlationEdges(normalized(s, d),
+      Stats.correlationEdges(
+        Stats.cpmNormalize(counts, "sample_id", "gene", "raw_count")
+          .select(col("sample_id"), col("gene"), col("log2_cpm")),
         "gene", "sample_id", "log2_cpm", MinAbsCorr),
       HubN)
       .select(col("feature").as("gene"), col("degree"))

@@ -125,4 +125,31 @@ class IntegratedDriverSpec extends SparkSpec {
       hub(), drv(), sum0())
     assert(m.isEmpty)
   }
+
+  test("r22 moment-equivalence: the shared degMoments frame yields " +
+    "byte-identical DEG and hub evidence to the standalone pipelines") {
+    // the one-scan moment frame (queries.IntegratedQueries.degMoments)
+    // must reproduce degStats (via diffStatsFromMoments — explicit
+    // moment arithmetic vs var_samp, equal after the 6dp round on
+    // integral quantities) and degHub (via exact re-aggregated count
+    // sums) at every shipped SF the correctness gate runs
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val d = s"/root/testdata/$sf"
+      val m = graft.queries.IntegratedQueries.degMoments(spark, d)
+      val degNew = graft.operators.Stats
+        .diffStatsFromMoments(m, "gene", "cohort", "A", "R")
+        .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+      val degOld = graft.queries.StatsQueries.degStats(spark, d)
+        .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+      assert(degNew == degOld, s"deg evidence diverged at $sf")
+      val hubNew = graft.queries.StatsQueries.degHubFromCounts(
+        m.groupBy(col("sample_id"), col("gene"))
+          .agg(sum(col("s")).as("raw_count")))
+        .collect().map(_.toSeq).toSet
+      val hubOld = graft.queries.StatsQueries.degHub(spark, d)
+        .collect().map(_.toSeq).toSet
+      assert(hubNew == hubOld, s"hub evidence diverged at $sf")
+      spark.catalog.clearCache()
+    }
+  }
 }
