@@ -305,8 +305,10 @@ object Stats {
     *
     * Scale design per iteration (the CC template): labels join to
     * the edge frame on the node key (the one corpus-scale shuffle),
-    * a map-side-combined (node, label) count, and a max(struct)
-    * argmax — no windows. Lineage truncates every round via the r14
+    * then ONE node-keyed mode(label, deterministic) aggregate — the
+    * plurality argmax in a single exchange, with per-node label-count
+    * maps as the map-side-combined partial state — no windows.
+    * Lineage truncates every round via the r14
     * storage rule (reliable checkpoint when a dir is set, else
     * localCheckpoint); convergence check is one node-scale join with
     * an early-out limit(1). Oscillation (LPA's known failure on
@@ -329,8 +331,8 @@ object Stats {
       org.apache.spark.sql.types.LongType)
     Seq(aCol, bCol).foreach { c =>
       require(integral.contains(edges.schema(c).dataType),
-        s"labelPropagation: $c must be integral (label argmax " +
-          s"negates ids), got ${edges.schema(c).dataType}") }
+        s"labelPropagation: $c must be integral (node ids double as " +
+          s"labels), got ${edges.schema(c).dataType}") }
     def truncate(df: DataFrame): DataFrame =
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
         df.checkpoint()
@@ -364,13 +366,21 @@ object Stats {
     var iter = 0
     var changed = true
     while (iter < maxIters && changed) {
+      // ONE aggregate + ONE exchange per round (r22): the plurality
+      // argmax with ties-to-smallest is exactly
+      // mode(label, deterministic = true) — highest count, ties break
+      // to the lowest value (ModeProbe pins the semantics on this
+      // build, incl. negative labels; LpaSpec asserts equality with
+      // the two-level count→max(struct) shape on a tie-heavy graph).
+      // The previous count-by-(src,label) → argmax-by-(src) pair paid
+      // two exchanges per round; Mode's partial buffers are per-src
+      // label-count maps, so the map-side combine the first aggregate
+      // provided is preserved inside the single (src)-keyed exchange.
       val next = truncateLazy(und
         .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
-        .groupBy(col("src"), col("label"))
-        .agg(count(lit(1)).as("cnt"))
         .groupBy(col("src"))
-        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
-        .select(col("src").as("node"), (-col("m.nl")).as("label")))
+        .agg(mode(col("label"), deterministic = true).as("label"))
+        .select(col("src").as("node"), col("label")))
       // ONE action per round: the convergence check materializes
       // `next` (persisting its blocks via the lazy checkpoint) while
       // it runs. The limit's early exit can leave partitions

@@ -421,6 +421,35 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("r22 fused LPA round: mode(label, deterministic) equals the " +
+    "two-level count→max(struct) argmax, plurality ties included") {
+    import spark.implicits._
+    // one synchronous round's neighbor-label frame, rich in the cases
+    // that distinguish the shapes: a 2-way tie (smallest must win), a
+    // negative-label tie, a clear plurality, and a single vote
+    val nl = Seq(
+      (1L, 5L), (1L, 5L), (1L, 3L), (1L, 3L), (1L, 9L),
+      (2L, -7L), (2L, -7L), (2L, -2L), (2L, -2L),
+      (3L, 8L), (3L, 8L), (3L, 1L),
+      (4L, 0L)).toDF("src", "label")
+    val fused = nl.groupBy($"src")
+      .agg(mode($"label", deterministic = true).as("label"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val twoLevel = nl.groupBy($"src", $"label")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy($"src")
+      .agg(max(struct($"cnt", (-$"label").as("nl"))).as("m"))
+      .select($"src", (-$"m.nl").as("label"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fused == twoLevel)
+    assert(fused == Map(1L -> 3L, 2L -> -7L, 3L -> 8L, 4L -> 0L))
+    // the fused round plans exactly ONE exchange (the r22 point)
+    val plan = nl.groupBy($"src")
+      .agg(mode($"label", deterministic = true).as("label"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size <= 1, plan)
+  }
+
   test("labelPropagation size-attach paths are equal: join (the " +
     "mega-community shape) == window (the default)") {
     import spark.implicits._
