@@ -130,13 +130,15 @@ object Pq {
     * covers vector positions [s·d/m, (s+1)·d/m). Deterministic
     * (id-seeded L2 Lloyd). k ≤ 256 keeps a code one byte.
     *
-    * The m subspace trainings are independent chains of small eager
-    * actions (seed limit + per-iter localCheckpoint), run as
-    * CONCURRENT Spark jobs — the scheduler interleaves their stages
-    * instead of paying m sequential action latencies (job submission
-    * is thread-safe; results deterministic because each future
-    * touches only its own slice). Wall ≈ slowest subspace, not the
-    * sum. NOTE (r21, measured): batching all m chains into ONE long
+    * The m subspace trainings are independent plan-builder chains.
+    * Since the r21 lazy-localCheckpoint switch in lloydL2 they submit
+    * NO jobs of their own — each round's truncation defers to the
+    * terminal action, where the per-sub codebook subtrees materialize
+    * inside the books broadcast build; the futures remain so the m
+    * chains' plan construction (and, on eager-checkpoint variants,
+    * their actions) never serialize, and results stay deterministic
+    * because each future touches only its own slice.
+    * NOTE (r21, measured): batching all m chains into ONE long
     * (sub, id, subv) frame (one action + one corpus scan per round,
     * jobs 59 → 34 on vs_ivf_pq) was measured SLOWER end to end
     * (vs_ivf_pq min 2.5 → 3.4 s at sf0.1) — the single chain loses
@@ -176,6 +178,12 @@ object Pq {
     * arrays; this reads the vectors once and shuffles nothing
     * (guide §2.4 — remove shuffles outright). `extraCols` ride along
     * so callers (ivfPqBuild) need no join to re-attach row metadata.
+    *
+    * Precondition: `idCol` is unique per row. The pre-r21 shape's
+    * groupBy(id) implicitly merged duplicate ids into one (malformed)
+    * code row; the one-pass shape emits one code row PER INPUT ROW.
+    * All callers satisfy uniqueness by construction — new callers
+    * must not rely on the old implicit dedup.
     */
   def encode(
       vectors: DataFrame, codebooks: DataFrame, idCol: String,
@@ -390,7 +398,14 @@ object Pq {
     val books = train(residuals, idCol, "resid", dim, m, k, iters)
     // cell rides through the one-pass encoder (r21) — the previous
     // (id)-keyed join back to residuals was a corpus-scale shuffle
-    // that re-attached a column the encoder's input already carried
+    // that re-attached a column the encoder's input already carried.
+    // NOTE (r22, measured): barriering the encode output with a lazy
+    // localCheckpoint ("cheap projection barrier", the r21 item-3
+    // hypothesis) is consistently ~0.2 s WORSE at sf0.1 (paired
+    // stash arms, min-of-3: 3.27/3.85 vs 3.12/3.63) — the code frame
+    // has exactly ONE consumer (the refine shortlist's broadcast
+    // build), so truncation saves no recompute and the checkpoint
+    // block bookkeeping is pure overhead. Left un-barriered.
     val codes = encode(residuals, books, idCol, "resid", dim, m,
       extraCols = Seq("cell"))
     (coarse, books, codes)
