@@ -130,7 +130,16 @@ object Dedup {
       .where(col("bsz") <= maxBucket)
       .select(col("band"), col("bkey"))
     // both self-join sides read the pruned postings; cached so the
-    // bucket-count aggregation + prune join run once, not twice
+    // bucket-count aggregation + prune join run once, not twice.
+    // NOTE (r22, measured): dropping THIS cache (each side re-reading
+    // the exploded cache through its own prune join — the "merge 3
+    // cache fills into 2" hypothesis) shuffles posting-scale data
+    // TWICE: the duplicated prune subtrees do not canonicalize equal
+    // (differing output aliases), so exchange reuse never fires —
+    // ProfileAll dedup_select shuffle 2553 → 3944 KB, dedup_cluster
+    // 2491 → 3882 KB, wall a wash locally. One extra corpus-scale
+    // exchange per query is the wrong trade at lake scale; the three
+    // fills stay.
     val pruned = exploded.join(smallBuckets, Seq("band", "bkey")).cache()
     val a = pruned.select(col(idCol).as("da"), col("band"), col("bkey"))
     val b = pruned.select(col(idCol).as("db"), col("band"), col("bkey"))
