@@ -38,6 +38,16 @@ object Sessions {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      // let AQE rewrite sort-merge joins to shuffled-hash at runtime
+      // when EVERY post-shuffle partition is measured under the
+      // threshold (off by default; guide §3.1). This is the
+      // scale-safe form of preferSortMergeJoin=false: the decision
+      // uses measured bytes, never plan-time estimates, so a
+      // mis-estimated build side can never OOM. Sized to the
+      // broadcast threshold — one partition's hash map is bounded by
+      // what a broadcast relation would have been allowed to hold.
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        "64m")
       .config("spark.sql.session.timeZone", "UTC")
       // parquet TIMESTAMP(isAdjustedToUTC=false) reads as plain
       // TimestampType (stored value verbatim, UTC session above), not

@@ -21,9 +21,15 @@ object ScAdjudicate {
       case "off" => "false"
       case other => sys.error(s"SPARK_GRAFT_CACHED_COALESCE must be on|off, got $other")
     }
-    val spark = Sessions.localBuilder(32)
-      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", flag)
-      .getOrCreate()
+    // optional extra session confs for one-flag A/B arms:
+    //   SPARK_GRAFT_PROBE_CONF="k=v;k2=v2"
+    val extra = sys.env.get("SPARK_GRAFT_PROBE_CONF").toSeq
+      .flatMap(_.split(";")).filter(_.contains("="))
+      .map { kv => val Array(k, v) = kv.split("=", 2); (k, v) }
+    val spark = extra.foldLeft(
+      Sessions.localBuilder(32)
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", flag)
+    ) { case (b, (k, v)) => b.config(k, v) }.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Sessions.applyShufflePartitions(spark, sfDir, 32): Unit
     spark.range(1000000L).selectExpr("sum(id)").collect()
